@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice: a warm-up is NOT done (cold numbers are the
+honest ones for a batch engine); timing covers full execution to a count()
+materialization, which forces every operator while avoiding driver-side
+result transfer dominating the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_kafka_table_api_spark.queries import QUERIES  # noqa: E402
+from flink_kafka_table_api_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one representative per operator family (SURVEY.md §2.2).
+HEADLINE = [
+    "approved_transactions",   # reference-parity pipeline (narrow only)
+    "pricing_summary",         # hash agg (TPC-H Q1 shape)
+    "star_join",               # broadcast star join (TPC-H Q5 shape)
+    "join_inner_agg",          # shuffle/AQE-decided join
+    "window_topk",             # window function + filter
+    "sessionize",              # gap sessionization (2-pass window algebra)
+    "dedup_minhash",           # MinHash signatures over documents
+    "lsh_candidate_pairs",     # LSH banding + bucket self-join
+    "ngram_jaccard",           # blocked all-pairs verify
+    "ann_bruteforce",          # cosine top-k (broadcast NLJ)
+    "ann_lsh",                 # hyperplane-bucketed ANN
+    "lang_id",                 # text analysis pass
+    "token_count",             # tokenization pass
+    "multimodal_meta",         # Arrow/mapInPandas plumbing
+    "stream_tumbling",         # Structured Streaming windowed agg
+]
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="fkta-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Deduplication operators (EXT scope, BASELINE.json north star).
+
+Four families, all expressed as declarative DataFrame algebra so Catalyst
+distributes them (no driver-side loops, no Python in the hot path):
+
+- exact:        hash-groupBy on the dedup key (one shuffle on the key)
+- MinHash+LSH:  shingle -> k-perm minhash signature -> band buckets ->
+                bucket self-join for candidates -> exact-Jaccard verify.
+                At 100 TB the candidate join shuffles only (band, hash)
+                buckets, never the O(n^2) pair space.
+- SimHash:      per-token hash bit-voting -> 32/64-bit signature; near-dups
+                are signatures within small Hamming distance.
+- n-gram Jaccard: blocked self-join + exact Jaccard on distinct token sets
+                (the verifier used after LSH blocking; also usable alone
+                with a cheap blocking key).
+
+Portability: oracle-checked paths use the md5-based portable hash
+(functions/portable.py) so DuckDB reproduces results bit-for-bit; the
+``portable=False`` fast path swaps in Spark's codegen'd xxhash64 for
+production runs (same algorithm, ~10x cheaper hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.functions.portable import (
+    MINHASH_PRIME,
+    minhash_perm,
+    portable_hash64,
+)
+from flink_kafka_table_api_spark.operators.text import tokens
+
+# Fixed universal-hash family coefficients (odd constants; any fixed odd a
+# works for (a*h+b) mod 2^61-1). 16 permutations supported out of the box.
+PERM_A = (
+    1000000007, 998244353, 754974721, 167772161,
+    469762049, 1107296257, 2013265921, 1224736769,
+    1711276033, 2281701377, 3221225473, 75497473,
+    104857601, 141557761, 415236097, 536870923,
+)
+PERM_B = (
+    972663749, 423434567, 876543211, 123456791,
+    314159265, 271828183, 161803399, 141421357,
+    223606797, 264575131, 282842713, 301511345,
+    317804971, 332039855, 344827587, 356753123,
+)
+
+
+def dedup_exact(
+    df: DataFrame, keys: Sequence[str], tie_breaker: str
+) -> DataFrame:
+    """Keep one deterministic representative row per exact key group (the
+    row minimizing ``tie_breaker``). One shuffle on the key columns; at scale
+    prefer this over dropDuplicates() when determinism matters (Spark's
+    dropDuplicates keeps an arbitrary row)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(tie_breaker).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined) of a text column. Documents
+    shorter than k tokens contribute their whole token sequence as one
+    shingle so they still participate in dedup."""
+    toks = tokens(text)
+    n = F.size(toks)
+    k_shingles = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.array_distinct(
+        F.when(n >= k, k_shingles).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    """DuckDB rendering of :func:`shingles` (identical semantics)."""
+    toks = (f"list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'),"
+            f" t -> t != '')")
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k} - 1), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def _base_hash(c: Column, portable: bool) -> Column:
+    return portable_hash64(c) if portable else F.abs(F.xxhash64(c)) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """MinHash signature per document: mh_0..mh_{num_hashes-1}.
+
+    Shape: explode distinct shingles -> one narrow pass computing all k
+    permuted hashes -> groupBy(id).min for each. The min-aggregation is
+    partial-aggregate friendly (map-side combine), so the shuffle carries at
+    most k longs per document regardless of document size — the property
+    that makes this work at 100 TB.
+    """
+    if num_hashes > len(PERM_A):
+        raise ValueError(f"num_hashes <= {len(PERM_A)}")
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__shingle")
+    ).withColumn("__h", _base_hash(F.col("__shingle"), portable))
+    aggs = [
+        F.min(minhash_perm(F.col("__h"), PERM_A[j], PERM_B[j])).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig_df: DataFrame, id_col: str, *, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Fold a signature into (band_id, band_hash) bucket keys. Two documents
+    collide in a band iff that band's minhash rows are all equal."""
+    cols = []
+    for b in range(bands):
+        band_cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                portable_hash64(F.concat_ws("_", *band_cols)).alias("band_hash"),
+            )
+        )
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"),
+             F.col("band.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any band bucket. The join key
+    (band_id, band_hash) keeps the shuffle proportional to bucket sizes, not
+    to the corpus squared; pathological buckets (all-identical docs) are the
+    one skew risk — AQE skew-join splits them."""
+    a = band_df.select(F.col(id_col).alias("a"), "band_id", "band_hash")
+    b = band_df.select(F.col(id_col).alias("b"), "band_id", "band_hash")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard(tok_a: Column, tok_b: Column) -> Column:
+    """Exact Jaccard similarity of two already-distinct token arrays."""
+    inter = F.size(F.array_intersect(tok_a, tok_b))
+    union = F.size(tok_a) + F.size(tok_b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_cols: Sequence[str],
+    threshold: float,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Blocked all-pairs n-gram Jaccard near-dup detection.
+
+    ``block_cols`` bounds the pair space (same-block pairs only) — the
+    blocking key IS the scalability contract: pair count is sum over blocks
+    of |block|^2, so callers pick keys (language, length bucket, LSH band,
+    fingerprint prefix) that keep blocks small at their scale.
+    """
+    sets = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        (F.array_distinct(shingles(text_col, shingle_k)) if shingle_k > 1
+         else F.array_distinct(tokens(text_col))).alias("__toks"),
+    )
+    a = sets.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("a"), F.col("__toks").alias("__ta"),
+    )
+    b = sets.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("b"), F.col("__toks").alias("__tb"),
+    )
+    return (
+        a.join(b, on=list(block_cols))
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("jaccard", F.round(jaccard(F.col("__ta"), F.col("__tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 32,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document SimHash signature: each output bit is the majority vote
+    of that bit across all token hashes (ties -> 0). One narrow pass, no
+    shuffle at all — the cheapest near-dup signature at scale."""
+    hts = F.transform(tokens(text_col), lambda t: _base_hash(t, portable))
+    n = F.size(hts)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = F.lit(1 << i).cast("long")
+        pop = F.size(F.filter(hts, lambda h: h.bitwiseAND(mask) != 0))
+        acc = acc + F.when(pop * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_sql(id_expr: str, text_expr: str, *, bits: int = 32) -> str:
+    """DuckDB SELECT-list fragment matching :func:`simhash` (portable mode)."""
+    toks = (f"list_filter(regexp_split_to_array(lower(trim({text_expr})), '\\s+'),"
+            f" t -> t != '')")
+    hts = (f"list_transform({toks},"
+           f" t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)")
+    terms = []
+    for i in range(bits):
+        mask = 1 << i
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(__hts, h -> (h & {mask}) != 0))"
+            f" > len(__hts) THEN {mask}::BIGINT ELSE 0::BIGINT END)"
+        )
+    total = " + ".join(terms)
+    return (
+        f"SELECT {id_expr}, ({total}) AS simhash "
+        f"FROM (SELECT *, {hts} AS __hts FROM documents)"
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash signatures (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

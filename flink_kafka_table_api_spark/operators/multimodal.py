@@ -1,0 +1,119 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern (EXT scope, BASELINE.json): image/audio/video payloads travel as
+``binary`` columns next to a typed metadata struct; decode / feature-extract
+/ resize / frame-sample run as Arrow-batched Pandas iterators via
+``mapInPandas`` so each executor processes whole record batches without
+per-row Python overhead.
+
+The decode bodies are STUBBED (the image/audio libraries are not in this
+container): ``decode_image_meta`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder exercises the real
+Spark plumbing — schema contract, Arrow batch shape, partition-parallel
+execution — which is the part that matters for the engine.
+
+Scale notes: binary payloads dominate row size, so (a) keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` small enough that one batch
+of payloads fits executor memory, (b) never groupBy/shuffle the binary
+column itself — shuffle ids, join payloads back late, (c) store payloads in
+parquet with a small row-group size or in external object storage with the
+table holding URIs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata contract for an image-bearing table.
+IMAGE_META_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("byte_len", LongType(), False),
+    StructField("content_md5", StringType(), False),
+    StructField("format", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+    b"RIFF": "riff",
+}
+
+
+def sniff_format(payload: bytes) -> str | None:
+    for magic, fmt in _MAGIC.items():
+        if payload[: len(magic)] == magic:
+            return fmt
+    return None
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a real image decoder: derives a (w, h)
+    from the payload length alone (pure arithmetic, so the DuckDB oracle can
+    reproduce it). Replace with PIL/libvips in a real deployment."""
+    w = 1 + (len(payload) % 512)
+    h = 1 + (len(payload) * 31 % 512)
+    return w, h
+
+
+def decode_image_meta(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode binary payloads into the IMAGE_META_SCHEMA via mapInPandas.
+
+    The Arrow batch iterator shape is the real contract being tested; only
+    the pixel-decode inner call is stubbed (NotImplementedError without
+    ``fake=True`` — this container ships no imaging libraries).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libvips; run with fake=True"
+                )
+            payloads = pdf[payload_col]
+            dims = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "byte_len": payloads.map(len).astype("int64"),
+                "content_md5": payloads.map(
+                    lambda p: hashlib.md5(bytes(p)).hexdigest()
+                ),
+                "format": payloads.map(lambda p: sniff_format(bytes(p))),
+                "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                "height": pd.array([d[1] for d in dims], dtype="Int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=IMAGE_META_SCHEMA
+    )
+
+
+def documents_as_binary(docs: DataFrame) -> DataFrame:
+    """Adapter for the driver testdata: treat each document's utf-8 bytes as
+    an opaque payload so the multimodal plumbing has real input to chew on."""
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )

@@ -1,0 +1,126 @@
+"""Relational operator combinators (EXT scope — SURVEY.md §2.2).
+
+The reference exercises only filter/project/scalar-expr (it is a single-table
+pipe); joins, aggregations, windows, sorts and set ops are the in-scope
+extensions. Everything here stays declarative so Catalyst picks the physical
+strategy; the helpers encode the *scale* decisions (broadcast hints,
+deterministic top-k, partial-agg-friendly shapes) rather than re-implementing
+operators Spark already has.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+# Dimension tables small enough to broadcast at ANY scale factor: TPC-H
+# region/nation are constant-size; supplier/part/customer grow with SF and
+# must NOT be unconditionally broadcast at 100 TB — those go through AQE's
+# size-based decision instead.
+ALWAYS_BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    *,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact-to-dimension join. ``broadcast_dim=True`` pins a broadcast-hash
+    join (no shuffle of the fact side — the 100 TB-critical property);
+    leave False for dims that scale with the fact table and let AQE decide."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS — returns left rows with a match, never duplicates them."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """Deterministic per-group top-k via row_number.
+
+    Callers MUST make ``order_by`` a total order (append a unique key as the
+    last sort column) or results are nondeterministic under parallelism.
+    Scale note: row_number needs a single sort per partition key — skewed
+    groups are handled by AQE; for extreme skew pre-aggregate or use a
+    groupBy(max_by) shape instead.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= k)
+    )
+
+
+def running_window(
+    partition_by: Sequence[str], order_by: Sequence[Column]
+) -> WindowSpec:
+    """UNBOUNDED PRECEDING..CURRENT ROW frame (running totals)."""
+    return (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    partition_by: str,
+    ts_col: str,
+    gap_seconds: int,
+    tie_breaker: str,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``.
+
+    This is the batch analog of streaming session windows
+    (F.session_window — streaming/windows.py); expressed with lag + a running
+    sum so it is pure window algebra (two passes over one sort — no UDF, no
+    state store). The same algorithm at 100 TB: one shuffle on the partition
+    key, sorts within partitions, AQE handles skewed users.
+    """
+    order = [F.col(ts_col), F.col(tie_breaker)]
+    w = Window.partitionBy(partition_by).orderBy(*order)
+    run = (
+        Window.partitionBy(partition_by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # NTZ timestamps: route through TimestampType (session tz is pinned UTC
+    # by session.py) so the epoch-seconds arithmetic matches DuckDB epoch().
+    ts_secs = F.col(ts_col).cast("timestamp").cast("double")
+    gap = ts_secs - F.lag(ts_secs).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(session_col, F.sum(new_session).over(run))
+
+
+def grouping_sets(
+    spark_df: DataFrame,
+    view_name: str,
+    sets_sql: str,
+    select_sql: str,
+) -> DataFrame:
+    """GROUPING SETS entry point — Spark exposes it via SQL only."""
+    spark_df.createOrReplaceTempView(view_name)
+    return spark_df.sparkSession.sql(
+        f"SELECT {select_sql} FROM {view_name} GROUP BY GROUPING SETS {sets_sql}"
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (EXT scope, BASELINE.json).
+
+Two tiers, mirroring how vector search actually scales:
+
+- brute-force cosine top-k: exact baseline. One narrow scoring pass + a
+  distributed top-k (TakeOrderedAndProject — each partition keeps k rows,
+  driver merges k*partitions). Correct answer, O(n*d) work; at 100 TB this
+  is the "re-rank" stage, not the entry point.
+- random-hyperplane LSH buckets: the scale path. Each vector gets a p-bit
+  bucket id (sign of dot product with p fixed hyperplanes); queries only
+  score vectors in their own bucket, cutting candidates ~2^p-fold. The
+  hyperplanes are deterministic (md5-derived), so the DuckDB oracle can
+  reproduce bucket assignment exactly — and so can every executor, with no
+  broadcast of model state.
+
+Everything is Catalyst higher-order functions on array<float> columns
+(functions/vector.py) — no Python UDF, no MLlib dependency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.functions.vector import (
+    as_double_array,
+    cosine,
+    dot,
+)
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    from md5 so Python, Spark-literal and SQL-literal views all agree."""
+    h = hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 31) - 1.0
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    return [
+        [_plane_component(p, d) for d in range(dim)] for p in range(num_planes)
+    ]
+
+
+def cosine_scores(
+    vectors: DataFrame,
+    query: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+    score_col: str = "cosine_sim",
+) -> DataFrame:
+    """Score every vector against a (single-row) query via a broadcast
+    nested-loop join — the right physical plan: the query side is one row,
+    so no shuffle of the vector side ever happens."""
+    scored = vectors.crossJoin(F.broadcast(query))
+    return scored.withColumn(
+        score_col,
+        F.round(
+            cosine(as_double_array(vec_col), as_double_array(query_vec_col)), 6
+        ),
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """Exact cosine top-k. orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heap of k, merge on driver) — no full sort, no shuffle."""
+    return (
+        cosine_scores(vectors, query, id_col=id_col, vec_col=vec_col,
+                      query_vec_col=query_vec_col)
+        .select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """p-bit signed-projection bucket id for an array<float> vector column."""
+    v = as_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(v, plane_lit) > 0,
+                                 F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB rendering of :func:`lsh_bucket` (identical dot-product order)."""
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        d = (f"list_aggregate(list_transform(list_zip({vec_expr}, {lit}),"
+             f" pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)), 'sum')")
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the query's LSH bucket.
+    At scale, write vectors partitioned/bucketed by this bucket id so the
+    filter becomes partition pruning at the scan."""
+    bucketed = vectors.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    q = query.withColumn("__qbucket", lsh_bucket(F.col(query_vec_col), planes))
+    candidates = bucketed.join(
+        F.broadcast(q), F.col("__bucket") == F.col("__qbucket"), "inner"
+    )
+    return (
+        candidates.withColumn(
+            "cosine_sim",
+            F.round(cosine(as_double_array(vec_col),
+                           as_double_array(query_vec_col)), 6),
+        )
+        .select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def neardup_pairs(
+    vectors: DataFrame,
+    *,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks (label, LSH
+    bucket, ...). Same blocked self-join contract as ngram_jaccard_pairs:
+    the block key bounds the pair space."""
+    sets = vectors.select(
+        F.col(block_col), F.col(id_col), as_double_array(vec_col).alias("__v")
+    )
+    a = sets.select(F.col(block_col), F.col(id_col).alias("a"), F.col("__v").alias("__va"))
+    b = sets.select(F.col(block_col), F.col(id_col).alias("b"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, on=block_col)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(block_col, "a", "b", "cosine_sim")
+    )

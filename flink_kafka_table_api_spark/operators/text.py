@@ -1,0 +1,121 @@
+"""Text-analysis operators over a documents table (EXT scope, BASELINE.json).
+
+All operators are pure Catalyst expressions (split/filter/transform/regexp)
+— no Python UDFs — so at 100 TB they run inside whole-stage codegen on the
+scan's own partitions with zero shuffles (except where an aggregate is the
+point). Tokenization is deliberately the same trivially-portable definition
+in the DuckDB oracles: lowercase, split on whitespace runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.functions.portable import portable_hash64
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Deliberately small so the oracle SQL stays writable; real
+# deployments would swap in full profiles via the same operator shape.
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "不", "这", "也"),
+}
+
+ENGLISH_STOPWORDS = STOPWORD_PROFILES["en"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text; empty strings removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return (f"list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'),"
+            f" t -> t != '')")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features + composite score.
+
+    Features follow the standard LLM-data-curation recipe (length, mean word
+    length, stopword ratio, alnum ratio); score is a transparent linear blend
+    so the oracle can reproduce it exactly.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
+    alnum_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9]", ""))
+    mean_word_len = F.when(n_tok > 0, (alnum_chars.cast("double") / n_tok))
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0)
+    alnum_ratio = F.when(n_chars > 0, alnum_chars.cast("double") / n_chars).otherwise(0.0)
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 1000), 0.4).otherwise(0.0)
+        + stop_ratio * 0.3
+        + alnum_ratio * 0.3
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language identification.
+
+    Scores each language by the fraction of tokens found in its profile and
+    takes the argmax (deterministic tie-break: language code order). This is
+    the classic fasttext-free fallback; at 100 TB it is a single narrow pass.
+    """
+    toks = tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    scores = [
+        F.struct(
+            (F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double") / n_tok).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(STOPWORD_PROFILES.items())
+    ]
+    # argmax by (score, then lexicographically-later lang wins ties is wrong:
+    # array_max on structs compares fieldwise -> (score, lang); to make the
+    # FIRST lang win ties we invert: compare (score, reverse-rank) instead.
+    ranked = [
+        F.struct(
+            s["score"].alias("score"),
+            F.lit(-i).alias("rank"),
+            s["lang"].alias("lang"),
+        )
+        for i, s in enumerate(scores)
+    ]
+    best = F.array_max(F.array(*ranked))
+    return df.select(
+        "doc_id",
+        "lang",
+        best["lang"].alias("predicted_lang"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: 60-bit hash of the sorted distinct
+    token set (word-order- and repetition-insensitive). The standard cheap
+    near-dup blocking key; portable to the oracle via md5."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")
+    return df.select(
+        "doc_id",
+        portable_hash64(canon).alias("fingerprint"),
+        F.md5(canon).alias("fingerprint_hex"),
+    )

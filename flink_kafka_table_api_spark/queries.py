@@ -1,0 +1,1157 @@
+"""Query registry: every operator from SURVEY.md §2 as a (spark, sf_dir) ->
+DataFrame callable plus, where SQL-expressible, a DuckDB oracle producing the
+IDENTICAL result (same column names, same types, same values).
+
+Portability rules used throughout (see functions/portable.py):
+- double aggregates go through DECIMAL(25,4/6) accumulation (order-free);
+- hashes are the md5-based portable hash;
+- floating-point scores are rounded to 6 decimals in BOTH engines;
+- computed integer columns are cast to BIGINT in BOTH engines;
+- every derived column is aliased identically in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.catalog import normalize_nanos_ts, read_table
+from flink_kafka_table_api_spark.functions.portable import (
+    dec_avg,
+    dec_avg_sql,
+    dec_sum,
+    dec_sum_sql,
+    minhash_perm_sql,
+    portable_hash64,
+    portable_hash64_sql,
+)
+from flink_kafka_table_api_spark.functions.vector import as_double_array, cosine, cosine_sql
+from flink_kafka_table_api_spark.operators import dedup as dd
+from flink_kafka_table_api_spark.operators import multimodal as mm
+from flink_kafka_table_api_spark.operators import similarity as sim
+from flink_kafka_table_api_spark.operators import text as tx
+from flink_kafka_table_api_spark.operators.relational import (
+    anti_join,
+    join_dim,
+    semi_join,
+    sessionize,
+    top_k_per_group,
+)
+from flink_kafka_table_api_spark.plans.pipeline import amount_in_usd
+from flink_kafka_table_api_spark.sources.files import stream_parquet_dir
+from flink_kafka_table_api_spark.streaming import windows as sw
+
+Q = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, Q] = {}
+ORACLES: dict[str, str] = {}
+
+_memory_sink_seq = 0
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _as_stream_dir(sf_dir: str, name: str) -> str:
+    """Spark's file-stream source requires a *directory*; the testdata is one
+    parquet file per table (read-only), so stage a symlink dir in /tmp."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "fkta_stream", os.path.basename(sf_dir), name)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    return d
+
+
+def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming scan of a testdata table (file source needs a declared
+    schema). Event-time columns become TIMESTAMP (not NTZ): Spark only
+    accepts watermarks on TIMESTAMP; the session timezone is pinned UTC so
+    collected values still equal the oracle's naive timestamps."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    stream = stream_parquet_dir(spark, _as_stream_dir(sf_dir, name), raw_schema)
+    if name == "events":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Q) -> Q:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Reference parity (SURVEY.md §2.1 O4-O8): the Flink pipeline shape over the
+# orders table (o_orderstatus plays `status`, o_orderpriority plays
+# `currency` for the conditional-conversion expression).
+# ---------------------------------------------------------------------------
+
+@query(
+    "approved_transactions",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, o_orderdate,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                WHEN o_orderpriority = '2-HIGH'
+                  THEN o_totalprice * CAST(1.3 AS DOUBLE)
+                ELSE o_totalprice END AS converted_price
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def q_approved(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference pipeline (TransactionProcessor.java:174-189): filter on
+    status, project, nested-IF derived column. Narrow-only plan: one
+    whole-stage-codegen stage, zero shuffles at any scale."""
+    orders = _t(spark, sf, "orders")
+    conv = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 1.1)
+        .when(F.col("o_orderpriority") == "2-HIGH", F.col("o_totalprice") * 1.3)
+        .otherwise(F.col("o_totalprice"))
+    )
+    return orders.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderdate", conv.alias("converted_price"),
+    )
+
+
+@query(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_returnflag <> 'R'
+    """,
+)
+def q_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """O4+O5: predicate + column pruning; filter and projection both reach
+    the parquet scan (PushedFilters/ReadSchema in .explain)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") != "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (EXT, SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dec_sum_sql('l_quantity', 'sum_qty')},
+           {dec_sum_sql('l_extendedprice', 'sum_base_price')},
+           {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {dec_avg_sql('l_quantity', 'avg_qty')},
+           {dec_avg_sql('l_extendedprice', 'avg_price')},
+           {dec_avg_sql('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: hash aggregate with map-side partial aggregation —
+    the shuffle carries one row per (flag,status) per task, never raw rows."""
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregate: Catalyst expands to a two-phase plan (distinct
+    partial on (priority, custkey), then final) — stays scalable because the
+    pre-shuffle dedup bounds shuffle volume by the distinct-pair count."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           {dec_sum_sql('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), dec_sum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           {dec_sum_sql('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), dec_sum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           {dec_sum_sql('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (EXT)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner_agg",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice', 'sum_price')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi inner join; customer is SF-proportional so we do NOT pin a
+    broadcast — AQE decides from runtime sizes (at sf0.1 it broadcasts; at
+    100 TB it shuffles both sides on the key)."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "join_left",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """left_semi: never duplicates the left side; the right side is reduced
+    to its join keys before shuffling."""
+    cust = _t(spark, sf, "customer")
+    urgent = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return semi_join(cust, urgent, cust.c_custkey == urgent.o_custkey).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return anti_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "star_join",
+    f"""
+    SELECT n_name, COUNT(*) AS n_items,
+           {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    """,
+)
+def q_star_join(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape. region/nation are constant-size -> pinned broadcast
+    (zero shuffle of the fact side for those joins); supplier scales with SF
+    -> AQE decides. The only guaranteed shuffle is the final groupBy."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_items"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / sort / top-k (EXT)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_topk",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group; o_orderkey tie-break makes the ranking total (the
+    determinism contract of top_k_per_group)."""
+    out = top_k_per_group(
+        _t(spark, sf, "orders"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn")
+    )
+
+
+@query(
+    "window_running",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS run_sum
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Running total with an exact-decimal accumulator (frame order is a
+    total order via the event_id tie-break)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("run_sum"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS value_delta
+    FROM events
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+@query(
+    "sort_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """orderBy+limit compiles to TakeOrderedAndProject: per-partition top-10
+    heaps merged on the driver — no global sort, no shuffle, at any scale."""
+    return (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (EXT)
+# ---------------------------------------------------------------------------
+
+_SET_A = "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+_SET_B = "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+
+
+def _set_sides(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O").select("o_custkey"),
+        orders.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
+    )
+
+
+@query("set_union", f"{_SET_A} UNION {_SET_B}")
+def q_set_union(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _set_sides(spark, sf)
+    return a.union(b).distinct()
+
+
+@query("set_intersect", f"{_SET_A} INTERSECT {_SET_B}")
+def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _set_sides(spark, sf)
+    return a.intersect(b)
+
+
+@query("set_except", f"{_SET_A} EXCEPT {_SET_B}")
+def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _set_sides(spark, sf)
+    return a.subtract(b)  # EXCEPT DISTINCT semantics (exceptAll would differ)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function packs (EXT)
+# ---------------------------------------------------------------------------
+
+@query(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS u_name,
+           lower(p_type) AS l_type,
+           substr(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat_ws('#', p_brand, p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS snake_name,
+           trim(p_name) AS trimmed
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("u_name"),
+        F.lower("p_type").alias("l_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.trim(F.col("p_name")).alias("trimmed"),
+    )
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           round(ln(1 + l_quantity), 6) AS log_qty,
+           round(abs(l_discount - CAST(0.05 AS DOUBLE)), 6) AS disc_dev,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           round(pow(l_discount, 2), 6) AS disc_sq
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.lit(1) + F.col("l_quantity")), 6).alias("log_qty"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+    )
+
+
+@query(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+           CAST(date_part('month', o_orderdate) AS BIGINT) AS o_month,
+           CAST(date_part('day', o_orderdate) AS BIGINT) AS o_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_regex,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON property extraction from the events.props string column —
+    get_json_object stays JVM-side (Jackson), no UDF."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("k_regex"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_json"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time analytics: batch analogs of the streaming windows (EXT). The
+# same logic through the real Structured Streaming path is registered as
+# stream_* below.
+# ---------------------------------------------------------------------------
+
+@query(
+    "tumbling_hour",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {dec_sum_sql('value', 'sum_value')}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_hour(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "sum_value"))
+    )
+
+
+@query(
+    "sessionize",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           {dec_sum_sql('value', 'sum_value')}, MIN(ts) AS session_start
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (gap 30 min) — lag + running sum, no UDF/state."""
+    ev = sessionize(
+        _t(spark, sf, "events"),
+        partition_by="user_id", ts_col="ts", gap_seconds=1800,
+        tie_breaker="event_id",
+    )
+    return ev.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", "sum_value"),
+        F.min("ts").alias("session_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (EXT, BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    """
+    SELECT user_id, event_type, event_id, ts, value FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keeping the deterministic earliest row per key."""
+    return dd.dedup_exact(
+        _t(spark, sf, "events").select("user_id", "event_type", "event_id", "ts", "value"),
+        keys=("user_id", "event_type"),
+        tie_breaker="event_id",
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+def _minhash_oracle(num_hashes: int = 8, shingle_k: int = 3) -> str:
+    h = portable_hash64_sql("__shingle")
+    mins = ",\n           ".join(
+        f"MIN({minhash_perm_sql('__h', dd.PERM_A[j], dd.PERM_B[j])}) AS mh_{j}"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH exploded AS (
+      SELECT doc_id, unnest({dd.shingles_sql('text', shingle_k)}) AS __shingle
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {h} AS __h FROM exploded
+    )
+    SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    """
+
+
+@query("dedup_minhash", _minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (k=8, 3-token shingles) — SURVEY §2.2 near-dup."""
+    return dd.minhash_signatures(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=8, shingle_k=3, portable=True,
+    )
+
+
+def _lsh_pairs_oracle(bands: int = 4, rows_per_band: int = 2) -> str:
+    sig = _minhash_oracle(bands * rows_per_band)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + portable_hash64_sql(
+            "concat_ws('_', "
+            + ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+            + ")"
+        )
+        + " AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS ({sig}), bands AS ({band_rows})
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+    WHERE x.doc_id < y.doc_id
+    """
+
+
+@query("lsh_candidate_pairs", _lsh_pairs_oracle())
+def q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banding: 8 hashes folded into 4 bands of 2 — candidate
+    pairs collide in >=1 band. The bucket join is the scale contract: work
+    is proportional to bucket sizes, never corpus^2."""
+    sigs = dd.minhash_signatures(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=8, shingle_k=3, portable=True,
+    )
+    bands = dd.lsh_bands(sigs, "doc_id", bands=4, rows_per_band=2)
+    return dd.lsh_candidate_pairs(bands, "doc_id")
+
+
+@query("dedup_simhash", dd.simhash_sql("doc_id", "text", bits=32))
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash signature per document, portable-hash bit voting."""
+    return dd.simhash(_t(spark, sf, "documents"), "doc_id", "text",
+                      bits=32, portable=True)
+
+
+@query(
+    "simhash_pairs",
+    f"""
+    WITH sigs AS ({dd.simhash_sql('doc_id', 'text', bits=32)}),
+    labeled AS (
+      SELECT s.doc_id, s.simhash, d.lang FROM sigs s
+      JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT x.lang AS lang, x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM labeled x JOIN labeled y ON x.lang = y.lang
+    WHERE x.doc_id < y.doc_id
+      AND bit_count(xor(x.simhash, y.simhash)) <= 10
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs within language blocks (Hamming <= 10)."""
+    docs = _t(spark, sf, "documents")
+    sigs = dd.simhash(docs, "doc_id", "text", bits=32, portable=True)
+    labeled = sigs.join(docs.select("doc_id", "lang"), "doc_id")
+    a = labeled.select(F.col("lang"), F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"))
+    b = labeled.select(F.col("lang"), F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, "lang")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", dd.hamming_distance(F.col("sh_a"), F.col("sh_b")).cast("long"))
+        .filter(F.col("hamming") <= 10)
+        .select("lang", "a", "b", "hamming")
+    )
+
+
+@query(
+    "ngram_jaccard",
+    f"""
+    WITH toksets AS (
+      SELECT doc_id, lang,
+             list_distinct({tx.tokens_sql('text')}) AS toks
+      FROM documents
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           round(
+             CAST(len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS DOUBLE)
+             / (len(x.toks) + len(y.toks)
+                - len(list_filter(x.toks, t -> list_contains(y.toks, t)))),
+             6) AS jaccard
+    FROM toksets x JOIN toksets y ON x.lang = y.lang
+    WHERE x.doc_id < y.doc_id
+      AND round(
+             CAST(len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS DOUBLE)
+             / (len(x.toks) + len(y.toks)
+                - len(list_filter(x.toks, t -> list_contains(y.toks, t)))),
+             6) >= 0.35
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked all-pairs token-set Jaccard (block = language, threshold 0.35)."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        block_cols=("lang",), threshold=0.35, shingle_k=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (EXT)
+# ---------------------------------------------------------------------------
+
+_COS = cosine_sql("x.embedding", "y.embedding")
+
+
+@query(
+    "embedding_neardup",
+    f"""
+    SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
+           round({_COS}, 6) AS cosine_sim
+    FROM embeddings x JOIN embeddings y ON x.label = y.label
+    WHERE x.vec_id < y.vec_id AND round({_COS}, 6) >= 0.9
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label (cos >= 0.9)."""
+    return sim.neardup_pairs(
+        _t(spark, sf, "embeddings"), block_col="label", threshold=0.9,
+    )
+
+
+_Q_COS = cosine_sql("v.embedding", "q.q_embedding")
+
+
+@query(
+    "ann_bruteforce",
+    f"""
+    SELECT v.vec_id, round({_Q_COS}, 6) AS cosine_sim
+    FROM embeddings v
+    CROSS JOIN (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine_sim DESC, v.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 against vec_id 0 (broadcast 1-row query side)."""
+    emb = _t(spark, sf, "embeddings")
+    query_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return sim.brute_force_topk(emb, query_df, k=10)
+
+
+_PLANES = sim.hyperplanes(num_planes=8, dim=64)
+
+
+@query(
+    "ann_lsh",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             {sim.lsh_bucket_sql('embedding', _PLANES)} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS q_embedding,
+             {sim.lsh_bucket_sql('embedding', _PLANES)} AS qbucket
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT v.vec_id, round({cosine_sql('v.embedding', 'q.q_embedding')}, 6) AS cosine_sim
+    FROM bucketed v JOIN q ON v.bucket = q.qbucket
+    ORDER BY cosine_sim DESC, v.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-10: random-hyperplane LSH bucket filter then exact
+    re-rank within the query's bucket (the 100 TB entry path; ~2^8 candidate
+    reduction here)."""
+    emb = _t(spark, sf, "embeddings")
+    query_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return sim.lsh_topk(emb, query_df, k=10, planes=_PLANES)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (EXT)
+# ---------------------------------------------------------------------------
+
+def _lang_scores_sql() -> tuple[str, str, str]:
+    toks = tx.tokens_sql("text")
+    score_cols = []
+    langs = sorted(tx.STOPWORD_PROFILES)
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in tx.STOPWORD_PROFILES[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(__toks, t -> list_contains([{words}], t))) AS DOUBLE)"
+            f" / greatest(len(__toks), 1) AS s_{lang}"
+        )
+    # first-wins argmax: lang i is predicted iff its score >= all later langs
+    # (equivalent to Spark's array_max over (score, -index) structs)
+    predicted = "CASE " + " ".join(
+        f"WHEN {' AND '.join(f's_{lang} >= s_{o}' for o in langs[i + 1:]) or 'TRUE'} THEN '{lang}'"
+        for i, lang in enumerate(langs)
+    ) + " END"
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return (
+        f"SELECT doc_id, lang, {', '.join(score_cols)} "
+        f"FROM (SELECT doc_id, lang, {toks} AS __toks FROM documents)",
+        predicted,
+        best,
+    )
+
+
+_LANG_INNER, _LANG_PRED, _LANG_BEST = _lang_scores_sql()
+
+
+@query(
+    "lang_id",
+    f"""
+    SELECT doc_id, lang, {_LANG_PRED} AS predicted_lang,
+           round({_LANG_BEST}, 6) AS lang_score
+    FROM ({_LANG_INNER})
+    """,
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-profile language ID (first-wins argmax over 5 profiles)."""
+    return tx.with_lang_id(_t(spark, sf, "documents"))
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {tx.tokens_sql('text')} AS __toks,
+             length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS __alnum
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(__toks) AS INT) AS n_tokens,
+           round(CASE WHEN len(__toks) > 0
+                 THEN CAST(__alnum AS DOUBLE) / len(__toks) END, 6) AS mean_word_len,
+           round(CASE WHEN len(__toks) > 0
+                 THEN CAST(len(list_filter(__toks,
+                      t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))
+                      AS DOUBLE) / len(__toks) ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(__alnum AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS alnum_ratio,
+           round((CASE WHEN len(__toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN len(__toks) > 0
+                    THEN CAST(len(list_filter(__toks,
+                         t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))
+                         AS DOUBLE) / len(__toks) ELSE 0.0 END) * 0.3
+                 + (CASE WHEN length(text) > 0
+                    THEN CAST(__alnum AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3,
+                 6) AS quality_score
+    FROM base
+    """,
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Length/stopword/alnum quality features + linear composite score."""
+    return tx.with_quality_score(_t(spark, sf, "documents"))
+
+
+@query(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({tx.tokens_sql('text')}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({tx.tokens_sql('text')})) AS BIGINT) AS n_distinct,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace token count, distinct count, and a BPE-ish regex count."""
+    d = _t(spark, sf, "documents")
+    toks = tx.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+        ).cast("long").alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "fingerprint",
+    f"""
+    SELECT doc_id,
+           {portable_hash64_sql("array_to_string(list_sort(list_distinct(" + tx.tokens_sql('text') + ")), ' ')")}
+             AS fingerprint,
+           md5(array_to_string(list_sort(list_distinct({tx.tokens_sql('text')})), ' '))
+             AS fingerprint_hex
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order/repetition-insensitive document fingerprint (sorted distinct
+    token set hashed)."""
+    return tx.with_fingerprint(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column pattern (EXT) — binary payload + typed metadata through
+# the real mapInPandas plumbing (decode stubbed; see operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           NULL::VARCHAR AS format,
+           CAST(1 + (octet_length(encode(text)) % 512) AS INT) AS width,
+           CAST(1 + (octet_length(encode(text)) * 31 % 512) AS INT) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payload -> typed metadata via Arrow-batched mapInPandas (the
+    deterministic fake decoder; real decode is stubbed — no imaging libs)."""
+    payloads = mm.documents_as_binary(_t(spark, sf, "documents"))
+    return mm.decode_image_meta(payloads, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming paths (real readStream -> availableNow -> memory
+# sink). Results are deterministic, so they get full oracles too.
+# ---------------------------------------------------------------------------
+
+def _run_stream_to_table(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
+    global _memory_sink_seq
+    _memory_sink_seq += 1
+    name = f"stream_result_{_memory_sink_seq}"
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events, {dec_sum_sql('value', 'sum_value')}
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1h event-time window through the REAL streaming engine
+    (file source -> watermark -> windowed agg -> availableNow -> memory)."""
+    stream = _stream_table(spark, sf, "events")
+    windowed = sw.tumbling(
+        sw.with_watermark(stream, "ts", "5 seconds"),
+        "ts", "1 hour", group_by=("event_type",),
+        aggs=(F.count("*").alias("n_events"), dec_sum("value", "sum_value")),
+    )
+    return _run_stream_to_table(windowed, spark, "complete").select(
+        "window_start", "window_end", "event_type", "n_events", "sum_value"
+    )
+
+
+@query(
+    "stream_session",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, {dec_sum_sql('value', 'sum_value')}
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30 min gap) through the real streaming engine;
+    oracle is the batch sessionization algebra (session_end = last + gap)."""
+    stream = _stream_table(spark, sf, "events")
+    sessions = sw.session(
+        sw.with_watermark(stream, "ts", "5 seconds"),
+        "ts", "30 minutes", group_by=("user_id",),
+        aggs=(F.count("*").alias("n_events"), dec_sum("value", "sum_value")),
+    )
+    return _run_stream_to_table(sessions, spark, "complete").select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+
+
+@query(
+    "stream_approved",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                WHEN o_orderpriority = '2-HIGH'
+                  THEN o_totalprice * CAST(1.3 AS DOUBLE)
+                ELSE o_totalprice END AS converted_price
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def q_stream_approved(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference pipeline (O1->O4->O5->O6) through Structured Streaming:
+    unbounded source, filter, project, derived conditional column — exactly
+    the Flink job's continuous-query shape, minus Kafka transport."""
+    stream = _stream_table(spark, sf, "orders")
+    conv = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 1.1)
+        .when(F.col("o_orderpriority") == "2-HIGH", F.col("o_totalprice") * 1.3)
+        .otherwise(F.col("o_totalprice"))
+    )
+    approved = stream.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        conv.alias("converted_price"),
+    )
+    return _run_stream_to_table(approved, spark, "append")
+
+
+# ---------------------------------------------------------------------------
+# Driver contract surface
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Q]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the reference pipeline (with the wall-clock
+    processingTimestamp column, O7) on sf0.001."""
+    out = q_approved(spark, "/root/testdata/sf0.001")
+    return out.withColumn("processingTimestamp", F.current_timestamp())

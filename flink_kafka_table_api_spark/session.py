@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference delegates all engine configuration to Flink's planner loader
+(reference pom.xml:50-58) and sets no tuning at all. We instead centralize
+the Spark configuration that matters at 100 TB here, so every entry point
+(tests, bench, driver) runs with the same posture:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+- explicit shuffle partitioning (sized by caller; 32 locally, thousands on a
+  real cluster)
+- UTC session timezone (timestamp parity with the oracle, SURVEY.md §7.4)
+- Arrow enabled for the few Pandas-UDF operators (multimodal decode)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults are sized for the local[32] test harness. On a real cluster the
+# caller overrides master/shuffle_partitions (rule of thumb: 2-3x total
+# executor cores, or let AQE coalesce from a high initial number).
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "flink-kafka-table-api-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- correctness posture ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet timestamps in testdata are NTZ; keep inference stable
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # the events table stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as raw int64 nanos and convert (catalog.read_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- scale posture ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        # 10 MB default is too conservative for dimension tables; 64 MB lets
+        # Catalyst auto-broadcast nation/region/supplier-sized dims even at
+        # large SF. Explicit F.broadcast() hints are still used in operators.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- python interop ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,169 @@
+"""Kafka source/sink with Confluent-framed Avro (SURVEY.md §2.1 O1, O2, O9,
+O11).
+
+Reference surface being reproduced:
+
+- O1  streaming source scan: connector 'kafka', earliest offsets, consumer
+      group (reference TransactionProcessor.java:89-116)
+- O2  'avro-confluent' format: payload = magic 0x00 + 4-byte big-endian
+      schema id + Avro body, schema from Registry subject '<topic>-value'
+      (reference TransactionProcessor.java:112-115)
+- O9  INSERT INTO kafka sink, at-least-once (reference
+      TransactionProcessor.java:126-158, :192 — no transactional options set;
+      Spark's Kafka sink gives the same at-least-once guarantee)
+- O11 bounded read-back: the reference bounds the scan with SQL hints
+      (reference TransactionFlinkTest.java:144-146); Spark's *batch* Kafka
+      reader is natively bounded, exposed here as ``bounded=True``.
+
+Kafka prefix passthrough mirrors the reference's createKafkaProperties
+(reference ConfigUtils.java:46-60): options prefixed ``kafka.`` reach the
+client untouched — Spark uses the exact same convention.
+
+Requires the spark-sql-kafka and spark-avro packages on the classpath; this
+module raises a clear error otherwise (no broker exists in the test
+container — unit tests cover the framing codec standalone, integration
+requires infra, same trade-off the reference makes with Testcontainers).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import urllib.request
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+CONFLUENT_MAGIC = 0x00
+CONFLUENT_HEADER_LEN = 5  # magic(1) + schema-id(4, big-endian)
+
+
+def frame_header(schema_id: int) -> bytes:
+    """Confluent wire-format header for a registered schema id."""
+    return struct.pack(">bI", CONFLUENT_MAGIC, schema_id)
+
+
+def strip_confluent_header(value: Column) -> Column:
+    """Drop the 5-byte Confluent header, leaving the raw Avro body.
+    expr-level: stays in codegen, no UDF."""
+    return F.expr(
+        f"substring(value, {CONFLUENT_HEADER_LEN + 1},"
+        f" length(value) - {CONFLUENT_HEADER_LEN})"
+    )
+
+
+def extract_schema_id(value: Column) -> Column:
+    """Big-endian int32 schema id from bytes 2-5 of the framed payload."""
+    return (
+        F.conv(F.hex(F.expr("substring(value, 2, 4)")), 16, 10).cast("int")
+    )
+
+
+class SchemaRegistryClient:
+    """Minimal Confluent Schema Registry REST client (register + fetch).
+    Mirrors what Flink's avro-confluent format does internally; only the
+    two calls the engine needs."""
+
+    def __init__(self, url: str):
+        self.url = url.rstrip("/")
+
+    def register(self, subject: str, schema_json: str) -> int:
+        body = json.dumps({"schema": schema_json}).encode()
+        req = urllib.request.Request(
+            f"{self.url}/subjects/{subject}/versions",
+            data=body,
+            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())["id"]
+
+    def get_latest(self, subject: str) -> tuple[int, str]:
+        with urllib.request.urlopen(
+            f"{self.url}/subjects/{subject}/versions/latest"
+        ) as resp:
+            payload = json.loads(resp.read())
+            return payload["id"], payload["schema"]
+
+
+def _require_avro_functions():
+    try:
+        from pyspark.sql.avro.functions import from_avro, to_avro  # noqa: PLC0415
+        return from_avro, to_avro
+    except Exception as exc:  # pragma: no cover - classpath-dependent
+        raise RuntimeError(
+            "spark-avro package not on the classpath; start the session with "
+            "spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark-version>"
+        ) from exc
+
+
+def read_topic(
+    spark: SparkSession,
+    *,
+    bootstrap_servers: str,
+    topic: str,
+    avro_schema_json: str | None = None,
+    bounded: bool = False,
+    starting_offsets: str = "earliest",
+    confluent_framed: bool = True,
+    kafka_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """O1/O11: read a topic as a streaming (unbounded) or batch (bounded)
+    DataFrame, decoding Confluent-framed Avro values when a schema is given.
+    """
+    reader = (spark.read if bounded else spark.readStream).format("kafka")
+    reader = (
+        reader.option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if bounded:
+        reader = reader.option("endingOffsets", "latest")
+    for k, v in (kafka_options or {}).items():
+        # reference ConfigUtils.java:46-60 prefix passthrough
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        reader = reader.option(key, v)
+    raw = reader.load()
+    if avro_schema_json is None:
+        return raw
+    from_avro, _ = _require_avro_functions()
+    body = strip_confluent_header(F.col("value")) if confluent_framed else F.col("value")
+    return raw.select(
+        from_avro(body, avro_schema_json).alias("v"), "timestamp"
+    ).select("v.*")
+
+
+def write_topic(
+    df: DataFrame,
+    *,
+    bootstrap_servers: str,
+    topic: str,
+    avro_schema_json: str,
+    checkpoint_location: str,
+    schema_registry_url: str | None = None,
+    kafka_options: dict[str, str] | None = None,
+) -> StreamingQuery:
+    """O9: continuous INSERT INTO the topic, Avro-encoded; when a registry
+    url is given the schema is registered under '<topic>-value' and the
+    Confluent 5-byte header is prepended (wire-compatible with the
+    reference's avro-confluent sink)."""
+    _, to_avro = _require_avro_functions()
+    payload = to_avro(F.struct(*df.columns), avro_schema_json)
+    if schema_registry_url is not None:
+        schema_id = SchemaRegistryClient(schema_registry_url).register(
+            f"{topic}-value", avro_schema_json
+        )
+        header = frame_header(schema_id)
+        payload = F.concat(F.lit(header), payload)
+    out = df.select(payload.alias("value"))
+    writer = (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    for k, v in (kafka_options or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        writer = writer.option(key, v)
+    return writer.start()

@@ -1,0 +1,152 @@
+"""Unit tests for the LLM-pipeline operator internals (dedup, similarity,
+text, multimodal) on tiny in-memory data where expected values are
+hand-checkable. The full-scale oracle comparison lives in
+test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.functions.portable import portable_hash64
+from flink_kafka_table_api_spark.operators import dedup as dd
+from flink_kafka_table_api_spark.operators import multimodal as mm
+from flink_kafka_table_api_spark.operators import similarity as sim
+from flink_kafka_table_api_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_portable_hash_matches_python(spark):
+    df = spark.createDataFrame([("abc",)], ["s"])
+    got = df.select(portable_hash64("s").alias("h")).collect()[0].h
+    expected = int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+    assert got == expected
+
+
+def test_shingles(spark, docs):
+    out = docs.filter("doc_id = 1").select(
+        dd.shingles("text", 3).alias("sh")
+    ).collect()[0].sh
+    assert "the quick brown" in out
+    assert "over the lazy" in out
+    assert len(out) == 7  # 9 tokens -> 7 trigrams, all distinct
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sigs = {r.doc_id: (r.mh_0, r.mh_1, r.mh_2, r.mh_3)
+            for r in dd.minhash_signatures(docs, "doc_id", "text",
+                                           num_hashes=4).collect()}
+    assert sigs[1] == sigs[4]          # exact dup -> identical signature
+    assert sigs[1] != sigs[3]          # unrelated -> different
+
+
+def test_lsh_finds_exact_dup_pair(spark, docs):
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    bands = dd.lsh_bands(sigs, "doc_id", bands=4, rows_per_band=2)
+    pairs = {(r.a, r.b) for r in dd.lsh_candidate_pairs(bands, "doc_id").collect()}
+    assert (1, 4) in pairs
+
+
+def test_jaccard_verification(spark, docs):
+    out = dd.ngram_jaccard_pairs(
+        docs.withColumn("blk", F.lit(1)), "doc_id", "text",
+        block_cols=("blk",), threshold=0.5, shingle_k=1,
+    )
+    got = {(r.a, r.b): r.jaccard for r in out.collect()}
+    assert got[(1, 4)] == 1.0          # exact dup
+    assert 0.5 <= got[(1, 2)] < 1.0    # near dup (8 of 9 distinct tokens... )
+    assert (1, 3) not in got
+
+
+def test_simhash_hamming(spark, docs):
+    sigs = dd.simhash(docs, "doc_id", "text", bits=32)
+    vals = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert vals[1] == vals[4]
+    pairs = (
+        sigs.alias("x").crossJoin(sigs.alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+            dd.hamming_distance(F.col("x.simhash"), F.col("y.simhash")).alias("d"),
+        )
+    )
+    d = {(r.a, r.b): r.d for r in pairs.collect()}
+    assert d[(1, 4)] == 0
+    assert d[(1, 2)] < d[(1, 3)]  # near-dup closer than unrelated
+
+
+def test_dedup_exact_deterministic(spark, docs):
+    out = dd.dedup_exact(docs, keys=("text",), tie_breaker="doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 2, 3]  # doc 4 deduped, min doc_id kept
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qdf = emb.filter("vec_id = 0").select(F.col("embedding").alias("q_embedding"))
+    got = sim.brute_force_topk(emb, qdf, k=3).collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]
+    assert got[0].cosine_sim == 1.0
+    assert got[2].cosine_sim == 0.0
+
+
+def test_lsh_bucket_groups_similar(spark):
+    planes = sim.hyperplanes(num_planes=4, dim=3)
+    rows = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-5.0, 1.0, -9.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b = emb.select("vec_id", sim.lsh_bucket(F.col("embedding"), planes).alias("b"))
+    vals = {r.vec_id: r.b for r in b.collect()}
+    assert vals[0] == vals[1]   # identical vectors share a bucket
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([(1, "  Hello   WORLD hello ")], ["doc_id", "text"])
+    out = df.select(tx.tokens("text").alias("t")).collect()[0].t
+    assert out == ["hello", "world", "hello"]
+
+
+def test_lang_id_obvious_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and it is big", "en"),
+         (2, "el gato es grande y la casa es de madera", "es")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r.doc_id: r.predicted_lang for r in tx.with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "es"}
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG123456")), (2, bytearray(b"plain bytes"))],
+        ["doc_id", "payload"],
+    )
+    out = {r.doc_id: r for r in mm.decode_image_meta(df, fake=True).collect()}
+    assert out[1].format == "png"
+    assert out[2].format is None
+    assert out[1].byte_len == 10
+    assert out[1].width == 1 + (10 % 512)
+    assert out[1].content_md5 == hashlib.md5(b"\x89PNG123456").hexdigest()
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], ["doc_id", "payload"])
+    with pytest.raises(Exception, match="NotImplementedError|fake=True"):
+        mm.decode_image_meta(df, fake=False).collect()
