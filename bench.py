@@ -35,7 +35,7 @@ HEADLINE = [
     "sessionize",              # gap sessionization (2-pass window algebra)
     "dedup_minhash",           # MinHash signatures over documents
     "lsh_candidate_pairs",     # LSH banding + bucket self-join
-    "ngram_jaccard",           # blocked all-pairs verify
+    "neardup_verified",        # full LSH near-dup pipeline (candidates+verify)
     "ann_bruteforce",          # cosine top-k (broadcast NLJ)
     "ann_lsh",                 # hyperplane-bucketed ANN
     "lang_id",                 # text analysis pass

@@ -186,7 +186,7 @@ def ngram_jaccard_pairs(
     sets = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        (F.array_distinct(shingles(text_col, shingle_k)) if shingle_k > 1
+        (shingles(text_col, shingle_k) if shingle_k > 1
          else F.array_distinct(tokens(text_col))).alias("__toks"),
     )
     a = sets.select(
@@ -201,6 +201,45 @@ def ngram_jaccard_pairs(
         a.join(b, on=list(block_cols))
         .filter(F.col("a") < F.col("b"))
         .withColumn("jaccard", F.round(jaccard(F.col("__ta"), F.col("__tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """The full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    candidate pairs -> exact shingle-Jaccard verification -> threshold.
+
+    This is THE scale path for near-dup detection: total work is
+    O(corpus) for signatures + O(sum of bucket^2) for candidates (tiny when
+    bands/rows are tuned to the target similarity) — never O(corpus^2).
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k, portable=portable,
+    )
+    cand = lsh_candidate_pairs(
+        lsh_bands(sigs, id_col, bands=bands, rows_per_band=rows_per_band), id_col
+    )
+    sets = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
+    )
+    a = sets.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sa"))
+    b = sets.select(F.col(id_col).alias("b"), F.col("__sh").alias("__sb"))
+    return (
+        cand.join(a, "a").join(b, "b")
+        .withColumn("jaccard", F.round(jaccard(F.col("__sa"), F.col("__sb")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

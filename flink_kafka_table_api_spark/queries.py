@@ -781,34 +781,59 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_JACC3 = (
+    "CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE)"
+    " / (len(x.sh) + len(y.sh)"
+    " - len(list_filter(x.sh, t -> list_contains(y.sh, t))))"
+)
+
+
 @query(
     "ngram_jaccard",
     f"""
-    WITH toksets AS (
-      SELECT doc_id, lang,
-             list_distinct({tx.tokens_sql('text')}) AS toks
+    WITH shsets AS (
+      SELECT doc_id, lang, {dd.shingles_sql('text', 3)} AS sh
       FROM documents
     )
-    SELECT x.doc_id AS a, y.doc_id AS b,
-           round(
-             CAST(len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS DOUBLE)
-             / (len(x.toks) + len(y.toks)
-                - len(list_filter(x.toks, t -> list_contains(y.toks, t)))),
-             6) AS jaccard
-    FROM toksets x JOIN toksets y ON x.lang = y.lang
-    WHERE x.doc_id < y.doc_id
-      AND round(
-             CAST(len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS DOUBLE)
-             / (len(x.toks) + len(y.toks)
-                - len(list_filter(x.toks, t -> list_contains(y.toks, t)))),
-             6) >= 0.35
+    SELECT x.doc_id AS a, y.doc_id AS b, round({_JACC3}, 6) AS jaccard
+    FROM shsets x JOIN shsets y ON x.lang = y.lang
+    WHERE x.doc_id < y.doc_id AND round({_JACC3}, 6) >= 0.5
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Blocked all-pairs token-set Jaccard (block = language, threshold 0.35)."""
+    """Blocked all-pairs 3-gram shingle Jaccard (block = language,
+    threshold 0.5). Trigram shingles are sharply discriminative on this
+    corpus (near-dups score >0.8, unrelated docs <0.1); this is the exact
+    brute-force baseline the LSH path (neardup_verified) approximates."""
     return dd.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), "doc_id", "text",
-        block_cols=("lang",), threshold=0.35, shingle_k=1,
+        block_cols=("lang",), threshold=0.5, shingle_k=3,
+    )
+
+
+def _neardup_verified_oracle() -> str:
+    pairs = _lsh_pairs_oracle()
+    return f"""
+    WITH cand AS ({pairs}),
+    shsets AS (
+      SELECT doc_id, {dd.shingles_sql('text', 3)} AS sh FROM documents
+    )
+    SELECT cand.a, cand.b, round({_JACC3}, 6) AS jaccard
+    FROM cand JOIN shsets x ON cand.a = x.doc_id
+              JOIN shsets y ON cand.b = y.doc_id
+    WHERE round({_JACC3}, 6) >= 0.5
+    """
+
+
+@query("neardup_verified", _neardup_verified_oracle())
+def q_neardup_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signatures -> bands ->
+    candidates -> exact-Jaccard verify (threshold 0.5). O(corpus) + bucket
+    joins — the shape that holds at 100 TB, vs ngram_jaccard's O(block^2)."""
+    return dd.lsh_verified_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=8, bands=4, rows_per_band=2, shingle_k=3,
+        threshold=0.5, portable=True,
     )
 
 
@@ -825,13 +850,15 @@ _COS = cosine_sql("x.embedding", "y.embedding")
     SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
            round({_COS}, 6) AS cosine_sim
     FROM embeddings x JOIN embeddings y ON x.label = y.label
-    WHERE x.vec_id < y.vec_id AND round({_COS}, 6) >= 0.9
+    WHERE x.vec_id < y.vec_id AND round({_COS}, 6) >= 0.4
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs blocked by label (cos >= 0.9)."""
+    """Embedding-cosine near-dup pairs blocked by label. Threshold 0.4 is
+    calibrated to this synthetic corpus (max intra-label cosine ~0.47; a
+    real dedup run would use ~0.9 on meaningful embeddings)."""
     return sim.neardup_pairs(
-        _t(spark, sf, "embeddings"), block_col="label", threshold=0.9,
+        _t(spark, sf, "embeddings"), block_col="label", threshold=0.4,
     )
 
 
@@ -857,7 +884,10 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return sim.brute_force_topk(emb, query_df, k=10)
 
 
-_PLANES = sim.hyperplanes(num_planes=8, dim=64)
+# 4 planes = 16 buckets: sized so a bucket holds ~1/16 of the corpus —
+# enough candidates for a top-10 at test scale. At production scale you
+# raise planes with corpus size (bucket occupancy ~ n / 2^planes).
+_PLANES = sim.hyperplanes(num_planes=4, dim=64)
 
 
 @query(
