@@ -113,6 +113,69 @@ def sessionize(
     return df.withColumn(session_col, F.sum(new_session).over(run))
 
 
+def asof_join_last(
+    df: DataFrame,
+    *,
+    partition_by: str,
+    ts_col: str,
+    tie_breaker: str,
+    value_when: Column,
+    out_col: str,
+) -> DataFrame:
+    """AS-OF join expressed as window algebra (no join at all): for each row,
+    the most recent preceding value where ``value_when`` is non-null.
+
+    The classic stream pattern 'latest purchase before this event' becomes
+    last(ignorenulls) over an ordered per-key frame — one shuffle on the
+    partition key, linear scan within partitions. At 100 TB this beats an
+    actual as-of join implementation because there is no build side at all.
+    """
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy(F.col(ts_col), F.col(tie_breaker))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.last(value_when, ignorenulls=True).over(w))
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_epoch: str,
+    right_epoch: str,
+    lower_s: float,
+    upper_s: float,
+    bin_s: int,
+) -> DataFrame:
+    """Time-range join WITHOUT an equi key, made scalable by binning.
+
+    Naively `l.ts BETWEEN r.ts+lo AND r.ts+hi` is a cartesian product on
+    Spark (no range-join optimizer in OSS). Binning turns it into an equi
+    join: each left row explodes to the bins its window covers, each right
+    row maps to its own bin, join on bin, then apply the exact range filter.
+    Cost is O(rows * windows_per_bin) instead of O(n^2); choose
+    ``bin_s`` close to the window width so each left row covers <=2-3 bins.
+
+    Inputs must carry epoch-seconds double columns (caller casts) and
+    disjoint column names.
+    """
+    lo_bin = F.floor((F.col(left_epoch) + lower_s) / bin_s).cast("long")
+    hi_bin = F.floor((F.col(left_epoch) + upper_s) / bin_s).cast("long")
+    left2 = left.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    right2 = right.withColumn(
+        "__bin", F.floor(F.col(right_epoch) / bin_s).cast("long")
+    )
+    return (
+        left2.join(right2, on="__bin")
+        .filter(
+            (F.col(right_epoch) >= F.col(left_epoch) + lower_s)
+            & (F.col(right_epoch) <= F.col(left_epoch) + upper_s)
+        )
+        .drop("__bin")
+    )
+
+
 def grouping_sets(
     spark_df: DataFrame,
     view_name: str,

@@ -34,7 +34,9 @@ from flink_kafka_table_api_spark.operators import similarity as sim
 from flink_kafka_table_api_spark.operators import text as tx
 from flink_kafka_table_api_spark.operators.relational import (
     anti_join,
+    asof_join_last,
     join_dim,
+    range_join_binned,
     semi_join,
     sessionize,
     top_k_per_group,
@@ -663,6 +665,94 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of / range joins (EXT — SURVEY §2.2 'range/as-of/interval' joins)
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_join",
+    """
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_ts
+    FROM events
+    """,
+)
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF join: for each event, the timestamp of the user's most recent
+    purchase at-or-before it — window algebra, zero build side."""
+    ev = _t(spark, sf, "events")
+    out = asof_join_last(
+        ev,
+        partition_by="user_id", ts_col="ts", tie_breaker="event_id",
+        value_when=F.when(F.col("event_type") == "purchase", F.col("ts")),
+        out_col="last_purchase_ts",
+    )
+    return out.select("event_id", "user_id", "ts", "last_purchase_ts")
+
+
+@query(
+    "range_join",
+    """
+    SELECT e.event_id, COUNT(c.event_id) AS n_nearby_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts >= e.ts - INTERVAL 60 SECOND
+     AND c.ts <= e.ts + INTERVAL 60 SECOND
+    GROUP BY e.event_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure range join (no equi key): clicks within +-60s of each error.
+    Binned to 60s buckets so it's an equi join on bin — O(n) not O(n^2)
+    (operators/relational.py:range_join_binned)."""
+    ev = _t(spark, sf, "events")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("e_id"), epoch.alias("e_epoch"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), epoch.alias("c_epoch"))
+    )
+    matched = range_join_binned(
+        errors, clicks,
+        left_epoch="e_epoch", right_epoch="c_epoch",
+        lower_s=-60.0, upper_s=60.0, bin_s=60,
+    )
+    counts = matched.groupBy("e_id").agg(F.count("c_id").alias("cnt"))
+    return (
+        errors.select("e_id").distinct()
+        .join(counts, "e_id", "left")
+        .select(
+            F.col("e_id").alias("event_id"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_nearby_clicks"),
+        )
+    )
+
+
+@query(
+    "posexplode_tokens",
+    f"""
+    SELECT doc_id, CAST(generate_subscripts(__toks, 1) AS BIGINT) AS pos,
+           unnest(__toks) AS token
+    FROM (SELECT doc_id, {tx.tokens_sql('text')} AS __toks FROM documents)
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-function surface (UDTF-equivalent): positional token explode,
+    JVM-native via posexplode — no Python in the loop."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "token")
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "token"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deduplication family (EXT, BASELINE.json north star)
 # ---------------------------------------------------------------------------
 
@@ -1136,6 +1226,77 @@ def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
     )
     return _run_stream_to_table(sessions, spark, "complete").select(
         "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+
+
+@query(
+    "stream_sliding",
+    f"""
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events, {dec_sum_sql('value', 'sum_value')}
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k.k * INTERVAL '30 minutes' AS ws, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    )
+    GROUP BY ws
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding event-time windows (1h window, 30m slide) through the real
+    streaming engine; every event lands in exactly 2 windows."""
+    stream = _stream_table(spark, sf, "events")
+    windowed = sw.sliding(
+        sw.with_watermark(stream, "ts", "5 seconds"),
+        "ts", "1 hour", "30 minutes",
+        aggs=(F.count("*").alias("n_events"), dec_sum("value", "sum_value")),
+    )
+    return _run_stream_to_table(windowed, spark, "complete").select(
+        "window_start", "window_end", "n_events", "sum_value"
+    )
+
+
+@query("approx_distinct")  # no oracle: HLL sketches differ across engines
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): sketch values are
+    engine-specific so this is a rows-only check; the exact distinct count
+    rides along for eyeball comparison. At 100 TB the sketch is the ONLY
+    viable distinct count (fixed memory, one pass, mergeable partials)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "grouped_agg_udf",
+    """
+    SELECT label,
+           round(CAST(quantile_cont(n, 0.5) AS DOUBLE), 6) AS median_norm
+    FROM (
+      SELECT label,
+             sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS n
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def q_grouped_agg_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (Arrow-batched UDAF surface — SURVEY
+    §2.2 'UDF/UDAF'): per-label median embedding norm. The norm itself stays
+    JVM-side; only the median (no built-in exact-median aggregate usable
+    here) crosses into pandas."""
+    from flink_kafka_table_api_spark.functions.udafs import pd_median
+
+    emb = _t(spark, sf, "embeddings")
+    from flink_kafka_table_api_spark.functions.vector import norm as vnorm
+    norms = emb.select(
+        "label", vnorm(as_double_array("embedding")).alias("n")
+    )
+    return norms.groupBy("label").agg(
+        F.round(pd_median("n"), 6).alias("median_norm")
     )
 
 
