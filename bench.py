@@ -33,9 +33,11 @@ HEADLINE = [
     "join_inner_agg",          # shuffle/AQE-decided join
     "window_topk",             # window function + filter
     "sessionize",              # gap sessionization (2-pass window algebra)
-    "dedup_minhash",           # MinHash signatures over documents
+    "dedup_minhash",           # MinHash signatures (portable hash, oracle-checked)
+    "dedup_minhash_fast",      # MinHash signatures (xxhash64 production path)
     "lsh_candidate_pairs",     # LSH banding + bucket self-join
     "neardup_verified",        # full LSH near-dup pipeline (candidates+verify)
+    "neardup_verified_fast",   # same, xxhash64 production path
     "ann_bruteforce",          # cosine top-k (broadcast NLJ)
     "ann_lsh",                 # hyperplane-bucketed ANN
     "lang_id",                 # text analysis pass
@@ -52,6 +54,22 @@ def main() -> None:
         shuffle_partitions=CPUS,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM/codegen/filesystem once so the first measured query isn't
+    # charged ~3s of one-time session cost; each query below still runs cold
+    # (no caching of inputs or results).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # warm the Python/Arrow worker pool too (workers are reused afterwards,
+    # as they would be on a long-lived cluster)
+    from pyspark.sql import functions as F
+
+    from flink_kafka_table_api_spark.functions.udafs import pd_median
+    spark.range(CPUS * 10).repartition(CPUS).withColumn(
+        "g", F.col("id") % 4
+    ).groupBy("g").agg(pd_median("id")).collect()
+    spark.range(CPUS * 10).repartition(CPUS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -9,9 +9,13 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
-@pandas_udf("double")
+# DoubleType() instance, not the "double" DDL string: string return types are
+# parsed via the active SparkContext, which would make this module
+# unimportable before a session exists.
+@pandas_udf(DoubleType())
 def pd_median(v: pd.Series) -> float:
     """Exact median per group (linear interpolation for even counts —
     matches SQL quantile_cont(0.5))."""

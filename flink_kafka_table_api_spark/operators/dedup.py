@@ -33,6 +33,7 @@ from flink_kafka_table_api_spark.functions.portable import (
     portable_hash64,
 )
 from flink_kafka_table_api_spark.operators.text import tokens
+from flink_kafka_table_api_spark.parallelism import ensure_parallelism
 
 # Fixed universal-hash family coefficients (odd constants; any fixed odd a
 # works for (a*h+b) mod 2^61-1). 16 permutations supported out of the box.
@@ -115,6 +116,7 @@ def minhash_signatures(
     """
     if num_hashes > len(PERM_A):
         raise ValueError(f"num_hashes <= {len(PERM_A)}")
+    df = ensure_parallelism(df)  # shingling is CPU-bound, not IO-bound
     exploded = df.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__shingle")
     ).withColumn("__h", _base_hash(F.col("__shingle"), portable))
@@ -183,7 +185,7 @@ def ngram_jaccard_pairs(
     of |block|^2, so callers pick keys (language, length bucket, LSH band,
     fingerprint prefix) that keep blocks small at their scale.
     """
-    sets = df.select(
+    sets = ensure_parallelism(df).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         (shingles(text_col, shingle_k) if shingle_k > 1
@@ -225,14 +227,26 @@ def lsh_verified_pairs(
     O(corpus) for signatures + O(sum of bucket^2) for candidates (tiny when
     bands/rows are tuned to the target similarity) — never O(corpus^2).
     """
+    # Signatures are tiny (k longs per doc) but EXPENSIVE to produce; the
+    # band self-join and the verify join would otherwise re-run the whole
+    # shingling job once per branch. Persisting signature/candidate tables
+    # is the same call a 100 TB run makes (they are O(corpus * k) longs).
     sigs = minhash_signatures(
         df, id_col, text_col,
         num_hashes=num_hashes, shingle_k=shingle_k, portable=portable,
-    )
+    ).persist()
     cand = lsh_candidate_pairs(
         lsh_bands(sigs, id_col, bands=bands, rows_per_band=rows_per_band), id_col
+    ).persist()
+    # Verify needs shingle sets ONLY for docs that appear in a candidate
+    # pair — semi-join first so the second shingling pass touches the few
+    # near-dup suspects, not the whole corpus.
+    ids = (
+        cand.select(F.col("a").alias(id_col))
+        .union(cand.select(F.col("b").alias(id_col)))
+        .distinct()
     )
-    sets = df.select(
+    sets = df.join(F.broadcast(ids), on=id_col, how="left_semi").select(
         F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
     )
     a = sets.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sa"))
@@ -256,6 +270,7 @@ def simhash(
     """Per-document SimHash signature: each output bit is the majority vote
     of that bit across all token hashes (ties -> 0). One narrow pass, no
     shuffle at all — the cheapest near-dup signature at scale."""
+    df = ensure_parallelism(df)  # per-token hashing is CPU-bound
     hts = F.transform(tokens(text_col), lambda t: _base_hash(t, portable))
     n = F.size(hts)
     acc = F.lit(0).cast("long")

@@ -106,7 +106,9 @@ def decode_image_meta(
                 "height": pd.array([d[1] for d in dims], dtype="Int32"),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(
+    from flink_kafka_table_api_spark.parallelism import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
         decode_batches, schema=IMAGE_META_SCHEMA
     )
 

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import portable_hash64
+from flink_kafka_table_api_spark.parallelism import ensure_parallelism
 
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic. Deliberately small so the oracle SQL stays writable; real
@@ -50,6 +51,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     length, stopword ratio, alnum ratio); score is a transparent linear blend
     so the oracle can reproduce it exactly.
     """
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -80,6 +82,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     takes the argmax (deterministic tie-break: language code order). This is
     the classic fasttext-free fallback; at 100 TB it is a single narrow pass.
     """
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     n_tok = F.greatest(F.size(toks), F.lit(1))
     scores = [
@@ -113,6 +116,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: 60-bit hash of the sorted distinct
     token set (word-order- and repetition-insensitive). The standard cheap
     near-dup blocking key; portable to the oracle via md5."""
+    df = ensure_parallelism(df)
     canon = F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")
     return df.select(
         "doc_id",

@@ -828,9 +828,31 @@ def q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sigs = dd.minhash_signatures(
         _t(spark, sf, "documents"), "doc_id", "text",
         num_hashes=8, shingle_k=3, portable=True,
-    )
+    ).persist()  # the bucket self-join reads this twice
     bands = dd.lsh_bands(sigs, "doc_id", bands=4, rows_per_band=2)
     return dd.lsh_candidate_pairs(bands, "doc_id")
+
+
+@query("dedup_minhash_fast")  # no oracle: xxhash64 is Spark-specific
+def q_dedup_minhash_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production MinHash path: same algorithm as dedup_minhash but with
+    codegen'd xxhash64 instead of the md5-based portable hash (the md5 is
+    only needed where a DuckDB oracle must reproduce results)."""
+    return dd.minhash_signatures(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=8, shingle_k=3, portable=False,
+    )
+
+
+@query("neardup_verified_fast")  # no oracle: xxhash64 is Spark-specific
+def q_neardup_verified_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production near-dup pipeline: signatures -> bands -> candidates ->
+    exact-Jaccard verify, all with the fast hash."""
+    return dd.lsh_verified_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=8, bands=4, rows_per_band=2, shingle_k=3,
+        threshold=0.5, portable=False,
+    )
 
 
 @query("dedup_simhash", dd.simhash_sql("doc_id", "text", bits=32))
@@ -859,7 +881,7 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within language blocks (Hamming <= 10)."""
     docs = _t(spark, sf, "documents")
     sigs = dd.simhash(docs, "doc_id", "text", bits=32, portable=True)
-    labeled = sigs.join(docs.select("doc_id", "lang"), "doc_id")
+    labeled = sigs.join(docs.select("doc_id", "lang"), "doc_id").persist()
     a = labeled.select(F.col("lang"), F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"))
     b = labeled.select(F.col("lang"), F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"))
     return (
