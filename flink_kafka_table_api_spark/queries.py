@@ -485,6 +485,24 @@ def _set_sides(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+@query("set_union_all", f"{_SET_A} UNION ALL {_SET_B}")
+def q_set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _set_sides(spark, sf)
+    return a.union(b)
+
+
+@query("set_intersect_all", f"{_SET_A} INTERSECT ALL {_SET_B}")
+def q_set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _set_sides(spark, sf)
+    return a.intersectAll(b)
+
+
+@query("set_except_all", f"{_SET_A} EXCEPT ALL {_SET_B}")
+def q_set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _set_sides(spark, sf)
+    return a.exceptAll(b)
+
+
 @query("set_union", f"{_SET_A} UNION {_SET_B}")
 def q_set_union(spark: SparkSession, sf: str) -> DataFrame:
     a, b = _set_sides(spark, sf)
@@ -533,6 +551,50 @@ def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
         F.trim(F.col("p_name")).alias("trimmed"),
     )
+
+
+@query(
+    "map_funcs",
+    """
+    SELECT p_partkey,
+           p_brand AS brand_value,
+           CAST(2 AS INT) AS map_size,
+           'brand,type' AS sorted_keys,
+           p_type AS type_or_default
+    FROM part
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """MAP-type operations (the reference carries MAP<STRING,STRING> metadata
+    — reference TransactionProcessor.java:103-105). A map is constructed
+    in-plan and operated on with element_at/map_keys/size; the oracle
+    validates the extracted scalars (DuckDB's MAP semantics differ, the
+    values must not)."""
+    p = _t(spark, sf, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_value"),
+        F.size(m).alias("map_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("sorted_keys"),
+        F.coalesce(F.element_at(m, "type"), F.lit("none")).alias("type_or_default"),
+    )
+
+
+@query("not_null_audit", """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey IS NULL OR o_custkey IS NULL OR o_totalprice IS NULL
+    """)
+def q_not_null_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT NULL constraint audit (SURVEY §7.4 #4 — Flink sinks reject null
+    NOT-NULL columns, Spark needs an explicit validation op). Returns the
+    violating rows; empty on clean data, and both engines agree on empty."""
+    from flink_kafka_table_api_spark.operators.validate import violations
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return violations(o, ["o_orderkey", "o_custkey", "o_totalprice"])
 
 
 @query(

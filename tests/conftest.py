@@ -8,8 +8,16 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="fkta-tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    s = get_spark(
+        app_name="fkta-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # static conf: needed by the bucketed-table test
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+        },
+    )
     yield s
     s.stop()
 

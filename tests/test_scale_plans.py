@@ -1,0 +1,99 @@
+"""Plan-shape assertions: the 100 TB properties the engine promises must be
+visible in the physical plan, not just hoped for. These tests pin them so a
+regression (a lost broadcast, a filter that stops reaching the scan, a
+shuffle that reappears) fails CI immediately."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_reaches_parquet_scan(spark):
+    df = QUERIES["approved_transactions"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = QUERIES["filter_project"](spark, SF)
+    read_schema = _plan(df).split("ReadSchema:")[1]
+    assert "l_comment" not in read_schema
+    assert "l_tax" not in read_schema  # dropped by the projection
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(QUERIES["star_join"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region pinned
+    assert "SortMergeJoin" not in plan
+
+
+def test_sort_limit_is_take_ordered(spark):
+    plan = _plan(QUERIES["sort_limit"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle for global top-k
+
+
+def test_ann_query_broadcasts_query_vector(spark):
+    plan = _plan(QUERIES["ann_bruteforce"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_reference_pipeline_has_no_shuffle(spark):
+    plan = _plan(QUERIES["approved_transactions"](spark, SF))
+    assert "Exchange" not in plan  # narrow-only: scan->filter->project
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Partition-by on write -> partition pruning on read: the filter must
+    become a PartitionFilter (directory pruning), not a data filter."""
+    from flink_kafka_table_api_spark.sources.files import write_parquet
+
+    out = str(tmp_path / "orders_by_status")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    write_parquet(orders, out, partition_by=("o_orderstatus",))
+    filtered = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    plan = _plan(filtered)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1][:200]
+    assert "o_orderstatus" in seg
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides of a recurring join key removes the per-query
+    shuffle entirely — the canonical co-located join at 100 TB."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_b")
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("customer_b")
+    with_aqe_off = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing replaced both shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_aqe_off)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
