@@ -450,6 +450,164 @@ def q_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS DOUBLE)
+             AS near_price_sum,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+             AS price_quartile
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame (value-based window) + ntile — the remaining frame kinds
+    after rows-frames (window_running) and unbounded (window_topk)."""
+    o = _t(spark, sf, "orders")
+    range_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-100, 100)
+    )
+    tile_w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(range_w)
+        .cast("double").alias("near_price_sum"),
+        F.ntile(4).over(tile_w).cast("long").alias("price_quartile"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    """
+    SELECT o_orderpriority,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax aggregates). Deterministic here because
+    o_totalprice has no duplicate extremes per group in this data; for tied
+    data prefer the window top-k shape."""
+    return _t(spark, sf, "orders").groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+             AS n_items
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst de-correlates it into a left
+    outer aggregate join (same rewrite Flink's planner does)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_sq")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT COUNT(*) FROM lineitem_sq WHERE l_orderkey = o_orderkey)
+                 AS n_items
+        FROM orders_sq WHERE o_orderpriority = '1-URGENT'
+        """
+    )
+
+
+@query(
+    "cte_query",
+    f"""
+    WITH seg_orders AS (
+      SELECT c_mktsegment, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), seg_stats AS (
+      SELECT c_mktsegment, {dec_sum_sql('o_totalprice', 'seg_total')}
+      FROM seg_orders GROUP BY c_mktsegment
+    )
+    SELECT * FROM seg_stats WHERE seg_total > 0
+    """,
+)
+def q_cte_query(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH-clause entry point (Spark SQL surface over registered views)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_cte")
+    _t(spark, sf, "customer").createOrReplaceTempView("customer_cte")
+    return spark.sql(
+        """
+        WITH seg_orders AS (
+          SELECT c_mktsegment, o_totalprice
+          FROM orders_cte JOIN customer_cte ON o_custkey = c_custkey
+        ), seg_stats AS (
+          SELECT c_mktsegment,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS seg_total
+          FROM seg_orders GROUP BY c_mktsegment
+        )
+        SELECT * FROM seg_stats WHERE seg_total > 0
+        """
+    )
+
+
+@query(
+    "pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (columns from values). Explicit value list keeps the plan a
+    single pass (no extra distinct-values job) — mandatory at scale."""
+    out = (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@query(
+    "unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (wide -> long) — built-in since Spark 3.4."""
+    return _t(spark, sf, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure", "value",
+    )
+
+
+@query(
     "sort_limit",
     """
     SELECT l_orderkey, l_linenumber, l_extendedprice
@@ -811,6 +969,51 @@ def q_posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "token")
     ).select(
         "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "token"
+    )
+
+
+@query(
+    "time_rollup",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events, {dec_sum_sql('value', 'sum_value')}
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE), date_trunc('hour', ts))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: one pass produces hourly,
+    daily and grand-total aggregates (ROLLUP over truncation levels). The
+    continuous-aggregate pattern at scale: feed it with foreachBatch
+    increments instead of recomputing."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.rollup(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "sum_value"))
+    )
+
+
+@query(
+    "salted_agg",
+    f"""
+    SELECT l_returnflag, {dec_sum_sql('l_extendedprice', 'sum_value')},
+           COUNT(l_extendedprice) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-proof two-phase salted aggregation; the oracle proves it equals
+    the direct aggregate exactly (decimal accumulation makes the two-phase
+    merge order-insensitive)."""
+    from flink_kafka_table_api_spark.operators.skew import salted_sum_count
+
+    return salted_sum_count(
+        _t(spark, sf, "lineitem"), ["l_returnflag"], "l_extendedprice",
+        salt=16,
     )
 
 
