@@ -684,6 +684,56 @@ def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "predicates",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'N')
+      AND l_quantity BETWEEN 10 AND 40
+      AND l_linestatus LIKE 'F%'
+      AND NOT (l_discount > 0.08)
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def q_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate pack: IN / BETWEEN / LIKE / NOT / IS NOT NULL composed with
+    AND — all pushable; IN and BETWEEN reach the parquet scan as
+    PushedFilters."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "N")
+        & F.col("l_quantity").between(10, 40)
+        & F.col("l_linestatus").like("F%")
+        & ~(F.col("l_discount") > 0.08)
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@query(
+    "datetime_parse",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+           strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS reparsed,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q_datetime_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """String <-> timestamp round trip (format, parse, epoch) — the
+    remaining datetime scalar surface after date_funcs."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.to_timestamp(
+            F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd"
+        ).cast("timestamp_ntz").alias("reparsed"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
+    )
+
+
+@query(
     "string_funcs",
     """
     SELECT p_partkey,
