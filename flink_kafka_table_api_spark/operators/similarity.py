@@ -137,6 +137,62 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "c_id",
+    centroid_vec: str = "c_embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (min_by over a broadcast centroid table). The inverted-file structure at
+    scale: write vectors partitioned by cluster so a query scans only its
+    cluster's partitions."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__dist",
+        1 - cosine(as_double_array(vec_col), as_double_array(centroid_vec)),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(centroid_id, F.col("__dist")).alias("cluster")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """IVF search: route the query to its nearest centroid, scan only that
+    cluster, exact re-rank. nprobe=1 here; raising nprobe = union of the
+    next-nearest clusters (same plan shape)."""
+    assign = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    q_assign = ivf_assign(
+        query.withColumn("__qid", F.lit(0)), centroids,
+        id_col="__qid", vec_col=query_vec_col,
+    ).select(F.col("cluster").alias("__qcluster"))
+    cluster_members = vectors.join(assign, id_col).join(
+        F.broadcast(q_assign), F.col("cluster") == F.col("__qcluster")
+    )
+    return (
+        cluster_members.crossJoin(F.broadcast(query))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(as_double_array(vec_col),
+                           as_double_array(query_vec_col)), 6),
+        )
+        .select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     *,

@@ -9,7 +9,7 @@ in the DuckDB oracles: lowercase, split on whitespace runs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import portable_hash64
@@ -110,6 +110,66 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         best["lang"].alias("predicted_lang"),
         F.round(best["score"], 6).alias("lang_score"),
     )
+
+
+def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-(doc, token) TF-IDF: tf = occurrences/doc_len, idf = ln(N/df).
+
+    Pure relational algebra: explode -> two aggregations -> join. At scale
+    the token->df table is the only global state; it is tiny (vocabulary-
+    sized) and broadcast back, so the heavy side never shuffles twice.
+    """
+    df = ensure_parallelism(df)
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    # term frequency within each doc
+    tf = (
+        exploded.groupBy(id_col, "token")
+        .agg(F.count("*").alias("occurrences"))
+        .withColumn(
+            "doc_len",
+            F.sum("occurrences").over(Window.partitionBy(id_col)),
+        )
+    )
+    n_docs = df.select(id_col).distinct().count()
+    docfreq = (
+        exploded.distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        tf.join(F.broadcast(docfreq), "token")
+        .select(
+            F.col(id_col),
+            "token",
+            F.col("occurrences").cast("long").alias("occurrences"),
+            F.round(
+                (F.col("occurrences") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def tf_idf_sql(id_expr: str = "doc_id", text_expr: str = "text") -> str:
+    toks = tokens_sql(text_expr)
+    return f"""
+    WITH exploded AS (
+      SELECT {id_expr} AS doc_id, unnest({toks}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS occurrences,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len
+      FROM exploded GROUP BY doc_id, token
+    ), docfreq AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM exploded GROUP BY token
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM exploded)
+    SELECT tf.doc_id, tf.token, CAST(tf.occurrences AS BIGINT) AS occurrences,
+           round((CAST(tf.occurrences AS DOUBLE) / tf.doc_len)
+                 * ln(CAST(n.n_docs AS DOUBLE) / docfreq.df), 6) AS tfidf
+    FROM tf JOIN docfreq ON tf.token = docfreq.token CROSS JOIN n
+    """
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

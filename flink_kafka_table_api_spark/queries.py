@@ -24,10 +24,9 @@ from flink_kafka_table_api_spark.functions.portable import (
     dec_sum,
     dec_sum_sql,
     minhash_perm_sql,
-    portable_hash64,
     portable_hash64_sql,
 )
-from flink_kafka_table_api_spark.functions.vector import as_double_array, cosine, cosine_sql
+from flink_kafka_table_api_spark.functions.vector import as_double_array, cosine_sql
 from flink_kafka_table_api_spark.operators import dedup as dd
 from flink_kafka_table_api_spark.operators import multimodal as mm
 from flink_kafka_table_api_spark.operators import similarity as sim
@@ -361,10 +360,12 @@ def q_star_join(spark: SparkSession, sf: str) -> DataFrame:
     supp = _t(spark, sf, "supplier")
     nation = _t(spark, sf, "nation")
     region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
-    joined = (
-        li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    joined = join_dim(
+        join_dim(
+            li.join(supp, li.l_suppkey == supp.s_suppkey),  # SF-scaled: AQE decides
+            nation, supp.s_nationkey == nation.n_nationkey,
+        ),
+        region, nation.n_regionkey == region.r_regionkey,
     )
     return joined.groupBy("n_name").agg(
         F.count("*").alias("n_items"),
@@ -1346,9 +1347,58 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return sim.lsh_topk(emb, query_df, k=10, planes=_PLANES)
 
 
+_IVF_COS_VC = cosine_sql("v.embedding", "c.c_emb")
+_IVF_COS_QC = cosine_sql("q.q_emb", "c.c_emb")
+_IVF_COS_VQ = cosine_sql("v.embedding", "q.q_emb")
+
+
+@query(
+    "ann_ivf",
+    f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT v.vec_id, arg_min(c.c_id, 1 - {_IVF_COS_VC}) AS cluster
+      FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
+    ), q AS (
+      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+    ), qa AS (
+      SELECT arg_min(c.c_id, 1 - {_IVF_COS_QC}) AS qcluster
+      FROM q CROSS JOIN centroids c
+    )
+    SELECT v.vec_id, round({_IVF_COS_VQ}, 6) AS cosine_sim
+    FROM embeddings v
+    JOIN assign a ON v.vec_id = a.vec_id
+    JOIN qa ON a.cluster = qa.qcluster
+    CROSS JOIN q
+    ORDER BY cosine_sim DESC, v.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to 8 deterministic centroids, search
+    only the query's cluster (nprobe=1), exact re-rank. The second scale
+    path besides hyperplane LSH; at 100 TB the cluster id becomes a write
+    partition so the scan prunes to one cluster."""
+    emb = _t(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_embedding")
+    )
+    query_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return sim.ivf_topk(emb, centroids, query_df, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (EXT)
 # ---------------------------------------------------------------------------
+
+
+@query("tfidf", tx.tf_idf_sql())
+def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(doc, token) TF-IDF (explode -> tf window -> broadcast df join)."""
+    return tx.tf_idf(_t(spark, sf, "documents"))
 
 def _lang_scores_sql() -> tuple[str, str, str]:
     toks = tx.tokens_sql("text")
