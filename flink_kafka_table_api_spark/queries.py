@@ -1688,6 +1688,50 @@ def q_grouped_agg_udf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    """
+    SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream inner join (equi key + time-range bound):
+    clicks by the same user within 10 minutes after each error. The time
+    bound is what lets the state store evict — without it stream-stream
+    join state grows forever (the 100 TB/day constraint)."""
+    errors = (
+        _stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "5 seconds")
+    )
+    clicks = (
+        _stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "5 seconds")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("error_id", "click_id", "user_id")
+    return _run_stream_to_table(joined, spark, "append")
+
+
+@query(
     "stream_approved",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority,
