@@ -75,6 +75,8 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema). Event-time columns become TIMESTAMP (not NTZ): Spark only
     accepts watermarks on TIMESTAMP; the session timezone is pinned UTC so
     collected values still equal the oracle's naive timestamps."""
+    from flink_kafka_table_api_spark.session import harden_session
+    harden_session(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     stream = stream_parquet_dir(spark, _as_stream_dir(sf_dir, name), raw_schema)
     if name == "events":

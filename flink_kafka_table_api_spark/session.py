@@ -24,6 +24,31 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# Confs every query path depends on for CORRECTNESS (not tuning): these are
+# re-asserted at runtime by harden_session because the driver's verify may
+# hand us a SparkSession built without the engine's factory — without
+# nanosAsLong every events-table scan throws PARQUET_TYPE_ILLEGAL, and a
+# non-UTC session timezone shifts timestamp values away from the oracle.
+_CORRECTNESS_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+_hardened_sessions: set[int] = set()
+
+
+def harden_session(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the correctness-critical runtime confs to a
+    possibly foreign SparkSession (all are runtime-settable)."""
+    key = id(spark)
+    if key not in _hardened_sessions:
+        for k, v in _CORRECTNESS_CONFS.items():
+            spark.conf.set(k, v)
+        _hardened_sessions.add(key)
+    return spark
+
+
 def get_spark(
     app_name: str = "flink-kafka-table-api-spark",
     master: str | None = None,
