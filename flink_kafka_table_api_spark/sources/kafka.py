@@ -98,6 +98,104 @@ def _require_avro_functions():
         ) from exc
 
 
+def _jvm_avro_usable(df: DataFrame, body: Column, schema_json: str) -> bool:
+    """The pyspark from_avro import succeeds even without the spark-avro jar;
+    the failure only surfaces at analysis. Probe analysis on a LIMIT 0 plan."""
+    try:
+        from_avro, _ = _require_avro_functions()
+        df.limit(0).select(from_avro(body, schema_json).alias("v")).schema
+        return True
+    except Exception:
+        return False
+
+
+def decode_avro_column(
+    df: DataFrame,
+    avro_schema_json: str,
+    *,
+    value_col: str = "value",
+    confluent_framed: bool = True,
+) -> DataFrame:
+    """Decode an Avro-encoded binary column into its record fields.
+
+    Prefers the JVM from_avro expression (codegen, zero Python) when the
+    spark-avro jar is on the classpath; otherwise falls back to the
+    dependency-free pure-Python codec (sources/avro_codec.py) via
+    Arrow-batched mapInPandas. Same results either way; install the jar for
+    the 100 TB path.
+    """
+    from flink_kafka_table_api_spark.avro_schema import avro_to_struct
+
+    body = (
+        strip_confluent_header(F.col(value_col))
+        if confluent_framed
+        else F.col(value_col)
+    )
+    if _jvm_avro_usable(df, body, avro_schema_json):
+        from_avro, _ = _require_avro_functions()
+        return df.select(from_avro(body, avro_schema_json).alias("v")).select("v.*")
+
+    spark_schema = avro_to_struct(avro_schema_json)
+    field_names = [f.name for f in spark_schema.fields]
+    header = CONFLUENT_HEADER_LEN if confluent_framed else 0
+
+    def decode_batches(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from flink_kafka_table_api_spark.sources.avro_codec import (  # noqa: PLC0415
+            decode_record,
+        )
+
+        for pdf in batches:
+            records = [
+                decode_record(avro_schema_json, bytes(v)[header:])
+                for v in pdf[value_col]
+            ]
+            yield pd.DataFrame(records, columns=field_names)
+
+    return df.select(value_col).mapInPandas(decode_batches, schema=spark_schema)
+
+
+def encode_avro_column(
+    df: DataFrame,
+    avro_schema_json: str,
+    *,
+    schema_id: int | None = None,
+) -> DataFrame:
+    """Inverse of decode_avro_column: rows -> single binary 'value' column,
+    Confluent-framed when a schema_id is given. JVM to_avro when available,
+    pure-Python codec otherwise."""
+    cols = df.columns
+    if _jvm_avro_usable(df, F.lit(b""), avro_schema_json):
+        _, to_avro = _require_avro_functions()
+        payload = to_avro(F.struct(*cols), avro_schema_json)
+        if schema_id is not None:
+            payload = F.concat(F.lit(frame_header(schema_id)), payload)
+        return df.select(payload.alias("value"))
+
+    header = frame_header(schema_id) if schema_id is not None else b""
+
+    def encode_batches(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        from flink_kafka_table_api_spark.sources.avro_codec import (  # noqa: PLC0415
+            encode_record,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for row in pdf.itertuples(index=False):
+                rec = {}
+                for name, val in zip(cols, row):
+                    if isinstance(val, pd.Timestamp):
+                        val = val.to_pydatetime()
+                    rec[name] = val
+                payloads.append(header + encode_record(avro_schema_json, rec))
+            yield pd.DataFrame({"value": payloads})
+
+    return df.mapInPandas(encode_batches, schema="value binary")
+
+
 def read_topic(
     spark: SparkSession,
     *,
@@ -127,11 +225,9 @@ def read_topic(
     raw = reader.load()
     if avro_schema_json is None:
         return raw
-    from_avro, _ = _require_avro_functions()
-    body = strip_confluent_header(F.col("value")) if confluent_framed else F.col("value")
-    return raw.select(
-        from_avro(body, avro_schema_json).alias("v"), "timestamp"
-    ).select("v.*")
+    return decode_avro_column(
+        raw, avro_schema_json, confluent_framed=confluent_framed
+    )
 
 
 def write_topic(

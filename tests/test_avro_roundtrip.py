@@ -1,0 +1,130 @@
+"""End-to-end Avro-Confluent codec tests WITHOUT brokers or the spark-avro
+jar: the pure-Python codec (sources/avro_codec.py) encodes the reference's
+5-row fixture into Confluent-framed payloads, the engine decodes them
+through decode_avro_column (mapInPandas fallback path) and runs the full
+reference pipeline on the result — O2 exercised for real, not just framing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from flink_kafka_table_api_spark.avro_schema import struct_to_avro
+from flink_kafka_table_api_spark.catalog import TRANSACTION_SCHEMA
+from flink_kafka_table_api_spark.plans.pipeline import approved_transactions
+from flink_kafka_table_api_spark.sources.avro_codec import (
+    decode_record,
+    encode_record,
+)
+from flink_kafka_table_api_spark.sources.kafka import (
+    decode_avro_column,
+    encode_avro_column,
+    frame_header,
+)
+
+TX_AVSC = struct_to_avro(TRANSACTION_SCHEMA, name="Transaction")
+
+NOW = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _tx(i, amount, currency, status, metadata=None, description=None):
+    return {
+        "id": f"tx-{i}",
+        "amount": float(amount),
+        "currency": currency,
+        "timestamp": NOW,
+        "description": description,
+        "merchant": "Test Merchant",
+        "category": "Test",
+        "status": status,
+        "userId": f"user-{i}",
+        "metadata": metadata,
+    }
+
+
+FIXTURE = [
+    _tx(1, 100.0, "USD", "APPROVED", metadata={}),
+    _tx(2, 200.0, "EUR", "APPROVED", metadata={"k": "v", "k2": "v2"}),
+    _tx(3, 150.0, "GBP", "APPROVED", description="unicode: héllo 的"),
+    _tx(4, 300.0, "USD", "CANCELLED"),
+    _tx(5, 250.0, "EUR", "PENDING", metadata=None),
+]
+
+
+def test_codec_roundtrip_every_fixture_row():
+    for rec in FIXTURE:
+        payload = encode_record(TX_AVSC, rec)
+        back = decode_record(TX_AVSC, payload)
+        assert back["id"] == rec["id"]
+        assert back["amount"] == rec["amount"]
+        assert back["timestamp"] == rec["timestamp"]
+        assert back["description"] == rec["description"]
+        assert back["metadata"] == rec["metadata"]
+
+
+def test_codec_edge_values():
+    schema = json.dumps({
+        "type": "record", "name": "E", "fields": [
+            {"name": "big", "type": "long"},
+            {"name": "neg", "type": "long"},
+            {"name": "z", "type": "int"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ],
+    })
+    rec = {"big": 2**62, "neg": -(2**62), "z": 0, "d": -0.5,
+           "b": True, "raw": b"\x00\xff", "arr": [1, -2, 3]}
+    assert decode_record(schema, encode_record(schema, rec)) == rec
+
+
+def test_confluent_framed_pipeline_end_to_end(spark):
+    """Framed payloads -> decode_avro_column (python fallback) -> the
+    reference pipeline. This is the reference's whole job minus the broker
+    (reference TransactionProcessor.java:89-192)."""
+    framed = [
+        (bytearray(frame_header(17) + encode_record(TX_AVSC, rec)),)
+        for rec in FIXTURE
+    ]
+    raw = spark.createDataFrame(framed, "value binary")
+    decoded = decode_avro_column(raw, TX_AVSC, confluent_framed=True)
+    assert [f.name for f in decoded.schema.fields] == [
+        f.name for f in TRANSACTION_SCHEMA.fields
+    ]
+    out = approved_transactions(decoded).collect()
+    assert len(out) == 4  # CANCELLED filtered (reference TransactionFlinkTest.java:93)
+    by_id = {r.id: r for r in out}
+    assert by_id["tx-2"].amountInUsd == pytest.approx(220.0, abs=1e-3)
+    assert by_id["tx-3"].amountInUsd == pytest.approx(195.0, abs=1e-3)
+    assert "tx-4" not in by_id
+
+
+def test_encode_decode_column_roundtrip(spark):
+    """Sink direction: engine rows -> framed Avro bytes -> decode again."""
+    rows = [
+        ("a", 1.5, NOW),
+        ("b", -2.25, NOW + dt.timedelta(seconds=1)),
+    ]
+    schema = json.dumps({
+        "type": "record", "name": "S", "fields": [
+            {"name": "k", "type": "string"},
+            {"name": "v", "type": "double"},
+            {"name": "ts",
+             "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    })
+    df = spark.createDataFrame(rows, "k string, v double, ts timestamp_ntz")
+    encoded = encode_avro_column(df, schema, schema_id=99)
+    vals = [bytes(r.value) for r in encoded.collect()]
+    assert all(v[:5] == frame_header(99) for v in vals)
+    back = decode_avro_column(
+        spark.createDataFrame([(bytearray(v),) for v in vals], "value binary"),
+        schema, confluent_framed=True,
+    ).collect()
+    got = {r.k: (r.v, r.ts) for r in back}
+    assert got["a"] == (1.5, NOW)
+    assert got["b"] == (-2.25, NOW + dt.timedelta(seconds=1))
