@@ -301,6 +301,61 @@ def simhash_sql(id_expr: str, text_expr: str, *, bits: int = 32) -> str:
     )
 
 
+def connected_components(
+    edges: DataFrame, *, max_iterations: int = 15
+) -> DataFrame:
+    """Connected components over near-dup pairs (columns a, b) by iterative
+    min-label propagation: every vertex converges to the minimum doc id
+    reachable from it. Returns (id, cluster, is_canonical).
+
+    This is the step that turns pair DETECTION into actual DEDUP: keep one
+    canonical doc per component, drop the rest. Iterations needed = graph
+    diameter; near-dup components are short chains, so convergence is fast
+    — the loop exits as soon as an iteration changes nothing. Each
+    iteration is one join + aggregate (all distributed); only the
+    `changed` counter crosses to the driver.
+    """
+    bidir = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        bidir.select(F.col("a").alias("id")).distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            bidir.join(labels, bidir.b == labels.id)
+            .groupBy(bidir.a.alias("id"))
+            .agg(F.min("cluster").alias("ncluster"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("ncluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster", "old"), "id"
+            )
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn("is_canonical", F.col("id") == F.col("cluster"))
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash signatures (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))

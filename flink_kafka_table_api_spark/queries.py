@@ -485,6 +485,27 @@ def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "percentiles",
+    """
+    SELECT o_orderpriority,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 6) AS p50,
+           round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 6) AS p90,
+           round(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 6) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == SQL
+    quantile_cont). At 100 TB swap in percentile_approx (t-digest sketch,
+    mergeable, fixed memory) — same call shape, engine-specific values."""
+    return _t(spark, sf, "orders").groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query(
     "agg_minmax_by",
     """
     SELECT o_orderpriority,
@@ -1265,6 +1286,39 @@ def q_neardup_verified(spark: SparkSession, sf: str) -> DataFrame:
         num_hashes=8, bands=4, rows_per_band=2, shingle_k=3,
         threshold=0.5, portable=True,
     )
+
+
+def _dedup_clusters_oracle() -> str:
+    pairs = _neardup_verified_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    bidir(a, b) AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    verts(id) AS (SELECT DISTINCT a FROM bidir),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN bidir e ON e.a = reach.id
+    )
+    SELECT id, MIN(r) AS cluster, id = MIN(r) AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
+@query("dedup_clusters", _dedup_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the LSH-verified pair
+    graph -> one canonical doc per component (keep is_canonical, drop the
+    rest). The final step of the dedup pipeline; oracle is a recursive-CTE
+    transitive closure."""
+    pairs = dd.lsh_verified_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=8, bands=4, rows_per_band=2, shingle_k=3,
+        threshold=0.5, portable=True,
+    )
+    return dd.connected_components(pairs)
+
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,28 @@ def test_streaming_dedup_bounded_state(spark):
     assert got.select("user_id", "event_type").distinct().count() == batch_distinct
 
 
+def test_rate_source_smoke(spark):
+    """Built-in rate source: the broker-free unbounded-source smoke test
+    (closest offline analog to the Kafka source's continuous scan)."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.select("timestamp", "value")
+        .writeStream.format("memory").queryName("t_rate")
+        .outputMode("append").start()
+    )
+    try:
+        import time
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table("t_rate").count() == 0:
+            time.sleep(0.5)
+        assert spark.table("t_rate").count() > 0
+    finally:
+        q.stop()
+
+
 def test_watermark_declaration_preserved(spark):
     """O3: watermark is declarative; verify it lands in the plan."""
     stream = _stream_table(spark, SF, "events")
