@@ -302,25 +302,66 @@ def simhash_sql(id_expr: str, text_expr: str, *, bits: int = 32) -> str:
 
 
 def connected_components(
-    edges: DataFrame, *, max_iterations: int = 15
+    edges: DataFrame, *, max_iterations: int = 15,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Connected components over near-dup pairs (columns a, b) by iterative
-    min-label propagation: every vertex converges to the minimum doc id
-    reachable from it. Returns (id, cluster, is_canonical).
+    """Connected components over near-dup pairs (columns a, b): every vertex
+    converges to the minimum doc id reachable from it. Returns
+    (id, cluster, is_canonical).
 
     This is the step that turns pair DETECTION into actual DEDUP: keep one
-    canonical doc per component, drop the rest. Iterations needed = graph
-    diameter; near-dup components are short chains, so convergence is fast
-    — the loop exits as soon as an iteration changes nothing. Each
-    iteration is one join + aggregate (all distributed); only the
-    `changed` counter crosses to the driver.
+    canonical doc per component, drop the rest.
+
+    Two execution paths, chosen by edge count:
+    - The near-dup pair graph is typically orders of magnitude smaller than
+      the corpus (only suspected duplicates appear). Below
+      ``driver_edge_threshold`` edges, a driver-side union-find is strictly
+      better: one collect of the (tiny) edge list replaces ~diameter
+      distributed jobs. Even at 100 TB of documents, a few million near-dup
+      pairs fit on the driver comfortably.
+    - Above it, distributed min-label propagation: one join + aggregate per
+      iteration, exits at fixpoint; only the `changed` counter crosses to
+      the driver.
     """
+    spark = edges.sparkSession
+    # persist AND materialize before the self-union: bidir reads `edges`
+    # twice (forward + swapped) and edges is usually an expensive pipeline
+    # (LSH verify); within a single action both branches would compute the
+    # uncached plan, so the cache must be filled by its own action first
+    edges = edges.select("a", "b").persist()
+    edges.count()
     bidir = (
-        edges.select("a", "b")
+        edges
         .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
+    n_edges = bidir.count()
+    edges.unpersist()
+    if n_edges <= driver_edge_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in bidir.collect():
+            a, b = row.a, row.b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by value: smaller id becomes the root so the
+                # canonical label equals the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x), x == find(x)) for x in parent]
+        bidir.unpersist()
+        return spark.createDataFrame(
+            rows, "id long, cluster long, is_canonical boolean"
+        )
     labels = (
         bidir.select(F.col("a").alias("id")).distinct()
         .withColumn("cluster", F.col("id"))
