@@ -38,6 +38,9 @@ HEADLINE = [
     "lsh_candidate_pairs",     # LSH banding + bucket self-join
     "neardup_verified",        # full LSH near-dup pipeline (candidates+verify)
     "neardup_verified_fast",   # same, xxhash64 production path
+    "dedup_clusters",          # connected components -> canonical docs
+    "tfidf",                   # corpus tf-idf
+    "ann_ivf",                 # centroid inverted-file ANN
     "ann_bruteforce",          # cosine top-k (broadcast NLJ)
     "ann_lsh",                 # hyperplane-bucketed ANN
     "lang_id",                 # text analysis pass

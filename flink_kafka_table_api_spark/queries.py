@@ -1451,6 +1451,44 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "top_bigrams",
+    f"""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+      SELECT unnest({dd.shingles_sql('text', 2)}) AS bigram FROM documents
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-20 distinct-per-doc bigrams.
+    Explode -> count -> TakeOrdered; the shuffle carries (bigram, partial
+    count), never raw text."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(dd.shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@query("stream_dedup")  # rows-only: which duplicate row survives is
+                        # partition-order-dependent in a streaming dedup
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark) through the real engine."""
+    stream = _stream_table(spark, sf, "events")
+    deduped = sw.streaming_dedup(stream, ["user_id", "event_type"], ts_col="ts")
+    return _run_stream_to_table(
+        deduped.select("user_id", "event_type"), spark, "append"
+    ).distinct()
+
+
 @query("tfidf", tx.tf_idf_sql())
 def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """Per-(doc, token) TF-IDF (explode -> tf window -> broadcast df join)."""

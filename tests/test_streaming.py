@@ -79,6 +79,65 @@ def test_streaming_dedup_bounded_state(spark):
     assert got.select("user_id", "event_type").distinct().count() == batch_distinct
 
 
+def test_sql_entry_point_over_catalog(spark):
+    """The reference's executeSql surface (O11): register catalog views,
+    query them with textual SQL (reference TransactionFlinkTest.java:144-146
+    uses SQL for its verification read — same entry point here)."""
+    from flink_kafka_table_api_spark.catalog import register_all
+
+    register_all(spark, SF)
+    out = spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    ).collect()
+    assert [r.o_orderstatus for r in out] == ["F", "O", "P"]
+    assert sum(r.n for r in out) == spark.table("orders").count()
+
+
+def test_update_mode_windowed_agg(spark, tmp_path):
+    """Update output mode: only changed window groups are re-emitted each
+    micro-batch (vs complete re-emitting everything)."""
+    import datetime as dt
+
+    src = str(tmp_path / "upd_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(minutes=1))], "id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = _stream_table_raw(spark, src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("upd_agg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "upd_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = [(r.ws, r.n) for r in spark.table("upd_agg").collect()]
+    assert first == [(t0, 2)]
+    # same window gets a third event -> update emits the NEW count row
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=2))], "id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = [(r.ws, r.n) for r in spark.table("upd_agg").collect()]
+    assert (t0, 3) in rows  # updated emission for the same window
+
+
+def _stream_table_raw(spark, path):
+    from flink_kafka_table_api_spark.sources.files import stream_parquet_dir
+
+    return stream_parquet_dir(spark, path, spark.read.parquet(path).schema)
+
+
 def test_rate_source_smoke(spark):
     """Built-in rate source: the broker-free unbounded-source smoke test
     (closest offline analog to the Kafka source's continuous scan)."""
