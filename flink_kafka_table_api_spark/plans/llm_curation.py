@@ -1,0 +1,60 @@
+"""Composed LLM training-data curation pipeline (the BASELINE.json north
+star as ONE flow): quality scoring -> quality filter -> MinHash-LSH near-dup
+clustering -> canonical-document selection.
+
+This is the pipeline a user actually runs at 100 TB, and the composition IS
+the point: every stage is one of the engine's operators, so the whole flow
+stays declarative + distributed:
+
+  stage             shape at scale
+  quality scoring   narrow pass, whole-stage codegen
+  quality filter    pushed predicate (drops rows before any shuffle)
+  LSH near-dup      O(corpus) signatures + bucket joins (never O(n^2))
+  clustering        union-find over the (tiny) near-dup pair graph
+  canonical filter  left-anti join against non-canonical ids
+
+Only documents that survive the quality filter enter near-dup detection —
+the same ordering you want at scale (cheapest filter first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.operators.dedup import (
+    connected_components,
+    lsh_verified_pairs,
+)
+from flink_kafka_table_api_spark.operators.text import with_quality_score
+
+
+def curate_documents(
+    docs: DataFrame,
+    *,
+    quality_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Returns the curated corpus: (doc_id, lang, n_tokens, quality_score)
+    for documents that pass the quality gate and are the canonical
+    representative of their near-dup cluster (or have no near-dups)."""
+    quality = with_quality_score(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    kept = docs.join(
+        quality.filter(F.col("quality_score") >= quality_threshold), "doc_id"
+    )
+    pairs = lsh_verified_pairs(
+        kept.select("doc_id", "text"), "doc_id", "text",
+        num_hashes=8, bands=4, rows_per_band=2, shingle_k=3,
+        threshold=jaccard_threshold, portable=portable,
+    )
+    clusters = connected_components(pairs)
+    dropped = clusters.filter(~F.col("is_canonical")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        kept.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )

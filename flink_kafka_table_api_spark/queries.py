@@ -1112,7 +1112,8 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "event_type", "event_id", "ts", "value")
 
 
-def _minhash_oracle(num_hashes: int = 8, shingle_k: int = 3) -> str:
+def _minhash_oracle(num_hashes: int = 8, shingle_k: int = 3,
+                    src: str = "documents") -> str:
     h = portable_hash64_sql("__shingle")
     mins = ",\n           ".join(
         f"MIN({minhash_perm_sql('__h', dd.PERM_A[j], dd.PERM_B[j])}) AS mh_{j}"
@@ -1121,7 +1122,7 @@ def _minhash_oracle(num_hashes: int = 8, shingle_k: int = 3) -> str:
     return f"""
     WITH exploded AS (
       SELECT doc_id, unnest({dd.shingles_sql('text', shingle_k)}) AS __shingle
-      FROM documents
+      FROM {src}
     ), hashed AS (
       SELECT doc_id, {h} AS __h FROM exploded
     )
@@ -1138,8 +1139,9 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_oracle(bands: int = 4, rows_per_band: int = 2) -> str:
-    sig = _minhash_oracle(bands * rows_per_band)
+def _lsh_pairs_oracle(bands: int = 4, rows_per_band: int = 2,
+                      src: str = "documents") -> str:
+    sig = _minhash_oracle(bands * rows_per_band, src=src)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
         + portable_hash64_sql(
@@ -1262,12 +1264,12 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _neardup_verified_oracle() -> str:
-    pairs = _lsh_pairs_oracle()
+def _neardup_verified_oracle(src: str = "documents") -> str:
+    pairs = _lsh_pairs_oracle(src=src)
     return f"""
     WITH cand AS ({pairs}),
     shsets AS (
-      SELECT doc_id, {dd.shingles_sql('text', 3)} AS sh FROM documents
+      SELECT doc_id, {dd.shingles_sql('text', 3)} AS sh FROM {src}
     )
     SELECT cand.a, cand.b, round({_JACC3}, 6) AS jaccard
     FROM cand JOIN shsets x ON cand.a = x.doc_id
@@ -1609,6 +1611,57 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Order/repetition-insensitive document fingerprint (sorted distinct
     token set hashed)."""
     return tx.with_fingerprint(_t(spark, sf, "documents"))
+
+
+def _curation_oracle(quality_threshold: float = 0.5) -> str:
+    toks = tx.tokens_sql("text")
+    quality_cte = f"""
+      SELECT doc_id,
+             CAST(len(__toks) AS INT) AS n_tokens,
+             round((CASE WHEN len(__toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN len(__toks) > 0
+                      THEN CAST(len(list_filter(__toks,
+                           t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))
+                           AS DOUBLE) / len(__toks) ELSE 0.0 END) * 0.3
+                   + (CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                           / length(text) ELSE 0.0 END) * 0.3,
+                   6) AS quality_score
+      FROM (SELECT doc_id, text, {toks} AS __toks FROM documents)
+    """
+    pairs = _neardup_verified_oracle(src="kept")
+    return f"""
+    WITH RECURSIVE quality AS ({quality_cte}),
+    kept AS (
+      SELECT d.doc_id, d.text, d.lang, q.n_tokens, q.quality_score
+      FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+      WHERE q.quality_score >= {quality_threshold}
+    ),
+    pairs AS ({pairs}),
+    bidir(a, b) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    verts(id) AS (SELECT DISTINCT a FROM bidir),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN bidir e ON e.a = reach.id
+    ),
+    clusters AS (
+      SELECT id, MIN(r) AS cluster FROM reach GROUP BY id
+    )
+    SELECT k.doc_id, k.lang, k.n_tokens, k.quality_score
+    FROM kept k LEFT JOIN clusters c ON k.doc_id = c.id
+    WHERE c.id IS NULL OR c.id = c.cluster
+    """
+
+
+@query("llm_curation", _curation_oracle())
+def q_llm_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed LLM data-curation pipeline: quality gate -> LSH near-dup
+    clustering -> canonical selection (plans/llm_curation.py). One flow, all
+    engine operators, oracle-checked end to end."""
+    from flink_kafka_table_api_spark.plans.llm_curation import curate_documents
+
+    return curate_documents(_t(spark, sf, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,42 @@ def test_confluent_framed_pipeline_end_to_end(spark):
     assert "tx-4" not in by_id
 
 
+def test_streaming_avro_pipeline_full_reference_job(spark, tmp_path):
+    """The COMPLETE reference job with only the Kafka socket replaced by a
+    file stream: Confluent-framed Avro records -> streaming decode ->
+    filter/project/convert -> collect. Everything the reference's
+    TransactionProcessor does (reference TransactionProcessor.java:45-223)
+    runs here through Structured Streaming."""
+    src = str(tmp_path / "kafka_like")
+    framed = [
+        (bytearray(frame_header(17) + encode_record(TX_AVSC, rec)),)
+        for rec in FIXTURE
+    ]
+    spark.createDataFrame(framed, "value binary").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    from flink_kafka_table_api_spark.sources.files import stream_parquet_dir
+
+    raw_stream = stream_parquet_dir(
+        spark, src, spark.read.parquet(src).schema
+    )
+    assert raw_stream.isStreaming
+    decoded = decode_avro_column(raw_stream, TX_AVSC, confluent_framed=True)
+    approved = approved_transactions(decoded)
+    q = (
+        approved.writeStream.format("memory").queryName("avro_e2e")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table("avro_e2e").collect()
+    assert len(rows) == 4
+    assert {r.currency for r in rows} == {"USD", "EUR", "GBP"}
+    conv = {r.id: r.amountInUsd for r in rows}
+    assert conv["tx-2"] == pytest.approx(220.0, abs=1e-3)
+    assert all(r.processingTimestamp is not None for r in rows)
+
+
 def test_encode_decode_column_roundtrip(spark):
     """Sink direction: engine rows -> framed Avro bytes -> decode again."""
     rows = [

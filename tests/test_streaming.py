@@ -79,6 +79,30 @@ def test_streaming_dedup_bounded_state(spark):
     assert got.select("user_id", "event_type").distinct().count() == batch_distinct
 
 
+def test_session_window_dynamic_gap(spark):
+    """Session windows with a per-row gap column (SURVEY §7.4 #7): purchase
+    events extend sessions longer than clicks — still fully built-in."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "click", t0),
+        (1, "click", t0 + dt.timedelta(minutes=4)),     # within 5m -> same
+        (1, "click", t0 + dt.timedelta(minutes=20)),    # gap>5m -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    # gap expression must be CalendarIntervalType: string literals cast
+    # implicitly; DayTimeInterval (INTERVAL literals) are rejected
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")) \
+        .otherwise(F.lit("5 minutes"))
+    out = (
+        df.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(r.n for r in out) == [1, 2]
+
+
 def test_sql_entry_point_over_catalog(spark):
     """The reference's executeSql surface (O11): register catalog views,
     query them with textual SQL (reference TransactionFlinkTest.java:144-146
