@@ -79,8 +79,15 @@ _EPOCH = dt.datetime(1970, 1, 1)
 
 def _ts_to_units(v: Any, per_second: int) -> int:
     if isinstance(v, dt.datetime):
-        delta = (v.replace(tzinfo=None) - _EPOCH).total_seconds()
-        return round(delta * per_second)
+        # exact integer arithmetic: float total_seconds() loses microsecond
+        # precision past ~2100 (2^52 mantissa vs 4e15 micros)
+        delta = v.replace(tzinfo=None) - _EPOCH
+        total_micros = (
+            (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+        )
+        if per_second == 1_000_000:
+            return total_micros
+        return total_micros // (1_000_000 // per_second)
     return int(v)
 
 

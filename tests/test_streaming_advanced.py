@@ -101,6 +101,38 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert first_window == 2
 
 
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """O10 durability: restarting a query from its checkpoint processes
+    only NEW input — offsets committed in the checkpoint are not replayed
+    (the at-least-once boundary the reference also relies on)."""
+    src, ck, out = (str(tmp_path / "ckr_src"), str(tmp_path / "ckr_ck"),
+                    str(tmp_path / "ckr_out"))
+    _write_parquet(spark, [(1, _ts(0)), (2, _ts(1))], "id long, ts timestamp", src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        # memory sink is not fault-tolerant; the parquet sink is the
+        # checkpoint-recoverable one
+        from flink_kafka_table_api_spark.sources.files import stream_parquet_dir
+
+        stream = stream_parquet_dir(spark, src, schema)
+        q = (
+            stream.writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    assert run_once() == 2
+    # restart with the SAME checkpoint: nothing new -> no growth (offsets
+    # already committed are not replayed)
+    assert run_once() == 2
+    # add one file -> only the delta is processed
+    _write_parquet(spark, [(3, _ts(2))], "id long, ts timestamp", src)
+    assert run_once() == 3
+
+
 def test_foreachbatch_sink(spark, tmp_path):
     """foreachBatch: the escape hatch for sinks Spark lacks natively
     (SURVEY §2.2 sinks row) — here appending each micro-batch to parquet."""
