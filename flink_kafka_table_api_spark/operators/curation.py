@@ -1,0 +1,233 @@
+"""Training-data curation operators (EXT scope, BASELINE.json north star).
+
+The three operations every large-scale LLM training-data pipeline runs after
+dedup/quality filtering, expressed as declarative DataFrame algebra:
+
+- benchmark decontamination: drop training documents that share any token
+  n-gram with an evaluation/benchmark set (the standard n-gram-overlap
+  decontamination from GPT-3/PaLM data cards). At 100 TB the benchmark
+  n-gram set is tiny (benchmarks are small by construction) -> broadcast
+  anti/semi join against the train side's exploded n-grams; the train corpus
+  is scanned once, narrow, with no self-shuffle.
+- sequence packing: assign documents, in a deterministic order, to fixed
+  token-budget training sequences. Implemented as a distributed prefix sum
+  (partition-local cumsum + tiny offset table) so no global single-partition
+  window appears at scale.
+- stratified sampling: deterministic per-stratum hash sampling (rate per
+  language/source). Hash-mod sampling is reproducible across runs and
+  engines — the property that matters when a 100 TB sample must be
+  re-derivable — unlike `df.sample()`, whose output depends on partitioning.
+
+The reference (/root/reference) has no curation surface at all (its only
+table op chain is filter+project, TransactionProcessor.java:174-189); these
+extend the engine for the LLM-data-pipeline scope.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.functions.portable import portable_hash64
+from flink_kafka_table_api_spark.operators.text import token_count, tokens
+from flink_kafka_table_api_spark.parallelism import ensure_parallelism
+
+
+def ngrams(text: Column | str, n: int) -> Column:
+    """Distinct space-joined token n-grams; docs shorter than n tokens yield
+    their whole token sequence as a single gram (so short benchmark prompts
+    still participate in overlap checks)."""
+    toks = tokens(text)
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(
+        F.when(sz >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def ngrams_sql(expr: str, n: int) -> str:
+    """DuckDB rendering of :func:`ngrams` (identical semantics)."""
+    toks = (f"list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'),"
+            f" t -> t != '')")
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 5,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """N-gram-overlap benchmark decontamination.
+
+    A train doc is contaminated iff it shares >=1 distinct token ``ngram_n``-
+    gram with ANY benchmark doc. Returns the surviving train rows (or, with
+    ``keep_contaminated=True``, the flagged rows with their overlap count —
+    the audit view data teams review before dropping).
+
+    Scale shape: the benchmark n-gram set is aggregated tiny (distinct gram
+    strings hashed to 60-bit ints) and broadcast; the train side explodes
+    n-grams in the same narrow pass as the scan, joins against the broadcast
+    set, and aggregates matches per doc — one shuffle on ``id_col`` only for
+    the audit view; the keep path is a broadcast anti-join with no shuffle.
+    """
+    train = ensure_parallelism(train)
+    bench_grams = (
+        benchmark.select(F.explode(ngrams(text_col, ngram_n)).alias("__g"))
+        .select(portable_hash64(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(ngrams(text_col, ngram_n)).alias("__g")
+    ).select(F.col(id_col), portable_hash64(F.col("__g")).alias("__gh"))
+    if keep_contaminated:
+        return (
+            train_grams.join(F.broadcast(bench_grams), "__gh")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("overlap_ngrams"))
+        )
+    hit_ids = train_grams.join(F.broadcast(bench_grams), "__gh").select(id_col)
+    return train.join(hit_ids, id_col, "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic fixed-budget sequence packing for training batches.
+
+    Documents are laid out in ``id_col`` order along a global token axis; a
+    document belongs to the sequence where it STARTS:
+    ``seq_id = floor(cumsum_exclusive / budget)`` (boundary-straddling docs
+    spill into the next budget window, exactly like causal-LM document
+    packing with document-boundary carryover).
+
+    Implemented as a distributed prefix sum: range-bucket the id space,
+    cumsum within each bucket (parallel windows), then add per-bucket
+    offsets from a tiny (``num_buckets``-row) running-total table joined by
+    bucket id — no global single-partition window, so the layout step scales
+    to any corpus size. Returns (doc_id, n_tokens, seq_id).
+    """
+    df = ensure_parallelism(df)
+    sized = df.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    )
+    lo, hi = sized.agg(F.min(id_col), F.max(id_col)).first()
+    span = max((hi - lo + 1 + num_buckets - 1) // num_buckets, 1)
+    bucketed = sized.withColumn(
+        "__bucket", ((F.col(id_col) - F.lit(lo)) / F.lit(span)).cast("long")
+    )
+    from pyspark.sql import Window
+
+    local_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("__local_cum", F.sum("n_tokens").over(local_w))
+    totals_w = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .withColumn("__offset", F.coalesce(F.sum("__tot").over(totals_w), F.lit(0)))
+        .select("__bucket", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                (F.col("__offset") + F.col("__local_cum") - F.col("n_tokens"))
+                / F.lit(budget)
+            ).cast("long").alias("seq_id"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    rates: Mapping[str, int],
+    default_rate: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "fkta-sample",
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling.
+
+    ``rates`` maps stratum value -> keep percentage (0-100). A row survives
+    iff ``portable_hash64(salt || id) % 100 < rate(stratum)``. Fully
+    reproducible: independent of partitioning, ordering, and engine (the
+    DuckDB oracle reproduces the identical sample), and stable under corpus
+    growth — adding documents never changes the keep/drop decision of
+    existing ones. One narrow pass, no shuffle.
+    """
+    rate = F.lit(default_rate)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(pct)).otherwise(rate)
+    keep = (
+        F.pmod(portable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+               F.lit(100)) < rate
+    )
+    return df.filter(keep)
+
+
+def stratified_sample_keep_sql(
+    stratum_expr: str,
+    rates: Mapping[str, int],
+    default_rate: int = 0,
+    id_expr: str = "doc_id",
+    salt: str = "fkta-sample",
+) -> str:
+    """DuckDB WHERE-clause fragment matching :func:`stratified_sample`."""
+    cases = " ".join(
+        f"WHEN {stratum_expr} = '{v}' THEN {p}" for v, p in sorted(rates.items())
+    )
+    h = (f"(('0x' || substr(md5('{salt}' || CAST({id_expr} AS VARCHAR)), 1, 15))"
+         f"::BIGINT)")
+    return f"(({h} % 100 + 100) % 100) < (CASE {cases} ELSE {default_rate} END)"
+
+
+def corpus_mix(
+    df: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = ("source",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-mass mixture report per stratum: the table a data-mixing stage
+    consumes to set per-domain sampling weights. One partial-aggregated
+    shuffle on the (low-cardinality) group key."""
+    df = ensure_parallelism(df)
+    sized = df.select(*group_cols, token_count(text_col).cast("long").alias("__nt"))
+    totals = sized.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+    )
+    grand = totals.agg(F.sum("n_tokens").alias("__g")).first()["__g"]
+    return totals.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.lit(float(grand)), 6).alias("token_share"),
+    )

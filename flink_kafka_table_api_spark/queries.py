@@ -27,6 +27,7 @@ from flink_kafka_table_api_spark.functions.portable import (
     portable_hash64_sql,
 )
 from flink_kafka_table_api_spark.functions.vector import as_double_array, cosine_sql
+from flink_kafka_table_api_spark.operators import curation as cu
 from flink_kafka_table_api_spark.operators import dedup as dd
 from flink_kafka_table_api_spark.operators import multimodal as mm
 from flink_kafka_table_api_spark.operators import similarity as sim
@@ -1905,6 +1906,132 @@ def q_stream_approved(spark: SparkSession, sf: str) -> DataFrame:
         conv.alias("converted_price"),
     )
     return _run_stream_to_table(approved, spark, "append")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation (operators/curation.py): decontamination, sequence
+# packing, stratified sampling, mixture reporting. 'src19' plays the
+# held-out benchmark set; everything else is the train corpus.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+
+
+@query(
+    "contamination_audit",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT {portable_hash64_sql('__g')} AS __gh
+      FROM (SELECT unnest({cu.ngrams_sql('text', _DECON_N)}) AS __g
+            FROM documents WHERE source = 'src19')
+    ), train AS (
+      SELECT doc_id, {portable_hash64_sql('__g')} AS __gh
+      FROM (SELECT doc_id, unnest({cu.ngrams_sql('text', _DECON_N)}) AS __g
+            FROM documents WHERE source <> 'src19')
+    )
+    SELECT train.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+    FROM train JOIN bench USING (__gh) GROUP BY train.doc_id
+    """,
+)
+def q_contamination_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-decontamination audit view: train docs sharing >=1 token
+    4-gram with the benchmark slice, with overlap counts. The benchmark
+    n-gram set is tiny by construction -> broadcast to every executor; the
+    train corpus is scanned once, narrow."""
+    docs = _t(spark, sf, "documents")
+    return cu.decontaminate(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        ngram_n=_DECON_N, keep_contaminated=True,
+    )
+
+
+@query(
+    "decontaminate",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT __g
+      FROM (SELECT unnest({cu.ngrams_sql('text', _DECON_N)}) AS __g
+            FROM documents WHERE source = 'src19')
+    )
+    SELECT doc_id, source, n_chars FROM documents d
+    WHERE source <> 'src19' AND NOT EXISTS (
+      SELECT 1 FROM (SELECT unnest({cu.ngrams_sql('d.text', _DECON_N)}) AS __g) g
+      JOIN bench USING (__g)
+    )
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination, keep path: broadcast anti-join drops every
+    train doc that shares a 4-gram with the benchmark set (GPT-3/PaLM-style
+    n-gram decontamination). No shuffle on the corpus side."""
+    docs = _t(spark, sf, "documents")
+    return cu.decontaminate(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        ngram_n=_DECON_N,
+    ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len({tx.tokens_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             // 256 AS BIGINT) AS seq_id
+    FROM sized
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-budget (256-token) sequence packing via distributed prefix sum
+    (range buckets + tiny offset table) — no global single-partition window,
+    so the layout scales to any corpus size."""
+    return cu.pack_sequences(_t(spark, sf, "documents"), budget=256)
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {cu.stratified_sample_keep_sql(
+        'lang', {'en': 50, 'de': 30}, default_rate=10)}
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (en 50%, de 30%, other
+    langs 10%): reproducible across runs, partitionings, and engines —
+    unlike df.sample(). One narrow pass."""
+    return cu.stratified_sample(
+        _t(spark, sf, "documents"),
+        stratum_col="lang", rates={"en": 50, "de": 30}, default_rate=10,
+    ).select("doc_id", "lang")
+
+
+@query(
+    "corpus_mix",
+    f"""
+    WITH t AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({tx.tokens_sql('text')})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / CAST((SELECT SUM(n_tokens) FROM t) AS DOUBLE), 6)
+             AS token_share
+    FROM t
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-mass mixture per source: the report a data-mixing stage uses to
+    set per-domain sampling weights. One partial-aggregated shuffle on the
+    low-cardinality group key."""
+    return cu.corpus_mix(_t(spark, sf, "documents"))
 
 
 # ---------------------------------------------------------------------------

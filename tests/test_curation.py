@@ -1,0 +1,70 @@
+"""Training-data curation operators: semantics pinned on tiny fixtures
+(the oracle parity test covers the registered queries; these pin the
+properties the oracle can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.operators import curation as cu
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_decontaminate_partitions_train(spark):
+    """keep + contaminated must partition the train corpus exactly."""
+    docs = _docs(spark)
+    train = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    kept = cu.decontaminate(train, bench, ngram_n=2)
+    flagged = cu.decontaminate(train, bench, ngram_n=2, keep_contaminated=True)
+    n_train, n_kept, n_flagged = train.count(), kept.count(), flagged.count()
+    assert n_kept + n_flagged == n_train
+    assert flagged.filter(F.col("overlap_ngrams") <= 0).count() == 0
+    # a benchmark doc inserted into train must always be flagged
+    leaked = train.limit(0).unionByName(bench.limit(1))
+    assert cu.decontaminate(leaked, bench, ngram_n=2).count() == 0
+
+
+def test_pack_sequences_bucket_count_invariant(spark):
+    """The distributed prefix sum must give identical packing regardless of
+    how many range buckets the id space is split into."""
+    docs = _docs(spark)
+    a = cu.pack_sequences(docs, budget=128, num_buckets=1)
+    b = cu.pack_sequences(docs, budget=128, num_buckets=32)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # every doc is assigned, seq ids start at 0 and are dense enough that
+    # no sequence exceeds the budget by more than one straddling doc
+    rows = a.orderBy("doc_id").collect()
+    assert len(rows) == docs.count()
+    assert rows[0].seq_id == 0
+    cum = 0
+    for r in rows:
+        assert r.seq_id == cum // 128
+        cum += r.n_tokens
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark):
+    docs = _docs(spark)
+    s1 = cu.stratified_sample(
+        docs, stratum_col="lang", rates={"en": 100, "de": 0}, default_rate=0
+    )
+    # rate 100 keeps every en doc, rate 0 drops every de doc
+    assert s1.filter(F.col("lang") == "de").count() == 0
+    assert s1.count() == docs.filter(F.col("lang") == "en").count()
+    # repeated runs produce the identical sample (hash, not RNG)
+    s2 = cu.stratified_sample(
+        docs.repartition(7), stratum_col="lang",
+        rates={"en": 100, "de": 0}, default_rate=0,
+    )
+    assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
+
+
+def test_corpus_mix_shares_sum_to_one(spark):
+    mix = cu.corpus_mix(_docs(spark)).collect()
+    assert abs(sum(r.token_share for r in mix) - 1.0) < 1e-4
+    assert all(r.n_docs > 0 and r.n_tokens > 0 for r in mix)
