@@ -1909,6 +1909,169 @@ def q_stream_approved(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classic TPC-H query shapes adapted to the testdata schema (no partsupp/
+# nation keys on orders): multi-join + top-k, correlated EXISTS /
+# NOT EXISTS, and a correlated scalar aggregate subquery. These pin the
+# subquery-decorrelation surface of the engine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping",
+    f"""
+    SELECT l_orderkey, {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-k): selective dim filter ->
+    broadcast customer keys into orders -> one shuffle join with lineitem ->
+    partial-agg -> TakeOrdered(10). The only full shuffle is on l_orderkey;
+    customer(BUILDING) is broadcast."""
+    cust = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "exists_orders",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi join
+    with a non-equi residual (l_shipdate > o_orderdate). The semi join
+    carries only the join keys through the shuffle; the count is
+    partial-aggregated."""
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "corr_avg_subquery",
+    f"""
+    SELECT l.l_partkey, {dec_sum_sql('l.l_extendedprice', 'small_lot_revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    WHERE l.l_quantity < 0.2 * (
+      SELECT {dec_avg_sql('l2.l_quantity', 'a').replace(' AS a', '')}
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    """,
+)
+def q_corr_avg_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG subquery decorrelated into a
+    per-partkey aggregate joined back (the rewrite every planner performs).
+    The brand filter is applied via a broadcast join; the avg table is
+    partial-aggregated on the same key as the main join, so AQE coalesces
+    both into one exchange."""
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem")
+    branded = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avgs = branded.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        dec_avg("l_quantity", "avg_qty")
+    )
+    return (
+        branded.join(avgs, branded.l_partkey == avgs.a_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            dec_sum("l_extendedprice", "small_lot_revenue"),
+            F.count("*").cast("long").alias("n_small"),
+        )
+    )
+
+
+@query(
+    "cold_customers",
+    f"""
+    WITH threshold AS (
+      SELECT {dec_avg_sql('c_acctbal', 'avg_bal')} FROM customer
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {dec_sum_sql('c_acctbal', 'totacctbal')}
+    FROM customer, threshold
+    WHERE c_acctbal > threshold.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_cold_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate threshold (uncorrelated subquery ->
+    1-row broadcast cross join) + correlated NOT EXISTS (left-anti join on
+    the filtered orders side)."""
+    cust = _t(spark, sf, "customer")
+    avg_bal = cust.agg(dec_avg("c_acctbal", "avg_bal"))
+    urgent = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            dec_sum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data curation (operators/curation.py): decontamination, sequence
 # packing, stratified sampling, mixture reporting. 'src19' plays the
 # held-out benchmark set; everything else is the train corpus.
