@@ -1791,6 +1791,54 @@ def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_sessions_stateful",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+               AS total_value
+      FROM numbered GROUP BY user_id, session_id
+    ), wm AS (SELECT MAX(ts) - INTERVAL 1 SECOND AS w FROM events)
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM sessions, wm
+    WHERE session_end < wm.w
+       OR session_id < (SELECT MAX(s2.session_id) FROM sessions s2
+                        WHERE s2.user_id = sessions.user_id)
+    """,
+)
+def q_stream_sessions_stateful(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (streaming/stateful.py
+    session_windows_timeout): per-key session state machine with event-time
+    timeout close — the Flink KeyedProcessFunction+timer pattern on Spark's
+    state store. Emits only CLOSED sessions: closed inline when a later
+    event exceeds the gap, or by timeout when the final watermark
+    (max ts - 1s) strictly passes last+gap. The oracle reproduces exactly
+    that visibility rule in batch SQL."""
+    from flink_kafka_table_api_spark.streaming.stateful import (
+        session_windows_timeout,
+    )
+
+    stream = _stream_table(spark, sf, "events")
+    out = session_windows_timeout(
+        stream, gap_seconds=1800, watermark_delay="1 second"
+    ).withColumn("total_value", F.round("total_value", 6))
+    return _run_stream_to_table(out, spark, "append")
+
+
 @query("approx_distinct")  # no oracle: HLL sketches differ across engines
 def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): sketch values are

@@ -33,6 +33,212 @@ def _running_totals_fn(key, pdf_iter: Iterator, state: GroupState):
     )
 
 
+SESSIONS_OUTPUT = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState's Python side speaks protobuf to the state server;
+    environments without the protobuf wheel must use the
+    applyInPandasWithState twin (:func:`session_windows_timeout`)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _ts_us(series) -> list[int]:
+    """Epoch-micros from a pandas datetime series, robust to the Arrow
+    transfer unit (ns under applyInPandasWithState, us under
+    transformWithState). Micros preserve Spark TimestampType exactly."""
+    return series.astype("datetime64[us]").astype("int64").tolist()
+
+
+def _timeout_ms(deadline_us: int) -> int:
+    """State-store timers are epoch-ms; round the us deadline UP so a timer
+    never fires before the oracle-visible deadline."""
+    return -(-deadline_us // 1000)
+
+
+def _lazy_session_processor(gap_seconds: int):
+    """Build the StatefulProcessor class lazily: the transformWithState API
+    needs the protobuf wheel at worker startup (gate via
+    :func:`transform_with_state_available`)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    gap_us = gap_seconds * 1_000_000
+
+    class EventTimeSessionProcessor(StatefulProcessor):
+        """Event-time sessionization with timers — the Flink
+        KeyedProcessFunction+ValueState+Timer triple on Spark's
+        transformWithState runtime.
+
+        Per key, state holds the open session (start, last, n, total). An
+        incoming event either extends the session (re-arming the gap timer)
+        or — if it lies beyond the gap — closes it inline and starts a new
+        one. When the event-time watermark passes last+gap the registered
+        timer fires, emitting the closed session and clearing state, so
+        sessions end even for keys that go silent (the case a pure
+        applyInPandasWithState fold cannot express without timeouts).
+        """
+
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start long, last long, n long, total double"
+            )
+
+        def _emit(self, key, start, last, n, total):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(start, unit="us")],
+                    "session_end": [pd.to_datetime(last + gap_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            state = self._sess.get() if self._sess.exists() else None
+            start, last, n, total = state if state else (None, None, 0, 0.0)
+            for pdf in rows:
+                ts_us = _ts_us(pdf["ts"])
+                vals = pdf["value"].tolist()
+                for t, v in sorted(zip(ts_us, vals)):
+                    if start is None:
+                        start, last, n, total = t, t, 1, float(v)
+                    elif t > last + gap_us:
+                        # gap exceeded inside the stream: close inline
+                        yield self._emit(key, start, last, n, total)
+                        start, last, n, total = t, t, 1, float(v)
+                    else:
+                        last = max(last, t)
+                        n += 1
+                        total += float(v)
+            if start is not None:
+                self._sess.update((start, last, n, total))
+                self._handle.registerTimer(_timeout_ms(last + gap_us))
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            expiry = expired_timer_info.getExpiryTimeInMs()
+            if self._sess.exists():
+                start, last, n, total = self._sess.get()
+                # stale timer from an extended session: the real timer is
+                # still armed at the (later) current deadline
+                if expiry >= _timeout_ms(last + gap_us):
+                    self._sess.clear()
+                    yield self._emit(key, start, last, n, total)
+
+    return EventTimeSessionProcessor()
+
+
+def session_windows_with_timers(
+    stream: DataFrame,
+    *,
+    gap_seconds: int = 60,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 second",
+) -> DataFrame:
+    """Custom event-time session windows via transformWithStateInPandas
+    (Spark 4.x): emits one row per CLOSED session (append semantics). Unlike
+    F.session_window aggregation, the operator owns its state machine, so
+    arbitrary per-session logic (pattern flags, early triggers, side
+    metrics) can ride along. Requires the RocksDB state store provider."""
+    return (
+        stream.select(key_col, ts_col, "value")
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            _lazy_session_processor(gap_seconds),
+            outputStructType=SESSIONS_OUTPUT,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
+SESSION_STATE = "start long, last long, n long, total double"
+
+
+def _session_timeout_fn_factory(gap_us: int):
+    def fn(key, pdf_iter: Iterator, state: GroupState):
+        import pandas as pd
+
+        def emit(start, last, n, total):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(start, unit="us")],
+                    "session_end": [pd.to_datetime(last + gap_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield emit(start, last, n, total)
+            return
+        start, last, n, total = state.get if state.exists else (None, None, 0, 0.0)
+        for pdf in pdf_iter:
+            for t, v in sorted(zip(_ts_us(pdf["ts"]), pdf["value"].tolist())):
+                if start is None:
+                    start, last, n, total = t, t, 1, float(v)
+                elif t > last + gap_us:
+                    yield emit(start, last, n, total)
+                    start, last, n, total = t, t, 1, float(v)
+                else:
+                    last = max(last, t)
+                    n += 1
+                    total += float(v)
+        if start is not None:
+            state.update((start, last, n, total))
+            state.setTimeoutTimestamp(_timeout_ms(last + gap_us))
+
+    return fn
+
+
+def session_windows_timeout(
+    stream: DataFrame,
+    *,
+    gap_seconds: int = 60,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 second",
+) -> DataFrame:
+    """Event-time session windows with timeout-driven close on the
+    applyInPandasWithState runtime — identical semantics to
+    :func:`session_windows_with_timers` (inline close on in-stream gap,
+    watermark-timeout close for silent keys, open sessions withheld), built
+    on GroupStateTimeout.EventTimeTimeout so it runs wherever Spark 3.4+
+    runs. This mirrors Flink's KeyedProcessFunction-with-timers pattern the
+    reference's runtime offers but its pipeline never uses."""
+    gap_us = gap_seconds * 1_000_000
+    return (
+        stream.select(key_col, ts_col, "value")
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _session_timeout_fn_factory(gap_us),
+            outputStructType=SESSIONS_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_totals(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Cumulative per-key (count, sum) emitted every micro-batch — state
     persists across batches in the state store, exactly the semantics a
