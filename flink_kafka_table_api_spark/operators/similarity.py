@@ -193,6 +193,93 @@ def ivf_topk(
     )
 
 
+def kmeans_lloyd(
+    vectors: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the IVF
+    centroid-training step (what `faiss.train` does before `ivf_assign` /
+    `ivf_topk` can route queries). Cosine geometry to match `ivf_assign`.
+
+    Iterative-algorithm shape on Spark: per iteration one narrow
+    assignment pass (centroids broadcast as literals — k*d doubles, tiny)
+    + one partial-aggregated shuffle keyed by (cluster, dim) to compute the
+    elementwise means; only k*d aggregated doubles ever reach the driver.
+    At 100 TB run the iterations on a ~1% hash-sample (standard practice —
+    centroid quality converges long before full-corpus statistics), then do
+    ONE full assignment pass; the sample keeps per-iteration cost flat.
+
+    Deterministic init: the k vectors minimizing the md5 hash of their id
+    (an unbiased, engine-independent pseudo-random draw). Returns
+    (c_id, c_embedding array<double>, n_members) for the LAST iteration's
+    assignment.
+    """
+    from flink_kafka_table_api_spark.functions.portable import portable_hash64
+
+    spark = vectors.sparkSession
+    df = vectors.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    ).persist()
+    seeds = (
+        df.withColumn("__h", portable_hash64(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select("__v")
+        .collect()
+    )
+    cents = [list(r["__v"]) for r in seeds]
+
+    def cents_df():
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "c_id int, c_embedding array<double>",
+        )
+
+    sizes: list[int] = []
+    for _ in range(n_iter):
+        assign = ivf_assign(
+            df, cents_df(), id_col=id_col, vec_col="__v"
+        )
+        member_vecs = df.join(assign, id_col)
+        dims = member_vecs.select(
+            F.col("cluster"), F.posexplode("__v").alias("__pos", "__x")
+        )
+        means = (
+            dims.groupBy("cluster", "__pos")
+            .agg(F.avg("__x").alias("__m"), F.count("*").alias("__n"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__m"))
+                    ),
+                    lambda s: s["__m"],
+                ).alias("c_embedding"),
+                F.first("__n").alias("n_members"),
+            )
+            .collect()
+        )
+        by_cluster = {r.cluster: r for r in means}
+        # empty clusters keep their previous centroid (standard Lloyd fix)
+        cents = [
+            list(by_cluster[i].c_embedding) if i in by_cluster else cents[i]
+            for i in range(k)
+        ]
+        sizes = [
+            int(by_cluster[i].n_members) if i in by_cluster else 0
+            for i in range(k)
+        ]
+    df.unpersist()
+    return spark.createDataFrame(
+        [(i, cents[i], sizes[i]) for i in range(k)],
+        "c_id int, c_embedding array<double>, n_members long",
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     *,

@@ -1449,6 +1449,39 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return sim.ivf_topk(emb, centroids, query_df, k=10)
 
 
+@query("kmeans_centroids")  # no oracle: iterative float means are
+#                             aggregation-order-dependent (rows-only check)
+def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd k-means (IVF centroid TRAINING — the step ann_ivf's
+    fixed centroids stand in for). Iterative algorithm: per iteration one
+    broadcast assignment pass + one (cluster, dim)-keyed mean shuffle.
+    Output: cluster sizes + centroid norms (the array itself stays out of
+    the check surface)."""
+    from flink_kafka_table_api_spark.functions.vector import norm as vnorm
+
+    emb = _t(spark, sf, "embeddings")
+    cents = sim.kmeans_lloyd(emb, k=8, n_iter=3)
+    return cents.select(
+        "c_id",
+        "n_members",
+        F.round(vnorm(F.col("c_embedding")), 4).alias("centroid_norm"),
+    )
+
+
+@query("ann_ivf_trained")  # no oracle: depends on trained centroids (above)
+def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end IVF: TRAIN centroids with Lloyd iterations, then route the
+    query to its nearest trained centroid and exact-re-rank within that
+    cluster (nprobe=1). The full faiss-style train->assign->search flow as
+    declarative Spark."""
+    emb = _t(spark, sf, "embeddings")
+    cents = sim.kmeans_lloyd(emb, k=8, n_iter=2).select("c_id", "c_embedding")
+    query_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return sim.ivf_topk(emb, cents, query_df, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (EXT)
 # ---------------------------------------------------------------------------

@@ -150,3 +150,28 @@ def test_multimodal_real_decode_is_stubbed(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], ["doc_id", "payload"])
     with pytest.raises(Exception, match="NotImplementedError|fake=True"):
         mm.decode_image_meta(df, fake=False).collect()
+
+
+def test_kmeans_lloyd_separates_blobs(spark):
+    """Two well-separated blobs must resolve into pure clusters, and every
+    vector must be accounted for."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [5.0, 5.0, 0.0] if i % 2 == 0 else [-5.0, 0.0, 5.0]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = sim.kmeans_lloyd(df, k=2, n_iter=4)
+    got = cents.collect()
+    assert len(got) == 2
+    assert sorted(r.n_members for r in got) == [20, 20]
+    # final assignment with trained centroids is pure: each blob maps
+    # entirely to one cluster
+    assign = sim.ivf_assign(df, cents.select("c_id", "c_embedding")).collect()
+    by_parity = {0: set(), 1: set()}
+    for r in assign:
+        by_parity[r.vec_id % 2].add(r.cluster)
+    assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
+    assert by_parity[0] != by_parity[1]
