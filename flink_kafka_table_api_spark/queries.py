@@ -1722,20 +1722,58 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     return mm.decode_image_meta(payloads, fake=True)
 
 
+@query(
+    "frame_sample",
+    """
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * step AS BIGINT) AS frame_offset,
+           md5(substring(text, i * step + 1, 16)) AS frame_md5
+    FROM (SELECT doc_id, text, greatest(length(text) // 4, 1) AS step,
+                 length(text) AS n FROM documents)
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) f
+    WHERE i * step < n
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-style frame sampling over opaque payloads (mapInPandas, decode
+    stubbed behind a deterministic fake): 4 evenly spaced frames per
+    payload, one output row each — the per-frame fan-out a video pipeline
+    feeds into frame embedding/dedup."""
+    payloads = mm.documents_as_binary(_t(spark, sf, "documents"))
+    return mm.frame_sample(payloads, n_frames=4, frame_len=16, fake=True)
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming paths (real readStream -> availableNow -> memory
 # sink). Results are deterministic, so they get full oracles too.
 # ---------------------------------------------------------------------------
 
-def _run_stream_to_table(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
+def _run_stream_to_table(
+    df: DataFrame, spark: SparkSession, output_mode: str,
+    *, state_partitions: int | None = 8,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink.
+
+    state_partitions sizes the state store (it is fixed by the FIRST batch's
+    shuffle-partition setting for the checkpoint's lifetime): these testdata
+    streams carry thousands of state rows, so 8 partitions beats paying
+    per-partition state-store setup 32x. A production deployment sizes this
+    to state volume / executor count instead — it is the one streaming knob
+    that cannot be changed after the first checkpoint."""
     global _memory_sink_seq
     _memory_sink_seq += 1
     name = f"stream_result_{_memory_sink_seq}"
-    q = (
-        df.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -1987,6 +2025,41 @@ def q_stream_approved(spark: SparkSession, sf: str) -> DataFrame:
         conv.alias("converted_price"),
     )
     return _run_stream_to_table(approved, spark, "append")
+
+
+@query(
+    "window_analytic",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist,
+           first_value(o_totalprice) OVER w AS cheapest_in_priority,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS dearest_in_priority
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution analytic functions (percent_rank/cume_dist) + explicit
+    full-frame first/last_value. Unique (price, key) ordering keeps ranks
+    engine-deterministic. One shuffle on the partition key; each partition
+    sorts locally — at 100 TB a skewed partition key is the risk, not the
+    operator."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.first("o_totalprice").over(w).alias("cheapest_in_priority"),
+        F.last("o_totalprice").over(wfull).alias("dearest_in_priority"),
+    )
 
 
 # ---------------------------------------------------------------------------

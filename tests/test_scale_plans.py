@@ -97,3 +97,24 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_aqe_off)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_tpch_q3_broadcasts_customer_filter(spark):
+    """The selective dim side must broadcast; the only SMJ-scale shuffle
+    allowed is the orders<->lineitem key."""
+    plan = _plan(QUERIES["tpch_q3_shipping"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+
+
+def test_decontaminate_is_broadcast_anti_join(spark):
+    """The benchmark n-gram set is tiny by construction — the keep path
+    must be a broadcast LEFT ANTI join (no shuffle of the train corpus)."""
+    plan = _plan(QUERIES["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Hash-mod sampling is one narrow pass: no exchange anywhere."""
+    plan = _plan(QUERIES["stratified_sample"](spark, SF))
+    assert "Exchange" not in plan
