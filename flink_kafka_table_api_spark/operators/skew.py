@@ -19,6 +19,37 @@ from pyspark.sql import functions as F
 from flink_kafka_table_api_spark.functions.portable import DEC
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the (large, skewed) left side gets a random
+    salt in [0, salt); the (smaller) right side is replicated once per salt
+    value; the join key becomes (key, salt), splitting each hot key's rows
+    across ``salt`` reducers. Semantically identical to the unsalted join
+    for inner/left joins (each left row matches exactly its salt replica).
+
+    Use when AQE's skew-join splitting can't kick in (e.g. the skewed side
+    is freshly shuffled by an upstream wide op, or the optimizer
+    underestimates the hot key). Cost: right side inflated salt-fold — keep
+    ``salt`` near the reducer-count you need, not higher."""
+    l_ = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r_ = right.withColumn(
+        "__rsalt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = l_.join(
+        r_,
+        (l_[left_key] == r_[right_key]) & (l_["__salt"] == r_["__rsalt"]),
+        how,
+    )
+    return joined.drop("__salt", "__rsalt")
+
+
 def salted_sum_count(
     df: DataFrame,
     keys: Sequence[str],

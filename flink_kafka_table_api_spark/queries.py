@@ -1092,6 +1092,53 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_join",
+    f"""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dec_sum_sql('value', 'sum_value')}
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-proof salted equi-join (operators/skew.py): each hot user's
+    events split across 8 reducers via (key, salt); the right side is
+    replicated per salt value. The oracle proves salting preserves exact
+    join semantics."""
+    from flink_kafka_table_api_spark.operators.skew import salted_join
+
+    joined = salted_join(
+        _t(spark, sf, "events"), _t(spark, sf, "customer"),
+        "user_id", "c_custkey", salt=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        dec_sum("value", "sum_value"),
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_name
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    FULL OUTER JOIN
+         (SELECT * FROM customer WHERE c_acctbal < 0) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides (selective filters
+    guarantee each side has orphans). Physical plan: SMJ — full outer can't
+    broadcast; at scale both sides shuffle on the key, AQE handles skew."""
+    orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = _t(spark, sf, "customer").filter(F.col("c_acctbal") < 0)
+    return orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "full_outer"
+    ).select("o_orderkey", "o_custkey", "c_custkey", "c_name")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family (EXT, BASELINE.json north star)
 # ---------------------------------------------------------------------------

@@ -51,3 +51,50 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same predicate-pushdown/column-pruning story as parquet
+    (both columnar; Catalyst emits PushedFilters for either)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, *, partition_by: tuple[str, ...] = (), mode: str = "overwrite"
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory into ceil(size/target)
+    files. The housekeeping op every streaming/incremental pipeline needs —
+    micro-batch sinks produce one file per trigger per partition, and at
+    100 TB a scan over millions of 1 MB files is metadata-bound, not
+    IO-bound. Returns the output file count.
+
+    Rewrites via repartition (round-robin, no key) — a full shuffle, but
+    one that runs at most once per compaction window and restores scan
+    parallelism for every query after it. In production, pair with
+    partition-level atomic swap (write tmp dir + rename); here the rewrite
+    is in-place-overwrite for simplicity (Spark stages to _temporary)."""
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    # must materialize before overwriting the source dir
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(path + "__compact")
+    fs.delete(jvm_path, True)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(path + "__compact"), jvm_path)
+    return n_files

@@ -118,3 +118,40 @@ def test_stratified_sample_is_narrow(spark):
     """Hash-mod sampling is one narrow pass: no exchange anywhere."""
     plan = _plan(QUERIES["stratified_sample"](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink + source parity: values survive and filters still reach
+    the scan (PushedFilters), same as parquet."""
+    from flink_kafka_table_api_spark.sources.files import read_orc, write_orc
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out)
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    filtered = back.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    plan = _plan(filtered)
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
+    assert (
+        filtered.count()
+        == orders.filter(F.col("o_orderstatus") == "O").count()
+    )
+
+
+def test_compact_restores_file_count(spark, tmp_path):
+    """Streaming sinks leave many tiny files; compact() must rewrite them
+    into the target count without losing rows."""
+    import glob
+
+    from flink_kafka_table_api_spark.sources.files import compact
+
+    out = str(tmp_path / "fragmented")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartition(40).write.parquet(out)  # simulate 40 tiny files
+    assert len(glob.glob(f"{out}/*.parquet")) == 40
+    n_before = orders.count()
+    n_files = compact(spark, out, target_file_bytes=256 * 1024 * 1024)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n_files <= 2
+    assert spark.read.parquet(out).count() == n_before
