@@ -20,6 +20,8 @@ exactly one scan plus one write, identical to the fused Flink operator chain
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,3 +73,22 @@ def approved_transactions(
     if with_processing_ts:
         out = out.withColumn("processingTimestamp", F.current_timestamp())
     return out
+
+
+def per_record_processing_ts() -> Column:
+    """Opt-in TRUE per-record wall-clock timestamp (SURVEY.md §7.4 trap #2):
+    Flink streaming evaluates CURRENT_TIMESTAMP per record; Spark's
+    current_timestamp() is frozen per micro-batch. Where exact per-record
+    semantics matter (latency attribution inside a batch), this Pandas UDF
+    stamps each Arrow batch at evaluation time — vectorized, so the cost is
+    per-batch, not per-row. Nondeterministic by design: keep it out of
+    oracle-compared columns (the reference's own tests only assert non-null,
+    reference TransactionConsumerTest.java:126)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("timestamp")
+    def _now(batch: pd.Series) -> pd.Series:
+        t = pd.Timestamp.utcnow().tz_localize(None)
+        return pd.Series([t] * len(batch))
+
+    return _now(F.lit(0))

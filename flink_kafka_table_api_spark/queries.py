@@ -2075,6 +2075,33 @@ def q_stream_approved(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "udtf_sentences",
+    """
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx, s AS sentence
+    FROM (
+      SELECT doc_id, unnest(parts) AS s, generate_subscripts(parts, 1) AS i
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, '. '), x -> x != '') AS parts
+            FROM documents)
+    )
+    """,
+)
+def q_udtf_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark 4.x table function API) via SQL LATERAL: sentence
+    fan-out per document. Row-at-a-time Python — registered to pin the API
+    surface; posexplode_tokens is the codegen'd fast twin for array-algebra
+    fan-outs."""
+    from flink_kafka_table_api_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.idx, s.sentence "
+        "FROM udtf_docs, LATERAL split_sentences(text) s"
+    )
+
+
+@query(
     "window_analytic",
     """
     SELECT o_orderkey, o_orderpriority,

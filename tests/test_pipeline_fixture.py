@@ -85,3 +85,18 @@ def test_dropped_columns_pruned(spark):
     out = approved_transactions(df, with_processing_ts=False)
     assert "description" not in out.columns
     assert "metadata" not in out.columns
+
+
+def test_per_record_processing_ts_is_wallclock(spark):
+    """Opt-in per-record timestamp (SURVEY §7.4 #2): non-null and current."""
+    from datetime import datetime, timedelta
+
+    from flink_kafka_table_api_spark.plans.pipeline import (
+        per_record_processing_ts,
+    )
+
+    rows = spark.range(5).withColumn("pts", per_record_processing_ts()).collect()
+    now = datetime.utcnow()
+    for r in rows:
+        assert r.pts is not None
+        assert abs(now - r.pts) < timedelta(minutes=2)

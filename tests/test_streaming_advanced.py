@@ -154,3 +154,38 @@ def test_foreachbatch_sink(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 2
     assert set(result.columns) == {"id", "v", "batch_id"}
+
+
+def test_upsert_foreachbatch_materialized_view(spark, tmp_path):
+    """Keyed UPSERT sink: per-user running totals maintained in parquet
+    across micro-batches; latest value per key wins; replay-safe."""
+    from flink_kafka_table_api_spark.sources.files import stream_parquet_dir
+    from flink_kafka_table_api_spark.streaming.upsert import upsert_to_parquet
+
+    src = str(tmp_path / "upsert_src")
+    table = str(tmp_path / "user_totals")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write([(1, 10.0), (2, 5.0)])
+    stream = stream_parquet_dir(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    from pyspark.sql import functions as F
+
+    totals = stream.groupBy("user_id").agg(
+        F.sum("value").alias("total"), F.count("*").alias("n")
+    )
+    q = upsert_to_parquet(
+        totals, table, ("user_id",),
+        checkpoint_dir=str(tmp_path / "upsert_ck"),
+    )
+    q.processAllAvailable()
+    write([(1, 90.0), (3, 1.0)])
+    q.processAllAvailable()
+    q.stop()
+    got = {r.user_id: (r.total, r.n) for r in spark.read.parquet(table).collect()}
+    assert got == {1: (100.0, 2), 2: (5.0, 1), 3: (1.0, 1)}
