@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Scaling experiment: measure headline operators at 1x and Nx the sf0.1
+data volume (Nx built by replicating the driver testdata with remapped ids
+— same distributions, N times the rows) and report scaling efficiency
+(time_Nx / (N * time_1x); 1.0 = perfectly linear, lower is better).
+
+This is the evidence behind the 100 TB claims: an operator whose cost is
+linear in input (and whose shuffles carry aggregates, not rows) should show
+efficiency <= ~1 once fixed per-query overhead amortizes. Quadratic or
+driver-bound operators blow up instead.
+
+Run: python scripts/scale_experiment.py [N]   (default 8)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_kafka_table_api_spark.queries import QUERIES  # noqa: E402
+from flink_kafka_table_api_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+# table -> (id column to remap, other columns referencing it stay internal)
+SCALED = {"documents": "doc_id", "lineitem": "l_orderkey", "events": "event_id"}
+MEASURE = [
+    "dedup_minhash_fast",   # CPU-bound narrow + tiny shuffle
+    "lang_id",              # narrow text pass
+    "tfidf",                # explode + window + broadcast join
+    "pricing_summary",      # hash agg
+    "token_count",          # narrow regex pass
+]
+
+
+def build_scaled(spark, n: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        if t in SCALED:
+            df = spark.read.parquet(f"{BASE}/{t}.parquet")
+            idc = SCALED[t]
+            span = df.agg(F.max(idc)).first()[0] + 1
+            parts = [
+                df.withColumn(idc, F.col(idc) + F.lit(i * span))
+                for i in range(n)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(32).write.parquet(dst)
+        else:
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out_dir = f"/tmp/fkta_scale_x{n}"
+    spark = get_spark(app_name="fkta-scale", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark, n, out_dir)
+    # warm codegen/workers once, as bench.py does
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from flink_kafka_table_api_spark.operators.dedup import minhash_signatures
+    minhash_signatures(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text").count()
+    print(f"| query | 1x s | {n}x s | efficiency ({n}x/{n}*1x) |")
+    print("|---|---|---|---|")
+    for name in MEASURE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, BASE).count()
+        t1x = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        QUERIES[name](spark, out_dir).count()
+        tnx = time.perf_counter() - t0
+        print(f"| {name} | {t1x:.2f} | {tnx:.2f} | {tnx / (n * t1x):.2f} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
