@@ -172,6 +172,61 @@ def tf_idf_sql(id_expr: str = "doc_id", text_expr: str = "text") -> str:
     """
 
 
+# Cleaning patterns deliberately restricted to the regex subset where Java
+# (Spark) and RE2 (DuckDB oracle) agree: no lookaround, no backreferences.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+
+def clean_text(text: Column | str) -> Column:
+    """Standard pre-training text cleanup: drop URLs, redact emails to
+    <EMAIL>, collapse whitespace runs, trim. Pure codegen'd regexp_replace
+    chain — one narrow pass at any scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, URL_RE, "")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def clean_text_sql(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(regexp_replace({expr},"
+        f" 'https?://[^\\s]+', '', 'g'),"
+        f" '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),"
+        f" '\\s+', ' ', 'g'))"
+    )
+
+
+def with_repetition_score(
+    df: DataFrame, text_col: str = "text", *, k: int = 3
+) -> DataFrame:
+    """Duplicate-k-gram ratio (Gopher-style repetition signal): the fraction
+    of k-token windows that repeat an earlier window. High values flag
+    boilerplate/spam; used as a drop rule in LLM curation stacks. Narrow
+    array algebra, no shuffle."""
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        F.round(
+            F.when(total > 0, 1 - distinct.cast("double") / total).otherwise(0.0),
+            6,
+        ).alias("repetition_ratio"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: 60-bit hash of the sorted distinct
     token set (word-order- and repetition-insensitive). The standard cheap

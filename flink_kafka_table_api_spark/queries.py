@@ -2075,6 +2075,52 @@ def q_stream_approved(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_clean",
+    f"""
+    SELECT doc_id, {tx.clean_text_sql('text')} AS clean_text,
+           CAST(length(text) - length({tx.clean_text_sql('text')}) AS BIGINT)
+             AS removed_chars
+    FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-training text cleanup (URL strip, email redaction, whitespace
+    normalization) as a codegen'd regexp chain — one narrow pass."""
+    d = _t(spark, sf, "documents")
+    cleaned = tx.clean_text("text")
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length("text") - F.length(cleaned)).cast("long").alias("removed_chars"),
+    )
+
+
+@query(
+    "repetition_score",
+    f"""
+    SELECT doc_id, CAST(len(__g) AS BIGINT) AS n_grams,
+           round(CASE WHEN len(__g) > 0
+                 THEN 1 - CAST(len(list_distinct(__g)) AS DOUBLE) / len(__g)
+                 ELSE 0.0 END, 6) AS repetition_ratio
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len({tx.tokens_sql('text')}) >= 3 THEN
+               list_transform(
+                 generate_series(1, len({tx.tokens_sql('text')}) - 2),
+                 i -> array_to_string(
+                   list_slice({tx.tokens_sql('text')}, i, i + 2), ' '))
+             ELSE [array_to_string({tx.tokens_sql('text')}, ' ')] END AS __g
+      FROM documents
+    )
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-3-gram ratio (Gopher repetition rule) — the curation
+    signal that catches boilerplate/spam; narrow array algebra."""
+    return tx.with_repetition_score(_t(spark, sf, "documents"), k=3)
+
+
+@query(
     "udtf_sentences",
     """
     SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx, s AS sentence

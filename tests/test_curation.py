@@ -68,3 +68,29 @@ def test_corpus_mix_shares_sum_to_one(spark):
     mix = cu.corpus_mix(_docs(spark)).collect()
     assert abs(sum(r.token_share for r in mix) - 1.0) < 1e-4
     assert all(r.n_docs > 0 and r.n_tokens > 0 for r in mix)
+
+
+def test_pack_sequences_matches_python_model(spark):
+    """pack_sequences against a driver-side reference model on adversarial
+    token-size patterns (zeros, giants, budget-exact runs)."""
+    cases = [
+        [1] * 50,
+        [300, 1, 1, 300, 5],            # docs larger than the budget
+        [128] * 7,                       # exactly budget/2 each
+        [0, 0, 5, 0, 256, 256, 1],       # empty docs
+        list(range(0, 40)),
+    ]
+    budget = 256
+    for sizes in cases:
+        rows = [(i, " ".join(["w"] * s)) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.seq_id)
+            for r in cu.pack_sequences(
+                df, budget=budget, num_buckets=3
+            ).collect()
+        }
+        cum = 0
+        for i, s in enumerate(sizes):
+            assert got[i] == (s, cum // budget), (sizes, i, got[i])
+            cum += s
