@@ -58,3 +58,42 @@ def curate_documents(
         kept.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tokens", "quality_score")
     )
+
+
+def curate_and_pack(
+    docs: DataFrame,
+    *,
+    benchmark_source: str = "src19",
+    decon_ngram_n: int = 4,
+    quality_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    budget: int = 256,
+    portable: bool = True,
+) -> DataFrame:
+    """The v2 end-to-end flow, adding the two bookend stages a production
+    pretraining pipeline runs:
+
+      benchmark decontamination (broadcast n-gram anti-join)
+        -> quality gate -> LSH near-dup clustering -> canonical selection
+        -> fixed-budget sequence packing (distributed prefix sum)
+
+    Returns (doc_id, n_tokens, seq_id): the curated corpus laid out into
+    ``budget``-token training sequences. Every stage is declarative and
+    keyed the way its shuffle wants; the only driver-side state is the
+    near-dup pair graph (tiny by construction)."""
+    from flink_kafka_table_api_spark.operators.curation import (
+        decontaminate,
+        pack_sequences,
+    )
+
+    bench = docs.filter(F.col("source") == benchmark_source)
+    train = decontaminate(
+        docs.filter(F.col("source") != benchmark_source), bench,
+        ngram_n=decon_ngram_n,
+    )
+    curated = curate_documents(
+        train, quality_threshold=quality_threshold,
+        jaccard_threshold=jaccard_threshold, portable=portable,
+    )
+    survivors = train.join(curated.select("doc_id"), "doc_id")
+    return pack_sequences(survivors, budget=budget)

@@ -1745,6 +1745,78 @@ def q_llm_curation(spark: SparkSession, sf: str) -> DataFrame:
     return curate_documents(_t(spark, sf, "documents"))
 
 
+def _curate_pack_oracle(
+    quality_threshold: float = 0.5, ngram_n: int = 4, budget: int = 256
+) -> str:
+    toks = tx.tokens_sql("text")
+    ngrams = cu.ngrams_sql("text", ngram_n)
+    ngrams_d = cu.ngrams_sql("d.text", ngram_n)
+    quality_cte = f"""
+      SELECT doc_id,
+             round((CASE WHEN len(__toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN len(__toks) > 0
+                      THEN CAST(len(list_filter(__toks,
+                           t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))
+                           AS DOUBLE) / len(__toks) ELSE 0.0 END) * 0.3
+                   + (CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                           / length(text) ELSE 0.0 END) * 0.3,
+                   6) AS quality_score
+      FROM (SELECT doc_id, text, {toks} AS __toks FROM train)
+    """
+    pairs = _neardup_verified_oracle(src="kept")
+    return f"""
+    WITH RECURSIVE bench AS (
+      SELECT DISTINCT __g
+      FROM (SELECT unnest({ngrams}) AS __g
+            FROM documents WHERE source = 'src19')
+    ),
+    train AS (
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE source <> 'src19' AND NOT EXISTS (
+        SELECT 1 FROM (SELECT unnest({ngrams_d}) AS __g) g
+        JOIN bench USING (__g))
+    ),
+    quality AS ({quality_cte}),
+    kept AS (
+      SELECT t.doc_id, t.text FROM train t JOIN quality q ON t.doc_id = q.doc_id
+      WHERE q.quality_score >= {quality_threshold}
+    ),
+    pairs AS ({pairs}),
+    bidir(a, b) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    verts(id) AS (SELECT DISTINCT a FROM bidir),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN bidir e ON e.a = reach.id
+    ),
+    clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    final AS (
+      SELECT k.doc_id, k.text FROM kept k LEFT JOIN clusters c ON k.doc_id = c.id
+      WHERE c.id IS NULL OR c.id = c.cluster
+    ),
+    sized AS (
+      SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM final
+    )
+    SELECT doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             // {budget} AS BIGINT) AS seq_id
+    FROM sized
+    """
+
+
+@query("llm_curation_packed", _curate_pack_oracle())
+def q_llm_curation_packed(spark: SparkSession, sf: str) -> DataFrame:
+    """The v2 end-to-end training-data flow: benchmark decontamination ->
+    quality gate -> LSH near-dup canonicalization -> fixed-budget sequence
+    packing, one composed oracle-checked pipeline
+    (plans/llm_curation.py:curate_and_pack)."""
+    from flink_kafka_table_api_spark.plans.llm_curation import curate_and_pack
+
+    return curate_and_pack(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal column pattern (EXT) — binary payload + typed metadata through
 # the real mapInPandas plumbing (decode stubbed; see operators/multimodal.py)
