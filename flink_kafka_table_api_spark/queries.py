@@ -902,6 +902,30 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "json_struct",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-declared JSON parsing (from_json -> typed struct, vs
+    json_extract's per-path string access) feeding an aggregation on the
+    extracted field. At scale from_json with an explicit schema is the
+    right call — one Jackson pass per row regardless of how many fields
+    downstream reads, and the struct column prunes like any other."""
+    ev = _t(spark, sf, "events")
+    parsed = ev.withColumn("__p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy(F.col("__p.k").alias("k")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time analytics: batch analogs of the streaming windows (EXT). The
 # same logic through the real Structured Streaming path is registered as

@@ -155,3 +155,14 @@ def test_compact_restores_file_count(spark, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) == n_files <= 2
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes Spark's join-strategy hints: broadcast forces BHJ
+    even for a 'large' side; merge forces SMJ even for a tiny one."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    bhj = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in _plan(bhj)
+    smj = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    assert "SortMergeJoin" in _plan(smj)
