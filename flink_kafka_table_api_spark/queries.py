@@ -2142,6 +2142,32 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join",
+    f"""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dec_sum_sql('value', 'sum_value')}
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join: an unbounded stream joined to a batch
+    dimension table (re-read per micro-batch; broadcast because it's small).
+    No state store involvement — the static side is not versioned, exactly
+    Flink's regular-join-to-bounded-table semantics."""
+    stream = _stream_table(spark, sf, "events")
+    cust = F.broadcast(
+        _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = stream.join(cust, stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        dec_sum("value", "sum_value"),
+    )
+    return _run_stream_to_table(agg, spark, "complete")
+
+
+@query(
     "stream_approved",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority,

@@ -166,3 +166,31 @@ def test_join_strategy_hints_are_honored(spark):
     assert "BroadcastHashJoin" in _plan(bhj)
     smj = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
     assert "SortMergeJoin" in _plan(smj)
+
+
+def test_json_corrupt_record_handling(spark, tmp_path):
+    """Declared-schema JSON ingestion must quarantine, not crash on, bad
+    rows: PERMISSIVE mode routes them to _corrupt_record for audit."""
+    from flink_kafka_table_api_spark.sources.files import read_json
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "value": 2.5}\n'
+        "this is not json\n"
+        '{"event_id": 3, "value": 7.0}\n'
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    df = read_json(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert bad.first()._corrupt_record.startswith("this is not")
+    df.unpersist()
