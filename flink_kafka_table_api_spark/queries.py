@@ -1362,6 +1362,34 @@ def q_neardup_verified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_neardup",
+    f"""
+    SELECT b AS a, a AS b, jaccard FROM ({_neardup_verified_oracle()})
+    """,
+)
+def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental near-dup pipeline
+    (streaming/incremental_dedup.py) run as a two-chunk backfill: the
+    second half of the corpus is deduped against the accumulated index of
+    the first, without rescanning it. The oracle is the BATCH LSH pipeline
+    (orientation-swapped: incremental emits (newer, older)) — proving that
+    the incremental index finds exactly the pairs a full-corpus run finds."""
+    import tempfile
+
+    from flink_kafka_table_api_spark.streaming.incremental_dedup import (
+        IncrementalDedup,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    mid = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+    state = tempfile.mkdtemp(prefix="fkta_incdedup_")
+    dd_inc = IncrementalDedup(state, threshold=0.5, portable=True)
+    dd_inc.process_batch(docs.filter(F.col("doc_id") <= mid), 0)
+    dd_inc.process_batch(docs.filter(F.col("doc_id") > mid), 1)
+    return dd_inc.matches(spark).select("a", "b", "jaccard")
+
+
 def _dedup_clusters_oracle() -> str:
     pairs = _neardup_verified_oracle()
     return f"""

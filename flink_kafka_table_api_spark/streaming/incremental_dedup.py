@@ -1,0 +1,148 @@
+"""Streaming incremental near-dup detection: every incoming micro-batch of
+documents is checked against an accumulating MinHash-LSH signature index.
+
+The streaming twin of operators/dedup.py's batch pipeline — the shape a
+continuous ingestion pipeline needs (new crawl data arriving hourly, each
+delta deduped against everything already ingested WITHOUT rescanning it):
+
+  per micro-batch (foreachBatch):
+    1. signatures + band hashes for the NEW docs only (O(delta));
+    2. bucket-join those bands against the persisted band index
+       (O(delta x bucket density), never O(corpus));
+    3. exact-Jaccard verify candidate pairs (new doc text vs indexed doc
+       text, via the doc store);
+    4. append flagged pairs to the matches table, and the new docs'
+       bands + texts to the index (so later batches dedup against them).
+
+At 100 TB the band index is the only long-lived state: ~bands x 8 bytes per
+doc, partitioned by band_hash so step 2 prunes. Batches also self-dedup
+(new-vs-new collisions) in the same join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from flink_kafka_table_api_spark.operators.dedup import (
+    jaccard,
+    lsh_bands,
+    minhash_signatures,
+    shingles,
+)
+
+
+class IncrementalDedup:
+    """State paths + per-batch merge logic (exposed separately from the
+    streaming query so batch backfills can call process_batch directly)."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        *,
+        num_hashes: int = 8,
+        bands: int = 4,
+        rows_per_band: int = 2,
+        shingle_k: int = 3,
+        threshold: float = 0.5,
+        portable: bool = False,
+    ) -> None:
+        self.bands_path = os.path.join(state_dir, "band_index")
+        self.docs_path = os.path.join(state_dir, "doc_store")
+        self.matches_path = os.path.join(state_dir, "matches")
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        self.shingle_k = shingle_k
+        self.threshold = threshold
+        self.portable = portable
+
+    def _new_bands(self, batch: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            batch, "doc_id", "text",
+            num_hashes=self.num_hashes, shingle_k=self.shingle_k,
+            portable=self.portable,
+        )
+        return lsh_bands(
+            sigs, "doc_id", bands=self.bands, rows_per_band=self.rows_per_band
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select("doc_id", "text").persist()
+        new_bands = self._new_bands(batch).persist()
+        new_bands.count()
+        have_index = os.path.exists(self.bands_path)
+        index = (
+            spark.read.parquet(self.bands_path)
+            if have_index
+            else new_bands.limit(0)
+        )
+        # candidates: new docs colliding with the index OR with this batch
+        # (a < b keeps new-vs-new pairs unique; new-vs-indexed keeps both
+        # orders distinct doc ids so `!=` suffices before the a<b normalize)
+        probe = index.unionByName(new_bands)
+        cand = (
+            new_bands.select(
+                F.col("doc_id").alias("a"), "band_id", "band_hash"
+            )
+            .join(
+                probe.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
+                ["band_id", "band_hash"],
+            )
+            .filter(F.col("a") > F.col("b"))  # normalize + drop self
+            .select("a", "b")
+            .distinct()
+        )
+        doc_store = (
+            spark.read.parquet(self.docs_path)
+            if os.path.exists(self.docs_path)
+            else batch.limit(0)
+        )
+        texts = doc_store.unionByName(batch)
+        sh = texts.select(
+            "doc_id", shingles("text", self.shingle_k).alias("__sh")
+        )
+        a = sh.select(F.col("doc_id").alias("a"), F.col("__sh").alias("__sa"))
+        b = sh.select(F.col("doc_id").alias("b"), F.col("__sh").alias("__sb"))
+        matches = (
+            cand.join(a, "a").join(b, "b")
+            .withColumn("jaccard", F.round(jaccard(F.col("__sa"), F.col("__sb")), 6))
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("a", "b", "jaccard")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        matches.write.mode("append").parquet(self.matches_path)
+        new_bands.write.mode("append").parquet(self.bands_path)
+        batch.write.mode("append").parquet(self.docs_path)
+        new_bands.unpersist()
+        batch.unpersist()
+
+    def matches(self, spark) -> DataFrame:
+        if not os.path.exists(self.matches_path):
+            raise FileNotFoundError("no batches processed yet")
+        return spark.read.parquet(self.matches_path)
+
+
+def streaming_neardup(
+    doc_stream: DataFrame,
+    state_dir: str,
+    *,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    **kwargs,
+) -> StreamingQuery:
+    """Start the incremental near-dup pipeline over a streaming document
+    source. Matches accumulate in ``<state_dir>/matches`` with the batch id
+    that detected them."""
+    dedup = IncrementalDedup(state_dir, threshold=threshold, **kwargs)
+    return (
+        doc_stream.writeStream.foreachBatch(dedup.process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("incremental_neardup")
+        .start()
+    )
