@@ -194,3 +194,18 @@ def test_json_corrupt_record_handling(spark, tmp_path):
     assert good.count() == 2 and bad.count() == 1
     assert bad.first()._corrupt_record.startswith("this is not")
     df.unpersist()
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A global orderBy must compile to RangePartitioning (sampled range
+    exchange + local sorts) — the only sort shape that scales; and a
+    repartitionByRange+sortWithinPartitions write produces the same
+    exchange without a final merge."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(orders.orderBy("o_totalprice"))
+    assert "rangepartitioning" in plan.lower()
+    clustered = orders.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    )
+    p2 = _plan(clustered)
+    assert "rangepartitioning" in p2.lower() and "Sort" in p2
