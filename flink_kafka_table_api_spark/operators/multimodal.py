@@ -177,6 +177,69 @@ def frame_sample(
     )
 
 
+AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("window_idx", IntegerType(), False),
+    StructField("rms", StringType(), False),       # fixed 6-decimal string
+    StructField("zero_crossings", LongType(), False),
+])
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_bytes: int = 256,
+    fake: bool = False,
+) -> DataFrame:
+    """Windowed audio feature extraction over opaque payloads — the audio
+    leg of the multimodal pattern (decode container -> PCM frames -> per-
+    window features), as Arrow-batched mapInPandas.
+
+    The codec is STUBBED (no soundfile/librosa in this container): with
+    ``fake=True`` the payload bytes are treated as centered int8 samples
+    (b - 128) and per-window RMS + zero-crossing counts are computed with
+    numpy — the exact batch shape a real PCM decode feeds. One output row
+    per (payload, window); RMS is emitted as a fixed 6-decimal string so
+    results are bit-stable across numpy builds."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/librosa; "
+                    "run with fake=True"
+                )
+            ids, idxs, rms_l, zc_l = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                samples = np.frombuffer(bytes(p), dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                for w in range(0, max(len(samples), 1), window_bytes):
+                    win = samples[w:w + window_bytes]
+                    if len(win) == 0:
+                        win = np.zeros(1)
+                    ids.append(i)
+                    idxs.append(w // window_bytes)
+                    rms_l.append(f"{float(np.sqrt(np.mean(win * win))):.6f}")
+                    zc_l.append(int(np.sum(np.signbit(win[:-1]) != np.signbit(win[1:]))))
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "window_idx": pd.array(idxs, dtype="int32"),
+                "rms": rms_l,
+                "zero_crossings": pd.array(zc_l, dtype="int64"),
+            })
+
+    from flink_kafka_table_api_spark.parallelism import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        feat_batches, schema=AUDIO_SCHEMA
+    )
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter for the driver testdata: treat each document's utf-8 bytes as
     an opaque payload so the multimodal plumbing has real input to chew on."""

@@ -1914,6 +1914,16 @@ def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return mm.frame_sample(payloads, n_frames=4, frame_len=16, fake=True)
 
 
+@query("audio_features")  # rows-only: byte-level windows aren't expressible
+#                           in DuckDB SQL (md5/substring are VARCHAR-only)
+def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio leg of the multimodal pattern: windowed RMS + zero-crossing
+    features over opaque payloads via Arrow-batched numpy (decode stubbed;
+    operators/multimodal.py). Deterministic fake, pinned by unit test."""
+    payloads = mm.documents_as_binary(_t(spark, sf, "documents"))
+    return mm.audio_features(payloads, window_bytes=256, fake=True)
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming paths (real readStream -> availableNow -> memory
 # sink). Results are deterministic, so they get full oracles too.

@@ -175,3 +175,27 @@ def test_kmeans_lloyd_separates_blobs(spark):
         by_parity[r.vec_id % 2].add(r.cluster)
     assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
     assert by_parity[0] != by_parity[1]
+
+
+def test_audio_features_matches_python_reference(spark):
+    """Windowed RMS/zero-crossings pinned against a pure-Python model."""
+    import math
+
+    payload = bytes(range(256)) * 2 + b"\x00\x7f\xff"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    got = {
+        r.window_idx: (r.rms, r.zero_crossings)
+        for r in mm.audio_features(df, window_bytes=256, fake=True).collect()
+    }
+    samples = [b - 128.0 for b in payload]
+    for w in range(0, len(samples), 256):
+        win = samples[w:w + 256] or [0.0]
+        rms = f"{math.sqrt(sum(x * x for x in win) / len(win)):.6f}"
+        zc = sum(
+            1 for a, b in zip(win, win[1:])
+            if (a < 0 or (a == 0 and math.copysign(1, a) < 0)) != (b < 0 or (b == 0 and math.copysign(1, b) < 0))
+        )
+        assert got[w // 256][0] == rms
+    assert len(got) == 3
