@@ -2308,6 +2308,29 @@ def q_udtf_sentences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multi_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_multi_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one GROUP BY — Catalyst compiles
+    this to an Expand (one row replica per distinct column) + two-phase
+    aggregate; the plan shape that makes N distincts cost one extra pass,
+    not N passes."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+@query(
     "window_analytic",
     """
     SELECT o_orderkey, o_orderpriority,
