@@ -246,9 +246,11 @@ def lsh_verified_pairs(
         .union(cand.select(F.col("b").alias(id_col)))
         .distinct()
     )
+    # persist: the suspect set is tiny but its shingling is the expensive
+    # part — the a/b branches below would otherwise recompute it twice
     sets = df.join(F.broadcast(ids), on=id_col, how="left_semi").select(
         F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
-    )
+    ).persist()
     a = sets.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sa"))
     b = sets.select(F.col(id_col).alias("b"), F.col("__sh").alias("__sb"))
     return (
