@@ -47,6 +47,9 @@ HEADLINE = [
     "token_count",             # tokenization pass
     "multimodal_meta",         # Arrow/mapInPandas plumbing
     "stream_tumbling",         # Structured Streaming windowed agg
+    "tpch_q3_shipping",        # classic 3-way join + top-k (TPC-H Q3)
+    "decontaminate",           # benchmark n-gram broadcast anti-join
+    "pack_sequences",          # distributed prefix-sum sequence packing
 ]
 
 
