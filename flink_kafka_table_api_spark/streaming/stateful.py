@@ -64,6 +64,44 @@ def _timeout_ms(deadline_us: int) -> int:
     return -(-deadline_us // 1000)
 
 
+def _fold_sessions(state, ts_us, vals, gap_us):
+    """Vectorized session fold: merge a key's (sorted-by-(ts, value)) batch
+    into its open-session state.
+
+    Returns (completed, new_state): completed = list of closed
+    (start, last, n, total) sessions in time order; new_state = the still-
+    open trailing session or None. Break detection and per-session sums are
+    numpy (reduceat) — the row-at-a-time Python loop was the entire cost of
+    this operator at scale (~10x slower on wide keys)."""
+    import numpy as np
+
+    t = np.asarray(ts_us, dtype=np.int64)
+    v = np.asarray(vals, dtype=np.float64)
+    if len(t) == 0:
+        return ([], state)
+    order = np.lexsort((v, t))  # == sorted(zip(ts, vals)) ordering
+    t, v = t[order], v[order]
+    breaks = np.empty(len(t), dtype=bool)
+    breaks[0] = state is None or t[0] > state[1] + gap_us
+    breaks[1:] = (t[1:] - t[:-1]) > gap_us
+    starts = np.flatnonzero(breaks)
+    sums = np.add.reduceat(v, starts) if len(starts) else np.array([])
+    sessions = []
+    if state is not None and breaks[0]:
+        sessions.append(tuple(state))  # batch starts past the gap: close it
+    # group g spans [starts[g], next start); groups attach to state when
+    # breaks[0] is False (then group 0 extends the open session)
+    bounds = np.append(starts, len(t))
+    for g in range(len(starts)):
+        lo, hi = bounds[g], bounds[g + 1]
+        s = (int(t[lo]), int(t[hi - 1]), int(hi - lo), float(sums[g]))
+        if g == 0 and state is not None and not breaks[0]:
+            s = (state[0], max(state[1], s[1]), state[2] + s[2],
+                 state[3] + s[3])
+        sessions.append(s)
+    return (sessions[:-1], sessions[-1])
+
+
 def _lazy_session_processor(gap_seconds: int):
     """Build the StatefulProcessor class lazily: the transformWithState API
     needs the protobuf wheel at worker startup (gate via
@@ -92,41 +130,35 @@ def _lazy_session_processor(gap_seconds: int):
                 "sess", "start long, last long, n long, total double"
             )
 
-        def _emit(self, key, start, last, n, total):
+        def _emit(self, key, sessions):
+            # ONE DataFrame per key per batch — per-session 1-row frames
+            # dominate the operator's cost on keys with many sessions
             import pandas as pd
 
             return pd.DataFrame(
                 {
-                    "user_id": [key[0]],
-                    "session_start": [pd.to_datetime(start, unit="us")],
-                    "session_end": [pd.to_datetime(last + gap_us, unit="us")],
-                    "n_events": [n],
-                    "total_value": [total],
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": pd.to_datetime(
+                        [s[0] for s in sessions], unit="us"),
+                    "session_end": pd.to_datetime(
+                        [s[1] + gap_us for s in sessions], unit="us"),
+                    "n_events": [s[2] for s in sessions],
+                    "total_value": [s[3] for s in sessions],
                 }
             )
 
         def handleInputRows(self, key, rows, timer_values):
-            import pandas as pd
-
-            state = self._sess.get() if self._sess.exists() else None
-            start, last, n, total = state if state else (None, None, 0, 0.0)
+            state = tuple(self._sess.get()) if self._sess.exists() else None
+            ts_all, v_all = [], []
             for pdf in rows:
-                ts_us = _ts_us(pdf["ts"])
-                vals = pdf["value"].tolist()
-                for t, v in sorted(zip(ts_us, vals)):
-                    if start is None:
-                        start, last, n, total = t, t, 1, float(v)
-                    elif t > last + gap_us:
-                        # gap exceeded inside the stream: close inline
-                        yield self._emit(key, start, last, n, total)
-                        start, last, n, total = t, t, 1, float(v)
-                    else:
-                        last = max(last, t)
-                        n += 1
-                        total += float(v)
-            if start is not None:
-                self._sess.update((start, last, n, total))
-                self._handle.registerTimer(_timeout_ms(last + gap_us))
+                ts_all.extend(_ts_us(pdf["ts"]))
+                v_all.extend(pdf["value"].tolist())
+            completed, state = _fold_sessions(state, ts_all, v_all, gap_us)
+            if completed:
+                yield self._emit(key, completed)
+            if state is not None:
+                self._sess.update(state)
+                self._handle.registerTimer(_timeout_ms(state[1] + gap_us))
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             expiry = expired_timer_info.getExpiryTimeInMs()
@@ -136,7 +168,7 @@ def _lazy_session_processor(gap_seconds: int):
                 # still armed at the (later) current deadline
                 if expiry >= _timeout_ms(last + gap_us):
                     self._sess.clear()
-                    yield self._emit(key, start, last, n, total)
+                    yield self._emit(key, [(start, last, n, total)])
 
     return EventTimeSessionProcessor()
 
@@ -174,37 +206,35 @@ def _session_timeout_fn_factory(gap_us: int):
     def fn(key, pdf_iter: Iterator, state: GroupState):
         import pandas as pd
 
-        def emit(start, last, n, total):
+        def emit(sessions):
             return pd.DataFrame(
                 {
-                    "user_id": [key[0]],
-                    "session_start": [pd.to_datetime(start, unit="us")],
-                    "session_end": [pd.to_datetime(last + gap_us, unit="us")],
-                    "n_events": [n],
-                    "total_value": [total],
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": pd.to_datetime(
+                        [s[0] for s in sessions], unit="us"),
+                    "session_end": pd.to_datetime(
+                        [s[1] + gap_us for s in sessions], unit="us"),
+                    "n_events": [s[2] for s in sessions],
+                    "total_value": [s[3] for s in sessions],
                 }
             )
 
         if state.hasTimedOut:
-            start, last, n, total = state.get
+            closed = tuple(state.get)
             state.remove()
-            yield emit(start, last, n, total)
+            yield emit([closed])
             return
-        start, last, n, total = state.get if state.exists else (None, None, 0, 0.0)
+        cur = tuple(state.get) if state.exists else None
+        ts_all, v_all = [], []
         for pdf in pdf_iter:
-            for t, v in sorted(zip(_ts_us(pdf["ts"]), pdf["value"].tolist())):
-                if start is None:
-                    start, last, n, total = t, t, 1, float(v)
-                elif t > last + gap_us:
-                    yield emit(start, last, n, total)
-                    start, last, n, total = t, t, 1, float(v)
-                else:
-                    last = max(last, t)
-                    n += 1
-                    total += float(v)
-        if start is not None:
-            state.update((start, last, n, total))
-            state.setTimeoutTimestamp(_timeout_ms(last + gap_us))
+            ts_all.extend(_ts_us(pdf["ts"]))
+            v_all.extend(pdf["value"].tolist())
+        completed, cur = _fold_sessions(cur, ts_all, v_all, gap_us)
+        if completed:
+            yield emit(completed)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(_timeout_ms(cur[1] + gap_us))
 
     return fn
 
