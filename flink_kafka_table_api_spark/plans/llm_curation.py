@@ -42,9 +42,11 @@ def curate_documents(
     quality = with_quality_score(docs).select(
         "doc_id", "n_tokens", "quality_score"
     )
+    # persist: `kept` feeds the LSH pipeline AND the final canonical join —
+    # without it the quality pass (tokenize + score) runs once per branch
     kept = docs.join(
         quality.filter(F.col("quality_score") >= quality_threshold), "doc_id"
-    )
+    ).persist()
     pairs = lsh_verified_pairs(
         kept.select("doc_id", "text"), "doc_id", "text",
         num_hashes=8, bands=4, rows_per_band=2, shingle_k=3,
@@ -87,10 +89,12 @@ def curate_and_pack(
     )
 
     bench = docs.filter(F.col("source") == benchmark_source)
+    # persist: the decontamination anti-join (n-gram explode over the whole
+    # train corpus) feeds curation AND the final survivor join
     train = decontaminate(
         docs.filter(F.col("source") != benchmark_source), bench,
         ngram_n=decon_ngram_n,
-    )
+    ).persist()
     curated = curate_documents(
         train, quality_threshold=quality_threshold,
         jaccard_threshold=jaccard_threshold, portable=portable,
