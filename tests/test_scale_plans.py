@@ -209,3 +209,63 @@ def test_global_sort_uses_range_partitioning(spark):
     )
     p2 = _plan(clustered)
     assert "rangepartitioning" in p2.lower() and "Sort" in p2
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: a selective dim-side filter must prune the fact table's
+    partitions at runtime (the 100 TB star-join enabler: only partitions
+    matching the dim filter are scanned)."""
+    from flink_kafka_table_api_spark.sources.files import write_parquet
+
+    fact = str(tmp_path / "orders_by_priority")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    write_parquet(orders, fact, partition_by=("o_orderpriority",))
+    dim = spark.createDataFrame(
+        [("1-URGENT", "keep"), ("2-HIGH", "drop")], "prio string, tag string"
+    ).filter(F.col("tag") == "keep")  # selective dim filter -> DPP eligible
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false"
+        )
+        j = spark.read.parquet(fact).join(
+            F.broadcast(dim), F.col("o_orderpriority") == F.col("prio")
+        )
+        plan = _plan(j)
+        assert "dynamicpruning" in plan.lower()
+        assert j.count() == orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_streaming_observe_metrics(spark, tmp_path):
+    """df.observe(): per-micro-batch data-quality counters surfaced through
+    StreamingQueryProgress — pipeline observability without a second scan."""
+    from pyspark.sql import Observation  # noqa: F401  (batch twin exists)
+
+    src = str(tmp_path / "obs_src")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 2.0)], "id long, value double"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, value double").parquet(src)
+        .observe(
+            "quality",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("negatives"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("obs_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    observed = None
+    for p in q.recentProgress:
+        if p["observedMetrics"].get("quality"):
+            observed = p["observedMetrics"]["quality"]
+    assert observed is not None
+    assert observed["rows"] == 3 and observed["negatives"] == 1
