@@ -62,13 +62,15 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int]:
+def _fake_decode_len(n: int) -> tuple[int, int]:
     """Deterministic stand-in for a real image decoder: derives a (w, h)
     from the payload length alone (pure arithmetic, so the DuckDB oracle can
     reproduce it). Replace with PIL/libvips in a real deployment."""
-    w = 1 + (len(payload) % 512)
-    h = 1 + (len(payload) * 31 % 512)
-    return w, h
+    return 1 + (n % 512), 1 + (n * 31 % 512)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    return _fake_decode_len(len(payload))
 
 
 def decode_image_meta(
@@ -174,6 +176,61 @@ def frame_sample(
 
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
         sample_batches, schema=FRAME_SCHEMA
+    )
+
+
+def decode_image_meta_arrow(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """mapInArrow twin of :func:`decode_image_meta`: consumes/produces
+    pyarrow RecordBatches directly — no pandas materialization, so binary
+    payloads are never copied into Python objects until the decoder needs
+    them. The right variant when payloads are large and the decoder
+    accepts buffers (pyarrow binary scalars expose zero-copy views)."""
+
+    def decode_batches(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libvips; run with fake=True"
+                )
+            ids = batch.column(0)
+            payloads = batch.column(1)
+            blens, md5s, fmts, ws, hs = [], [], [], [], []
+            for p in payloads:
+                b = p.as_buffer()
+                mv = memoryview(b)
+                blens.append(len(mv))
+                md5s.append(hashlib.md5(mv).hexdigest())
+                fmts.append(sniff_format(bytes(mv[:4])))
+                w, h = _fake_decode_len(len(mv))
+                ws.append(w)
+                hs.append(h)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(blens, pa.int64()),
+                    pa.array(md5s, pa.string()),
+                    pa.array(fmts, pa.string()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                ],
+                names=["doc_id", "byte_len", "content_md5",
+                       "format", "width", "height"],
+            )
+
+    from flink_kafka_table_api_spark.parallelism import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInArrow(
+        decode_batches, schema=IMAGE_META_SCHEMA
     )
 
 

@@ -199,3 +199,15 @@ def test_audio_features_matches_python_reference(spark):
         )
         assert got[w // 256][0] == rms
     assert len(got) == 3
+
+
+def test_multimodal_arrow_decode_matches_pandas_decode(spark):
+    """mapInArrow twin must produce the identical metadata table as the
+    mapInPandas path (zero-copy buffers vs pandas objects is an execution
+    detail, not a semantic one)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    payloads = mm.documents_as_binary(docs)
+    a = mm.decode_image_meta(payloads, fake=True)
+    b = mm.decode_image_meta_arrow(payloads, fake=True)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
