@@ -2490,6 +2490,47 @@ def q_corr_avg_subquery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "tpch_q18_big_orders",
+    f"""
+    SELECT c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {dec_sum_sql('l.l_quantity', 'total_qty')}
+    FROM customer, orders o, lineitem l
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 250
+    )
+    AND c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): IN-subquery over an aggregate
+    with HAVING, decorrelated to a semi-join against the aggregated keys.
+    The aggregate's output (order keys over threshold) is tiny -> broadcast
+    semi-join; the main 3-way join then re-aggregates per order."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+             .cast("double").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf, "orders").join(
+        F.broadcast(big),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity", "total_qty"))
+    )
+
+
+@query(
     "cold_customers",
     f"""
     WITH threshold AS (
