@@ -2695,6 +2695,51 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return cu.corpus_mix(_t(spark, sf, "documents"))
 
 
+@query(
+    "connector_approved",
+    """
+    WITH g AS (
+      SELECT i,
+             ('0x' || substr(md5('42:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM generate_series(0, 499) t(i)
+    ), tx AS (
+      SELECT 'tx-42-' || lpad(CAST(i AS VARCHAR), 8, '0') AS id,
+             round(10.0 + (h % 99000) / 100.0, 2) AS amount,
+             ['USD', 'EUR', 'GBP'][(h % 3) + 1] AS currency,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + (1700000000 + i) * INTERVAL 1 SECOND AS "timestamp",
+             'merchant-' || CAST(h % 50 AS VARCHAR) AS merchant,
+             ['PENDING', 'APPROVED', 'CANCELLED', 'REJECTED'][(h % 4) + 1]
+               AS status,
+             'user-' || CAST(h % 1000 AS VARCHAR) AS userId
+      FROM g
+    )
+    SELECT id, amount, currency, "timestamp", merchant, userId,
+           CASE WHEN currency = 'EUR' THEN amount * CAST(1.1 AS DOUBLE)
+                WHEN currency = 'GBP' THEN amount * CAST(1.3 AS DOUBLE)
+                ELSE amount END AS amountInUsd
+    FROM tx WHERE status <> 'CANCELLED'
+    """,
+)
+def q_connector_approved(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference pipeline running on the engine's own CONNECTOR (custom
+    Python DataSource, sources/transactions_source.py) — the full
+    `forConnector -> from -> filter -> select` flow of the reference
+    (TransactionProcessor.java:89-192) with zero external infrastructure.
+    The generator is md5-derived so the DuckDB oracle reproduces the source
+    data itself, making the connector+pipeline pair end-to-end checkable."""
+    from flink_kafka_table_api_spark.plans.pipeline import (
+        approved_transactions,
+    )
+    from flink_kafka_table_api_spark.sources.transactions_source import (
+        register,
+    )
+
+    register(spark)
+    tx = spark.read.format("fkta_transactions").option("rows", 500).load()
+    return approved_transactions(tx, with_processing_ts=False)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
