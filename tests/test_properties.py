@@ -65,3 +65,27 @@ record_strategy = st.fixed_dictionaries({
 def test_avro_record_roundtrip(rec):
     back = decode_record(RECORD_SCHEMA, encode_record(RECORD_SCHEMA, rec))
     assert back == rec
+
+
+_DUCK = None
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_portable_hash_contract_matches_duckdb(s):
+    """The portable-hash contract underlying every oracle-checked dedup
+    query: Python's reference rendering and DuckDB's SQL rendering agree on
+    arbitrary unicode input. (The Spark rendering is pinned against the
+    Python reference in test_operators.py::test_portable_hash_matches_python.)"""
+    import hashlib
+
+    import duckdb
+
+    global _DUCK
+    if _DUCK is None:
+        _DUCK = duckdb.connect()
+    expected = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    got = _DUCK.execute(
+        "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+    ).fetchone()[0]
+    assert got == expected
