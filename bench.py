@@ -4,10 +4,15 @@
 JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice: a warm-up is NOT done (cold numbers are the
-honest ones for a batch engine); timing covers full execution to a count()
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); the reported
+per-query number is the MEDIAN and `spread` carries [min, max], so
+round-over-round deltas are signal, not GC/scheduler noise (round-1 totals
+moved ~8% run-to-run). Timing covers full execution to a count()
 materialization, which forces every operator while avoiding driver-side
-result transfer dominating the measurement.
+result transfer dominating the measurement. Tracked operator caches are
+released between runs (caching.release_cached) so repeats stay cold at the
+Spark level; the OS page cache warms across runs, as it would on any
+long-lived cluster.
 """
 
 from __future__ import annotations
@@ -97,19 +102,36 @@ def main() -> None:
             .outputMode("complete").trigger(availableNow=True).start()
         )
         wq.awaitTermination()
+    from flink_kafka_table_api_spark.caching import release_cached
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        n = 0
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+            release_cached()
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        print(
+            f"# {name}: {timings[name]:.3f}s median of {n_runs} "
+            f"[{spreads[name][0]:.3f}, {spreads[name][1]:.3f}] ({n} rows)",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_wall_seconds_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "runs_per_query": n_runs,
         "sf": SF_DIR,
         "cpus": CPUS,
     }))

@@ -231,13 +231,17 @@ def lsh_verified_pairs(
     # band self-join and the verify join would otherwise re-run the whole
     # shingling job once per branch. Persisting signature/candidate tables
     # is the same call a 100 TB run makes (they are O(corpus * k) longs).
-    sigs = minhash_signatures(
+    # tracked_persist: the consuming action is the caller's, so caches are
+    # registered and freed via caching.release_cached() at query boundaries.
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    sigs = tracked_persist(minhash_signatures(
         df, id_col, text_col,
         num_hashes=num_hashes, shingle_k=shingle_k, portable=portable,
-    ).persist()
-    cand = lsh_candidate_pairs(
+    ))
+    cand = tracked_persist(lsh_candidate_pairs(
         lsh_bands(sigs, id_col, bands=bands, rows_per_band=rows_per_band), id_col
-    ).persist()
+    ))
     # Verify needs shingle sets ONLY for docs that appear in a candidate
     # pair — semi-join first so the second shingling pass touches the few
     # near-dup suspects, not the whole corpus.
@@ -248,9 +252,11 @@ def lsh_verified_pairs(
     )
     # persist: the suspect set is tiny but its shingling is the expensive
     # part — the a/b branches below would otherwise recompute it twice
-    sets = df.join(F.broadcast(ids), on=id_col, how="left_semi").select(
-        F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
-    ).persist()
+    sets = tracked_persist(
+        df.join(F.broadcast(ids), on=id_col, how="left_semi").select(
+            F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
+        )
+    )
     a = sets.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sa"))
     b = sets.select(F.col(id_col).alias("b"), F.col("__sh").alias("__sb"))
     return (
@@ -357,18 +363,24 @@ def connected_components(
         return spark.createDataFrame(
             rows, "id long, cluster long, is_canonical boolean"
         )
+    # localCheckpoint (eager) rather than persist: an iterative algorithm's
+    # lineage otherwise COMPOUNDS — by iteration N the logical plan embeds N
+    # copies of the upstream pipeline (here: the whole LSH verify), and plan
+    # analysis/stringification alone can OOM the driver long before any data
+    # does. Checkpointing truncates lineage to the stored partitions each
+    # round; the stored RDDs are label tables (two longs per vertex), tiny
+    # relative to the corpus.
     bidir = (
         edges
         .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    bidir.count()
     edges.unpersist()
     labels = (
         bidir.select(F.col("a").alias("id")).distinct()
         .withColumn("cluster", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neigh = (
@@ -384,7 +396,7 @@ def connected_components(
                     F.col("cluster"), F.coalesce("ncluster", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -393,7 +405,6 @@ def connected_components(
             .filter(F.col("cluster") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

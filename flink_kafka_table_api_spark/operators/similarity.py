@@ -193,6 +193,89 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted file: ONE full assignment pass, written as
+    parquet partitioned by ``cluster``. This is the faiss ``add`` step —
+    paid once at ingest, amortized over every query. At 100 TB the index
+    is just a partitioned table; each query then touches 1/k of the data
+    via partition pruning instead of re-assigning the whole corpus
+    (the round-1 anti-pattern this replaces)."""
+    assign = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    (
+        vectors.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def ivf_route(
+    centroids: DataFrame,
+    query: DataFrame,
+    *,
+    query_vec_col: str = "q_embedding",
+    nprobe: int = 1,
+) -> list[int]:
+    """Route a query to its ``nprobe`` nearest centroids — a driver-side
+    decision over k rows (the centroid table is tiny by construction).
+    Returning plain ints lets the caller write a LITERAL partition filter,
+    which Catalyst turns into static partition pruning at the scan."""
+    scored = (
+        query.withColumn("__qid", F.lit(0))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__dist",
+            1 - cosine(as_double_array(query_vec_col),
+                       as_double_array("c_embedding")),
+        )
+        .orderBy("__dist", "c_id")
+        .limit(nprobe)
+        .select("c_id")
+    )
+    return [int(r["c_id"]) for r in scored.collect()]
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    qclusters: int | list[int],
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """IVF search against a materialized index: scan ONLY the query's
+    cluster partition(s) (``PartitionFilters: [cluster IN (...)]`` in the
+    plan — the scan never reads the other clusters), exact cosine re-rank,
+    distributed top-k. nprobe>1 passes several cluster ids; the scan stays
+    pruned, just over nprobe partitions."""
+    if isinstance(qclusters, int):
+        qclusters = [qclusters]
+    members = spark.read.parquet(index_path).filter(
+        F.col("cluster").isin([int(c) for c in qclusters])
+    )
+    return (
+        members.crossJoin(F.broadcast(query))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(as_double_array(vec_col),
+                           as_double_array(query_vec_col)), 6),
+        )
+        .select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def kmeans_lloyd(
     vectors: DataFrame,
     *,

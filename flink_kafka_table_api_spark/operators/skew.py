@@ -38,6 +38,13 @@ def salted_join(
     is freshly shuffled by an upstream wide op, or the optimizer
     underestimates the hot key). Cost: right side inflated salt-fold — keep
     ``salt`` near the reducer-count you need, not higher."""
+    if how not in ("inner", "left", "left_outer"):
+        # full/right outer would emit each unmatched right row once PER
+        # SALT REPLICA (salt-fold duplication) — refuse instead of
+        # silently returning wrong results.
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}"
+        )
     l_ = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r_ = right.withColumn(
         "__rsalt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -26,6 +26,7 @@ from flink_kafka_table_api_spark.operators.dedup import (
     connected_components,
     lsh_verified_pairs,
 )
+from flink_kafka_table_api_spark.caching import tracked_persist
 from flink_kafka_table_api_spark.operators.text import with_quality_score
 
 
@@ -35,6 +36,7 @@ def curate_documents(
     quality_threshold: float = 0.5,
     jaccard_threshold: float = 0.5,
     portable: bool = True,
+    cc_driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Returns the curated corpus: (doc_id, lang, n_tokens, quality_score)
     for documents that pass the quality gate and are the canonical
@@ -43,16 +45,24 @@ def curate_documents(
         "doc_id", "n_tokens", "quality_score"
     )
     # persist: `kept` feeds the LSH pipeline AND the final canonical join —
-    # without it the quality pass (tokenize + score) runs once per branch
-    kept = docs.join(
+    # without it the quality pass (tokenize + score) runs once per branch;
+    # tracked so release_cached() frees it at the query boundary
+    kept = tracked_persist(docs.join(
         quality.filter(F.col("quality_score") >= quality_threshold), "doc_id"
-    ).persist()
+    ))
     pairs = lsh_verified_pairs(
         kept.select("doc_id", "text"), "doc_id", "text",
         num_hashes=8, bands=4, rows_per_band=2, shingle_k=3,
         threshold=jaccard_threshold, portable=portable,
     )
-    clusters = connected_components(pairs)
+    # cc_driver_edge_threshold is the one piece of driver-side state in the
+    # pipeline: below it the near-dup graph is collected for union-find,
+    # above it the distributed label-propagation path runs. Web-scale
+    # corpora with template boilerplate can exceed the default (hundreds of
+    # millions of pairs) — tune it per corpus instead of trusting 2M.
+    clusters = connected_components(
+        pairs, driver_edge_threshold=cc_driver_edge_threshold
+    )
     dropped = clusters.filter(~F.col("is_canonical")).select(
         F.col("id").alias("doc_id")
     )
@@ -71,6 +81,7 @@ def curate_and_pack(
     jaccard_threshold: float = 0.5,
     budget: int = 256,
     portable: bool = True,
+    cc_driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """The v2 end-to-end flow, adding the two bookend stages a production
     pretraining pipeline runs:
@@ -90,14 +101,16 @@ def curate_and_pack(
 
     bench = docs.filter(F.col("source") == benchmark_source)
     # persist: the decontamination anti-join (n-gram explode over the whole
-    # train corpus) feeds curation AND the final survivor join
-    train = decontaminate(
+    # train corpus) feeds curation AND the final survivor join; tracked so
+    # release_cached() frees it at the query boundary
+    train = tracked_persist(decontaminate(
         docs.filter(F.col("source") != benchmark_source), bench,
         ngram_n=decon_ngram_n,
-    ).persist()
+    ))
     curated = curate_documents(
         train, quality_threshold=quality_threshold,
         jaccard_threshold=jaccard_threshold, portable=portable,
+        cc_driver_edge_threshold=cc_driver_edge_threshold,
     )
     survivors = train.join(curated.select("doc_id"), "doc_id")
     return pack_sequences(survivors, budget=budget)

@@ -93,8 +93,19 @@ def compact(
     size = fs.getContentSummary(jvm_path).getLength()
     n_files = max(1, math.ceil(size / target_file_bytes))
     df = spark.read.format(fmt).load(path)
-    # must materialize before overwriting the source dir
+    # must materialize before touching the source dir
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(path + "__compact")
-    fs.delete(jvm_path, True)
-    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(path + "__compact"), jvm_path)
+    # swap order matters: move the OLD dir aside first so a crash between
+    # the two renames leaves the dataset reachable (at path__old), never
+    # missing. Hadoop FS rename signals failure via its return value, not
+    # an exception — check it or a failed swap goes unnoticed.
+    old_path = spark._jvm.org.apache.hadoop.fs.Path(path + "__old")
+    compact_path = spark._jvm.org.apache.hadoop.fs.Path(path + "__compact")
+    fs.delete(old_path, True)
+    if not fs.rename(jvm_path, old_path):
+        raise IOError(f"compact: rename {path} -> {path}__old failed")
+    if not fs.rename(compact_path, jvm_path):
+        fs.rename(old_path, jvm_path)  # best-effort restore
+        raise IOError(f"compact: rename {path}__compact -> {path} failed")
+    fs.delete(old_path, True)
     return n_files

@@ -230,6 +230,27 @@ def read_topic(
     )
 
 
+def registered_payload(
+    df: DataFrame,
+    avro_schema_json: str,
+    *,
+    topic: str,
+    schema_registry_url: str | None = None,
+) -> DataFrame:
+    """The sink's value-building step, separated from the Kafka writer so
+    it is testable without a broker: register the schema under
+    '<topic>-value' (when a registry url is given) and encode every row to
+    one Confluent-framed binary 'value' column — magic byte 0x0 + big-endian
+    int32 schema id + Avro body, the exact framing the reference's
+    avro-confluent sink emits (reference TransactionProcessor.java:112-115)."""
+    schema_id = None
+    if schema_registry_url is not None:
+        schema_id = SchemaRegistryClient(schema_registry_url).register(
+            f"{topic}-value", avro_schema_json
+        )
+    return encode_avro_column(df, avro_schema_json, schema_id=schema_id)
+
+
 def write_topic(
     df: DataFrame,
     *,
@@ -244,15 +265,10 @@ def write_topic(
     url is given the schema is registered under '<topic>-value' and the
     Confluent 5-byte header is prepended (wire-compatible with the
     reference's avro-confluent sink)."""
-    _, to_avro = _require_avro_functions()
-    payload = to_avro(F.struct(*df.columns), avro_schema_json)
-    if schema_registry_url is not None:
-        schema_id = SchemaRegistryClient(schema_registry_url).register(
-            f"{topic}-value", avro_schema_json
-        )
-        header = frame_header(schema_id)
-        payload = F.concat(F.lit(header), payload)
-    out = df.select(payload.alias("value"))
+    out = registered_payload(
+        df, avro_schema_json,
+        topic=topic, schema_registry_url=schema_registry_url,
+    )
     writer = (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

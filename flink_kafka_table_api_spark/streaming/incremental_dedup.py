@@ -81,20 +81,30 @@ class IncrementalDedup:
             if have_index
             else new_bands.limit(0)
         )
-        # candidates: new docs colliding with the index OR with this batch
-        # (a < b keeps new-vs-new pairs unique; new-vs-indexed keeps both
-        # orders distinct doc ids so `!=` suffices before the a<b normalize)
-        probe = index.unionByName(new_bands)
+        # candidates, two joins with different pair-uniqueness rules:
+        # - new-vs-INDEXED: the id sets are disjoint (an id is indexed at
+        #   most once), so each cross pair appears in exactly one
+        #   orientation (a=new, b=indexed) and `a != b` keeps it — an
+        #   `a > b` filter here would silently drop every pair whose new
+        #   id sorts below the indexed id (arbitrary-id streams);
+        # - new-vs-NEW (self join): both orientations appear, `a > b`
+        #   dedups them and drops self-pairs.
+        # Output orientation is therefore (a=new doc, b=indexed doc) for
+        # cross pairs and (a=larger id, b=smaller id) within a batch.
+        new_a = new_bands.select(
+            F.col("doc_id").alias("a"), "band_id", "band_hash"
+        )
+        cross = new_a.join(
+            index.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        ).filter(F.col("a") != F.col("b"))
+        within = new_a.join(
+            new_bands.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        ).filter(F.col("a") > F.col("b"))
         cand = (
-            new_bands.select(
-                F.col("doc_id").alias("a"), "band_id", "band_hash"
-            )
-            .join(
-                probe.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
-                ["band_id", "band_hash"],
-            )
-            .filter(F.col("a") > F.col("b"))  # normalize + drop self
-            .select("a", "b")
+            cross.select("a", "b")
+            .unionByName(within.select("a", "b"))
             .distinct()
         )
         doc_store = (

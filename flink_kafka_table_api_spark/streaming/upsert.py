@@ -34,9 +34,18 @@ def upsert_to_parquet(
     *,
     checkpoint_dir: str,
     query_name: str = "upsert_view",
+    order_col: str | None = None,
 ) -> StreamingQuery:
     """Start a foreachBatch UPSERT of a (possibly update-mode) streaming
-    DataFrame into a parquet state table keyed by ``key_cols``."""
+    DataFrame into a parquet state table keyed by ``key_cols``.
+
+    Within-batch conflict rule: streaming-aggregation output carries at
+    most one row per key per batch, so no ordering is needed (the default).
+    For CDC-style update streams that can carry several updates for one key
+    in a batch, pass ``order_col`` (an event-time/sequence column) — the
+    row with the greatest ``order_col`` wins deterministically; without it,
+    dropDuplicates keeps an ARBITRARY row, which is only correct under the
+    one-row-per-key-per-batch contract."""
     spark = updates.sparkSession
     marker_dir = table_path + "__commits"
 
@@ -45,7 +54,18 @@ def upsert_to_parquet(
         marker = os.path.join(marker_dir, f"batch-{batch_id}")
         if os.path.exists(marker):
             return  # replayed batch after recovery: already merged
-        batch = batch_df.dropDuplicates(list(key_cols))  # latest per key wins
+        if order_col is not None:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            batch = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch = batch_df.dropDuplicates(list(key_cols))
         if os.path.exists(table_path):
             current = spark.read.parquet(table_path)
             keys = batch.select(*key_cols)
@@ -55,12 +75,20 @@ def upsert_to_parquet(
             merged = batch
         tmp = table_path + "__tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        # atomic swap: the reader never sees a half-written table
+        # swap: move the old table aside, then the new one in. Hadoop FS
+        # rename reports failure via its boolean — fail the batch on false
+        # (no marker is written, so recovery replays it).
         jvm = spark._jvm
         dst = jvm.org.apache.hadoop.fs.Path(table_path)
         fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(dst, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+        old = jvm.org.apache.hadoop.fs.Path(table_path + "__old")
+        fs.delete(old, True)
+        if fs.exists(dst) and not fs.rename(dst, old):
+            raise IOError(f"upsert: rename {table_path} aside failed")
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
+            fs.rename(old, dst)  # best-effort restore
+            raise IOError(f"upsert: rename {tmp} -> {table_path} failed")
+        fs.delete(old, True)
         open(marker, "w").close()
 
     return (

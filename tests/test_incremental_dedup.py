@@ -52,6 +52,56 @@ def test_streaming_neardup_across_batches(spark, tmp_path):
     assert all(a == 3 and b == 1 for (a, b) in pairs)
 
 
+def test_incremental_arbitrary_ids(spark, tmp_path):
+    """Regression: a new doc whose id sorts BELOW an indexed near-dup's id
+    must still be flagged. (The round-1 candidate filter `a > b` silently
+    dropped every such pair — correctness depended on ids arriving in
+    monotonically increasing order.)"""
+    from flink_kafka_table_api_spark.streaming.incremental_dedup import (
+        IncrementalDedup,
+    )
+
+    dd = IncrementalDedup(str(tmp_path / "state_arb"), threshold=0.4)
+    # batch 0 indexes a HIGH id; batch 1 brings a LOW-id near-dup of it
+    dd.process_batch(
+        spark.createDataFrame([(100, DOC)], "doc_id long, text string"), 0
+    )
+    dd.process_batch(
+        spark.createDataFrame(
+            [(5, DOC.replace("quietly", "loudly"))], "doc_id long, text string"
+        ),
+        1,
+    )
+    got = {(r.a, r.b): r.batch_id for r in dd.matches(spark).collect()}
+    # orientation is (new doc, indexed doc) for cross-batch pairs
+    assert (5, 100) in got and got[(5, 100)] == 1
+
+
+def test_incremental_state_is_o_corpus(spark, tmp_path):
+    """Bounded-state contract: the band index holds exactly bands rows per
+    indexed doc — O(corpus), never O(batches x corpus). Re-processing more
+    batches must grow state only by the NEW docs they carry."""
+    from flink_kafka_table_api_spark.streaming.incremental_dedup import (
+        IncrementalDedup,
+    )
+
+    dd = IncrementalDedup(str(tmp_path / "state_sz"), threshold=0.9)
+    docs_per_batch, n_batches = 3, 4
+    for b in range(n_batches):
+        rows = [
+            (b * docs_per_batch + i, f"unique text {b}-{i} " + DOC[: 30 + i])
+            for i in range(docs_per_batch)
+        ]
+        dd.process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), b
+        )
+    n_docs = docs_per_batch * n_batches
+    band_rows = spark.read.parquet(dd.bands_path).count()
+    assert band_rows == n_docs * dd.bands  # one row per (doc, band)
+    doc_rows = spark.read.parquet(dd.docs_path).count()
+    assert doc_rows == n_docs
+
+
 def test_streaming_neardup_within_batch(spark, tmp_path):
     """New-vs-new collisions inside one batch are caught too."""
     src = str(tmp_path / "docs_src2")

@@ -211,3 +211,56 @@ def test_multimodal_arrow_decode_matches_pandas_decode(spark):
     b = mm.decode_image_meta_arrow(payloads, fake=True)
     assert a.schema == b.schema
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_connected_components_distributed_branch(spark):
+    """driver_edge_threshold=0 forces the label-propagation path; it must
+    produce exactly the same components as the driver union-find."""
+    from flink_kafka_table_api_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two chains (1-2-3-4, 10-11) + a self-contained pair (20-21),
+    # orientations mixed so both paths must normalize edges
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (11, 10), (20, 21)], "a long, b long"
+    )
+    dist = {
+        (r.id, r.cluster, r.is_canonical)
+        for r in connected_components(
+            edges, driver_edge_threshold=0
+        ).collect()
+    }
+    drv = {
+        (r.id, r.cluster, r.is_canonical)
+        for r in connected_components(
+            edges, driver_edge_threshold=10**6
+        ).collect()
+    }
+    assert dist == drv
+    assert (1, 1, True) in dist and (4, 1, False) in dist
+    assert (10, 10, True) in dist and (21, 20, False) in dist
+
+
+def test_curate_documents_distributed_cc(spark, docs):
+    """The composed curation pipeline with the union-find threshold tuned
+    to 0 (distributed CC branch) returns the same curated corpus as the
+    default driver-side branch — the knob is surfaced end-to-end."""
+    from flink_kafka_table_api_spark.plans.llm_curation import (
+        curate_documents,
+    )
+
+    base = docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("src0")
+    )
+    default = {
+        r.doc_id
+        for r in curate_documents(base, quality_threshold=0.0).collect()
+    }
+    distributed = {
+        r.doc_id
+        for r in curate_documents(
+            base, quality_threshold=0.0, cc_driver_edge_threshold=0
+        ).collect()
+    }
+    assert default == distributed and default
