@@ -269,3 +269,29 @@ def test_streaming_observe_metrics(spark, tmp_path):
             observed = p["observedMetrics"]["quality"]
     assert observed is not None
     assert observed["rows"] == 3 and observed["negatives"] == 1
+
+
+def test_ann_ivf_scan_is_partition_pruned(spark):
+    """The registered IVF query must read ONLY the routed cluster's
+    partition of the materialized index — a PartitionFilters entry on the
+    index scan, never a full-corpus assignment pass (the round-1 shape)."""
+    df = QUERIES["ann_ivf"](spark, SF)
+    plan = _plan(df)
+    assert ".cache/ivf/" in plan  # scans the materialized index...
+    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cluster" in part  # ...pruned on the cluster key
+
+
+def test_stream_windows_run_in_append_mode(spark):
+    """Append-mode contract: the streamed tumbling result only contains
+    watermark-finalized windows (max window_end <= max ts - delay), i.e.
+    state for the open tail window was held back and will be evicted, not
+    emitted — the bounded-state production shape."""
+    import datetime
+
+    from flink_kafka_table_api_spark.catalog import read_table
+
+    out = QUERIES["stream_tumbling"](spark, SF)
+    max_end = out.agg(F.max("window_end")).first()[0]
+    max_ts = read_table(spark, SF, "events").agg(F.max("ts")).first()[0]
+    assert max_end <= max_ts - datetime.timedelta(seconds=5)
