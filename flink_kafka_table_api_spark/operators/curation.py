@@ -231,3 +231,138 @@ def corpus_mix(
         "n_tokens",
         F.round(F.col("n_tokens") / F.lit(float(grand)), 6).alias("token_share"),
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "fkta-shuffle",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    stable 1-based ``shuffle_pos`` along the portable-hash order of its id.
+    Reproducible across runs, engines, and partitionings — the property a
+    training dataloader needs that ``df.orderBy(rand())`` cannot give.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` is a single-partition
+    window; instead the 60-bit hash space is range-bucketed and positions
+    are assigned with the same distributed prefix-sum shape as
+    pack_sequences: per-bucket local ranks (parallel windows) + a tiny
+    per-bucket offset table joined by bucket id. Scales to any corpus.
+    """
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    h = portable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    span = (1 << 60) // num_buckets  # portable_hash64 is 60-bit
+    keyed = df.select(F.col(id_col), h.alias("__h")).withColumn(
+        "__bucket", (F.col("__h") / F.lit(span)).cast("long")
+    )
+    local_w = Window.partitionBy("__bucket").orderBy("__h", id_col)
+    local = keyed.withColumn("__rn", F.row_number().over(local_w))
+    totals_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        keyed.groupBy("__bucket")
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__offset", F.coalesce(F.sum("__n").over(totals_w), F.lit(0)))
+        .select("__bucket", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .select(
+            id_col,
+            (F.col("__offset") + F.col("__rn")).cast("long").alias("shuffle_pos"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 30,
+) -> DataFrame:
+    """Vocabulary build + per-document out-of-vocabulary rate.
+
+    Stage 1 builds the top-``vocab_size`` corpus vocabulary (token frequency,
+    ties broken by token text — deterministic at the cut line); stage 2
+    scores every document's fraction of tokens OUTSIDE that vocabulary. The
+    standard pre-tokenizer health check before committing to a BPE vocab.
+
+    Scale shape: the vocab is a full-corpus aggregate but its OUTPUT is tiny
+    (vocab_size rows) — broadcast to the scoring join; the per-doc
+    aggregation is keyed by doc id (partial+final). No driver-side state.
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.coalesce(F.col("__in"), F.lit(0)))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def source_token_cap(
+    df: DataFrame,
+    *,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "fkta-cap",
+) -> DataFrame:
+    """Per-source token-budget capping: keep documents of each source in
+    deterministic (hash-of-id) order until the source's cumulative token
+    count reaches ``budget`` — how a mixture stage downsamples an
+    over-represented domain to its token allocation while staying
+    reproducible. A document is kept iff the tokens BEFORE it are under
+    budget (the boundary document spills over, like pack_sequences).
+
+    Scale shape: one window per source partition (no global window); the
+    hash order means adding/removing other sources never changes a kept
+    set."""
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    sized = df.select(
+        F.col(source_col),
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        portable_hash64(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.withColumn(
+            "__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("__before") < budget)
+        .select(source_col, id_col, "n_tokens")
+    )

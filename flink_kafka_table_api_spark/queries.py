@@ -2806,6 +2806,77 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return cu.corpus_mix(_t(spark, sf, "documents"))
 
 
+_SHUF_H = "(('0x' || substr(md5('fkta-shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+_CAP_H = "(('0x' || substr(md5('fkta-cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+
+
+@query(
+    "corpus_shuffle",
+    f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY {_SHUF_H}, doc_id) AS BIGINT)
+             AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training-order shuffle (stable hash rank per
+    doc): reproducible across engines and partitionings. Implemented as a
+    distributed prefix-sum over hash-range buckets, never a global
+    single-partition window (operators/curation.py:corpus_shuffle)."""
+    return cu.corpus_shuffle(_t(spark, sf, "documents"))
+
+
+@query(
+    "vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tx.tokens_sql('text')}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 30
+      )
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(1 - SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-30 corpus vocabulary + per-doc out-of-vocabulary rate: the
+    pre-tokenizer health check. Vocab output is tiny -> broadcast to the
+    scoring join; per-doc agg is partial+final on doc_id."""
+    return cu.vocab_coverage(_t(spark, sf, "documents"), vocab_size=30)
+
+
+@query(
+    "source_token_cap",
+    f"""
+    SELECT source, doc_id, n_tokens FROM (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM (
+        SELECT source, doc_id,
+               CAST(len({tx.tokens_sql('text')}) AS BIGINT) AS n_tokens,
+               {_CAP_H} AS h
+        FROM documents
+      )
+    ) WHERE tokens_before < 2000
+    """,
+)
+def q_source_token_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-budget cap (2000 tokens/source): deterministic
+    hash-order downsampling of over-represented domains to a mixture
+    allocation. One window per source partition — no global window."""
+    return cu.source_token_cap(_t(spark, sf, "documents"), budget=2000)
+
+
 @query(
     "connector_approved",
     """
