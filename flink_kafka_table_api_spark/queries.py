@@ -2680,6 +2680,146 @@ def q_cold_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a JOIN-SIDE filter (the predicate
+    belongs in the ON clause — a WHERE would turn the outer join inner and
+    silently drop order-less customers) + two-level aggregation producing
+    the order-count histogram. COUNT(col) over the null-extended side is
+    what makes zero-order customers a c_count=0 bucket."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                            "o_orderstatus")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderstatus != "F"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem plays partsupp): distinct-count per part
+    attribute after excluding a blacklisted supplier set. NOT IN becomes a
+    broadcast LEFT ANTI join (the blacklist is tiny); the distinct agg is
+    Expand + two-phase aggregation, all shuffled on the group key."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q21_waiting",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21_waiting(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (l_shipdate vs o_orderdate+365d plays the
+    receipt-vs-commit lateness): suppliers who were the SOLE late supplier
+    on a multi-supplier order. The correlated EXISTS / NOT EXISTS pair is
+    decorrelated into per-(order, supplier) aggregates + a per-order
+    supplier/late-supplier count — two keyed aggregations instead of two
+    correlated subquery scans, the shape that survives 100 TB (each
+    aggregation shuffles the join key once; no per-row re-scan)."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            _t(spark, sf, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "__late",
+            (F.datediff("l_shipdate", "o_orderdate") > 365).cast("int"),
+        )
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__supp_late"),
+        F.sum("__late").cast("long").alias("__late_lines"),
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("__n_supp"),
+        F.sum("__supp_late").alias("__n_late_supp"),
+    )
+    sole_late = (
+        per_os.filter(F.col("__supp_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supp),
+                       sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("__late_lines").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation (operators/curation.py): decontamination, sequence
 # packing, stratified sampling, mixture reporting. 'src19' plays the

@@ -136,6 +136,22 @@ class IncrementalDedup:
             raise FileNotFoundError("no batches processed yet")
         return spark.read.parquet(self.matches_path)
 
+    def compact_state(
+        self, spark, *, target_file_bytes: int = 256 * 1024 * 1024
+    ) -> None:
+        """Housekeeping for long-running streams: every micro-batch APPENDS
+        one file per partition to the band index / doc store / matches, so
+        after thousands of batches the scans in step 2/3 go metadata-bound.
+        Rewrites each state table to ~target-sized files (atomic swap via
+        sources.files.compact). Run it between batches on whatever cadence
+        the batch rate dictates — state CONTENT is untouched, so detection
+        results are identical before and after."""
+        from flink_kafka_table_api_spark.sources.files import compact
+
+        for p in (self.bands_path, self.docs_path, self.matches_path):
+            if os.path.exists(p):
+                compact(spark, p, target_file_bytes=target_file_bytes)
+
 
 def streaming_neardup(
     doc_stream: DataFrame,

@@ -101,6 +101,25 @@ def test_incremental_state_is_o_corpus(spark, tmp_path):
     doc_rows = spark.read.parquet(dd.docs_path).count()
     assert doc_rows == n_docs
 
+    # compaction rewrites the per-batch file litter without changing state
+    # content: later batches still dedup against everything
+    import glob
+
+    files_before = len(glob.glob(dd.bands_path + "/*.parquet"))
+    dd.compact_state(spark)
+    files_after = len(glob.glob(dd.bands_path + "/*.parquet"))
+    assert files_after < files_before
+    assert spark.read.parquet(dd.bands_path).count() == band_rows
+    dd.process_batch(
+        spark.createDataFrame(
+            [(999, f"unique text 0-0 " + DOC[:30])],  # near-dup of doc 0
+            "doc_id long, text string",
+        ),
+        n_batches,
+    )
+    got = {(r.a, r.b) for r in dd.matches(spark).collect()}
+    assert (999, 0) in got  # the compacted index still serves lookups
+
 
 def test_streaming_neardup_within_batch(spark, tmp_path):
     """New-vs-new collisions inside one batch are caught too."""
