@@ -131,8 +131,10 @@ def pack_sequences(
     )
     lo, hi = sized.agg(F.min(id_col), F.max(id_col)).first()
     span = max((hi - lo + 1 + num_buckets - 1) // num_buckets, 1)
+    # `div`, not `/`: double division loses integer exactness above 2^53
+    # (see corpus_shuffle) — bucket and sequence assignment must be exact.
     bucketed = sized.withColumn(
-        "__bucket", ((F.col(id_col) - F.lit(lo)) / F.lit(span)).cast("long")
+        "__bucket", F.expr(f"(`{id_col}` - {lo}) div {span}")
     )
     from pyspark.sql import Window
 
@@ -157,10 +159,8 @@ def pack_sequences(
         .select(
             id_col,
             "n_tokens",
-            (
-                (F.col("__offset") + F.col("__local_cum") - F.col("n_tokens"))
-                / F.lit(budget)
-            ).cast("long").alias("seq_id"),
+            F.expr(f"(__offset + __local_cum - n_tokens) div {budget}")
+            .alias("seq_id"),
         )
     )
 
@@ -258,8 +258,12 @@ def corpus_shuffle(
         F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
     )
     span = (1 << 60) // num_buckets  # portable_hash64 is 60-bit
+    # Integer division: `/` on longs goes through double, which loses
+    # integer precision above 2^53 and can flip a hash within ~128 of a
+    # bucket boundary into the adjacent bucket — breaking the exact global
+    # (hash, id) order the contract (and the oracle's row_number) defines.
     keyed = df.select(F.col(id_col), h.alias("__h")).withColumn(
-        "__bucket", (F.col("__h") / F.lit(span)).cast("long")
+        "__bucket", F.expr(f"__h div {span}")
     )
     local_w = Window.partitionBy("__bucket").orderBy("__h", id_col)
     local = keyed.withColumn("__rn", F.row_number().over(local_w))

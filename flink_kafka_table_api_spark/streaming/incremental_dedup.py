@@ -70,6 +70,28 @@ class IncrementalDedup:
             sigs, "doc_id", bands=self.bands, rows_per_band=self.rows_per_band
         )
 
+    def _verify_shingles(
+        self, doc_store: DataFrame, batch: DataFrame, cand: DataFrame
+    ) -> DataFrame:
+        """Shingle sets for the verify join — computed ONLY for docs named
+        in a candidate pair. Semi-join the doc store down to those ids
+        BEFORE shingling — the same prune as the batch pipeline
+        (operators/dedup.py lsh_verified_pairs) — so step 3 is
+        O(candidates) per batch, never O(corpus): without it, every
+        micro-batch would re-shingle every document ever ingested, the one
+        cost that grows without bound in a long-running stream."""
+        cand_ids = (
+            cand.select(F.col("a").alias("doc_id"))
+            .unionByName(cand.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        texts = doc_store.unionByName(batch).join(
+            cand_ids, "doc_id", "left_semi"
+        )
+        return texts.select(
+            "doc_id", shingles("text", self.shingle_k).alias("__sh")
+        )
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select("doc_id", "text").persist()
@@ -102,20 +124,20 @@ class IncrementalDedup:
             new_bands.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
             ["band_id", "band_hash"],
         ).filter(F.col("a") > F.col("b"))
+        # cand feeds THREE consumers below (the id prune plus both sides of
+        # the verify join); persist so the band bucket-join runs once.
         cand = (
             cross.select("a", "b")
             .unionByName(within.select("a", "b"))
             .distinct()
+            .persist()
         )
         doc_store = (
             spark.read.parquet(self.docs_path)
             if os.path.exists(self.docs_path)
             else batch.limit(0)
         )
-        texts = doc_store.unionByName(batch)
-        sh = texts.select(
-            "doc_id", shingles("text", self.shingle_k).alias("__sh")
-        )
+        sh = self._verify_shingles(doc_store, batch, cand)
         a = sh.select(F.col("doc_id").alias("a"), F.col("__sh").alias("__sa"))
         b = sh.select(F.col("doc_id").alias("b"), F.col("__sh").alias("__sb"))
         matches = (
@@ -128,6 +150,7 @@ class IncrementalDedup:
         matches.write.mode("append").parquet(self.matches_path)
         new_bands.write.mode("append").parquet(self.bands_path)
         batch.write.mode("append").parquet(self.docs_path)
+        cand.unpersist()
         new_bands.unpersist()
         batch.unpersist()
 

@@ -27,6 +27,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 
+def latest_per_key(
+    batch_df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_col: str | None,
+) -> DataFrame:
+    """Within-batch conflict resolution: one winning row per key.
+
+    With ``order_col``, the greatest order value wins; equal order values
+    (CDC updates with identical timestamps) fall through to a content-hash
+    tiebreaker over the non-key columns so the pick is deterministic rather
+    than partition-order-dependent. Without ``order_col``, an arbitrary row
+    is kept (valid only when batches carry one row per key).
+    """
+    if order_col is None:
+        return batch_df.dropDuplicates(list(key_cols))
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    value_cols = [
+        c for c in batch_df.columns if c not in key_cols and c != order_col
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(),
+        *([F.xxhash64(*value_cols).desc()] if value_cols else []),
+    )
+    return (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def upsert_to_parquet(
     updates: DataFrame,
     table_path: str,
@@ -43,7 +75,10 @@ def upsert_to_parquet(
     most one row per key per batch, so no ordering is needed (the default).
     For CDC-style update streams that can carry several updates for one key
     in a batch, pass ``order_col`` (an event-time/sequence column) — the
-    row with the greatest ``order_col`` wins deterministically; without it,
+    row with the greatest ``order_col`` wins; ties in ``order_col`` (two
+    updates for one key with equal timestamps) are broken by a content hash
+    over the remaining columns, so the merged table is deterministic across
+    replays and partitionings even then. Without ``order_col``,
     dropDuplicates keeps an ARBITRARY row, which is only correct under the
     one-row-per-key-per-batch contract."""
     spark = updates.sparkSession
@@ -54,18 +89,7 @@ def upsert_to_parquet(
         marker = os.path.join(marker_dir, f"batch-{batch_id}")
         if os.path.exists(marker):
             return  # replayed batch after recovery: already merged
-        if order_col is not None:
-            from pyspark.sql import Window
-            from pyspark.sql import functions as F
-
-            w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
-            batch = (
-                batch_df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        else:
-            batch = batch_df.dropDuplicates(list(key_cols))
+        batch = latest_per_key(batch_df, key_cols, order_col)
         if os.path.exists(table_path):
             current = spark.read.parquet(table_path)
             keys = batch.select(*key_cols)

@@ -121,6 +121,41 @@ def test_incremental_state_is_o_corpus(spark, tmp_path):
     assert (999, 0) in got  # the compacted index still serves lookups
 
 
+def test_verify_stage_is_candidate_bounded(spark, tmp_path):
+    """Scale contract for step 3: the exact-Jaccard verify stage shingles
+    ONLY docs named in a candidate pair — a batch with zero candidates must
+    shingle zero docs no matter how large the accumulated doc store is, and
+    the plan must prune via a LeftSemi join BELOW the shingle projection."""
+    from flink_kafka_table_api_spark.streaming.incremental_dedup import (
+        IncrementalDedup,
+    )
+
+    dd = IncrementalDedup(str(tmp_path / "state_vb"), threshold=0.4)
+    # index 20 docs so the store is visibly larger than any candidate set
+    dd.process_batch(
+        spark.createDataFrame(
+            [(i, f"stored document number {i} " + DOC) for i in range(20)],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    doc_store = spark.read.parquet(dd.docs_path)
+    batch = spark.createDataFrame(
+        [(900, "vocabulary entirely disjoint zebra quartz fjord")],
+        "doc_id long, text string",
+    )
+    empty_cand = spark.createDataFrame([], "a long, b long")
+    # zero candidates -> zero shingled rows, despite 21 docs of input
+    assert dd._verify_shingles(doc_store, batch, empty_cand).count() == 0
+    # one candidate pair -> exactly its two member docs get shingled
+    one_cand = spark.createDataFrame([(900, 3)], "a long, b long")
+    sh = dd._verify_shingles(doc_store, batch, one_cand)
+    assert {r.doc_id for r in sh.collect()} == {900, 3}
+    # the prune is a semi-join in the plan, i.e. it happens on the scan
+    # side rather than after shingling
+    assert "LeftSemi" in sh._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_streaming_neardup_within_batch(spark, tmp_path):
     """New-vs-new collisions inside one batch are caught too."""
     src = str(tmp_path / "docs_src2")

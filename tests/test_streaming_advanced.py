@@ -189,3 +189,53 @@ def test_upsert_foreachbatch_materialized_view(spark, tmp_path):
     q.stop()
     got = {r.user_id: (r.total, r.n) for r in spark.read.parquet(table).collect()}
     assert got == {1: (100.0, 2), 2: (5.0, 1), 3: (1.0, 1)}
+
+
+def test_upsert_order_col_tie_is_deterministic(spark):
+    """CDC batches can carry two updates for one key with EQUAL order_col
+    values; the winner must not depend on partition/arrival order. The
+    content-hash tiebreaker pins one — same pick regardless of row order."""
+    from flink_kafka_table_api_spark.streaming.upsert import latest_per_key
+
+    schema = "k long, ts long, v string"
+    fwd = spark.createDataFrame([(1, 5, "alpha"), (1, 5, "beta")], schema)
+    rev = spark.createDataFrame(
+        [(1, 5, "beta"), (1, 5, "alpha")], schema
+    ).repartition(7)
+    pick_fwd = latest_per_key(fwd, ("k",), "ts").collect()
+    pick_rev = latest_per_key(rev, ("k",), "ts").collect()
+    assert len(pick_fwd) == 1 and len(pick_rev) == 1
+    assert pick_fwd[0].v == pick_rev[0].v
+    # greater order_col still beats any hash: ts wins first
+    later = spark.createDataFrame([(1, 5, "alpha"), (1, 9, "zzz")], schema)
+    assert latest_per_key(later, ("k",), "ts").collect()[0].v == "zzz"
+
+
+def test_ensure_parallelism_guard(spark):
+    """The fan-out guard must (a) resolve size-string conf values like
+    '64m' exactly, and (b) treat the optimizer's unknown/overestimated
+    sizeInBytes as 'unknown' and still fan out."""
+    from flink_kafka_table_api_spark.parallelism import (
+        _max_partition_bytes,
+        _parse_size,
+        ensure_parallelism,
+    )
+
+    assert _parse_size("64m") == 64 * 1024 * 1024
+    assert _parse_size("128kb") == 128 * 1024
+    assert _parse_size("134217728") == 134217728
+    assert _parse_size("garbage") is None
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64m")
+        assert _max_partition_bytes(spark) == 64 * 1024 * 1024
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # a small in-memory relation joined to itself gets a multiplied (or
+    # unknown) size estimate; the guard must still fan it out rather than
+    # silently no-op on a tiny CPU-bound input
+    small = spark.range(100).withColumnRenamed("id", "k")
+    joined = small.join(small.withColumnRenamed("k", "k2"), small.k == 99)
+    fanned = ensure_parallelism(joined, 8)
+    assert "Repartition" in fanned._jdf.queryExecution().logical().toString() \
+        or fanned.rdd.getNumPartitions() >= 8
