@@ -6,11 +6,16 @@ Pattern (EXT scope, BASELINE.json): image/audio/video payloads travel as
 ``mapInPandas`` so each executor processes whole record batches without
 per-row Python overhead.
 
-The decode bodies are STUBBED (the image/audio libraries are not in this
-container): ``decode_image_meta`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder exercises the real
-Spark plumbing — schema contract, Arrow batch shape, partition-parallel
-execution — which is the part that matters for the engine.
+Codec status — real where the stdlib suffices, stubbed where it doesn't:
+
+- REAL (no external libs): BMP/PNG/GIF dimension decode (fixed-offset
+  header fields, parsed with ``struct``) in ``decode_image_meta``; WAV PCM
+  decode (stdlib ``wave``, 8/16-bit) in ``audio_features``.
+- STUBBED: jpeg/riff pixel decode (needs PIL/libvips), compressed audio
+  (needs soundfile/librosa), video containers (needs pyav/ffmpeg). These
+  raise NotImplementedError unless ``fake=True``, in which case a
+  deterministic fake decoder exercises the real Spark plumbing — schema
+  contract, Arrow batch shape, partition-parallel execution.
 
 Scale notes: binary payloads dominate row size, so (a) keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` small enough that one batch
@@ -52,6 +57,7 @@ _MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"GIF8": "gif",
     b"RIFF": "riff",
+    b"BM": "bmp",
 }
 
 
@@ -60,6 +66,32 @@ def sniff_format(payload: bytes) -> str | None:
         if payload[: len(magic)] == magic:
             return fmt
     return None
+
+
+def parse_image_dims(payload: bytes) -> tuple[str | None, int, int]:
+    """REAL image metadata decode, stdlib only: BMP/PNG/GIF keep their
+    dimensions in fixed-offset header fields, so width/height extraction is
+    a ``struct`` parse — no imaging library involved. Returns
+    (format, width, height); raises NotImplementedError for formats whose
+    dimensions live behind real codec machinery (jpeg entropy-coded
+    segments, riff sub-chunks) — those need PIL/libvips."""
+    import struct
+
+    fmt = sniff_format(payload)
+    if fmt == "bmp" and len(payload) >= 26:
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return fmt, int(w), abs(int(h))  # negative height = top-down DIB
+    if fmt == "png" and len(payload) >= 24:
+        # 8-byte signature + IHDR length/tag, then big-endian w, h
+        w, h = struct.unpack_from(">II", payload, 16)
+        return fmt, int(w), int(h)
+    if fmt == "gif" and len(payload) >= 10:
+        w, h = struct.unpack_from("<HH", payload, 6)  # logical screen size
+        return fmt, int(w), int(h)
+    raise NotImplementedError(
+        f"dimension decode for format={fmt!r} requires PIL/libvips; "
+        "stdlib path covers bmp/png/gif (or run with fake=True)"
+    )
 
 
 def _fake_decode_len(n: int) -> tuple[int, int]:
@@ -82,28 +114,33 @@ def decode_image_meta(
 ) -> DataFrame:
     """Decode binary payloads into the IMAGE_META_SCHEMA via mapInPandas.
 
-    The Arrow batch iterator shape is the real contract being tested; only
-    the pixel-decode inner call is stubbed (NotImplementedError without
-    ``fake=True`` — this container ships no imaging libraries).
+    ``fake=False`` (the default) is a REAL decode for bmp/png/gif — header
+    dimension fields parsed with stdlib ``struct`` (parse_image_dims);
+    formats needing an actual imaging library (jpeg, riff) raise
+    NotImplementedError there. ``fake=True`` swaps in the deterministic
+    length-derived decoder (oracle-reproducible) for plumbing tests and
+    mixed-format corpora without the libs.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips; run with fake=True"
-                )
             payloads = pdf[payload_col]
-            dims = [_fake_decode(bytes(p)) for p in payloads]
+            if fake:
+                fmts = [sniff_format(bytes(p)) for p in payloads]
+                dims = [_fake_decode(bytes(p)) for p in payloads]
+            else:
+                parsed = [parse_image_dims(bytes(p)) for p in payloads]
+                fmts = [t[0] for t in parsed]
+                dims = [(t[1], t[2]) for t in parsed]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "byte_len": payloads.map(len).astype("int64"),
                 "content_md5": payloads.map(
                     lambda p: hashlib.md5(bytes(p)).hexdigest()
                 ),
-                "format": payloads.map(lambda p: sniff_format(bytes(p))),
+                "format": fmts,
                 "width": pd.array([d[0] for d in dims], dtype="Int32"),
                 "height": pd.array([d[1] for d in dims], dtype="Int32"),
             })
@@ -198,10 +235,6 @@ def decode_image_meta_arrow(
         import pyarrow as pa
 
         for batch in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips; run with fake=True"
-                )
             ids = batch.column(0)
             payloads = batch.column(1)
             blens, md5s, fmts, ws, hs = [], [], [], [], []
@@ -210,8 +243,14 @@ def decode_image_meta_arrow(
                 mv = memoryview(b)
                 blens.append(len(mv))
                 md5s.append(hashlib.md5(mv).hexdigest())
-                fmts.append(sniff_format(bytes(mv[:4])))
-                w, h = _fake_decode_len(len(mv))
+                if fake:
+                    fmts.append(sniff_format(bytes(mv[:4])))
+                    w, h = _fake_decode_len(len(mv))
+                else:
+                    # header parse needs at most the first 26 bytes — the
+                    # payload buffer itself stays a zero-copy arrow view
+                    fmt, w, h = parse_image_dims(bytes(mv[:26]))
+                    fmts.append(fmt)
                 ws.append(w)
                 hs.append(h)
             yield pa.RecordBatch.from_arrays(
@@ -254,27 +293,58 @@ def audio_features(
     leg of the multimodal pattern (decode container -> PCM frames -> per-
     window features), as Arrow-batched mapInPandas.
 
-    The codec is STUBBED (no soundfile/librosa in this container): with
-    ``fake=True`` the payload bytes are treated as centered int8 samples
-    (b - 128) and per-window RMS + zero-crossing counts are computed with
-    numpy — the exact batch shape a real PCM decode feeds. One output row
-    per (payload, window); RMS is emitted as a fixed 6-decimal string so
-    results are bit-stable across numpy builds."""
+    ``fake=False`` (the default) is a REAL codec for WAV containers:
+    stdlib ``wave`` parses the RIFF/fmt chunks and yields PCM frames
+    (8-bit unsigned or 16-bit signed; channel 0 of multi-channel files);
+    non-WAV payloads raise NotImplementedError there (compressed audio
+    needs soundfile/librosa). With ``fake=True`` the payload bytes are
+    treated directly as centered int8 samples (b - 128) — the
+    deterministic, oracle-reproducible twin. Either way, per-window RMS +
+    zero-crossing counts are computed with numpy over ``window_bytes``
+    samples per window, one output row per (payload, window); RMS is
+    emitted as a fixed 6-decimal string so results are bit-stable across
+    numpy builds."""
+
+    def _wav_samples(payload: bytes):
+        """stdlib WAV decode -> centered float64 samples (channel 0)."""
+        import io
+        import wave
+
+        import numpy as np
+
+        try:
+            with wave.open(io.BytesIO(payload)) as wf:
+                nch = wf.getnchannels()
+                sw = wf.getsampwidth()
+                raw = wf.readframes(wf.getnframes())
+        except (wave.Error, EOFError) as exc:
+            raise NotImplementedError(
+                "payload is not PCM WAV; compressed audio requires "
+                "soundfile/librosa (or run with fake=True)"
+            ) from exc
+        if sw == 1:
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        elif sw == 2:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        else:
+            raise NotImplementedError(
+                f"{8 * sw}-bit WAV requires soundfile; stdlib path covers "
+                "8/16-bit PCM"
+            )
+        return arr[::nch] if nch > 1 else arr
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/librosa; "
-                    "run with fake=True"
-                )
             ids, idxs, rms_l, zc_l = [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                samples = np.frombuffer(bytes(p), dtype=np.uint8).astype(
-                    np.float64
-                ) - 128.0
+                if fake:
+                    samples = np.frombuffer(bytes(p), dtype=np.uint8).astype(
+                        np.float64
+                    ) - 128.0
+                else:
+                    samples = _wav_samples(bytes(p))
                 for w in range(0, max(len(samples), 1), window_bytes):
                     win = samples[w:w + window_bytes]
                     if len(win) == 0:

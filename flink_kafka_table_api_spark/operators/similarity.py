@@ -216,6 +216,30 @@ def ivf_build_index(
     )
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the delta to clusters and
+    APPEND into the partitioned index — the faiss ``add``-after-train
+    posture. Cost is O(|delta| * k) assignment + a write that touches only
+    the delta's cluster partitions; the existing index files are never
+    rewritten, so ingest can run continuously while queries keep pruning.
+    Centroids stay fixed (retrain + full rebuild only when drift warrants
+    it — a policy decision, not a per-append cost)."""
+    assign = ivf_assign(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
+    (
+        new_vectors.join(assign, id_col)
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
 def ivf_route(
     centroids: DataFrame,
     query: DataFrame,

@@ -88,9 +88,29 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return stream
 
 
+def _release_previous_caches(fn: Q) -> Q:
+    """Query-registry cache boundary: operators persist() intermediates via
+    caching.tracked_persist, but the consuming action (collect/count) runs
+    in the CALLER after the registered callable returns, so the callable
+    cannot free its own caches. Instead, every registered query frees the
+    PREVIOUS query's tracked caches on entry — in any harness (driver
+    correctness loop, bench, a notebook), back-to-back queries can
+    accumulate at most one query's worth of persisted state."""
+    import functools
+
+    from flink_kafka_table_api_spark.caching import release_cached
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        release_cached()
+        return fn(spark, sf)
+
+    return wrapped
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: Q) -> Q:
-        QUERIES[name] = fn
+        QUERIES[name] = _release_previous_caches(fn)
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -147,9 +147,117 @@ def test_multimodal_decode_plumbing(spark):
 
 
 def test_multimodal_real_decode_is_stubbed(spark):
+    """Formats with no stdlib decode path still refuse loudly in real mode."""
     df = spark.createDataFrame([(1, bytearray(b"x"))], ["doc_id", "payload"])
     with pytest.raises(Exception, match="NotImplementedError|fake=True"):
         mm.decode_image_meta(df, fake=False).collect()
+
+
+def _make_bmp(w: int, h: int) -> bytes:
+    import struct
+
+    row = (w * 3 + 3) & ~3  # rows padded to 4 bytes (24bpp)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + row * h, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h,
+                      2835, 2835, 0, 0)
+        + b"\x00" * (row * h)
+    )
+
+
+def _make_png(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _make_gif(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00;"
+
+
+def test_multimodal_real_header_decode(spark):
+    """REAL (stdlib struct) dimension decode of actual BMP/PNG/GIF bytes,
+    through both the pandas and the arrow mapIn* paths."""
+    rows = [
+        (1, bytearray(_make_bmp(17, 9))),
+        (2, bytearray(_make_png(640, 480))),
+        (3, bytearray(_make_gif(320, 200))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    want = {1: ("bmp", 17, 9), 2: ("png", 640, 480), 3: ("gif", 320, 200)}
+    for decode in (mm.decode_image_meta, mm.decode_image_meta_arrow):
+        got = {
+            r.doc_id: (r.format, r.width, r.height)
+            for r in decode(df, fake=False).collect()
+        }
+        assert got == want, decode.__name__
+    # top-down BMP (negative biHeight) normalizes to positive
+    import struct
+
+    bmp = bytearray(_make_bmp(5, 4))
+    bmp[22:26] = struct.pack("<i", -4)
+    assert mm.parse_image_dims(bytes(bmp)) == ("bmp", 5, 4)
+
+
+def test_audio_features_real_wav_decode(spark):
+    """REAL WAV decode through the stdlib wave module: a generated 16-bit
+    mono PCM file's windowed RMS/zero-crossings match a pure-Python
+    reference computed from the same samples."""
+    import io
+    import math
+    import struct
+    import wave
+
+    samples = [
+        int(1000 * math.sin(i / 5.0)) for i in range(600)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    payload = buf.getvalue()
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    got = {
+        r.window_idx: (r.rms, r.zero_crossings)
+        for r in mm.audio_features(df, window_bytes=256, fake=False).collect()
+    }
+    assert len(got) == 3  # 600 samples / 256 per window
+    for w in range(3):
+        win = [float(s) for s in samples[w * 256:(w + 1) * 256]]
+        rms = f"{math.sqrt(sum(x * x for x in win) / len(win)):.6f}"
+        assert got[w][0] == rms
+    # stereo: channel 0 is taken; 8-bit: centered at 128
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([200, 50] * 10))  # L=200, R=50
+    df2 = spark.createDataFrame(
+        [(8, bytearray(buf2.getvalue()))], "doc_id long, payload binary"
+    )
+    r = mm.audio_features(df2, window_bytes=256, fake=False).collect()[0]
+    assert r.rms == f"{200 - 128:.6f}"  # constant channel-0 signal
+    assert r.zero_crossings == 0
+    # non-WAV bytes refuse loudly in real mode
+    df3 = spark.createDataFrame(
+        [(9, bytearray(b"not a wav"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|fake=True"):
+        mm.audio_features(df3, fake=False).collect()
 
 
 def test_kmeans_lloyd_separates_blobs(spark):
@@ -175,6 +283,74 @@ def test_kmeans_lloyd_separates_blobs(spark):
         by_parity[r.vec_id % 2].add(r.cluster)
     assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
     assert by_parity[0] != by_parity[1]
+
+
+def test_ivf_append_equals_one_shot_build(spark, tmp_path):
+    """Index maintenance contract: building over the full corpus in one
+    shot and building over a prefix then ivf_append-ing deltas must yield
+    the SAME index (same rows per cluster, same query answers) — appends
+    assign only the delta, never rewrite existing partitions."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyspark.sql.functions as F
+
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_embedding")
+    )
+    one_shot = str(tmp_path / "ivf_full")
+    sim.ivf_build_index(emb, centroids, one_shot)
+
+    grown = str(tmp_path / "ivf_grown")
+    sim.ivf_build_index(emb.filter(F.col("vec_id") % 3 == 0), centroids, grown)
+    import glob
+
+    files_before = set(glob.glob(grown + "/cluster=*/*.parquet"))
+    sim.ivf_append(emb.filter(F.col("vec_id") % 3 == 1), centroids, grown)
+    sim.ivf_append(emb.filter(F.col("vec_id") % 3 == 2), centroids, grown)
+    # append-only: every pre-existing index file survives untouched
+    assert files_before <= set(glob.glob(grown + "/cluster=*/*.parquet"))
+
+    a = spark.read.parquet(one_shot).select("vec_id", "cluster")
+    b = spark.read.parquet(grown).select("vec_id", "cluster")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    query_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    qc = sim.ivf_route(centroids, query_df, nprobe=2)
+    got_a = sim.ivf_topk_indexed(spark, one_shot, qc, query_df, k=10).collect()
+    got_b = sim.ivf_topk_indexed(spark, grown, qc, query_df, k=10).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got_a] == \
+           [(r.vec_id, r.cosine_sim) for r in got_b]
+
+
+def test_ivf_nprobe_recall_vs_bruteforce(spark, tmp_path):
+    """nprobe is the recall knob: measured top-10 overlap with exact
+    brute-force must be monotone in nprobe and clear a floor on the
+    fixture corpus — a quality contract, not just a plan shape."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyspark.sql.functions as F
+
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_embedding")
+    )
+    path = str(tmp_path / "ivf_recall")
+    sim.ivf_build_index(emb, centroids, path)
+    query_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    exact = {r.vec_id for r in sim.brute_force_topk(emb, query_df, 10).collect()}
+    recalls = {}
+    for nprobe in (1, 2, 8):
+        qc = sim.ivf_route(centroids, query_df, nprobe=nprobe)
+        got = {
+            r.vec_id
+            for r in sim.ivf_topk_indexed(spark, path, qc, query_df, 10).collect()
+        }
+        recalls[nprobe] = len(got & exact) / 10
+    assert recalls[1] >= 0.3  # floor: the query's own cluster carries signal
+    assert recalls[1] <= recalls[2] <= recalls[8]
+    assert recalls[8] == 1.0  # probing every cluster IS brute force
 
 
 def test_audio_features_matches_python_reference(spark):
