@@ -29,8 +29,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from flink_kafka_table_api_spark.queries import QUERIES  # noqa: E402
+from flink_kafka_table_api_spark.queries import (  # noqa: E402
+    BENCH_ONLY,
+    QUERIES,
+)
 from flink_kafka_table_api_spark.session import get_spark  # noqa: E402
+
+# registered contract queries + the bench-only xxhash64 perf twins
+RUNNABLE = {**QUERIES, **BENCH_ONLY}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -122,7 +128,7 @@ def main() -> None:
     spreads: dict[str, list[float]] = {}
     first_runs: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = RUNNABLE[name]
         n_runs = max(5, n_runs_default) if name.startswith(noisy) \
             else n_runs_default
         runs: list[float] = []

@@ -44,12 +44,29 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
-def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def kgram_strings(toks: Column, k: int) -> Column:
+    """Overlapping k-token windows rendered as strings (the Gopher
+    repetition unit); short docs collapse to one whole-doc gram."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", *, repetition_k: int | None = None
+) -> DataFrame:
     """Heuristic document quality features + composite score.
 
     Features follow the standard LLM-data-curation recipe (length, mean word
     length, stopword ratio, alnum ratio); score is a transparent linear blend
-    so the oracle can reproduce it exactly.
+    so the oracle can reproduce it exactly. With ``repetition_k`` set, the
+    Gopher duplicate-k-gram signal (n_grams, repetition_ratio — see
+    :func:`with_repetition_score`) is appended in the SAME narrow pass.
     """
     df = ensure_parallelism(df)
     toks = tokens(text_col)
@@ -65,14 +82,26 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + stop_ratio * 0.3
         + alnum_ratio * 0.3
     )
-    return df.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         n_tok.alias("n_tokens"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alnum_ratio, 6).alias("alnum_ratio"),
         F.round(score, 6).alias("quality_score"),
-    )
+    ]
+    if repetition_k is not None:
+        grams = kgram_strings(toks, repetition_k)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        cols += [
+            total.cast("long").alias("n_grams"),
+            F.round(
+                F.when(total > 0, 1 - distinct.cast("double") / total)
+                .otherwise(0.0), 6,
+            ).alias("repetition_ratio"),
+        ]
+    return df.select(*cols)
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -207,14 +236,7 @@ def with_repetition_score(
     array algebra, no shuffle."""
     df = ensure_parallelism(df)
     toks = tokens(text_col)
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    grams = kgram_strings(toks, k)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return df.select(

@@ -22,7 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from flink_kafka_table_api_spark.queries import QUERIES  # noqa: E402
+from flink_kafka_table_api_spark.queries import (  # noqa: E402
+    BENCH_ONLY,
+    QUERIES,
+)
+
+RUNNABLE = {**QUERIES, **BENCH_ONLY}
 from flink_kafka_table_api_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
@@ -78,10 +83,10 @@ def main() -> None:
     print("|---|---|---|---|")
     for name in MEASURE:
         t0 = time.perf_counter()
-        QUERIES[name](spark, BASE).count()
+        RUNNABLE[name](spark, BASE).count()
         t1x = time.perf_counter() - t0
         t0 = time.perf_counter()
-        QUERIES[name](spark, out_dir).count()
+        RUNNABLE[name](spark, out_dir).count()
         tnx = time.perf_counter() - t0
         print(f"| {name} | {t1x:.2f} | {tnx:.2f} | {tnx / (n * t1x):.2f} |")
     spark.stop()
