@@ -387,6 +387,43 @@ def kmeans_lloyd(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public recipe: Abbas et al.
+    2023, "SemDeDup" — cluster embeddings, then drop within-cluster pairs
+    above a cosine threshold, keeping one representative).
+
+    Scale shape: the coarse clustering BOUNDS the pair space exactly like
+    LSH banding bounds MinHash candidates — pairs are only computed within
+    a cluster (sum of |cluster|^2, never corpus^2), and the greedy
+    keep-lowest-id rule needs no iteration: a document is dropped iff it
+    has an above-threshold neighbor with a smaller id, which the (a < b)
+    pair orientation gives directly. One broadcast assignment pass + one
+    blocked self-join; no driver-side state.
+
+    Returns the KEEP list (id, cluster) — the semantic-duplicate survivors.
+    """
+    assign = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    )
+    clustered = vectors.join(assign, id_col)
+    pairs = neardup_pairs(
+        clustered, block_col="cluster", threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    drops = pairs.select(F.col("b").alias(id_col)).distinct()
+    return (
+        clustered.join(drops, id_col, "left_anti")
+        .select(id_col, "cluster")
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     *,

@@ -1398,6 +1398,43 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup",
+    f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT v.vec_id, arg_min(c.c_id, 1 - {cosine_sql('v.embedding', 'c.c_emb')})
+               AS cluster
+      FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
+    ), clustered AS (
+      SELECT v.vec_id, v.embedding, a.cluster
+      FROM embeddings v JOIN assign a ON v.vec_id = a.vec_id
+    ), pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM clustered x JOIN clustered y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE round({cosine_sql('x.embedding', 'y.embedding')}, 6) >= 0.4
+    )
+    SELECT c.vec_id, c.cluster
+    FROM clustered c
+    WHERE c.vec_id NOT IN (SELECT b FROM pairs)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public recipe, Abbas et al.
+    2023): coarse cluster assignment over the 8 deterministic centroids
+    bounds the pair space, within-cluster cosine pairs >= threshold mark
+    semantic duplicates, lowest id survives. Threshold 0.4 is calibrated
+    to this synthetic corpus (see embedding_neardup); a real run uses
+    ~0.95+ on meaningful embeddings. Output = the keep list."""
+    emb = _t(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_embedding")
+    )
+    return sim.semantic_dedup(emb, centroids, threshold=0.4)
+
+
 _Q_COS = cosine_sql("v.embedding", "q.q_embedding")
 
 
@@ -3034,8 +3071,8 @@ _PRIORITY: list[str] = [
     "tpch_q13_custdist", "tpch_q16_supplier_cnt", "tpch_q21_waiting",
     "corr_avg_subquery", "cold_customers",
     # dedup / similarity tail
-    "simhash_pairs", "embedding_neardup", "incremental_neardup",
-    "ann_ivf_nprobe2", "ann_ivf_trained",
+    "simhash_pairs", "embedding_neardup", "semantic_dedup",
+    "incremental_neardup", "ann_ivf_nprobe2", "ann_ivf_trained",
     # text tail
     "top_bigrams", "text_clean", "fingerprint", "udtf_sentences",
     "grouped_agg_udf", "approx_distinct",
@@ -3047,9 +3084,11 @@ _PRIORITY: list[str] = [
     # streaming tail
     "stream_session", "stream_sliding", "stream_static_join",
     "stream_approved", "stream_dedup",
-    # --- 41-50: per-family anchors (re-proven every round) ---
+    # --- 42-50: per-family anchors (re-proven every round; neardup_verified
+    # yields its slot to semantic_dedup — its pipeline is also exercised
+    # end-to-end inside the llm_curation_packed anchor) ---
     "approved_transactions", "connector_approved", "pricing_summary",
-    "join_inner_agg", "dedup_minhash", "neardup_verified", "ann_ivf",
+    "join_inner_agg", "dedup_minhash", "ann_ivf",
     "tfidf", "stream_tumbling", "llm_curation_packed",
 ]
 

@@ -324,6 +324,33 @@ def test_ivf_append_equals_one_shot_build(spark, tmp_path):
            [(r.vec_id, r.cosine_sim) for r in got_b]
 
 
+def test_semantic_dedup_keeps_lowest_id_per_near_group(spark):
+    """SemDeDup contract: within a cluster, every doc with an
+    above-threshold neighbor of SMALLER id is dropped; group survivors are
+    the minima. Two tight blobs + one outlier -> 2 + 1 + outlier kept."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        # blob A (ids 10, 11, 12 nearly identical)
+        (10, [1.0, 0.0, 0.0]), (11, [0.999, 0.01, 0.0]), (12, [0.998, 0.02, 0.0]),
+        # blob B (ids 20, 21)
+        (20, [0.0, 1.0, 0.0]), (21, [0.0, 0.999, 0.01]),
+        # outlier, same cluster as B but below threshold to everything
+        (30, [0.0, 0.55, 0.84]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "c_id int, c_embedding array<float>",
+    )
+    kept = {
+        r.vec_id: r.cluster
+        for r in sim.semantic_dedup(df, cents, threshold=0.95).collect()
+    }
+    assert set(kept) == {10, 20, 30}
+    assert kept[10] == 0 and kept[20] == 1 and kept[30] == 1
+
+
 def test_ivf_nprobe_recall_vs_bruteforce(spark, tmp_path):
     """nprobe is the recall knob: measured top-10 overlap with exact
     brute-force must be monotone in nprobe and clear a floor on the
