@@ -2235,6 +2235,79 @@ def q_grouped_agg_udf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize",
+    """
+    WITH per AS (
+      SELECT label, len(embedding) AS dim,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ), er AS (
+      SELECT label, scale,
+             CASE WHEN scale = 0 THEN 0.0 ELSE
+               list_aggregate(list_transform(embedding,
+                 x -> (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale)
+                    * (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale)),
+                 'sum') / dim
+             END AS mse
+      FROM per
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(scale AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_scale,
+           ROUND(CAST(SUM(CAST(mse AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_mse
+    FROM er GROUP BY label
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 symmetric embedding quantization audit (the storage/ANN-speed
+    trade every 100 TB vector corpus makes): per-vector scale = max|x|/127,
+    per-vector reconstruction MSE of round(x/scale)*scale, aggregated per
+    label. All vector math is Catalyst higher-order functions (JVM codegen,
+    zero Python); the per-label averages accumulate through exact
+    DECIMAL(30,12) sums so parallel aggregation order cannot perturb the
+    oracle hash. At scale this is one narrow scan — no shuffle except the
+    final tiny per-label aggregate."""
+    emb = _t(spark, sf, "embeddings")
+    v = as_double_array("embedding")
+    df = (
+        emb.select("label", v.alias("__v"))
+        .withColumn("__dim", F.size("__v"))
+        .withColumn(
+            "__scale",
+            F.aggregate(
+                "__v", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+            ) / F.lit(127.0),
+        )
+        .withColumn(
+            "__mse",
+            F.when(F.col("__scale") == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    "__v",
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + (x - F.round(x / F.col("__scale")) * F.col("__scale"))
+                    * (x - F.round(x / F.col("__scale")) * F.col("__scale")),
+                )
+                / F.col("__dim")
+            ),
+        )
+    )
+    dec = "DECIMAL(30,12)"
+    return df.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("__scale").cast(dec)).cast("double") / F.count("*"), 9
+        ).alias("avg_scale"),
+        F.round(
+            F.sum(F.col("__mse").cast(dec)).cast("double") / F.count("*"), 9
+        ).alias("avg_mse"),
+    )
+
+
+@query(
     "stream_stream_join",
     """
     SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
@@ -2274,6 +2347,65 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("e_ts"))
         & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("error_id", "click_id", "user_id")
+    return _run_stream_to_table(joined, spark, "append")
+
+
+@query(
+    "stream_stream_left_join",
+    """
+    WITH e AS (SELECT event_id AS error_id, user_id, ts AS e_ts
+               FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST(
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+                - INTERVAL 5 SECOND AS w),
+         j AS (SELECT e.error_id, c.click_id, e.user_id, e.e_ts
+               FROM e LEFT JOIN c ON e.user_id = c.c_user
+                AND c.c_ts >= e.e_ts
+                AND c.c_ts <= e.e_ts + INTERVAL 10 MINUTE)
+    SELECT error_id, click_id, user_id FROM j, wm
+    WHERE click_id IS NOT NULL OR e_ts + INTERVAL 10 MINUTE < wm.w
+    """,
+)
+def q_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join: errors with no click from
+    the same user within 10 minutes emit a NULL-click row — but only once
+    the watermark passes the join window's upper bound, because until then a
+    matching click could still arrive. The oracle mirrors the runtime
+    semantics exactly: the global watermark is the MIN over both input
+    streams' (max event time - delay), and an unmatched error emits iff
+    e_ts + 10min < watermark (state eviction is strict); trailing errors
+    whose window the watermark never passed produce nothing. The time bound
+    is also what lets state evict — the 100 TB/day requirement."""
+    errors = (
+        _stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "5 seconds")
+    )
+    clicks = (
+        _stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "5 seconds")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
     ).select("error_id", "click_id", "user_id")
     return _run_stream_to_table(joined, spark, "append")
 
@@ -2803,6 +2935,297 @@ def q_tpch_q21_waiting(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("__late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    f"""
+    SELECT n_name, {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): the only large-table shuffles
+    are orders><customer (custkey) and ><lineitem (orderkey); supplier,
+    nation, and region are broadcast, and the local-supplier condition
+    (c_nationkey = s_nationkey) rides the supplier broadcast as a residual —
+    no extra shuffle. Region filter prunes nation before it ever touches a
+    fact table."""
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        _t(spark, sf, "nation")
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation),
+              supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "tpch_q7_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {dec_sum_sql('volume', 'revenue')}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between a nation pair): both nation
+    filters are pushed below the fact joins — supplier and customer are each
+    pre-joined (broadcast) to their single-nation dimension slice, so the
+    lineitem><orders shuffle only carries rows that can still satisfy the
+    pair predicate. The OR-of-pairs residual runs on broadcast-joined
+    name columns, no shuffle."""
+    nations = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nations),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(nations),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dec_sum("volume", "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q10_returns",
+    f"""
+    SELECT c_custkey, c_name,
+           {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting, top 20 customers): the
+    quarter filter prunes orders before the lineitem join, the returnflag
+    filter prunes lineitem at the scan (both reach PushedFilters), nation is
+    broadcast, and the final top-20 is TakeOrderedAndProject — no global
+    sort materialization."""
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation),
+              cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q12_priority",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split; l_linestatus plays
+    l_shipmode — the testdata carries no shipmode column): conditional
+    aggregation over one orderkey shuffle join. Both CASE counts partial-
+    aggregate map-side, so the shuffle after the join carries 2 longs per
+    (status) group per task, not per row."""
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo",
+    f"""
+    SELECT ROUND(
+      100.0 * {dec_sum_sql(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+        "ELSE 0 END", 'promo')[:-9]}
+      / {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'total')[:-9]},
+      6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1998-02-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): part is broadcast into the
+    month-pruned lineitem slice; the two conditional sums run through exact
+    DECIMAL accumulation (order-insensitive — a parallel double sum would be
+    nondeterministic) and only the final ratio is computed in double."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1998-02-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dec_sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0),
+                    "promo"),
+            dec_sum(disc, "total"),
+        )
+    )
+    return agg.select(
+        F.round(100.0 * F.col("promo") / F.col("total"), 6)
+        .alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    f"""
+    SELECT {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 60)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate join; brand/size/quantity
+    bands play container/shipmode): the OR-of-bands predicate cannot be
+    pushed below the join as a whole, but its part-only implicant
+    (brand IN ... AND size <= 50) and lineitem-only implicant
+    (quantity <= 60) ARE derived and pushed to each scan, so the broadcast
+    join evaluates the residual on a pre-pruned slice — the classic
+    disjunction-factoring plan."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bands = (
+        ((b == "Brand#1") & s.between(1, 15) & (q >= 1) & (q <= 20))
+        | ((b == "Brand#2") & s.between(10, 30) & (q >= 10) & (q <= 40))
+        | ((b == "Brand#3") & s.between(20, 50) & (q >= 20) & (q <= 60))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bands)
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    "revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
     )
 
 
