@@ -295,3 +295,66 @@ def test_stream_windows_run_in_append_mode(spark):
     max_end = out.agg(F.max("window_end")).first()[0]
     max_ts = read_table(spark, SF, "events").agg(F.max("ts")).first()[0]
     assert max_end <= max_ts - datetime.timedelta(seconds=5)
+
+
+def test_tpch_q10_is_take_ordered_with_pushed_filters(spark):
+    """Q10's top-20 must compile to TakeOrderedAndProject (no global sort
+    materialization) and both selective filters must reach their scans."""
+    plan = _plan(QUERIES["tpch_q10_returns"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "(l_returnflag" in plan  # pushed into the lineitem scan
+    assert "(o_orderdate" in plan  # quarter bound pushed into orders
+
+
+def test_tpch_q19_disjunct_implicants_reach_scans(spark):
+    """The OR-of-bands predicate cannot move below the join whole, but
+    Catalyst must factor per-table implicants out of the disjunction and
+    push them: quantity bounds to lineitem, brand/size bounds to part.
+    Loses either one -> the join reads the full fact table at 100 TB."""
+    plan = _plan(QUERIES["tpch_q19_disjunctive"](spark, SF))
+    li_scan = [s for s in plan.split("FileScan parquet ")
+               if s.startswith("[l_partkey")][0].split("ReadSchema")[0]
+    part_scan = [s for s in plan.split("FileScan parquet ")
+                 if s.startswith("[p_partkey")][0].split("ReadSchema")[0]
+    # Spark truncates long filter renderings with '...', so pin the shape:
+    # each scan's PushedFilters must contain an Or(...) over its own columns.
+    li_pushed = li_scan.split("PushedFilters: ")[1]
+    part_pushed = part_scan.split("PushedFilters: ")[1]
+    assert "Or(" in li_pushed and "l_quantity" in li_pushed
+    assert "Or(" in part_pushed and "p_brand" in part_pushed
+    assert "p_size" in part_pushed
+
+
+def test_stream_left_join_withholds_open_tail(spark):
+    """Left-outer stream-stream join: null-match rows may only exist for
+    errors whose join window the final watermark passed; open-tail errors
+    must be withheld (their match could still arrive)."""
+    import datetime
+
+    from flink_kafka_table_api_spark.catalog import read_table
+
+    out = QUERIES["stream_stream_left_join"](spark, SF).collect()
+    ev = read_table(spark, SF, "events")
+    mx = (
+        ev.filter(F.col("event_type").isin("error", "click"))
+        .groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    )
+    wm = min(r.m for r in mx) - datetime.timedelta(seconds=5)
+    errors = {
+        r.event_id: r.ts
+        for r in ev.filter(F.col("event_type") == "error")
+        .select("event_id", "ts").collect()
+    }
+    bound = wm - datetime.timedelta(minutes=10)
+    for r in out:
+        if r.click_id is None:
+            assert errors[r.error_id] < bound  # strictly closed window only
+
+
+def test_embedding_quantize_is_single_narrow_scan(spark):
+    """Quantization audit: one parquet scan, one aggregate exchange (the
+    tiny per-label rollup), no joins, no Python."""
+    plan = _plan(QUERIES["embedding_quantize"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
