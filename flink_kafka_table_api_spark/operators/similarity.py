@@ -85,6 +85,91 @@ def brute_force_topk(
     )
 
 
+def int8_quantize(vec_col: Column | str) -> Column:
+    """Symmetric int8 quantization of an array<float> vector: each component
+    becomes round(x / (max|x|/127)) as a long. The per-vector scale cancels
+    in cosine similarity, so quantized search needs no scale column at all —
+    and every downstream accumulation (dot, norm^2) is exact 64-bit integer
+    arithmetic: deterministic under ANY aggregation order, which is why the
+    quantized path needs none of the decimal-sum portability machinery."""
+    v = as_double_array(vec_col)
+    amax = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    return F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(F.transform(v, lambda x: F.round(x / scale).cast("long")))
+
+
+def int8_quantize_sql(vec_expr: str) -> str:
+    """DuckDB rendering of :func:`int8_quantize`."""
+    amax = (f"list_aggregate(list_transform({vec_expr},"
+            f" x -> abs(CAST(x AS DOUBLE))), 'max')")
+    return (
+        f"CASE WHEN {amax} = 0 THEN list_transform({vec_expr}, x -> 0::BIGINT)"
+        f" ELSE list_transform({vec_expr},"
+        f" x -> CAST(round(CAST(x AS DOUBLE) / ({amax} / 127.0)) AS BIGINT))"
+        f" END"
+    )
+
+
+def int_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over two array<long> quantized vectors: exact integer dot and
+    squared norms, one double division at the end."""
+    idot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    n2 = lambda q: F.aggregate(  # noqa: E731
+        q, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return idot.cast("double") / (
+        F.sqrt(n2(qa).cast("double")) * F.sqrt(n2(qb).cast("double"))
+    )
+
+
+def int_cosine_sql(a: str, b: str) -> str:
+    idot = (f"list_aggregate(list_transform(list_zip({a}, {b}),"
+            f" p -> p[1] * p[2]), 'sum')")
+    na = (f"sqrt(CAST(list_aggregate(list_transform({a}, x -> x * x),"
+          f" 'sum') AS DOUBLE))")
+    nb = (f"sqrt(CAST(list_aggregate(list_transform({b}, x -> x * x),"
+          f" 'sum') AS DOUBLE))")
+    return f"(CAST({idot} AS DOUBLE) / ({na} * {nb}))"
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors — the
+    memory-bound scale path: a 100 TB float32 corpus becomes ~25 TB of
+    int8 payload (4x less scan + shuffle + cache), at the cost of
+    quantization error in the ranking. Same physical plan as the exact
+    path (broadcast 1-row query, TakeOrderedAndProject); at production
+    scale the quantized column is materialized at ingest so the scan never
+    touches the float vectors. Recall vs brute force is pinned in
+    tests/test_operators.py."""
+    qv = vectors.select(
+        F.col(id_col), int8_quantize(vec_col).alias("__qv")
+    )
+    qq = query.select(int8_quantize(query_vec_col).alias("__qq"))
+    return (
+        qv.crossJoin(F.broadcast(qq))
+        .select(
+            id_col,
+            F.round(int_cosine(F.col("__qv"), F.col("__qq")), 6)
+            .alias("q_cosine_sim"),
+        )
+        .orderBy(F.col("q_cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """p-bit signed-projection bucket id for an array<float> vector column."""
     v = as_double_array(vec_col)

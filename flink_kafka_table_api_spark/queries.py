@@ -1457,6 +1457,37 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return sim.brute_force_topk(emb, query_df, k=10)
 
 
+@query(
+    "ann_quantized",
+    f"""
+    WITH qv AS (
+      SELECT vec_id, {sim.int8_quantize_sql('embedding')} AS qe
+      FROM embeddings
+    ), qq AS (
+      SELECT {sim.int8_quantize_sql('embedding')} AS qe
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT v.vec_id,
+           round({sim.int_cosine_sql('v.qe', 'q.qe')}, 6) AS q_cosine_sim
+    FROM qv v CROSS JOIN qq q
+    ORDER BY q_cosine_sim DESC, v.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8-quantized cosine top-10 (the 4x-less-memory scale path): the
+    per-vector scale cancels in cosine, so ranking runs entirely on exact
+    integer dot products/norms — deterministic under any aggregation order.
+    Same plan as ann_bruteforce (broadcast 1-row query side,
+    TakeOrderedAndProject); recall vs the exact ranking is pinned in
+    tests."""
+    emb = _t(spark, sf, "embeddings")
+    query_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return sim.quantized_topk(emb, query_df, k=10)
+
+
 # 4 planes = 16 buckets: sized so a bucket holds ~1/16 of the corpus —
 # enough candidates for a top-10 at test scale. At production scale you
 # raise planes with corpus size (bucket occupancy ~ n / 2^planes).

@@ -380,6 +380,38 @@ def test_ivf_nprobe_recall_vs_bruteforce(spark, tmp_path):
     assert recalls[8] == 1.0  # probing every cluster IS brute force
 
 
+def test_quantized_topk_recall_and_exact_integer_scores(spark):
+    """Int8-quantized top-k: (1) recall vs the exact float ranking clears a
+    floor on the fixture corpus (quantization is lossy but mild at 64 dims);
+    (2) a quantized score recomputed in numpy from the same int8 vectors is
+    bit-identical — integer accumulation leaves no engine wiggle room."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    exact = {r.vec_id for r in sim.brute_force_topk(emb, query_df, 10).collect()}
+    got = sim.quantized_topk(emb, query_df, 10).collect()
+    assert len(got) == 10
+    assert len({r.vec_id for r in got} & exact) / 10 >= 0.7
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.filter(F.col("vec_id").isin(0, got[0].vec_id))
+            .select("vec_id", "embedding").collect()}
+
+    def q8(v):
+        s = np.abs(v).max() / 127.0
+        return np.rint(v / s).astype(np.int64) if s else np.zeros_like(v, int)
+
+    qa, qb = q8(vecs[got[0].vec_id]), q8(vecs[0])
+    ref = float(qa @ qb) / (
+        np.sqrt(float(qa @ qa)) * np.sqrt(float(qb @ qb))
+    )
+    assert got[0].q_cosine_sim == round(ref, 6)
+
+
 def test_audio_features_matches_python_reference(spark):
     """Windowed RMS/zero-crossings pinned against a pure-Python model."""
     import math
