@@ -2442,6 +2442,72 @@ def q_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_full_join",
+    """
+    WITH e AS (SELECT event_id AS error_id, user_id, ts AS e_ts
+               FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST(
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+                - INTERVAL 5 SECOND AS w),
+         j AS (SELECT e.error_id, c.click_id, e.user_id AS e_user,
+                      c.c_user, e.e_ts, c.c_ts
+               FROM e FULL JOIN c ON e.user_id = c.c_user
+                AND c.c_ts >= e.e_ts
+                AND c.c_ts <= e.e_ts + INTERVAL 10 MINUTE)
+    SELECT error_id, click_id, COALESCE(e_user, c_user) AS user_id
+    FROM j, wm
+    WHERE (error_id IS NOT NULL AND click_id IS NOT NULL)
+       OR (click_id IS NULL AND e_ts + INTERVAL 10 MINUTE < wm.w)
+       OR (error_id IS NULL AND c_ts < wm.w)
+    """,
+)
+def q_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked FULL OUTER stream-stream join. Null emission is
+    asymmetric because state lifetime is: an unmatched ERROR's state can
+    only be dropped once the watermark passes its whole 10-minute match
+    window (e_ts + 10min < wm), but an unmatched CLICK only had to wait
+    for late errors within the watermark delay — its state drops as soon
+    as c_ts < wm, since any error it could still match would have
+    e_ts >= c_ts - 10min and such errors are no longer admissible once
+    the watermark passes c_ts. The oracle encodes both eviction bounds
+    explicitly; trailing rows on either side stay withheld."""
+    errors = (
+        _stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "5 seconds")
+    )
+    clicks = (
+        _stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "5 seconds")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select(
+        "error_id", "click_id",
+        F.coalesce("user_id", "c_user").alias("user_id"),
+    )
+    return _run_stream_to_table(joined, spark, "append")
+
+
+@query(
     "stream_static_join",
     f"""
     WITH agg AS (
