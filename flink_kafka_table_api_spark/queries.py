@@ -3079,7 +3079,7 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -3117,10 +3117,12 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping between a nation pair): both nation
     filters are pushed below the fact joins — supplier and customer are each
-    pre-joined (broadcast) to their single-nation dimension slice, so the
-    lineitem><orders shuffle only carries rows that can still satisfy the
-    pair predicate. The OR-of-pairs residual runs on broadcast-joined
-    name columns, no shuffle."""
+    pre-joined (broadcast nation, bounded by construction) to their
+    single-nation dimension slice, so the lineitem><orders shuffle only
+    carries rows that can still satisfy the pair predicate. The filtered
+    supplier/customer slices themselves are SF-proportional, so they carry
+    no broadcast hint — AQE broadcasts them at bench scale and shuffles
+    past the threshold."""
     nations = _t(spark, sf, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2")
     ).select("n_nationkey", "n_name")
@@ -3142,7 +3144,7 @@ def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     )
     orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(
@@ -3260,8 +3262,9 @@ def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q14 shape (promotion effect): part is broadcast into the
-    month-pruned lineitem slice; the two conditional sums run through exact
+    """TPC-H Q14 shape (promotion effect): part joins the month-pruned
+    lineitem slice with no broadcast hint (part is SF-proportional; AQE
+    broadcasts at bench scale only); the two conditional sums run through exact
     DECIMAL accumulation (order-insensitive — a parallel double sum would be
     nondeterministic) and only the final ratio is computed in double."""
     li = _t(spark, sf, "lineitem").filter(
@@ -3271,7 +3274,7 @@ def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
     part = _t(spark, sf, "part").select("p_partkey", "p_type")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             dec_sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0),
                     "promo"),
@@ -3303,9 +3306,10 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     bands play container/shipmode): the OR-of-bands predicate cannot be
     pushed below the join as a whole, but its part-only implicant
     (brand IN ... AND size <= 50) and lineitem-only implicant
-    (quantity <= 60) ARE derived and pushed to each scan, so the broadcast
-    join evaluates the residual on a pre-pruned slice — the classic
-    disjunction-factoring plan."""
+    (quantity <= 60) ARE derived and pushed to each scan, so the join
+    evaluates the residual on two pre-pruned slices — the classic
+    disjunction-factoring plan. No broadcast hint on part (SF-proportional;
+    AQE decides)."""
     li = _t(spark, sf, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
@@ -3316,7 +3320,7 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
         | ((b == "Brand#3") & s.between(20, 50) & (q >= 20) & (q <= 60))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(bands)
         .agg(
             dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
