@@ -358,3 +358,34 @@ def test_embedding_quantize_is_single_narrow_scan(spark):
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_stream_full_join_withholds_both_open_tails(spark):
+    """Full-outer stream-stream join: unmatched errors obey the window
+    bound (e_ts + 10min < wm), unmatched clicks only the watermark itself
+    (c_ts < wm) — the asymmetric state-eviction contract."""
+    import datetime
+
+    from flink_kafka_table_api_spark.catalog import read_table
+
+    out = QUERIES["stream_stream_full_join"](spark, SF).collect()
+    ev = read_table(spark, SF, "events")
+    mx = (
+        ev.filter(F.col("event_type").isin("error", "click"))
+        .groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    )
+    wm = min(r.m for r in mx) - datetime.timedelta(seconds=5)
+    ts_of = {
+        r.event_id: r.ts
+        for r in ev.filter(F.col("event_type").isin("error", "click"))
+        .select("event_id", "ts").collect()
+    }
+    saw_null_click = saw_null_error = False
+    for r in out:
+        if r.click_id is None:
+            saw_null_click = True
+            assert ts_of[r.error_id] < wm - datetime.timedelta(minutes=10)
+        elif r.error_id is None:
+            saw_null_error = True
+            assert ts_of[r.click_id] < wm
+    assert saw_null_click and saw_null_error  # both outer sides exercised
