@@ -1540,7 +1540,9 @@ def _ivf_index_for(spark: SparkSession, sf: str) -> str:
     if key not in _IVF_INDEX_CACHE:
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".cache", "ivf", _hl.md5(key.encode()).hexdigest()[:12],
+            # v2: the index also materializes the int8 "qe" column —
+            # versioning the path invalidates stale pre-qe caches
+            ".cache", "ivf", _hl.md5(f"v2:{key}".encode()).hexdigest()[:12],
         )
         emb = _t(spark, sf, "embeddings")
         centroids = emb.filter(F.col("vec_id") < 8).select(
@@ -1635,6 +1637,56 @@ def q_ann_ivf_nprobe2(spark: SparkSession, sf: str) -> DataFrame:
     index_path = _ivf_index_for(spark, sf)
     qclusters = sim.ivf_route(centroids, query_df, nprobe=2)
     return sim.ivf_topk_indexed(spark, index_path, qclusters, query_df, k=10)
+
+
+@query(
+    "ann_ivf_quantized",
+    f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT v.vec_id, arg_min(c.c_id, 1 - {_IVF_COS_VC}) AS cluster
+      FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
+    ), q AS (
+      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+    ), qa AS (
+      SELECT arg_min(c.c_id, 1 - {_IVF_COS_QC}) AS qcluster
+      FROM q CROSS JOIN centroids c
+    ), qv AS (
+      SELECT v.vec_id, {sim.int8_quantize_sql('v.embedding')} AS qe
+      FROM embeddings v
+      JOIN assign a ON v.vec_id = a.vec_id
+      JOIN qa ON a.cluster = qa.qcluster
+    ), qq AS (
+      SELECT {sim.int8_quantize_sql('q.q_emb')} AS qe FROM q
+    )
+    SELECT v.vec_id,
+           round({sim.int_cosine_sql('v.qe', 'q.qe')}, 6) AS q_cosine_sim
+    FROM qv v CROSS JOIN qq q
+    ORDER BY q_cosine_sim DESC, v.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF + int8: the two orthogonal scale levers composed. The query
+    routes driver-side and the scan prunes to one cluster partition (same
+    as ann_ivf), but it reads the index's materialized int8 column instead
+    of the float vectors — nprobe/k of the rows at 1/4 the bytes per row.
+    Scoring is exact integer arithmetic, so the DuckDB oracle (which
+    re-derives assignment + quantization from the base table) matches
+    bit-for-bit."""
+    emb = _t(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_embedding")
+    )
+    query_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    index_path = _ivf_index_for(spark, sf)
+    qclusters = sim.ivf_route(centroids, query_df, nprobe=1)
+    return sim.ivf_topk_indexed_quantized(
+        spark, index_path, qclusters, query_df, k=10
+    )
 
 
 @query("ann_ivf_trained")  # no oracle: iterative float means are

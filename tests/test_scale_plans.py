@@ -389,3 +389,20 @@ def test_stream_full_join_withholds_both_open_tails(spark):
             saw_null_error = True
             assert ts_of[r.click_id] < wm
     assert saw_null_click and saw_null_error  # both outer sides exercised
+
+
+def test_ann_ivf_quantized_scan_reads_int8_not_floats(spark):
+    """The quantized IVF query must scan ONLY the routed cluster partition
+    of the index AND read only (vec_id, qe) — the float embedding column
+    must not appear in the index scan's ReadSchema (that's the 4x I/O
+    saving being real, not aspirational)."""
+    df = QUERIES["ann_ivf_quantized"](spark, SF)
+    plan = _plan(df)
+    assert ".cache/ivf/" in plan
+    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cluster" in part
+    idx_scan = [s for s in plan.split("FileScan parquet ")
+                if ".cache/ivf/" in s][0]
+    read_schema = idx_scan.split("ReadSchema:")[1].split("\n")[0]
+    assert "qe" in read_schema
+    assert "embedding" not in read_schema
