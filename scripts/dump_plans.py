@@ -53,15 +53,20 @@ SHOWCASE = {
     "json_funcs": "from_json evaluated once per row inside codegen; the "
                    "aggregation shuffles only (k, partial counts)",
     "tpch_q5_local_supplier": "only orders><customer and ><lineitem shuffle; "
-                              "supplier/nation/region broadcast, and the "
-                              "local-supplier condition rides the supplier "
-                              "broadcast as a residual — no extra shuffle",
+                              "nation/region broadcast (bounded by "
+                              "construction); supplier carries no hint — "
+                              "AQE broadcasts it at this scale and the "
+                              "local-supplier condition rides that join as "
+                              "a residual, no extra shuffle",
     "tpch_q10_returns": "quarter + returnflag filters at the scans; nation "
                         "broadcast; top-20 is TakeOrderedAndProject",
     "tpch_q19_disjunctive": "the OR-of-bands predicate is factored: each "
                             "scan's PushedFilters carries its table's "
                             "implicant of the disjunction, so the broadcast "
                             "join reads two pre-pruned slices",
+    "ann_ivf_quantized": "pruned index-partition scan whose ReadSchema is "
+                         "(vec_id, qe) only — the float embedding column "
+                         "is never read; integer-exact re-rank",
     "ann_quantized": "same broadcast + TakeOrderedAndProject plan as the "
                      "exact path, but scoring runs on int8-quantized "
                      "vectors — exact integer accumulation, 4x less "
