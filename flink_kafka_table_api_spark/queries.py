@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import normalize_nanos_ts, read_table
 from flink_kafka_table_api_spark.functions.portable import (
+    DEC,
     dec_avg,
     dec_avg_sql,
     dec_sum,
@@ -3141,6 +3142,167 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
         .agg(dec_sum(
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "tpch_q6_forecast",
+    f"""
+    SELECT {dec_sum_sql('l_extendedprice * l_discount', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (revenue-change forecast): the pure scan-bound query.
+    Every predicate reaches the parquet scan (PushedFilters on date,
+    discount band, quantity), zero joins, zero shuffles except the single
+    scalar-aggregate exchange — at 100 TB this is I/O-bound and prunable
+    by any date partitioning of lineitem."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    f"""
+    WITH volumes AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           ROUND(
+             {dec_sum_sql("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END", 'x')[:-5]}
+             / {dec_sum_sql('volume', 'x')[:-5]}, 6) AS mkt_share
+    FROM volumes GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the deepest join tree in the
+    suite (7 tables, p_container/partsupp-free adaptation). The selective
+    part(PROMO) filter prunes lineitem through the first join; customer
+    routes through nation->region (broadcast, bounded) to restrict to one
+    region; the market-share ratio is two conditional decimal sums per
+    year. Only lineitem><orders and orders><customer shuffle at scale —
+    everything else is bounded dims or AQE-decided."""
+    part = _t(spark, sf, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("volume"),
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (
+        _t(spark, sf, "nation")
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    cust = _t(spark, sf, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey")
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), supp.s_nationkey == n2.s_nkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "volume", "supp_nation",
+        )
+    )
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0)
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(nation_vol.cast(DEC)).cast("double").alias("__n"),
+            F.sum(F.col("volume").cast(DEC)).cast("double").alias("__d"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("__n") / F.col("__d"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier via the revenue view): the view is a
+    keyed aggregate computed ONCE and reused for both the max and the
+    equality filter (persist-free: Spark dedups the shared subplan under
+    AQE; the scalar max is a 1-row broadcast). Exact decimal revenue makes
+    the MAX/equality comparison engine-portable — a double sum would make
+    'equals the max' nondeterministic."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue")
+    )
+    max_rev = revenue.agg(
+        F.max("total_revenue").alias("__max_rev"))
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev),
+                     F.col("total_revenue") == F.col("__max_rev"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     )
 
 
