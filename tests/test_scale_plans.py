@@ -406,3 +406,12 @@ def test_ann_ivf_quantized_scan_reads_int8_not_floats(spark):
     read_schema = idx_scan.split("ReadSchema:")[1].split("\n")[0]
     assert "qe" in read_schema
     assert "embedding" not in read_schema
+
+
+def test_tpch_q6_is_pure_scan(spark):
+    """Q6 must stay scan-bound: no joins, every predicate in PushedFilters,
+    one scalar-aggregate exchange at most."""
+    plan = _plan(QUERIES["tpch_q6_forecast"](spark, SF))
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters: ")[1]
+    assert "l_discount" in pushed and "l_quantity" in pushed
