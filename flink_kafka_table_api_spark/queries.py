@@ -3281,18 +3281,24 @@ def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier via the revenue view): the view is a
-    keyed aggregate computed ONCE and reused for both the max and the
-    equality filter (persist-free: Spark dedups the shared subplan under
-    AQE; the scalar max is a 1-row broadcast). Exact decimal revenue makes
-    the MAX/equality comparison engine-portable — a double sum would make
-    'equals the max' nondeterministic."""
+    keyed aggregate computed ONCE — tracked-persisted, because Spark does
+    NOT dedup a shared subplan referenced twice (without the persist the
+    plan scans lineitem once for the max branch and again for the equality
+    branch; measured 4 scans under AQE). The scalar max is then a 1-row
+    broadcast against the tiny persisted aggregate. Exact decimal revenue
+    makes the MAX/equality comparison engine-portable — a double sum would
+    make 'equals the max' nondeterministic."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
     li = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1997-04-01")
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "total_revenue")
+    revenue = tracked_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    "total_revenue")
+        )
     )
     max_rev = revenue.agg(
         F.max("total_revenue").alias("__max_rev"))
