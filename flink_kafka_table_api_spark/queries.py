@@ -2392,6 +2392,68 @@ def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "time_decay_score",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             list_sort(list(struct_pack(ts := ts, event_id := event_id,
+                                        value := value))) AS evs
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           CAST(len(evs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(evs, e -> CAST(e.value AS DOUBLE))),
+             (a, x) -> a * CAST(0.6 AS DOUBLE) + x), 6) AS decay_score
+    FROM seqs
+    """,
+)
+def q_time_decay_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(user, day) exponentially-decayed activity score — the recency-
+    weighted sequence feature a training pipeline derives from event logs:
+    score = sum(value_i * 0.6^(n-i)) over the day's events in time order.
+    (0.6, not 0.5: a power-of-two decay keeps the fold binary-EXACT, which
+    lets results land on exact decimal .5 ties at the rounding scale where
+    Spark's BigDecimal HALF_UP and DuckDB's multiply-then-round disagree by
+    one ulp — observed once in 397 groups. An inexact multiplier makes
+    every step round, so such ties are unreachable while both engines
+    still execute the identical IEEE sequence.)
+    Built as collect_list(struct) -> sort_array -> left fold, all Catalyst
+    higher-order functions: the sort gives a canonical order (event_id
+    breaks ts ties), the fold fixes the accumulation sequence, so the
+    doubles are bit-identical in any engine that replays the same fold —
+    no decimal machinery needed even though the math is floating-point.
+    Scale: groups are bounded by one user-day of events (the same bound
+    every sessionization op in this repo relies on); the aggregation is a
+    single keyed shuffle, no window over an unpartitioned frame."""
+    ev = _t(spark, sf, "events")
+    seqs = (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("day", "ts").cast("timestamp").alias("day"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("evs")
+        )
+    )
+    vals = F.transform(F.col("evs"), lambda e: e["value"].cast("double"))
+    return seqs.select(
+        "user_id", "day",
+        F.size("evs").cast("long").alias("n_events"),
+        F.round(
+            F.aggregate(
+                vals, F.lit(0.0),
+                lambda acc, x: acc * F.lit(0.6) + x,
+            ), 6,
+        ).alias("decay_score"),
+    )
+
+
+@query(
     "stream_stream_join",
     """
     SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
