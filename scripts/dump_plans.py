@@ -74,6 +74,10 @@ SHOWCASE = {
     "embedding_quantize": "single narrow parquet scan, all vector math in "
                           "codegen'd higher-order functions, one tiny "
                           "per-label aggregate Exchange — no Python",
+    "time_decay_score": "one keyed shuffle into an ObjectHashAggregate "
+                        "(collect_list) + codegen'd sort/fold — the "
+                        "sequence-feature shape with no unpartitioned "
+                        "window and no Python",
     "connector_approved": "custom Python DataSource scan (BatchEvalPython-"
                           "free: data is produced partition-parallel by the "
                           "source itself) feeding the reference pipeline",
