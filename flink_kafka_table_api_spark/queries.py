@@ -3613,6 +3613,300 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q2/Q9/Q11/Q20 — the four shapes that need PARTSUPP, which the
+# testdata does not ship. A canonical partsupp is DERIVED from lineitem
+# (min unit price as supplycost, total shipped quantity as availqty):
+# deterministic in both engines (MIN is order-free; quantities are integral
+# doubles, so their sum is exact in any order). At 100 TB this derivation
+# is one ingest-time groupBy materialized alongside the fact table — the
+# queries below recompute it per call only because the testdata is
+# read-only; the per-query plan shapes (correlated min, HAVING vs scalar
+# total, nested semi-joins, 6-way profit join) are the point.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+         CAST(SUM(l_quantity) AS DOUBLE) AS ps_availqty
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """Derived partsupp (see block comment above): one partial+final
+    aggregate shuffled on the (partkey, suppkey) pair — the same key every
+    consumer joins on, so downstream pair-joins co-partition for free."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 0)
+    return (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+            .alias("ps_supplycost"),
+            F.sum("l_quantity").cast("double").alias("ps_availqty"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    cost AS (
+      SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name,
+             MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           round(ps_supplycost, 6) AS supplycost
+    FROM cost JOIN part ON p_partkey = ps_partkey
+    WHERE p_type = 'SMALL' AND p_size <= 15 AND ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier, correlated-min subquery): the
+    correlated `= (SELECT MIN(..) WHERE ps_partkey = p_partkey)` becomes a
+    window MIN partitioned by partkey — ONE shuffle on partkey instead of
+    an aggregate + self-join (two). Nation/region are broadcast; the
+    equality against the window min compares a double to an actual member
+    of the same set, so it is exact in both engines. TopK is a total order
+    (pair uniqueness + unique supplier names), so LIMIT 100 is
+    deterministic. Reference has no joins at all (SURVEY.md §2.2) — this
+    is EXT relational breadth."""
+    ps = _partsupp(spark, sf)
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        _t(spark, sf, "nation")
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_type")
+    w = Window.partitionBy("ps_partkey")
+    cost = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .withColumn("min_cost", F.min("ps_supplycost").over(w))
+    )
+    return (
+        cost.join(part, cost.ps_partkey == part.p_partkey)
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.round("ps_supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT nation, o_year, {dec_sum_sql('amount', 'sum_profit')}
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - ps_supplycost * l_quantity AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE 'red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the 6-way join. The selective
+    part slice (name prefix) prunes lineitem first; lineitem then joins the
+    derived partsupp on the SAME (partkey, suppkey) pair partsupp was
+    aggregated on — co-partitioned, no extra exchange for that side; orders
+    joins on orderkey (the one unavoidable big shuffle); nation is
+    broadcast. Profit aggregates through exact decimal accumulation
+    (portable.dec_sum) because (price - cost*qty) sums are order-sensitive
+    in doubles."""
+    part = _t(spark, sf, "part").filter(
+        F.col("p_name").like("red%")).select("p_partkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    ps = _partsupp(spark, sf)
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(ps, (li.l_partkey == ps.ps_partkey)
+              & (li.l_suppkey == ps.ps_suppkey))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation),
+              supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dec_sum("amount", "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    slice AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+    ),
+    per_part AS (
+      SELECT ps_partkey, {dec_sum_sql('v', 'value')}
+      FROM slice GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value FROM per_part
+    WHERE value > (SELECT SUM(value) * 0.001 FROM per_part)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: HAVING vs corpus-total scalar
+    subquery): the per-part aggregate is computed ONCE and tracked-persisted
+    — Spark does not dedup the shared subplan, and without the persist the
+    whole join tree runs twice (once for the total, once for the filter;
+    same lesson as Q15). The grand total is then a 1-row broadcast against
+    the tiny persisted aggregate. Both sums go through exact decimal
+    accumulation so the threshold comparison is engine-portable."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    ps = _partsupp(spark, sf)
+    nation = _t(spark, sf, "nation").filter(
+        F.col("n_name") == "NATION_1").select("n_nationkey")
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = tracked_persist(
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(dec_sum(
+            F.col("ps_supplycost") * F.col("ps_availqty"), "value"))
+    )
+    total = per_part.agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") * 0.001)
+        .alias("__thresh"))
+    return (
+        per_part.join(F.broadcast(total),
+                      F.col("value") > F.col("__thresh"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q20_promotion_stock",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    qty AS (
+      SELECT l_partkey, l_suppkey, 2.0 * SUM(l_quantity) AS thresh
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND s_suppkey IN (
+      SELECT ps_suppkey FROM partsupp
+      JOIN qty ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE ps_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND ps_availqty > thresh
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock promotion candidates: two nested
+    IN-subqueries): both INs become left-semi joins. The inner part-name
+    slice semi-joins partsupp first (most selective); partsupp then joins
+    the 1997 shipped-quantity aggregate on the SAME (partkey, suppkey)
+    grouping key — co-partitioned — with the availqty > 2x threshold as a
+    residual; the surviving supplier ids semi-join the region-filtered
+    supplier dim. Quantity sums are integral doubles (exact), so the
+    threshold comparison is portable without decimal accumulation."""
+    ps = _partsupp(spark, sf)
+    red_parts = _t(spark, sf, "part").filter(
+        F.col("p_name").like("red%")).select("p_partkey")
+    qty = (
+        _t(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= "1997-01-01")
+                & (F.col("l_shipdate") < "1998-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(2.0) * F.sum("l_quantity")).alias("thresh"))
+    )
+    excess = (
+        ps.join(red_parts, ps.ps_partkey == red_parts.p_partkey,
+                "left_semi")
+        .join(qty, (F.col("ps_partkey") == qty.l_partkey)
+              & (F.col("ps_suppkey") == qty.l_suppkey))
+        .filter(F.col("ps_availqty") > F.col("thresh"))
+        .select("ps_suppkey")
+    )
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        _t(spark, sf, "nation")
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    return (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == excess.ps_suppkey,
+              "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data curation (operators/curation.py): decontamination, sequence
 # packing, stratified sampling, mixture reporting. 'src19' plays the
 # held-out benchmark set; everything else is the train corpus.

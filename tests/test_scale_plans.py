@@ -415,3 +415,48 @@ def test_tpch_q6_is_pure_scan(spark):
     assert "Join" not in plan
     pushed = plan.split("PushedFilters: ")[1]
     assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_tpch_q2_correlated_min_is_one_window_pass(spark):
+    """Q2's correlated min-cost subquery must compile to a single Window
+    over the partkey partition (one shuffle), not an aggregate + self-join
+    (two); dims ride broadcasts and the top-100 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(QUERIES["tpch_q2_min_cost_supplier"](spark, SF))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q9_part_slice_pushed_and_nation_broadcast(spark):
+    """Q9: the selective part-name prefix must reach the part scan
+    (StringStartsWith pushdown) and nation must broadcast — at 100 TB the
+    6-way join is only viable because the name slice prunes lineitem before
+    the orders shuffle."""
+    plan = _plan(QUERIES["tpch_q9_product_profit"](spark, SF))
+    part_scan = [s for s in plan.split("FileScan parquet ")
+                 if s.startswith("[p_partkey")][0]
+    assert "StringStartsWith(p_name,red" in part_scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q11_persists_shared_aggregate(spark):
+    """Q11 references the per-part aggregate twice (total + filter); Spark
+    does not dedup shared subplans, so the plan must read the SECOND
+    reference from the tracked persist (InMemoryTableScan) and apply the
+    scalar threshold as a 1-row broadcast — not recompute the join tree."""
+    plan = _plan(QUERIES["tpch_q11_important_stock"](spark, SF))
+    # BOTH references (threshold build side + filtered output side) must
+    # read the cache; the cached child plan's own FileScan prints under
+    # each InMemoryRelation, so count cache reads, not scans
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q20_nested_ins_are_semi_joins(spark):
+    """Q20's two IN-subqueries must both compile to left-semi joins (no
+    dedup-then-inner-join), and the part-name prefix must be pushed into
+    the part scan."""
+    plan = _plan(QUERIES["tpch_q20_promotion_stock"](spark, SF))
+    assert plan.count("LeftSemi") >= 2
+    assert "StringStartsWith(p_name,red" in plan
