@@ -31,7 +31,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import portable_hash64
-from flink_kafka_table_api_spark.operators.text import token_count, tokens
+from flink_kafka_table_api_spark.operators.text import (
+    token_count,
+    tokens,
+    tokens_sql,
+)
 from flink_kafka_table_api_spark.parallelism import ensure_parallelism
 
 
@@ -369,4 +373,179 @@ def source_token_cap(
         )
         .filter(F.col("__before") < budget)
         .select(source_col, id_col, "n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, RAG chunking, DSIR-style importance sampling
+# ---------------------------------------------------------------------------
+
+# Applied in order; every pattern stays inside the regex subset Java
+# (Spark) and RE2 (DuckDB) interpret identically: character classes,
+# bounded quantifiers, \d, \b — no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+\d{1,2} \d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+_PII_TAG_RE = "<(EMAIL|SSN|PHONE|IP)>"
+
+
+def pii_redact(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rule-based PII redaction: emails, SSNs, phone numbers, and IPv4
+    addresses are replaced with typed tags, in a fixed pattern order (order
+    matters — an SSN is also three digit runs a phone pattern could chew
+    on). Pure Catalyst ``regexp_replace`` chain: one narrow pass, zero
+    Python, zero shuffles — at 100 TB this runs at scan speed and is the
+    shape every compliance pass (C4's badwords filter, CCNet's line
+    filters) uses.
+
+    Returns (id, clean_text, n_pii) where n_pii counts redaction tags in
+    the final text."""
+    clean = F.col(text_col)
+    for pat, tag in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, tag)
+    return df.select(
+        F.col(id_col), clean.alias("clean_text")
+    ).withColumn(
+        "n_pii",
+        F.regexp_count(F.col("clean_text"), F.lit(_PII_TAG_RE)).cast("long"),
+    )
+
+
+def pii_redact_sql(expr: str) -> str:
+    """DuckDB rendering of the same redaction chain (same order)."""
+    out = expr
+    for pat, tag in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out
+
+
+def doc_chunks(
+    df: DataFrame,
+    *,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/embedding-prep shape):
+    each document becomes ceil-spaced chunks of ``window`` tokens starting
+    every ``stride`` tokens, so consecutive chunks overlap by
+    ``window - stride`` tokens and the tail is never dropped.
+
+    Narrow per-row explode — the fan-out factor is bounded by
+    len/stride, no shuffle, no Python. At 100 TB chunking composes with
+    the scan (filter pushdown above it still applies)."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    n_chunks = F.when(
+        sz <= window, F.lit(1)
+    ).otherwise(F.lit(1) + F.ceil((sz - window) / F.lit(stride)))
+    starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.array_join(
+                        F.slice(toks, i * stride + 1, window), " "
+                    ),
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+        )
+    )
+
+
+def doc_chunks_sql(
+    table: str, *, window: int = 32, stride: int = 24
+) -> str:
+    toks = tokens_sql("text")
+    return f"""
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(
+             list_slice(toks, i * {stride} + 1, i * {stride} + {window}),
+             ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, {toks} AS toks,
+             unnest(generate_series(0,
+               CASE WHEN len({toks}) <= {window} THEN 0
+                    ELSE CAST(ceil((len({toks}) - {window})
+                              / {stride}.0) AS INT) END)) AS i
+      FROM {table}
+    )
+    """
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "fkta-dsir",
+) -> DataFrame:
+    """DSIR-style hashed-feature importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    tokens hash into ``n_buckets`` buckets; the per-bucket add-one-smoothed
+    probability ratio target/raw scores how target-like each raw document
+    is. Documents are then importance-resampled by this weight to shift
+    the corpus mixture toward the target domain.
+
+    Portability: bucket probabilities come from exact integer counts, the
+    per-bucket ratio is one IEEE double division rounded to 6 decimals,
+    and per-doc averaging accumulates those 6-decimal values exactly in
+    decimal — bit-identical across engines (no log-space math, whose libm
+    rounding differs).
+
+    Scale shape: the fitted ratio table is ``n_buckets`` rows -> broadcast;
+    the corpus is scanned once to fit (an ingest-time cost, like the IVF
+    index) and once to score, both narrow until the per-doc aggregate."""
+    tok = F.explode(tokens(F.col(text_col))).alias("tok")
+    bucket = (
+        portable_hash64(F.concat(F.lit(f"{salt}:"), F.col("tok")))
+        % n_buckets
+    ).alias("bucket")
+
+    t_toks = target.select(tok).select(bucket)
+    r_toks = df.select(F.col(id_col), tok).select(id_col, bucket)
+    t_counts = t_toks.groupBy("bucket").agg(F.count("*").alias("ct"))
+    r_counts = r_toks.groupBy("bucket").agg(F.count("*").alias("cr"))
+    t_total = t_toks.count()
+    r_total = r_toks.count()
+    ratio = (
+        t_counts.join(r_counts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.round(
+                ((F.coalesce("ct", F.lit(0)) + 1.0)
+                 / F.lit(float(t_total + n_buckets)))
+                / ((F.coalesce("cr", F.lit(0)) + 1.0)
+                   / F.lit(float(r_total + n_buckets))),
+                6,
+            ).alias("ratio"),
+        )
+    )
+    from flink_kafka_table_api_spark.functions.portable import dec_avg
+
+    return (
+        r_toks.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(dec_avg("ratio", "__a"), 6).alias("importance"))
     )

@@ -3624,9 +3624,17 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
 # total, nested semi-joins, 6-way profit join) are the point.
 # ---------------------------------------------------------------------------
 
+# Unit cost in exact integer CENTS: price has <=2 decimals (so
+# price*100 + 0.5 floors to the exact cent count) and quantity is
+# integral, so `cents DIV qty` is pure int64 arithmetic and
+# supplycost = cents/100.0 is a terminating 2-decimal double. A naive
+# MIN(price/qty) yields non-terminating decimals whose DECIMAL(25,6)
+# rounding differs between Spark (HALF_UP) and DuckDB (banker's) —
+# caught by the sf0.01 driver replica on Q9, invisible at sf0.001.
 _PARTSUPP_SQL = """
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+         MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             // CAST(l_quantity AS BIGINT)) / 100.0 AS ps_supplycost,
          CAST(SUM(l_quantity) AS DOUBLE) AS ps_availqty
   FROM lineitem WHERE l_quantity > 0
   GROUP BY l_partkey, l_suppkey
@@ -3636,16 +3644,20 @@ _PARTSUPP_SQL = """
 def _partsupp(spark: SparkSession, sf: str) -> DataFrame:
     """Derived partsupp (see block comment above): one partial+final
     aggregate shuffled on the (partkey, suppkey) pair — the same key every
-    consumer joins on, so downstream pair-joins co-partition for free."""
+    consumer joins on, so downstream pair-joins co-partition for free.
+    Supplycost is exact integer-cents arithmetic (see _PARTSUPP_SQL note)."""
     li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 0)
+    cents_per_unit = F.expr(
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " DIV CAST(l_quantity AS BIGINT)"
+    )
     return (
         li.groupBy(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
         )
         .agg(
-            F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-            .alias("ps_supplycost"),
+            (F.min(cents_per_unit) / 100.0).alias("ps_supplycost"),
             F.sum("l_quantity").cast("double").alias("ps_availqty"),
         )
     )
@@ -4103,6 +4115,100 @@ def q_source_token_cap(spark: SparkSession, sf: str) -> DataFrame:
     return cu.source_token_cap(_t(spark, sf, "documents"), budget=2000)
 
 
+_PII_FIXTURE_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example"
+    " or +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.1 ssn 123-45-6789'"
+)
+
+
+@query(
+    "pii_redact",
+    f"""
+    SELECT doc_id,
+           {cu.pii_redact_sql(f'({_PII_FIXTURE_SQL})')} AS clean_text,
+           CAST(len(regexp_extract_all(
+             {cu.pii_redact_sql(f'({_PII_FIXTURE_SQL})')},
+             '<(EMAIL|SSN|PHONE|IP)>')) AS BIGINT) AS n_pii
+    FROM documents
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over a deterministic contact-line fixture: the
+    synthetic corpus carries no PII, so BOTH engines append the same
+    doc_id-derived email/phone/IP/SSN string before redacting — proving
+    each pattern actually fires (n_pii = 4 per doc), not just that clean
+    text passes through. The operator itself (operators/curation.py:
+    pii_redact) is a pure regexp_replace chain — narrow, no Python, scan
+    speed at 100 TB."""
+    docs = _t(spark, sf, "documents")
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    return cu.pii_redact(fixture)
+
+
+@query("doc_chunks", cu.doc_chunks_sql("documents"))
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-prep chunking: overlapping 32-token windows every 24 tokens
+    (8-token overlap, tail never dropped). Narrow bounded explode — at
+    100 TB chunking composes with the scan; downstream embedding stages
+    see ~len/stride rows per doc."""
+    return cu.doc_chunks(_t(spark, sf, "documents"))
+
+
+@query(
+    "importance_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             ({portable_hash64_sql("'fkta-dsir:' || t")}) % 64 AS bucket
+      FROM (SELECT doc_id, source, unnest({tx.tokens_sql('text')}) AS t
+            FROM documents)
+    ),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM tok
+           WHERE source = 'src0' GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS cr FROM tok
+           WHERE source <> 'src0' GROUP BY bucket),
+    tt AS (SELECT COUNT(*) AS n FROM tok WHERE source = 'src0'),
+    rt AS (SELECT COUNT(*) AS n FROM tok WHERE source <> 'src0'),
+    ratio AS (
+      SELECT bucket,
+             round(((COALESCE(ct, 0) + 1.0)
+                    / ((SELECT n FROM tt) + 64.0))
+                   / ((COALESCE(cr, 0) + 1.0)
+                      / ((SELECT n FROM rt) + 64.0)), 6) AS ratio
+      FROM tc FULL JOIN rc USING (bucket)
+    )
+    SELECT doc_id,
+           round(CAST(SUM(CAST(ratio AS {DEC})) AS DOUBLE) / COUNT(ratio),
+                 6) AS importance
+    FROM tok JOIN ratio USING (bucket)
+    WHERE source <> 'src0'
+    GROUP BY doc_id
+    """,
+)
+def q_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weights: src0 plays the target domain, the
+    rest of the corpus is scored by hashed-bucket probability ratio
+    (operators/curation.py:importance_weights — exact-count ratios, no
+    log-space math, so the oracle hash-matches)."""
+    docs = _t(spark, sf, "documents")
+    return cu.importance_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
 @query(
     "connector_approved",
     """
@@ -4153,43 +4259,50 @@ def q_connector_approved(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# dict order. Rounds 1+2 proved 74 names green; round 3 rotates the gate:
-# positions 1-40 are every query that has NEVER had a driver CORRECTNESS
-# row under its current semantics — the 30 never-checked survivors plus the
-# 9 consolidation merges and the extended text_quality — and positions
-# 41-50 re-prove one anchor per operator family so a regression anywhere
-# still shows up. Everything past 50 is r1/r2-green and unchanged; the
-# local driver-replica (tests/test_oracle_parity.py) runs every oracle
+# dict order. Rounds 1+2 proved 74 names green; round 3's rotation never ran
+# (the driver produced no r3 artifacts), so round 4 re-rotates over the now
+# 113-query registry: all 50 slots go to queries that have NEVER had a
+# driver CORRECTNESS row — the round-3 additions (TPC-H Q5-Q19, quantized
+# ANN, stream outer joins, time decay), the round-4 additions (TPC-H
+# Q2/Q9/Q11/Q20, pii_redact, doc_chunks, importance_weights), and the
+# never-checked round-2/3 survivors. Twelve names are deferred to round 5
+# for lack of slots, chosen as the weakest-marginal-evidence set: the nine
+# consolidation merges (re-combinations of components individually green in
+# r1: set_ops_all/distinct, scalar/datetime/json_funcs, agg_rollup_cube,
+# window_frames, pivot_unpivot, time_rollup_multi) and three rows-only
+# checks (ann_ivf_trained, approx_distinct, audio_features). The local
+# driver-replica (tests/test_oracle_parity.py) runs every oracle
 # regardless, so nothing is ever fully outside verification.
 _PRIORITY: list[str] = [
-    # --- 1-40: first-time CORRECTNESS rows ---
-    # consolidation merges (new names / extended schemas)
-    "set_ops_all", "set_ops_distinct", "scalar_funcs", "datetime_funcs",
-    "json_funcs", "agg_rollup_cube", "window_frames", "pivot_unpivot",
-    "time_rollup_multi", "text_quality",
-    # TPC-H subquery shapes never in the gate
+    # TPC-H completions (round 4)
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q20_promotion_stock",
+    # TPC-H round-3 shapes
+    "tpch_q5_local_supplier", "tpch_q6_forecast", "tpch_q7_volume",
+    "tpch_q8_market_share", "tpch_q10_returns", "tpch_q12_priority",
+    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q19_disjunctive",
+    # TPC-H round-2 subquery shapes
     "tpch_q13_custdist", "tpch_q16_supplier_cnt", "tpch_q21_waiting",
     "corr_avg_subquery", "cold_customers",
+    # quantization / ANN / scoring
+    "ann_quantized", "ann_ivf_quantized", "embedding_quantize",
+    "ann_ivf_nprobe2", "time_decay_score",
     # dedup / similarity tail
-    "simhash_pairs", "embedding_neardup", "semantic_dedup",
-    "incremental_neardup", "ann_ivf_nprobe2", "ann_ivf_trained",
+    "simhash_pairs", "incremental_neardup", "embedding_neardup",
+    "semantic_dedup",
     # text tail
     "top_bigrams", "text_clean", "fingerprint", "udtf_sentences",
-    "grouped_agg_udf", "approx_distinct",
-    # multimodal tail
-    "frame_sample", "audio_features",
-    # curation tail (incl. the round-2 additions)
+    "grouped_agg_udf",
+    # multimodal
+    "frame_sample",
+    # curation (round-2/3 survivors + round-4 additions)
     "llm_curation", "contamination_audit", "stratified_sample",
     "corpus_mix", "corpus_shuffle", "vocab_coverage", "source_token_cap",
+    "pii_redact", "doc_chunks", "importance_weights",
     # streaming tail
     "stream_session", "stream_sliding", "stream_static_join",
-    "stream_approved", "stream_dedup",
-    # --- 42-50: per-family anchors (re-proven every round; neardup_verified
-    # yields its slot to semantic_dedup — its pipeline is also exercised
-    # end-to-end inside the llm_curation_packed anchor) ---
-    "approved_transactions", "connector_approved", "pricing_summary",
-    "join_inner_agg", "dedup_minhash", "ann_ivf",
-    "tfidf", "stream_tumbling", "llm_curation_packed",
+    "stream_approved", "stream_stream_left_join", "stream_stream_full_join",
+    "stream_dedup",
 ]
 
 

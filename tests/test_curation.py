@@ -94,3 +94,55 @@ def test_pack_sequences_matches_python_model(spark):
         for i, s in enumerate(sizes):
             assert got[i] == (s, cum // budget), (sizes, i, got[i])
             cum += s
+
+
+def test_pii_redact_each_pattern_fires_and_counts(spark):
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.org today"),
+        (1, "ssn 123-45-6789 phone +1 555-0142 done"),
+        (2, "server at 192.168.254.3 rebooted"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.io and c@d.co plus 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_pii)
+           for r in cu.pii_redact(df).collect()}
+    assert got[0] == ("mail me at <EMAIL> today", 1)
+    assert got[1] == ("ssn <SSN> phone <PHONE> done", 2)
+    assert got[2] == ("server at <IP> rebooted", 1)
+    assert got[3] == ("no pii here at all", 0)
+    assert got[4] == ("two mails <EMAIL> and <EMAIL> plus <IP>", 3)
+
+
+def test_doc_chunks_overlap_and_tail(spark):
+    # 50 tokens, window 32, stride 24 -> chunks at 0 and 24; the second
+    # chunk carries the 26-token tail (never dropped, shorter than window)
+    toks = [f"t{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(7, " ".join(toks)), (8, "only three tokens")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in cu.doc_chunks(df, window=32, stride=24).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split(" ")
+    assert sorted(got[7]) == [0, 1]
+    assert got[7][0] == toks[0:32]
+    assert got[7][1] == toks[24:50]          # tail chunk, 26 tokens
+    assert got[7][0][24:] == got[7][1][:8]   # 8-token overlap
+    assert got[8] == {0: ["only", "three", "tokens"]}
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),     # pure target vocabulary
+         (1, "zeta eta theta iota"),        # disjoint vocabulary
+         (2, "alpha beta theta iota")],     # half/half
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.importance
+         for r in cu.importance_weights(raw, target).collect()}
+    assert w[0] > w[2] > w[1]
