@@ -68,13 +68,46 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
+# SOF0-SOF15 carry frame dimensions; C4/C8/CC are DHT/JPG/DAC, not frames
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """JPEG dimensions via marker scan: only PIXEL data is entropy-coded —
+    the frame header (SOFn segment) is a plain [len:2][precision:1]
+    [height:2][width:2] struct, so width/height need no codec library.
+    Walks marker segments (each FF xx + big-endian length) to the first
+    SOF."""
+    import struct
+
+    i = 2  # past FFD8
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            break
+        marker = payload[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2  # standalone marker, no length field
+            continue
+        seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        if marker in _JPEG_SOF:
+            if i + 9 <= n:
+                h, w = struct.unpack_from(">HH", payload, i + 5)
+                return int(w), int(h)
+            break
+        if marker == 0xDA:  # SOS: entropy-coded data follows, no SOF seen
+            break
+        i += 2 + seg_len
+    raise NotImplementedError("malformed JPEG: no SOF marker before SOS")
+
+
 def parse_image_dims(payload: bytes) -> tuple[str | None, int, int]:
     """REAL image metadata decode, stdlib only: BMP/PNG/GIF keep their
-    dimensions in fixed-offset header fields, so width/height extraction is
-    a ``struct`` parse — no imaging library involved. Returns
+    dimensions in fixed-offset header fields and JPEG keeps them in the
+    (uncompressed) SOF marker segment, so width/height extraction is a
+    ``struct`` parse — no imaging library involved. Returns
     (format, width, height); raises NotImplementedError for formats whose
-    dimensions live behind real codec machinery (jpeg entropy-coded
-    segments, riff sub-chunks) — those need PIL/libvips."""
+    metadata genuinely needs codec machinery (riff sub-chunk trees)."""
     import struct
 
     fmt = sniff_format(payload)
@@ -88,9 +121,12 @@ def parse_image_dims(payload: bytes) -> tuple[str | None, int, int]:
     if fmt == "gif" and len(payload) >= 10:
         w, h = struct.unpack_from("<HH", payload, 6)  # logical screen size
         return fmt, int(w), int(h)
+    if fmt == "jpeg":
+        w, h = _jpeg_dims(payload)
+        return fmt, w, h
     raise NotImplementedError(
         f"dimension decode for format={fmt!r} requires PIL/libvips; "
-        "stdlib path covers bmp/png/gif (or run with fake=True)"
+        "stdlib path covers bmp/png/gif/jpeg (or run with fake=True)"
     )
 
 
@@ -247,9 +283,13 @@ def decode_image_meta_arrow(
                     fmts.append(sniff_format(bytes(mv[:4])))
                     w, h = _fake_decode_len(len(mv))
                 else:
-                    # header parse needs at most the first 26 bytes — the
-                    # payload buffer itself stays a zero-copy arrow view
-                    fmt, w, h = parse_image_dims(bytes(mv[:26]))
+                    # fixed-offset headers need <=26 bytes; JPEG's SOF
+                    # marker scan walks segments, so hand it the whole
+                    # buffer (still a zero-copy arrow view until `bytes`)
+                    # NB: arrow buffers view as signed 'b' — compare via
+                    # bytes(), not memoryview == bytes (always False there)
+                    head = mv if bytes(mv[:3]) == b"\xff\xd8\xff" else mv[:26]
+                    fmt, w, h = parse_image_dims(bytes(head))
                     fmts.append(fmt)
                 ws.append(w)
                 hs.append(h)

@@ -184,16 +184,35 @@ def _make_gif(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00;"
 
 
+def _make_jpeg(w: int, h: int) -> bytes:
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        struct.pack(">BHH", 8, h, w)  # precision, height, width
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # 3 components
+    )
+    return (
+        b"\xff\xd8"                                       # SOI
+        + b"\xff\x01"                                     # standalone TEM
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+        + b"\xff\xda\x00\x02"                             # SOS
+    )
+
+
 def test_multimodal_real_header_decode(spark):
-    """REAL (stdlib struct) dimension decode of actual BMP/PNG/GIF bytes,
-    through both the pandas and the arrow mapIn* paths."""
+    """REAL (stdlib struct) dimension decode of actual BMP/PNG/GIF/JPEG
+    bytes, through both the pandas and the arrow mapIn* paths."""
     rows = [
         (1, bytearray(_make_bmp(17, 9))),
         (2, bytearray(_make_png(640, 480))),
         (3, bytearray(_make_gif(320, 200))),
+        (4, bytearray(_make_jpeg(1024, 768))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    want = {1: ("bmp", 17, 9), 2: ("png", 640, 480), 3: ("gif", 320, 200)}
+    want = {1: ("bmp", 17, 9), 2: ("png", 640, 480), 3: ("gif", 320, 200),
+            4: ("jpeg", 1024, 768)}
     for decode in (mm.decode_image_meta, mm.decode_image_meta_arrow):
         got = {
             r.doc_id: (r.format, r.width, r.height)

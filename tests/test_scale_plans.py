@@ -460,3 +460,21 @@ def test_tpch_q20_nested_ins_are_semi_joins(spark):
     plan = _plan(QUERIES["tpch_q20_promotion_stock"](spark, SF))
     assert plan.count("LeftSemi") >= 2
     assert "StringStartsWith(p_name,red" in plan
+
+
+def test_pii_redact_and_doc_chunks_are_narrow(spark):
+    """Both compliance-pass shapes must run at scan speed: zero exchanges,
+    zero Python — pure codegen'd regexp/array expressions."""
+    for name in ("pii_redact", "doc_chunks"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan and "ArrowEval" not in plan, name
+        assert plan.count("FileScan parquet") == 1, name
+
+
+def test_importance_weights_broadcasts_ratio_table(spark):
+    """The fitted n_buckets-row ratio table must broadcast to the scoring
+    join — the corpus side stays narrow until its per-doc aggregate."""
+    plan = _plan(QUERIES["importance_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
