@@ -420,3 +420,51 @@ def connected_components(
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash signatures (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def duplicate_chunk_stats(
+    df: DataFrame,
+    *,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact chunk-level duplication stats (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    exact-substring posture, at fixed non-overlapping ``window``-token
+    granularity): per document, how many of its chunks appear verbatim in
+    at least one OTHER document. The per-doc dup_ratio is the standard
+    drop/trim signal for boilerplate and mirror detection — finer-grained
+    than doc-level exact dedup, cheaper than suffix arrays.
+
+    Scale shape: chunking is narrow (operators/curation.py:doc_chunks with
+    stride == window); chunk hashes groupBy and join back on the SAME
+    64-bit hash key, so the second join co-partitions with the first
+    aggregate's exchange; the final per-doc rollup is one more
+    partial+final agg. Nothing is ever all-pairs and no text string is
+    carried past the hash projection."""
+    from flink_kafka_table_api_spark.operators.curation import doc_chunks
+
+    chunks = doc_chunks(
+        df, window=window, stride=window, id_col=id_col, text_col=text_col
+    ).select(
+        F.col(id_col),
+        portable_hash64(F.col("chunk_text")).alias("__ch"),
+    )
+    doc_counts = chunks.groupBy("__ch").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    return (
+        chunks.join(doc_counts, "__ch")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )

@@ -81,6 +81,34 @@ SHOWCASE = {
     "connector_approved": "custom Python DataSource scan (BatchEvalPython-"
                           "free: data is produced partition-parallel by the "
                           "source itself) feeding the reference pipeline",
+    "tpch_q2_min_cost_supplier": "correlated min-cost subquery compiled to "
+                                 "ONE Window pass over the partkey "
+                                 "partition (not aggregate+self-join); "
+                                 "dims broadcast; top-100 is "
+                                 "TakeOrderedAndProject",
+    "tpch_q9_product_profit": "6-way profit join: part name-prefix pushed "
+                              "to the scan (StringStartsWith), lineitem><"
+                              "partsupp co-partitioned on the derivation "
+                              "key, nation broadcast",
+    "tpch_q11_important_stock": "shared per-part aggregate computed once "
+                                "(tracked persist, both references read "
+                                "InMemoryTableScan); scalar threshold is a "
+                                "1-row BroadcastNestedLoopJoin",
+    "tpch_q20_promotion_stock": "both IN-subqueries lowered to LeftSemi "
+                                "joins; partsupp><qty co-partitioned on "
+                                "the shared (partkey, suppkey) grouping "
+                                "key",
+    "pii_redact": "compliance pass at scan speed: zero Exchange, zero "
+                  "Python — the whole redaction chain is codegen'd "
+                  "regexp_replace",
+    "doc_chunks": "bounded explode (len/stride fan-out), zero Exchange, "
+                  "zero Python",
+    "importance_weights": "the fitted 64-row ratio table broadcasts to the "
+                          "scoring join; the corpus side stays narrow "
+                          "until its per-doc aggregate",
+    "chunk_dedup": "chunk hashes groupBy and join back on the SAME 64-bit "
+                   "hash key (co-partitioned exchanges); no text column "
+                   "survives past the hash projection",
 }
 
 

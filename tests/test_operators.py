@@ -518,3 +518,23 @@ def test_curate_documents_distributed_cc(spark, docs):
         ).collect()
     }
     assert default == distributed and default
+
+
+def test_duplicate_chunk_stats_flags_shared_windows(spark):
+    # docs 1 and 2 share their first 4-token window verbatim; doc 3 is
+    # unique; window=4 non-overlapping, tails count as chunks
+    rows = [
+        (1, "a b c d x y z w"),
+        (2, "a b c d q r s t"),
+        (3, "unique text only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from flink_kafka_table_api_spark.operators.dedup import (
+        duplicate_chunk_stats,
+    )
+
+    got = {r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_ratio)
+           for r in duplicate_chunk_stats(df, window=4).collect()}
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)
