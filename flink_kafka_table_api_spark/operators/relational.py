@@ -187,3 +187,39 @@ def grouping_sets(
     return spark_df.sparkSession.sql(
         f"SELECT {select_sql} FROM {view_name} GROUP BY GROUPING SETS {sets_sql}"
     )
+
+
+def scd2_versions(
+    changes: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tie_cols: Sequence[str] = (),
+    open_end: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change log (one row per
+    key per change, stamped ``ts_col``) into versioned dimension rows with
+    ``valid_from`` / ``valid_to`` / ``is_current`` — each version closes at
+    the NEXT change's timestamp (lead over the per-key order), the latest
+    stays open at ``open_end``.
+
+    The dimension-maintenance shape every warehouse ingest runs: one
+    shuffle on the key, a linear lead() within each key partition, no
+    join, no driver state. At 100 TB the change log partitions by key the
+    same way, and late-arriving changes are handled by re-running the
+    window over the affected keys only (the computation is per-key local).
+    Duplicate timestamps for one key make version order ambiguous —
+    pass ``tie_cols`` (e.g. the change id) to make it total, same
+    contract as streaming/upsert.py."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tie_cols]
+    )
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.coalesce(
+            F.lead(ts_col).over(w),
+            F.lit(open_end).cast("timestamp"),
+        ))
+        .withColumn("is_current", F.col("valid_to")
+                    == F.lit(open_end).cast("timestamp"))
+    )

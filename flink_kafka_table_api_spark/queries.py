@@ -974,6 +974,44 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "scd2_history",
+    """
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           COALESCE(
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+             TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           COALESCE(
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+             TIMESTAMP '9999-12-31 00:00:00')
+             = TIMESTAMP '9999-12-31 00:00:00' AS is_current
+    FROM orders
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 dimension versioning (operators/relational.py:
+    scd2_versions): the orders table plays a per-customer change log; each
+    row becomes a version valid until the customer's next change, latest
+    version open-ended. One keyed shuffle + linear lead() — no join, no
+    driver state."""
+    from flink_kafka_table_api_spark.operators.relational import (
+        scd2_versions,
+    )
+
+    out = scd2_versions(
+        _t(spark, sf, "orders"),
+        key_cols=("o_custkey",), ts_col="o_orderdate",
+        tie_cols=("o_orderkey",),
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"), "valid_to", "is_current",
+    )
+
+
+@query(
     "range_join",
     """
     SELECT e.event_id, COUNT(c.event_id) AS n_nearby_clicks

@@ -41,6 +41,12 @@ MEASURE = [
     "tfidf",                # explode + window + broadcast join
     "pricing_summary",      # hash agg
     "token_count",          # narrow regex pass
+    # round-4 additions
+    "pii_redact",           # codegen'd regexp chain, zero exchange
+    "doc_chunks",           # bounded explode, zero exchange
+    "chunk_dedup",          # hash-co-partitioned self stats
+    "importance_weights",   # fit (2 scans) + broadcast-ratio scoring
+    "tpch_q9_product_profit",  # 6-way join over derived partsupp
 ]
 
 
@@ -81,13 +87,17 @@ def main() -> None:
         "doc_id", "text").count()
     print(f"| query | 1x s | {n}x s | efficiency ({n}x/{n}*1x) |")
     print("|---|---|---|---|")
+    from flink_kafka_table_api_spark.caching import release_cached
+
     for name in MEASURE:
         t0 = time.perf_counter()
         RUNNABLE[name](spark, BASE).count()
         t1x = time.perf_counter() - t0
+        release_cached()
         t0 = time.perf_counter()
         RUNNABLE[name](spark, out_dir).count()
         tnx = time.perf_counter() - t0
+        release_cached()
         print(f"| {name} | {t1x:.2f} | {tnx:.2f} | {tnx / (n * t1x):.2f} |")
     spark.stop()
 

@@ -146,3 +146,29 @@ def test_importance_weights_prefer_target_like_docs(spark):
     w = {r.doc_id: r.importance
          for r in cu.importance_weights(raw, target).collect()}
     assert w[0] > w[2] > w[1]
+
+
+def test_doc_chunks_cover_and_reconstruct(spark):
+    """Coverage/reconstruction contract over edge sizes: with
+    stride == window the chunks concatenate back to the exact token
+    sequence; with overlap every chunk equals toks[i*stride : i*stride+W]
+    and the union covers every token."""
+    W, S = 8, 5
+    sizes = [1, 7, 8, 9, 16, 17, 40, 53]
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(s)))
+            for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for window, stride in [(W, W), (W, S)]:
+        out = {}
+        for r in cu.doc_chunks(df, window=window, stride=stride).collect():
+            out.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split(" ")
+        for i, s in enumerate(sizes):
+            toks = [f"w{i}x{j}" for j in range(s)]
+            chunks = [out[i][k] for k in sorted(out[i])]
+            for k, ch in enumerate(chunks):
+                assert ch == toks[k * stride: k * stride + window], (
+                    window, stride, i, k)
+            if stride == window:
+                assert sum(chunks, []) == toks  # exact reconstruction
+            else:
+                assert {t for c in chunks for t in c} == set(toks)

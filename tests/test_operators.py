@@ -538,3 +538,26 @@ def test_duplicate_chunk_stats_flags_shared_windows(spark):
     assert got[1] == (2, 1, 0.5)
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (1, 0, 0.0)
+
+
+def test_scd2_versions_chain_and_current(spark):
+    from flink_kafka_table_api_spark.operators.relational import (
+        scd2_versions,
+    )
+
+    rows = [
+        (7, 101, "2020-01-01 00:00:00"),
+        (7, 102, "2020-03-01 00:00:00"),
+        (7, 103, "2020-03-01 00:00:00"),   # same ts: o_id breaks the tie
+        (9, 201, "2021-06-15 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.id: r for r in scd2_versions(
+        df, key_cols=("k",), ts_col="ts", tie_cols=("id",)).collect()}
+    # versions chain: each closes at the next change's ts
+    assert out[101].valid_to == out[102].valid_from
+    assert out[102].valid_to == out[103].valid_from  # tie broken by id
+    assert out[103].is_current and out[201].is_current
+    assert not out[101].is_current and not out[102].is_current
+    assert str(out[103].valid_to).startswith("9999-12-31")
