@@ -156,6 +156,10 @@ def main() -> None:
         "queries": timings,
         "spread": spreads,
         "first_run": first_runs,
+        # noise floor: sum of per-query minima — on a host with CPU-steal/
+        # IO-latency spikes (BASELINE.md §bench-variance) this bounds what
+        # the same plans cost on a quiet machine
+        "total_min": round(sum(s[0] for s in spreads.values()), 3),
         "runs_per_query": n_runs_default,
         "sf": SF_DIR,
         "cpus": CPUS,

@@ -478,3 +478,38 @@ def test_importance_weights_broadcasts_ratio_table(spark):
     plan = _plan(QUERIES["importance_weights"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_aqe_runtime_replan_broadcast_and_coalesce(spark):
+    """AQE must re-plan at runtime: with static broadcast disabled (the
+    planner commits to SMJ) but the adaptive threshold set, the executed
+    plan converts to BroadcastHashJoin once the built side's true size is
+    known; and a 32-partition shuffle over tiny data must coalesce
+    (AQEShuffleRead) instead of scheduling empty reducers."""
+    static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    adaptive = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        cust = spark.read.parquet(f"{SF}/customer.parquet")
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert "SortMergeJoin" in _plan(j)  # the static plan commits to SMJ
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final  # runtime conversion happened
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", static)
+        if adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", adaptive)
+    g = spark.read.parquet(f"{SF}/orders.parquet") \
+        .groupBy("o_orderstatus").count()
+    g.collect()
+    gplan = g._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in gplan and "coalesced" in gplan
