@@ -223,3 +223,78 @@ def scd2_versions(
         .withColumn("is_current", F.col("valid_to")
                     == F.lit(open_end).cast("timestamp"))
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, both dimensions minimized): the rows
+    no other row dominates — preference queries a la "Integration of
+    Skyline Queries into Spark SQL" (EDBT 2023, in the retrieved corpus),
+    re-expressed as pure DataFrame algebra instead of a planner extension:
+
+    1. per-x minimum of y (one keyed shuffle; dominated-within-x gone);
+    2. strict-prefix min of that over x ascending — a distributed prefix
+       min (value-range buckets, per-bucket local window, a broadcast
+       ``num_buckets``-row offset table: the pack_sequences pattern), so
+       NO global single-partition window appears at scale. A candidate
+       survives iff its y is STRICTLY below every smaller-x minimum
+       (equality loses: the equal-y point at smaller x dominates);
+    3. semi-join the original rows on the surviving (x, min-y) pairs —
+       exact duplicates of a frontier point are mutually non-dominating
+       and all kept.
+
+    Bucketing uses floor((x - lo)/span) on the value range: only
+    monotonicity in x matters for prefix correctness, so double rounding
+    fuzz at bucket edges is harmless."""
+    per_x = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.min(y_col).alias("__ymin")
+    )
+    lo, hi = per_x.agg(F.min("__x"), F.max("__x")).first()
+    if lo is None:  # empty input -> empty skyline
+        return df.limit(0)
+    span = (float(hi) - float(lo)) / num_buckets or 1.0
+    bucketed = per_x.withColumn(
+        "__bucket",
+        F.least(
+            F.floor((F.col("__x") - F.lit(float(lo))) / F.lit(span)),
+            F.lit(num_buckets - 1),
+        ).cast("long"),
+    )
+    local_w = (
+        Window.partitionBy("__bucket")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("__local_min", F.min("__ymin").over(local_w))
+    offsets_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("__bucket")
+        .agg(F.min("__ymin").alias("__bmin"))
+        .withColumn("__offset", F.min("__bmin").over(offsets_w))
+        .select("__bucket", "__offset")
+    )
+    survivors = (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "__prefix_min", F.least(
+                F.col("__local_min"), F.col("__offset")
+            )
+        )
+        .filter(
+            F.col("__prefix_min").isNull()
+            | (F.col("__ymin") < F.col("__prefix_min"))
+        )
+        .select("__x", "__ymin")
+    )
+    return df.join(
+        F.broadcast(survivors),
+        (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__ymin")),
+        "left_semi",
+    )

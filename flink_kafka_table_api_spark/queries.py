@@ -974,6 +974,30 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "skyline_parts",
+    """
+    SELECT p_partkey, p_retailprice, p_size FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts minimizing (retailprice, size) —
+    preference-query operator (EDBT 2023 'Integration of Skyline Queries
+    into Spark SQL' in the retrieved corpus), as pure DataFrame algebra:
+    per-x min + distributed strict-prefix min + semi-join back
+    (operators/relational.py:skyline_2d). The oracle is the O(n^2)
+    NOT-EXISTS dominance definition — the engine never runs that shape."""
+    from flink_kafka_table_api_spark.operators.relational import skyline_2d
+
+    return skyline_2d(
+        _t(spark, sf, "part"), x_col="p_retailprice", y_col="p_size"
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@query(
     "scd2_history",
     """
     SELECT o_custkey, o_orderkey, o_orderstatus,

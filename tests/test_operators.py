@@ -561,3 +561,27 @@ def test_scd2_versions_chain_and_current(spark):
     assert out[103].is_current and out[201].is_current
     assert not out[101].is_current and not out[102].is_current
     assert str(out[103].valid_to).startswith("9999-12-31")
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from flink_kafka_table_api_spark.operators.relational import skyline_2d
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 30), rng.randint(0, 30)) for i in range(200)]
+    pts += [(200, 0, 30), (201, 30, 0), (202, 5, 5), (203, 5, 5)]  # ties
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted(r.id for r in skyline_2d(df, x_col="x", y_col="y").collect())
+
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] <= a[2] and (b[1] < a[1] or b[2] < a[2])
+            for b in pts if b is not a
+        )
+    want = sorted(p[0] for p in pts if not dominated(p))
+    assert got == want
+    # duplicates of a frontier point are mutually non-dominating
+    if 202 in want:
+        assert 203 in got
