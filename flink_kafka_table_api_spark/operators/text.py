@@ -260,3 +260,50 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         portable_hash64(canon).alias("fingerprint"),
         F.md5(canon).alias("fingerprint_hex"),
     )
+
+
+def lexicon_sentiment(
+    df: DataFrame,
+    lexicon: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexicon-based sentiment/polarity scoring (the shape of "Large Scale
+    Sentiment Analysis on Twitter with Spark", EDBT 2016, from the
+    retrieved corpus): each token contributes its lexicon weight; the doc
+    score is the integer weight sum normalized by token count.
+
+    All-integer accumulation until one final division keeps it exactly
+    engine-portable, and the whole pass is a codegen'd higher-order fold —
+    no explode, no join, no Python: at 100 TB it runs at scan speed like
+    the other narrow text passes."""
+    toks = tokens(text_col)
+
+    def tok_weight(t: Column) -> Column:
+        out = F.lit(0)
+        for word, w in sorted(lexicon.items()):
+            out = F.when(t == word, F.lit(w)).otherwise(out)
+        return out.cast("long")
+
+    def tok_hit(t: Column) -> Column:
+        out = F.lit(0)
+        for word in sorted(lexicon):
+            out = F.when(t == word, F.lit(1)).otherwise(out)
+        return out.cast("long")
+
+    score_raw = F.aggregate(
+        F.transform(toks, tok_weight), F.lit(0).cast("long"),
+        lambda a, x: a + x)
+    n_hits = F.aggregate(
+        F.transform(toks, tok_hit), F.lit(0).cast("long"),
+        lambda a, x: a + x)
+    n_toks = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        score_raw.alias("score_raw"),
+        n_hits.alias("n_hits"),
+        F.round(
+            F.when(n_toks > 0, score_raw / n_toks).otherwise(0.0), 6
+        ).alias("sentiment"),
+    )

@@ -1,0 +1,108 @@
+"""Time-series pattern search over keyed event streams (EXT scope).
+
+The shape of "Time Series Similarity Search for Streaming Data in
+Distributed Systems" (EDBT 2019, retrieved corpus): find the sliding
+windows of a keyed value series most similar to a query pattern under
+z-normalized Euclidean distance — batched here as pure window algebra.
+
+Scale shape: ONE shuffle on the series key, a linear ordered scan per key
+building length-L windows (collect_list over a bounded following frame —
+state is L values per row, not the series), z-normalization and distance
+as codegen'd higher-order folds against the broadcast (literal) pattern,
+and a global top-k that compiles to TakeOrderedAndProject. No Python, no
+self-join, no all-pairs anything; at 100 TB the cost is the keyed sort
+plus O(L) arithmetic per row.
+
+Portability: the pattern is z-normalized once driver-side and embedded as
+full-precision literals in BOTH engines; every fold runs left-to-right
+over the same L values with a zero seed (0.0 + x == x exactly), so the
+doubles agree bit-for-bit and the rounded distance hash-matches the
+oracle. The reference (/root/reference) has no time-series surface; this
+extends the engine for the analytics scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def znorm_pattern(pattern: list[float]) -> list[float]:
+    """Driver-side z-normalization of the query pattern (exact floats,
+    reused verbatim by the oracle SQL so both engines see identical
+    literals)."""
+    n = len(pattern)
+    mean = sum(pattern) / n
+    var = sum((x - mean) ** 2 for x in pattern) / n
+    std = var ** 0.5
+    if std == 0:
+        raise ValueError("flat pattern has no z-normalized form")
+    return [(x - mean) / std for x in pattern]
+
+
+def sliding_pattern_topk(
+    df: DataFrame,
+    pattern: list[float],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k length-``len(pattern)`` windows (per key, ordered by
+    ``ts_col``) closest to the z-normalized pattern in z-normalized
+    Euclidean distance. Flat windows (zero variance) have no z-form and
+    are excluded. Returns (key, window-start tie id, window-start ts,
+    dist) with dist rounded to 6 decimals; ties broken by the id so the
+    top-k cut is total."""
+    zp = znorm_pattern(pattern)
+    length = len(zp)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tie_col))
+        .rowsBetween(Window.currentRow, length - 1)
+    )
+    win = (
+        df.select(key_col, ts_col, tie_col, value_col)
+        .withColumn("__w", F.collect_list(value_col).over(w))
+        .filter(F.size("__w") == length)
+    )
+
+    def fold_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0.0), lambda a, x: a + x
+        )
+
+    mean = fold_sum(F.col("__w")) / length
+    win = win.withColumn("__mean", mean)
+    sq = F.transform(
+        F.col("__w"),
+        lambda x: (x - F.col("__mean")) * (x - F.col("__mean")),
+    )
+    win = win.withColumn("__std", F.sqrt(fold_sum(sq) / length))
+    win = win.filter(F.col("__std") > 0)
+    # z-normalize the window and fold the squared diff against the
+    # pattern literal in one pass (zip by index). Squares are explicit
+    # products, not pow() — libm pow rounding is not engine-portable.
+    zp_arr = F.array(*[F.lit(v) for v in zp])
+
+    def zdiff(i):
+        return (
+            (F.element_at(F.col("__w"), i) - F.col("__mean"))
+            / F.col("__std")
+            - F.element_at(zp_arr, i)
+        )
+
+    diff_sq = F.transform(
+        F.sequence(F.lit(1), F.lit(length)),
+        lambda i: zdiff(i) * zdiff(i),
+    )
+    out = win.withColumn(
+        "dist", F.round(F.sqrt(fold_sum(diff_sq)), 6)
+    )
+    return (
+        out.select(key_col, tie_col, ts_col, "dist")
+        .orderBy("dist", tie_col)
+        .limit(k)
+    )

@@ -973,6 +973,91 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "last_purchase_ts")
 
 
+_SENT_LEX = {"fast": 2, "slow": -2, "big": 1, "small": -1}
+_SENT_CASE = (
+    "CASE t WHEN 'big' THEN 1 WHEN 'fast' THEN 2 WHEN 'slow' THEN -2"
+    " WHEN 'small' THEN -1 ELSE 0 END"
+)
+
+
+@query(
+    "sentiment_lexicon",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tx.tokens_sql('text')}) AS t FROM documents
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM({_SENT_CASE}) AS BIGINT) AS score_raw,
+             CAST(SUM(CASE WHEN t IN ('fast','slow','big','small')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             COUNT(*) AS n_toks
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, score_raw, n_hits,
+           round(CASE WHEN n_toks > 0
+                      THEN score_raw / CAST(n_toks AS DOUBLE)
+                      ELSE 0.0 END, 6) AS sentiment
+    FROM agg
+    """,
+)
+def q_sentiment_lexicon(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexicon polarity scoring over the domain lexicon (fast/big positive,
+    slow/small negative — words that actually occur in the corpus):
+    all-integer higher-order fold, no explode/join/Python
+    (operators/text.py:lexicon_sentiment)."""
+    return tx.lexicon_sentiment(_t(spark, sf, "documents"), _SENT_LEX)
+
+
+_TS_PATTERN = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+_TS_ZP = [
+    "-1.5275252316519468", "-1.091089451179962", "-0.6546536707079772",
+    "-0.2182178902359924", "0.2182178902359924", "0.6546536707079772",
+    "1.091089451179962", "1.5275252316519468",
+]
+
+
+@query(
+    "ts_pattern_topk",
+    f"""
+    WITH win AS (
+      SELECT user_id, event_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+               AS w
+      FROM events
+    ), sized AS (
+      SELECT * FROM win WHERE len(w) = 8
+    ), m AS (
+      SELECT *, list_reduce(w, (a, b) -> a + b) / 8 AS mean FROM sized
+    ), s AS (
+      SELECT *, sqrt(list_reduce(
+                  list_transform(w, x -> (x - mean) * (x - mean)),
+                  (a, b) -> a + b) / 8) AS std
+      FROM m
+    )
+    SELECT user_id, event_id, ts,
+           round(sqrt(list_reduce(list_transform(generate_series(1, 8),
+             i -> ((w[i] - mean) / std - [{','.join(_TS_ZP)}][i])
+                * ((w[i] - mean) / std - [{','.join(_TS_ZP)}][i])),
+             (a, b) -> a + b)), 6) AS dist
+    FROM s WHERE std > 0
+    ORDER BY dist, event_id LIMIT 10
+    """,
+)
+def q_ts_pattern_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series similarity search: the 10 per-user sliding windows of
+    the event value series closest (z-normalized Euclidean) to a rising
+    ramp pattern (operators/timeseries.py:sliding_pattern_topk). One
+    keyed shuffle + O(L) folds per row + TakeOrderedAndProject."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        sliding_pattern_topk,
+    )
+
+    return sliding_pattern_topk(
+        _t(spark, sf, "events"), _TS_PATTERN, k=10
+    )
+
+
 @query(
     "skyline_parts",
     """

@@ -585,3 +585,41 @@ def test_skyline_2d_matches_bruteforce(spark):
     # duplicates of a frontier point are mutually non-dominating
     if 202 in want:
         assert 203 in got
+
+
+def test_lexicon_sentiment_values(spark):
+    df = spark.createDataFrame(
+        [(1, "fast fast big"), (2, "slow small"), (3, "neutral words only"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.score_raw, r.n_hits, r.sentiment)
+           for r in tx.lexicon_sentiment(
+               df, {"fast": 2, "slow": -2, "big": 1, "small": -1}
+           ).collect()}
+    assert got[1] == (5, 3, round(5 / 3, 6))
+    assert got[2] == (-3, 2, -1.5)
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)   # empty text: no tokens, score 0
+
+
+def test_sliding_pattern_topk_finds_embedded_ramp(spark):
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        sliding_pattern_topk,
+    )
+
+    # user 1 carries an exact (scaled+shifted) ramp starting at event 103
+    # — z-normalization must make its distance exactly 0
+    vals = [5.0, 9.0, 1.0] + [10.0 + 3.0 * i for i in range(8)] + [2.0, 2.5]
+    rows = [(1, 100 + i, f"2020-01-01 00:00:{i:02d}", v)
+            for i, v in enumerate(vals)]
+    rows += [(2, 300 + i, f"2020-01-01 00:00:{i:02d}", float((-1) ** i))
+             for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sliding_pattern_topk(
+        df, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], k=3
+    ).collect()
+    assert got[0].event_id == 103 and got[0].dist == 0.0
+    assert all(r.dist >= 0 for r in got)

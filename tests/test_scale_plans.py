@@ -513,3 +513,22 @@ def test_aqe_runtime_replan_broadcast_and_coalesce(spark):
     g.collect()
     gplan = g._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in gplan and "coalesced" in gplan
+
+
+def test_ts_pattern_topk_is_one_keyed_sort_plus_take_ordered(spark):
+    """The pattern search must be window algebra: exactly one exchange
+    (the series key), folds in codegen (no Python), and the global top-k
+    as TakeOrderedAndProject — never a full sort or a self-join."""
+    plan = _plan(QUERIES["ts_pattern_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_sentiment_lexicon_is_narrow_fold(spark):
+    """Lexicon scoring is a codegen'd fold: no explode, no join, no
+    Python, no exchange."""
+    plan = _plan(QUERIES["sentiment_lexicon"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "Python" not in plan and "ArrowEval" not in plan
