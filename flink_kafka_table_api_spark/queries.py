@@ -4439,13 +4439,15 @@ def q_connector_approved(spark: SparkSession, sf: str) -> DataFrame:
 # driver CORRECTNESS row — the round-3 additions (TPC-H Q5-Q19, quantized
 # ANN, stream outer joins, time decay), the round-4 additions (TPC-H
 # Q2/Q9/Q11/Q20, pii_redact, doc_chunks, importance_weights), and the
-# never-checked round-2/3 survivors. Thirteen names are deferred to round 5
-# for lack of slots, chosen as the weakest-marginal-evidence set: the nine
+# never-checked round-2/3 survivors. Deferred to round 5 for lack of
+# slots, chosen as the weakest-marginal-evidence set: the nine
 # consolidation merges (re-combinations of components individually green in
 # r1: set_ops_all/distinct, scalar/datetime/json_funcs, agg_rollup_cube,
-# window_frames, pivot_unpivot, time_rollup_multi) and the four rows-only
+# window_frames, pivot_unpivot, time_rollup_multi), the four rows-only
 # checks (ann_ivf_trained, approx_distinct, audio_features, stream_dedup)
-# — which makes every one of the 50 gate slots oracle-bearing. The local
+# — which makes every one of the 50 gate slots oracle-bearing — and the
+# late round-4 additions (scd2_history, skyline_parts, sentiment_lexicon,
+# ts_pattern_topk), each already sf0.01-verified locally. The local
 # driver-replica (tests/test_oracle_parity.py) runs every oracle
 # regardless, so nothing is ever fully outside verification.
 _PRIORITY: list[str] = [

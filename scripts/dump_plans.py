@@ -109,6 +109,17 @@ SHOWCASE = {
     "chunk_dedup": "chunk hashes groupBy and join back on the SAME 64-bit "
                    "hash key (co-partitioned exchanges); no text column "
                    "survives past the hash projection",
+    "skyline_parts": "Pareto frontier with NO O(n^2) dominance join: "
+                     "per-x min aggregate, distributed strict-prefix min "
+                     "(value-range buckets + broadcast offset table), "
+                     "broadcast semi-join back",
+    "scd2_history": "one keyed shuffle + linear lead() per key — version "
+                    "chains with no join and no driver state",
+    "sentiment_lexicon": "all-integer lexicon fold in codegen: no "
+                         "explode, no join, no Python, zero exchanges",
+    "ts_pattern_topk": "one keyed sort builds length-L windows (bounded "
+                       "following frame), z-norm + distance are codegen'd "
+                       "folds, global top-k is TakeOrderedAndProject",
 }
 
 

@@ -532,3 +532,47 @@ def test_sentiment_lexicon_is_narrow_fold(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session claims AQE skew-join handling; prove it: a 95%-one-key
+    join under forced SMJ must show skew-split partitions (skew=true) in
+    the final adaptive plan once thresholds are scaled to test data."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    )}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256k")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # pad length varies with id so constant-folding cannot strip it
+        # from the shuffle (a constant pad re-materializes post-join and
+        # the skewed partition falls under the detection threshold)
+        left = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 20 < 19 THEN 0 ELSE id % 50 END AS k",
+            "repeat('x', CAST(32 + id % 32 AS INT)) AS pad",
+        )
+        right = spark.range(50).selectExpr("id AS k", "id * 2 AS v")
+        j = left.join(right, "k")
+        # collect() (not count()) so THIS plan executes and finalizes —
+        # count() runs a different (aggregated) query execution
+        assert len(j.collect()) == 200_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "SortMergeJoin(skew=true)" in final
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
