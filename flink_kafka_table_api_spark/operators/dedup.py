@@ -468,3 +468,58 @@ def duplicate_chunk_stats(
             F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
         )
     )
+
+
+def fuzzy_pairs_dist1(
+    df: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """Fuzzy string matching (entity resolution) at edit distance <= 1 via
+    SymSpell-style delete-1 neighborhoods: every string emits itself plus
+    its len(s) single-character deletions; two strings within Levenshtein
+    distance 1 provably share at least one variant, so the candidate set
+    is an equi-join on the variant — NEVER an all-pairs or
+    prefix-block-quadratic comparison. Explosion factor is len+1 (bounded
+    by the name length), each variant bucket is tiny, and the final
+    levenshtein() verify runs only on candidates. Returns distinct
+    (a, b, a_name, b_name, dist) pairs with a < b.
+
+    Scale shape: one shuffle on the variant string, one distinct over
+    candidate pairs (keyed shuffle on the pair), integer-exact verify —
+    the standard large-corpus spell/ER blocking (SymSpell), quadratic
+    nowhere. Distance k>1 needs k-delete neighborhoods; this operator
+    fixes k=1, the common ER/typo case."""
+    s = F.col("__name")
+    variants = (
+        df.select(
+            F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
+        )
+        .withColumn(
+            "__v",
+            F.explode(F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.length(s)),
+                lambda i: F.when(i == F.lit(0), s).otherwise(
+                    F.concat(
+                        F.substring(s, F.lit(1), i - 1),
+                        F.substring(s, i + 1, F.length(s)),
+                    )
+                ),
+            ))),
+        )
+    )
+    a = variants.select(
+        F.col("__id").alias("a"), F.col("__name").alias("a_name"), "__v"
+    )
+    b = variants.select(
+        F.col("__id").alias("b"), F.col("__name").alias("b_name"), "__v"
+    )
+    return (
+        a.join(b, "__v")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "a_name", "b_name")
+        .distinct()
+        .withColumn("dist", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -1008,6 +1008,33 @@ def q_sentiment_lexicon(spark: SparkSession, sf: str) -> DataFrame:
     return tx.lexicon_sentiment(_t(spark, sf, "documents"), _SENT_LEX)
 
 
+@query(
+    "fuzzy_name_match",
+    """
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+           a.c_name AS a_name, b.c_name AS b_name,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND abs(len(a.c_name) - len(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution fuzzy match: customer-name pairs within edit
+    distance 1 via SymSpell delete-1 neighborhood blocking
+    (operators/dedup.py:fuzzy_pairs_dist1) — an equi-join on deletion
+    variants, never all-pairs (the oracle IS the quadratic definition;
+    the engine never runs that shape). Verify is integer-exact
+    levenshtein in both engines."""
+    out = dd.fuzzy_pairs_dist1(
+        _t(spark, sf, "customer"), id_col="c_custkey", name_col="c_name"
+    )
+    return out.select(
+        "a", "b", "a_name", "b_name", F.col("dist").cast("long").alias("dist")
+    )
+
+
 _TS_PATTERN = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
 _TS_ZP = [
     "-1.5275252316519468", "-1.091089451179962", "-0.6546536707079772",

@@ -623,3 +623,21 @@ def test_sliding_pattern_topk_finds_embedded_ramp(spark):
     ).collect()
     assert got[0].event_id == 103 and got[0].dist == 0.0
     assert all(r.dist >= 0 for r in got)
+
+
+def test_fuzzy_pairs_dist1_neighborhood_completeness(spark):
+    rows = [
+        (1, "spark"), (2, "spork"),   # substitution
+        (3, "spak"),                  # deletion of r
+        (4, "sparks"),                # insertion
+        (5, "scala"),                 # far away
+        (6, "spark"),                 # exact duplicate of 1
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.a, r.b): r.dist
+           for r in dd.fuzzy_pairs_dist1(
+               df, id_col="id", name_col="name").collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 6)] == 0          # exact dups share the identity variant
+    assert (2, 3) not in got         # spork/spak is distance 2
+    assert (1, 5) not in got and (4, 5) not in got  # unrelated names
