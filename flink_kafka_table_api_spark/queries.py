@@ -1009,6 +1009,83 @@ def q_sentiment_lexicon(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "value_histogram",
+    """
+    SELECT CAST(CASE WHEN l_extendedprice >= 100000.0 THEN 19
+                ELSE floor(l_extendedprice / 5000.0) END AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram (20 x 5000-wide buckets, top-clamped) of
+    lineitem prices — the data-profiling primitive behind range-partition
+    planning. Integer bucket arithmetic; one partial+final aggregate on a
+    20-value key."""
+    price = F.col("l_extendedprice")
+    bucket = F.when(price >= 100000.0, F.lit(19)).otherwise(
+        F.floor(price / 5000.0)).cast("long")
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(price).cast("double").alias("lo"),
+            F.max(price).cast("double").alias("hi"),
+        )
+    )
+
+
+@query(
+    "table_profile",
+    """
+    SELECT col, nulls, distincts FROM (
+      SELECT 'o_custkey' AS col,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distincts
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    )
+    """,
+)
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass data-profiling: per-column null + exact distinct counts
+    over orders. Spark computes ALL columns in a single multi-distinct
+    aggregate (Expand-based two-phase plan — one scan), then unpivots to
+    the long (col, nulls, distincts) layout; the oracle spells it as three
+    scans because DuckDB reads the tiny table thrice for free, but the
+    engine-side shape is the one that matters at 100 TB: one pass."""
+    o = _t(spark, sf, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("long").alias(f"__n_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long")
+                    .alias(f"__d_{c}"))
+    wide = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __n_{c}, __d_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (col, nulls, distincts)"
+    )
+
+
+@query(
     "fuzzy_name_match",
     """
     SELECT a.c_custkey AS a, b.c_custkey AS b,
