@@ -1008,6 +1008,68 @@ def q_sentiment_lexicon(spark: SparkSession, sf: str) -> DataFrame:
     return tx.lexicon_sentiment(_t(spark, sf, "documents"), _SENT_LEX)
 
 
+_IW_ORACLE_BODY = f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             ({portable_hash64_sql("'fkta-dsir:' || t")}) % 64 AS bucket
+      FROM (SELECT doc_id, source, unnest({{toks}}) AS t
+            FROM documents)
+    ),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM tok
+           WHERE source = 'src0' GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS cr FROM tok
+           WHERE source <> 'src0' GROUP BY bucket),
+    tt AS (SELECT COUNT(*) AS n FROM tok WHERE source = 'src0'),
+    rt AS (SELECT COUNT(*) AS n FROM tok WHERE source <> 'src0'),
+    ratio AS (
+      SELECT bucket,
+             round(((COALESCE(ct, 0) + 1.0)
+                    / ((SELECT n FROM tt) + 64.0))
+                   / ((COALESCE(cr, 0) + 1.0)
+                      / ((SELECT n FROM rt) + 64.0)), 6) AS ratio
+      FROM tc FULL JOIN rc USING (bucket)
+    ),
+    iw AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(ratio AS {DEC})) AS DOUBLE)
+                   / COUNT(ratio), 6) AS importance
+      FROM tok JOIN ratio USING (bucket)
+      WHERE source <> 'src0'
+      GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dsir_select",
+    _IW_ORACLE_BODY.format(toks=tx.tokens_sql('text')) + """
+    SELECT doc_id, importance FROM iw
+    WHERE importance >= (SELECT quantile_cont(importance, 0.9) FROM iw)
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR step 2 — importance resampling: keep the top decile of raw
+    docs by target-likeness weight. The threshold is an exact quantile
+    over the (tiny, per-doc) weight table, applied as a 1-row broadcast;
+    weights are computed once and tracked-persisted (shared subplan, same
+    lesson as Q15/Q11). Completes the fit -> weight -> resample DSIR
+    flow."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    docs = _t(spark, sf, "documents")
+    iw = tracked_persist(cu.importance_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    ))
+    thresh = iw.agg(
+        F.expr("percentile(importance, 0.9)").alias("__t"))
+    return (
+        iw.join(F.broadcast(thresh),
+                F.col("importance") >= F.col("__t"))
+        .select("doc_id", "importance")
+    )
+
+
 @query(
     "value_histogram",
     """
