@@ -576,3 +576,12 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_table_profile_is_single_scan_expand(spark):
+    """Profiling N columns must stay ONE scan: the multi-distinct
+    aggregate compiles to an Expand two-phase plan, not per-column
+    scans."""
+    plan = _plan(QUERIES["table_profile"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
