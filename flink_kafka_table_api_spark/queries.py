@@ -1071,6 +1071,64 @@ def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+    )
+    SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): each step's
+    per-user earliest qualifying timestamp must follow the previous
+    step's. Three keyed aggregates chained by user_id joins — every join
+    co-partitions with the aggregate before it (same key), no window, no
+    event-sequence explosion; the product-analytics shape that scales as
+    K small aggregates regardless of funnel depth."""
+    ev = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("step"),
+            F.count("*").cast("long").alias("users"),
+        )
+
+    return (
+        step(s1, "1_view")
+        .unionByName(step(s2, "2_click"))
+        .unionByName(step(s3, "3_purchase"))
+    )
+
+
+@query(
     "value_histogram",
     """
     SELECT CAST(CASE WHEN l_extendedprice >= 100000.0 THEN 19
