@@ -1129,6 +1129,92 @@ def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    in every week they return. Two user_id aggregates (first-seen +
+    distinct active weeks) co-partition on the same key, so the join
+    between them is shuffle-free under AQE's exchange reuse; the final
+    rollup lands on a tiny (cohort, offset) key space. Weeks are
+    Monday-start in both engines; the offset is exact integer day
+    arithmetic, never float."""
+    ev = _t(spark, sf, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_week",
+                 F.expr("div(datediff(week, cohort_week), 7)")
+                 .cast("long").alias("week_offset"))
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )
+
+
+@query(
+    "activity_islands",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+      SELECT user_id, day,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM act
+    )
+    SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS days
+    FROM r
+    GROUP BY user_id, day - CAST(rn AS INTEGER)
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q_activity_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per user
+    via the row_number anchor trick (day - rn is constant within a run).
+    One distinct, one per-user window (partitions bounded by a user's
+    active-day count), one partial+final aggregate — no self-join, no
+    sequence explosion; the standard warehouse idiom for streak/uptime
+    analysis at any scale."""
+    act = (
+        _t(spark, sf, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = act.withColumn(
+        "__anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy("user_id", "__anchor")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").cast("long").alias("days"),
+        )
+        .filter(F.col("days") >= 3)
+        .drop("__anchor")
+    )
+
+
+@query(
     "value_histogram",
     """
     SELECT CAST(CASE WHEN l_extendedprice >= 100000.0 THEN 19
