@@ -83,9 +83,16 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     stream = stream_parquet_dir(spark, _as_stream_dir(sf_dir, name), raw_schema)
     if name == "events":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # Testdata generations differ: ts has shipped both as int64 nanos
+        # (read via nanosAsLong) and as native timestamp[us] (arrives as
+        # TIMESTAMP_NTZ). Watermarks need TIMESTAMP, so convert whichever
+        # we got; session tz is pinned UTC so values match the oracle.
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
