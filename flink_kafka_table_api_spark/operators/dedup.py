@@ -273,6 +273,80 @@ def lsh_verified_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT similarity self-join via AllPairs/PPJoin prefix filtering
+    (Bayardo et al., WWW'07; Xiao et al., WWW'08) — the third point in the
+    near-dup design space: ngram_jaccard_pairs is exact but O(block^2);
+    lsh_verified_pairs is subquadratic but probabilistic (can miss pairs);
+    this is exact AND subquadratic.
+
+    Why it scales: J(a,b) >= t implies |a intersect b| >= t*max(|a|,|b|),
+    so under one global token order a qualifying pair MUST share a token
+    within each side's first |d| - ceil(t*|d|) + 1 tokens. Ordering tokens
+    by ascending document frequency makes those prefixes the RAREST
+    tokens, so the prefix-postings self-join shuffles short posting lists
+    (bounded by the df of rare tokens), never the O(n^2) pair space. The
+    shingle sets are materialized ONCE (tracked persist); the verify stage
+    joins the tiny candidate table against them broadcast-side, so no
+    second shingling pass happens (same contract as lsh_verified_pairs).
+    """
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    sets = tracked_persist(
+        ensure_parallelism(df).select(
+            F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
+        )
+    )
+    postings = sets.select(
+        F.col(id_col), F.size("__sh").alias("__n"),
+        F.explode("__sh").alias("__tok"),
+    )
+    # Global document frequency gives the canonical rare-first order;
+    # token string breaks ties so the order is total (required for the
+    # prefix-overlap guarantee to hold across documents).
+    freq = postings.groupBy("__tok").agg(F.count("*").alias("__df"))
+    pos_w = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("__tok"))
+    prefix = (
+        postings.join(freq, "__tok")
+        .withColumn("__pos", F.row_number().over(pos_w))
+        .filter(F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
+        .select(id_col, "__tok", "__n")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("a"), F.col("__tok"), F.col("__n").alias("__na")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("b"), F.col("__tok"), F.col("__n").alias("__nb")
+    )
+    # Length filter inside the join: J >= t forces t*|a| <= |b| and
+    # t*|b| <= |a|, killing most candidates before the distinct.
+    cand = (
+        a.join(b, "__tok")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+            & (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("b"), F.col("__sh").alias("__sb"))
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.round(jaccard(F.col("__sa"), F.col("__sb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

@@ -1751,6 +1751,31 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "simjoin_prefix",
+    f"""
+    WITH shsets AS (
+      SELECT doc_id, {dd.shingles_sql('text', 3)} AS sh
+      FROM documents
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b, round({_JACC3}, 6) AS jaccard
+    FROM shsets x JOIN shsets y ON x.doc_id < y.doc_id
+    WHERE round({_JACC3}, 6) >= 0.6
+    """,
+)
+def q_simjoin_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT global similarity self-join (Jaccard >= 0.6, trigram
+    shingles) via AllPairs/PPJoin prefix filtering — no blocking key, no
+    LSH false negatives. The oracle is the O(n^2) brute force; the Spark
+    plan joins rare-token prefix postings instead, so work scales with
+    posting-list sizes, not corpus^2 (operators/dedup.py:
+    prefix_filter_pairs). Reference has no similarity ops; EXT scope."""
+    return dd.prefix_filter_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        threshold=0.6, shingle_k=3,
+    )
+
+
 def _neardup_verified_oracle(src: str = "documents") -> str:
     pairs = _lsh_pairs_oracle(src=src)
     return f"""

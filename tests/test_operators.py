@@ -641,3 +641,34 @@ def test_fuzzy_pairs_dist1_neighborhood_completeness(spark):
     assert got[(1, 6)] == 0          # exact dups share the identity variant
     assert (2, 3) not in got         # spork/spak is distance 2
     assert (1, 5) not in got and (4, 5) not in got  # unrelated names
+
+
+def test_prefix_filter_pairs_matches_bruteforce(spark):
+    # Prefix filtering is EXACT: its output must equal the all-pairs brute
+    # force at the same threshold — including pairs LSH could miss.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),                    # near-dup of 1
+        (3, base.replace("quick", "rapid")),       # near-dup of 1
+        (4, "completely different text about spark shuffles and joins ok"),
+        (5, base),                                 # exact dup of 1
+        (6, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dd.prefix_filter_pairs(
+            df, "doc_id", "text", threshold=0.5, shingle_k=3
+        ).collect()
+    }
+    brute = {
+        (r.a, r.b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            df.withColumn("blk", F.lit(1)), "doc_id", "text",
+            block_cols=("blk",), threshold=0.5, shingle_k=3,
+        ).collect()
+    }
+    assert got == brute
+    assert got[(1, 5)] == 1.0 and (1, 2) in got and (1, 3) in got
+    assert all(p[0] != 4 and p[1] != 4 for p in got)
