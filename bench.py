@@ -69,6 +69,32 @@ HEADLINE = [
 ]
 
 
+# Host-noise calibration reference: median probe time measured on the
+# BASELINE.md reference boot (see BASELINE.md §calibration). The probe is
+# a fixed CPU-bound xxhash64 fold over a constant 10M-row range — no IO,
+# no shuffle, single stage — so its runtime moves ONLY with host speed
+# (CPU steal, thermal state, JIT luck), never with plan changes. Every
+# bench payload reports noise_factor = probe/ref so cross-boot totals can
+# be compared normalized instead of adjudicated by prose.
+CALIBRATION_REF_SEC = 0.25
+
+
+def calibration_probe(spark) -> float:
+    """Median of 3 runs of the fixed CPU-bound probe (seconds)."""
+    runs: list[float] = []
+    for _ in range(3):
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        # bit_xor, not sum: xxhash64 spans the full long range and a sum
+        # overflows under ANSI mode
+        spark.range(10_000_000).selectExpr(
+            "bit_xor(xxhash64(cast(id AS string), id)) AS s"
+        ).collect()
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return runs[1]
+
+
 def main() -> None:
     spark = get_spark(
         app_name="fkta-bench",
@@ -120,6 +146,11 @@ def main() -> None:
 
     from flink_kafka_table_api_spark.caching import release_cached
 
+    # Host-noise calibration: probe BEFORE and AFTER the measured set so a
+    # mid-run host slowdown is visible too. noise_factor > 1 means this
+    # boot is that much slower than the reference boot on pure CPU work.
+    cal_before = round(calibration_probe(spark), 3)
+
     n_runs_default = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # the LSH/dedup family concentrates GC noise (BASELINE.md): more runs +
     # an explicit GC between them keep its medians inside a +-10% band
@@ -148,6 +179,10 @@ def main() -> None:
             f"[{spreads[name][0]:.3f}, {spreads[name][1]:.3f}] ({n} rows)",
             file=sys.stderr,
         )
+    cal_after = round(calibration_probe(spark), 3)
+    noise = round(
+        max(1.0, (cal_before + cal_after) / 2 / CALIBRATION_REF_SEC), 3
+    )
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_wall_seconds_total",
@@ -156,6 +191,18 @@ def main() -> None:
         "queries": timings,
         "spread": spreads,
         "first_run": first_runs,
+        # fixed CPU-bound probe (see calibration_probe): raw seconds before/
+        # after the measured set, the reference-boot constant, the derived
+        # slowdown factor (floored at 1 — a faster host is not "noise"),
+        # and the noise-normalized total + per-query map for cross-boot
+        # comparison against BASELINE.md
+        "calibration_sec": [cal_before, cal_after],
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "noise_factor": noise,
+        "total_noise_normalized": round(total / noise, 3),
+        "queries_noise_normalized": {
+            k: round(v / noise, 3) for k, v in timings.items()
+        },
         # noise floor: sum of per-query minima — on a host with CPU-steal/
         # IO-latency spikes (BASELINE.md §bench-variance) this bounds what
         # the same plans cost on a quiet machine

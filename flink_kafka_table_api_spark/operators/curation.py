@@ -107,6 +107,96 @@ def decontaminate(
     return train.join(hit_ids, id_col, "left_anti")
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 5,
+    m_bits: int = 1 << 20,
+    seeds: tuple[int, ...] = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35),
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — EXACT results (same
+    contract as :func:`decontaminate`), different scale posture.
+
+    Where :func:`decontaminate` broadcasts the benchmark's distinct n-gram
+    hash set, this broadcasts a FIXED-SIZE Bloom bitmap instead:
+    ``m_bits`` bits as ``m_bits/64`` bit_or-aggregated longs (128 KiB at
+    the default 2^20), regardless of how many grams the benchmark holds.
+    That is the difference that matters when the "benchmark" is itself
+    large — full eval-suite unions, held-out shards, or another corpus:
+    at ~100 M grams the exact hash set is ~800 MB (not broadcastable);
+    the bitmap is still 128 KiB.
+
+    Exactness is preserved by a verify stage: Bloom membership (all
+    ``len(seeds)`` probe bits set) only nominates CANDIDATE grams, and
+    candidates are then equi-joined against the true benchmark gram
+    table — a shuffle that carries only the candidate grams (true hits +
+    the ~(1-e^{-kn/m})^k false-positive sliver), never the train corpus.
+
+    Everything is codegen'd expression algebra: the bitmap build is
+    explode -> pmod -> groupBy(word).bit_or(mask); the probe is a
+    broadcast join on word index. No UDFs, no driver-side bloom object.
+    """
+    train = ensure_parallelism(train)
+    n_words = m_bits // 64
+
+    def probe_cols(gram: Column) -> list[Column]:
+        # k independent probes: xxhash64 seeded by a distinct constant per
+        # probe (internal only — exactness never depends on the hash)
+        out = []
+        for s in seeds:
+            pos = F.pmod(F.xxhash64(F.lit(s), gram), F.lit(m_bits))
+            # call_function: the Python shiftleft wrapper only accepts a
+            # literal int shift, but the SQL function takes expressions
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+            )
+            out.append(
+                F.struct(
+                    (pos / 64).cast("int").alias("__w"),
+                    mask.alias("__m"),
+                )
+            )
+        return out
+
+    bench_grams = benchmark.select(
+        F.explode(ngrams(text_col, ngram_n)).alias("__g")
+    ).distinct()
+    bitmap = (
+        bench_grams.select(F.explode(F.array(*probe_cols(F.col("__g")))).alias("__p"))
+        .select(F.col("__p.__w").alias("__w"), F.col("__p.__m").alias("__m"))
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+
+    train_grams = train.select(
+        F.col(id_col), F.explode(ngrams(text_col, ngram_n)).alias("__g")
+    )
+    probes = train_grams.select(
+        id_col, "__g",
+        F.explode(F.array(*probe_cols(F.col("__g")))).alias("__p"),
+    ).select(id_col, "__g", F.col("__p.__w").alias("__w"), F.col("__p.__m").alias("__m"))
+    k = len(seeds)
+    candidates = (
+        probes.join(F.broadcast(bitmap), "__w")
+        .filter(F.col("__m").bitwiseAND(F.col("__bits")) != 0)
+        .groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__hits"))
+        .filter(F.col("__hits") == k)  # every probe bit set -> candidate
+        .select(id_col, "__g")
+    )
+    # exact verify: only candidate grams reach this (shuffle) join
+    hits = candidates.join(bench_grams, "__g")
+    if keep_contaminated:
+        return hits.groupBy(id_col).agg(
+            F.count("*").cast("long").alias("overlap_ngrams")
+        )
+    return train.join(hits.select(id_col).distinct(), id_col, "left_anti")
+
+
 def pack_sequences(
     df: DataFrame,
     *,
@@ -391,6 +481,43 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 _PII_TAG_RE = "<(EMAIL|SSN|PHONE|IP)>"
+
+
+def length_band_filter(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group length-band outlier filter: keep rows whose ``value_col``
+    lies within the group's exact [lo, hi] quantile band. The standard
+    curation pass that drops truncated fragments and concatenation
+    monsters per SOURCE (a global cutoff misfires when sources have very
+    different length profiles).
+
+    Exact percentile (sort-based linear interpolation, same definition as
+    DuckDB's quantile_cont) rather than approx_percentile: the bounds
+    table is one row per group — the expensive side is the grouped
+    percentile shuffle, whose map-side partials carry per-group value
+    buffers. At true 100 TB one would switch to approx_percentile (fixed-
+    size sketch partials) and accept the epsilon; the band SEMANTICS and
+    the broadcast-join shape below are identical either way.
+    """
+    df = ensure_parallelism(df)
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo)).alias("__lo"),
+        F.percentile(value_col, F.lit(hi)).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .filter(
+            (F.col(value_col) >= F.col("__lo"))
+            & (F.col(value_col) <= F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )
 
 
 def pii_redact(

@@ -293,9 +293,22 @@ def prefix_filter_pairs(
     by ascending document frequency makes those prefixes the RAREST
     tokens, so the prefix-postings self-join shuffles short posting lists
     (bounded by the df of rare tokens), never the O(n^2) pair space. The
-    shingle sets are materialized ONCE (tracked persist); the verify stage
-    joins the tiny candidate table against them broadcast-side, so no
-    second shingling pass happens (same contract as lsh_verified_pairs).
+    shingle sets AND the prefix postings are materialized once (tracked
+    persist) — the postings feed both sides of the self-join, so without
+    the persist the df aggregation and the per-document row_number sort
+    would be planned twice. The verify stage semi-join-prunes the sets
+    table down to candidate ids (broadcast, same contract as
+    lsh_verified_pairs) so it never rescans the full corpus.
+
+    Float safety: the prefix bound ceil(t*|d|) and the length filter
+    t*|a| <= |b| are computed over doubles; for thresholds whose binary
+    representation is slightly ABOVE the decimal (0.55, 0.67, ...) a raw
+    ceil can overshoot by one (cutting the prefix a token short = silently
+    dropped pairs) and a boundary pair with |b| exactly t*|a| can fail the
+    filter. Both bounds round to 9 decimals first, which restores the
+    exact decimal value for any realistic threshold while perturbing
+    legitimate products (integers scaled by t) far less than one ulp of
+    the bound.
     """
     from flink_kafka_table_api_spark.caching import tracked_persist
 
@@ -313,10 +326,15 @@ def prefix_filter_pairs(
     # prefix-overlap guarantee to hold across documents).
     freq = postings.groupBy("__tok").agg(F.count("*").alias("__df"))
     pos_w = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("__tok"))
-    prefix = (
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.round(F.lit(threshold) * F.col("__n"), 9))
+        + 1
+    )
+    prefix = tracked_persist(
         postings.join(freq, "__tok")
         .withColumn("__pos", F.row_number().over(pos_w))
-        .filter(F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
+        .filter(F.col("__pos") <= prefix_len)
         .select(id_col, "__tok", "__n")
     )
     a = prefix.select(
@@ -327,18 +345,26 @@ def prefix_filter_pairs(
     )
     # Length filter inside the join: J >= t forces t*|a| <= |b| and
     # t*|b| <= |a|, killing most candidates before the distinct.
-    cand = (
+    # cand feeds the id-union prune AND the verify join — persist so the
+    # postings self-join (the expensive stage) runs exactly once.
+    cand = tracked_persist(
         a.join(b, "__tok")
         .filter(
             (F.col("a") < F.col("b"))
-            & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
-            & (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
+            & (F.col("__nb") >= F.round(F.lit(threshold) * F.col("__na"), 9))
+            & (F.col("__na") >= F.round(F.lit(threshold) * F.col("__nb"), 9))
         )
         .select("a", "b")
         .distinct()
     )
-    sa = sets.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sa"))
-    sb = sets.select(F.col(id_col).alias("b"), F.col("__sh").alias("__sb"))
+    ids = (
+        cand.select(F.col("a").alias(id_col))
+        .union(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    pruned = sets.join(F.broadcast(ids), on=id_col, how="left_semi")
+    sa = pruned.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sa"))
+    sb = pruned.select(F.col(id_col).alias("b"), F.col("__sh").alias("__sb"))
     return (
         cand.join(sa, "a").join(sb, "b")
         .withColumn("jaccard", F.round(jaccard(F.col("__sa"), F.col("__sb")), 6))
@@ -489,6 +515,36 @@ def connected_components(
         if changed == 0:
             break
     return labels.withColumn("is_canonical", F.col("id") == F.col("cluster"))
+
+
+def keep_best_per_cluster(
+    labels: DataFrame,
+    quality: DataFrame,
+    *,
+    id_col: str = "id",
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware canonical selection: given near-dup cluster labels
+    (``id``, ``cluster`` — :func:`connected_components` output) and a
+    per-document quality table, keep the HIGHEST-quality member of each
+    cluster (ties broken by lowest id, so the choice is deterministic).
+
+    This is the production dedup policy most curation stacks actually want:
+    min-id canonicalization keeps an arbitrary member, while training
+    pipelines keep the best-scoring duplicate (longest/cleanest version of
+    the page). One join on id + one shuffle on cluster (the row_number
+    window); both sides are label tables (a few columns), never the corpus.
+    """
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        labels.select(id_col, "cluster")
+        .join(quality.select(id_col, quality_col), id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("is_kept", F.col("__rk") == 1)
+        .drop("__rk")
+    )
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

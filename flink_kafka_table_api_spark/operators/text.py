@@ -249,6 +249,92 @@ def with_repetition_score(
     )
 
 
+def top_ngram_char_fraction(
+    df: DataFrame, text_col: str = "text", *, k: int = 2
+) -> DataFrame:
+    """Gopher's headline repetition signal (Rae et al. 2021, Table A1):
+    the fraction of a document's characters contained in occurrences of its
+    single most frequent token ``k``-gram. High values (>0.2 for 2-grams in
+    the Gopher rules) flag templated/boilerplate text that the duplicate-
+    gram RATIO (:func:`with_repetition_score`) under-weights when one gram
+    dominates.
+
+    Deterministic argmax: the winning gram is chosen by (count DESC,
+    char-length DESC, gram ASC), so ties resolve identically in Spark and
+    the oracle. Shape: explode -> count per (doc, gram) -> min(struct)
+    argmax per doc — two partial-aggregated shuffles on doc_id-keyed rows,
+    never a window sort over the corpus.
+    """
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    grams = df.select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("__nc"),
+        F.explode(kgram_strings(toks, k)).alias("__g"),
+    )
+    counts = grams.groupBy("doc_id", "__nc", "__g").agg(
+        F.count("*").alias("__cnt")
+    )
+    # min of (-count, -len, gram) == argmax by (count, len) with asc-gram
+    # tie-break; carried as one struct so a single partial-agg shuffle
+    best = counts.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("__cnt")).alias("nc"),
+                (-F.length("__g")).alias("nl"),
+                F.col("__g").alias("g"),
+                F.col("__nc").alias("chars"),
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("__b.g").alias("top_gram"),
+        (-F.col("__b.nc")).cast("long").alias("top_gram_count"),
+        F.round(
+            F.when(
+                F.col("__b.chars") > 0,
+                (-F.col("__b.nc") * -F.col("__b.nl")).cast("double")
+                / F.col("__b.chars"),
+            ).otherwise(0.0),
+            6,
+        ).alias("top_gram_char_fraction"),
+    )
+
+
+def top_ngram_char_fraction_sql(k: int = 2) -> str:
+    """DuckDB twin of :func:`top_ngram_char_fraction` over `documents`."""
+    toks = tokens_sql("text")
+    grams = (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k} - 1), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+    return f"""
+    WITH exploded AS (
+      SELECT doc_id, length(text) AS __nc, unnest({grams}) AS __g
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, __nc, __g, COUNT(*) AS __cnt
+      FROM exploded GROUP BY doc_id, __nc, __g
+    ), ranked AS (
+      SELECT doc_id, __g, __cnt, __nc,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY __cnt DESC, length(__g) DESC, __g ASC
+             ) AS __rk
+      FROM counts
+    )
+    SELECT doc_id, __g AS top_gram,
+           CAST(__cnt AS BIGINT) AS top_gram_count,
+           round(CASE WHEN __nc > 0
+                 THEN CAST(__cnt * length(__g) AS DOUBLE) / __nc
+                 ELSE 0.0 END, 6) AS top_gram_char_fraction
+    FROM ranked WHERE __rk = 1
+    """
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: 60-bit hash of the sorted distinct
     token set (word-order- and repetition-insensitive). The standard cheap

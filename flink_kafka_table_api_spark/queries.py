@@ -116,11 +116,24 @@ def _release_previous_caches(fn: Q) -> Q:
     return wrapped
 
 
-def query(name: str, oracle: str | None = None):
+# Queries registered WITHOUT an oracle get only the driver's weaker
+# rows-only check, so each must carry an explicit reason; the registry
+# test (tests/test_registry_coverage.py) fails on an unexplained one.
+ROWS_ONLY_REASONS: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None, *,
+          rows_only_reason: str | None = None):
     def deco(fn: Q) -> Q:
         QUERIES[name] = _release_previous_caches(fn)
         if oracle is not None:
             ORACLES[name] = oracle
+        elif rows_only_reason:
+            ROWS_ONLY_REASONS[name] = rows_only_reason
+        else:
+            raise ValueError(
+                f"query {name!r} needs an oracle or a rows_only_reason"
+            )
         return fn
     return deco
 
@@ -2179,8 +2192,9 @@ def q_ann_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_trained")  # no oracle: iterative float means are
-#                            aggregation-order-dependent (rows-only check)
+@query("ann_ivf_trained", rows_only_reason=(
+    "iterative k-means float means are aggregation-order-dependent; "
+    "convergence + cluster quality pinned by unit test instead"))
 def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end IVF: TRAIN centroids with distributed Lloyd k-means (per
     iteration one broadcast assignment pass + one (cluster, dim)-keyed mean
@@ -2246,8 +2260,9 @@ def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("stream_dedup")  # rows-only: which duplicate row survives is
-                        # partition-order-dependent in a streaming dedup
+@query("stream_dedup", rows_only_reason=(
+    "which duplicate row survives is arrival/partition-order-dependent "
+    "in a streaming dedup; key-set equality pinned by unit test"))
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exact dedup with watermark-bounded state
     (dropDuplicatesWithinWatermark) through the real engine."""
@@ -2565,8 +2580,9 @@ def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return mm.frame_sample(payloads, n_frames=4, frame_len=16, fake=True)
 
 
-@query("audio_features")  # rows-only: byte-level windows aren't expressible
-#                           in DuckDB SQL (md5/substring are VARCHAR-only)
+@query("audio_features", rows_only_reason=(
+    "byte-level feature windows aren't expressible in DuckDB SQL "
+    "(md5/substring are VARCHAR-only); pinned vs a Python reference"))
 def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """Audio leg of the multimodal pattern: windowed RMS + zero-crossing
     features over opaque payloads via Arrow-batched numpy (decode stubbed;
@@ -2763,17 +2779,39 @@ def q_stream_sessions_stateful(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "append")
 
 
-@query("approx_distinct")  # no oracle: HLL sketches differ across engines
+@query(
+    "approx_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tolerance
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): sketch values are
-    engine-specific so this is a rows-only check; the exact distinct count
-    rides along for eyeball comparison. At 100 TB the sketch is the ONLY
-    viable distinct count (fixed memory, one pass, mergeable partials)."""
+    """approx_count_distinct (HyperLogLog++) with a deterministic oracle:
+    the HLL estimate itself is engine-specific, so the checkable contract
+    is the HLL++ accuracy guarantee — the estimate must land within ±5 %
+    of the exact count (rsd default 0.05; the bound holds with large
+    margin at these cardinalities). The oracle asserts the same boolean
+    from DuckDB's side (exact count + literal TRUE), so a drifting sketch
+    breaks the hash. At 100 TB the sketch is the ONLY viable distinct
+    count (fixed memory, one pass, mergeable partials)."""
     ev = _t(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_tolerance"),
+    ).orderBy("event_type")
 
 
 @query(
@@ -4473,6 +4511,127 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "bloom_decontaminate",
+    # identical contract to `decontaminate` — the Bloom bitmap is a
+    # prefilter whose false positives are removed by the exact verify
+    # join, so the oracle IS the exact-overlap definition
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT __g
+      FROM (SELECT unnest({cu.ngrams_sql('text', _DECON_N)}) AS __g
+            FROM documents WHERE source = 'src19')
+    )
+    SELECT doc_id, source, n_chars FROM documents d
+    WHERE source <> 'src19' AND NOT EXISTS (
+      SELECT 1 FROM (SELECT unnest({cu.ngrams_sql('d.text', _DECON_N)}) AS __g) g
+      JOIN bench USING (__g)
+    )
+    """,
+)
+def q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination via a broadcast Bloom BITMAP (128 KiB fixed,
+    bit_or-aggregated longs) + exact candidate verify — the scale path for
+    when the benchmark gram set itself is too big to broadcast (full eval
+    unions / held-out shards at 100 TB). Same exact results as
+    `decontaminate`; only the distribution strategy differs."""
+    docs = _t(spark, sf, "documents")
+    return cu.bloom_decontaminate(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        ngram_n=_DECON_N,
+    ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "top_ngram_fraction",
+    tx.top_ngram_char_fraction_sql(k=2),
+)
+def q_top_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher's top-2-gram character-fraction repetition signal with a
+    deterministic (count DESC, len DESC, gram ASC) argmax — the drop rule
+    that catches single-dominant-boilerplate docs the duplicate-gram ratio
+    under-weights. Two partial-agg shuffles, no corpus-wide window."""
+    return tx.top_ngram_char_fraction(_t(spark, sf, "documents"), k=2)
+
+
+@query(
+    "length_band_filter",
+    """
+    WITH b AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS __lo,
+             quantile_cont(n_chars, 0.95) AS __hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN b USING (source)
+    WHERE d.n_chars >= __lo AND d.n_chars <= __hi
+    """,
+)
+def q_length_band_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source length-band outlier filter: exact [p5, p95] quantile
+    band per source (Spark `percentile` == DuckDB `quantile_cont`,
+    sort-based linear interpolation), bounds broadcast back onto the
+    corpus scan. Drops truncated fragments and concatenation monsters
+    without a global cutoff that misfires across heterogeneous sources."""
+    return cu.length_band_filter(
+        _t(spark, sf, "documents"),
+        group_col="source", value_col="n_chars", lo=0.05, hi=0.95,
+    ).select("doc_id", "source", "n_chars")
+
+
+def _dedup_keep_best_oracle() -> str:
+    clusters = _dedup_clusters_oracle()
+    return f"""
+    WITH labels AS ({clusters}),
+    quality AS (
+      SELECT doc_id,
+             round((CASE WHEN len(__toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN len(__toks) > 0
+                      THEN CAST(len(list_filter(__toks,
+                           t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t)))
+                           AS DOUBLE) / len(__toks) ELSE 0.0 END) * 0.3
+                   + (CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                           / length(text) ELSE 0.0 END) * 0.3,
+                   6) AS quality_score
+      FROM (SELECT doc_id, text, {tx.tokens_sql('text')} AS __toks FROM documents)
+    ),
+    ranked AS (
+      SELECT l.id AS doc_id, l.cluster, q.quality_score,
+             row_number() OVER (
+               PARTITION BY l.cluster
+               ORDER BY q.quality_score DESC, l.id ASC
+             ) AS __rk
+      FROM labels l JOIN quality q ON q.doc_id = l.id
+    )
+    SELECT doc_id, cluster, quality_score, __rk = 1 AS is_kept FROM ranked
+    """
+
+
+@query("dedup_keep_best", _dedup_keep_best_oracle())
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization: LSH-verified pairs ->
+    connected components -> keep the HIGHEST-quality member per cluster
+    (ties: lowest doc_id) instead of the arbitrary min-id one — the policy
+    production curation stacks actually apply. Label-table joins only;
+    the corpus never re-shuffles."""
+    docs = _t(spark, sf, "documents")
+    pairs = dd.lsh_verified_pairs(
+        docs, "doc_id", "text",
+        num_hashes=8, bands=4, rows_per_band=2, shingle_k=3,
+        threshold=0.5, portable=True,
+    )
+    labels = dd.connected_components(pairs)
+    quality = tx.with_quality_score(docs).select(
+        F.col("doc_id").alias("id"), "quality_score"
+    )
+    return dd.keep_best_per_cluster(labels, quality).select(
+        F.col("id").alias("doc_id"), "cluster", "quality_score", "is_kept"
+    )
+
+
+@query(
     "pack_sequences",
     f"""
     WITH sized AS (
@@ -4775,53 +4934,47 @@ def q_connector_approved(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# dict order. Rounds 1+2 proved 74 names green; round 3's rotation never ran
-# (the driver produced no r3 artifacts), so round 4 re-rotates over the now
-# 113-query registry: all 50 slots go to queries that have NEVER had a
-# driver CORRECTNESS row — the round-3 additions (TPC-H Q5-Q19, quantized
-# ANN, stream outer joins, time decay), the round-4 additions (TPC-H
-# Q2/Q9/Q11/Q20, pii_redact, doc_chunks, importance_weights), and the
-# never-checked round-2/3 survivors. Deferred to round 5 for lack of
-# slots, chosen as the weakest-marginal-evidence set: the nine
-# consolidation merges (re-combinations of components individually green in
-# r1: set_ops_all/distinct, scalar/datetime/json_funcs, agg_rollup_cube,
-# window_frames, pivot_unpivot, time_rollup_multi), the four rows-only
-# checks (ann_ivf_trained, approx_distinct, audio_features, stream_dedup)
-# — which makes every one of the 50 gate slots oracle-bearing — and the
-# late round-4 additions (scd2_history, skyline_parts, sentiment_lexicon,
-# ts_pattern_topk), each already sf0.01-verified locally. The local
-# driver-replica (tests/test_oracle_parity.py) runs every oracle
-# regardless, so nothing is ever fully outside verification.
+# dict order. Rounds 1-3 proved 101 of the registry green (r1+r2+r3, zero
+# failures); the round-3 VERDICT's top item is the 25 queries that have
+# NEVER had a driver CORRECTNESS row — the hand-ordered gate always
+# front-loaded the newest additions. Round 4 closes that blind spot: the
+# first 25 slots are exactly the never-gated set from VERDICT.md (the nine
+# consolidation merges, profiling/funnel/skyline/SCD2/DSIR/fuzzy/prefix
+# joins, and the formerly rows-only `approx_distinct`, which now carries a
+# deterministic ±5 % tolerance oracle). Three remain rows-only by nature
+# (ann_ivf_trained: kmeans float-order; audio_features: binary feature
+# vectors DuckDB can't parse; stream_dedup: arrival-order dependent) —
+# they get the weaker rows-only driver row, which is still stronger than
+# no row. The remaining 25 slots go to the stalest previous evidence:
+# the four names last green in r1, then the round-4 additions, then the
+# r2-era queries the round-3 VERDICT marked perf-weak (so correctness is
+# re-confirmed on the same round as the bench re-measurement) plus the
+# most load-bearing capability anchors. The local driver-replica
+# (tests/test_oracle_parity.py) still runs EVERY oracle at sf0.001.
 _PRIORITY: list[str] = [
-    # TPC-H completions (round 4)
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q20_promotion_stock",
-    # TPC-H round-3 shapes
-    "tpch_q5_local_supplier", "tpch_q6_forecast", "tpch_q7_volume",
-    "tpch_q8_market_share", "tpch_q10_returns", "tpch_q12_priority",
-    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q19_disjunctive",
-    # TPC-H round-2 subquery shapes
-    "tpch_q13_custdist", "tpch_q16_supplier_cnt", "tpch_q21_waiting",
-    "corr_avg_subquery", "cold_customers",
-    # quantization / ANN / scoring
-    "ann_quantized", "ann_ivf_quantized", "embedding_quantize",
-    "ann_ivf_nprobe2", "time_decay_score",
-    # dedup / similarity tail
-    "simhash_pairs", "incremental_neardup", "embedding_neardup",
-    "semantic_dedup",
-    # text tail
-    "top_bigrams", "text_clean", "fingerprint", "udtf_sentences",
-    "grouped_agg_udf",
-    # multimodal
-    "frame_sample",
-    # curation (round-2/3 survivors + round-4 additions)
-    "llm_curation", "contamination_audit", "stratified_sample",
-    "corpus_mix", "corpus_shuffle", "vocab_coverage", "source_token_cap",
-    "pii_redact", "doc_chunks", "importance_weights",
-    # streaming tail
-    "stream_session", "stream_sliding", "stream_static_join",
-    "stream_approved", "stream_stream_left_join", "stream_stream_full_join",
-    "chunk_dedup",
+    # -- the 25 never-driver-gated queries (VERDICT r3 item 1) --
+    "activity_islands", "agg_rollup_cube", "ann_ivf_trained",
+    "approx_distinct", "audio_features", "cohort_retention",
+    "datetime_funcs", "dsir_select", "funnel_conversion",
+    "fuzzy_name_match", "json_funcs", "pivot_unpivot", "scalar_funcs",
+    "scd2_history", "sentiment_lexicon", "set_ops_all", "set_ops_distinct",
+    "simjoin_prefix", "skyline_parts", "stream_dedup", "table_profile",
+    "time_rollup_multi", "ts_pattern_topk", "value_histogram",
+    "window_frames",
+    # -- stalest evidence: last green in r1 --
+    "join_left", "join_anti", "agg_minmax_by", "salted_agg",
+    # -- round-3 perf-weak set: re-confirm correctness alongside bench --
+    "pricing_summary", "star_join", "dedup_minhash", "join_inner_agg",
+    "stream_tumbling",
+    # -- round-4 additions (new queries must enter the upcoming gate —
+    #    enforced by tests/test_registry_coverage.py) --
+    "bloom_decontaminate", "top_ngram_fraction", "length_band_filter",
+    "dedup_keep_best",
+    # -- load-bearing r2-era anchors --
+    "approved_transactions", "connector_approved", "neardup_verified",
+    "dedup_clusters", "lsh_candidate_pairs", "ann_ivf", "asof_join",
+    "range_join", "percentiles", "decontaminate", "pack_sequences",
+    "stream_sessions_stateful",
 ]
 
 

@@ -252,6 +252,187 @@ def _decode(buf: io.BytesIO, schema: Any) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# writer -> reader schema resolution (Avro 1.11 spec, "Schema Resolution")
+# ---------------------------------------------------------------------------
+#
+# This is what makes registry-based schema EVOLUTION work: a topic normally
+# carries messages written under several registered schema versions, and a
+# consumer must decode each payload with the WRITER's schema (resolved from
+# the embedded 5-byte-header id), then project it onto its own READER
+# schema — dropping removed fields, filling added fields from defaults,
+# applying the spec's numeric/string promotions. The reference gets this
+# behavior from flink-avro-confluent-registry
+# (TransactionProcessor.java:112-115 declares only the reader schema; the
+# per-message writer lookup happens inside the format); here it is explicit.
+
+_PROMOTIONS: dict[str, tuple[str, ...]] = {
+    "int": ("long", "float", "double"),
+    "long": ("float", "double"),
+    "float": ("double",),
+    "string": ("bytes",),
+    "bytes": ("string",),
+}
+
+
+def _plain_type(schema: Any) -> Any:
+    """The schema's type name for compatibility checks (unwraps dicts)."""
+    if isinstance(schema, dict):
+        return schema["type"]
+    return schema
+
+
+def _promote(value: Any, writer_t: str, reader_t: str) -> Any:
+    if writer_t in ("int", "long") and reader_t in ("float", "double"):
+        return float(value)
+    if writer_t == "float" and reader_t == "double":
+        return value
+    if writer_t == "string" and reader_t == "bytes":
+        return value.encode("utf-8")
+    if writer_t == "bytes" and reader_t == "string":
+        return value.decode("utf-8")
+    return value
+
+
+def _default_value(schema: Any, default: Any) -> Any:
+    """Convert an Avro JSON default to the runtime value the decoder would
+    produce. Per spec, a union's default is typed by its FIRST branch."""
+    if isinstance(schema, list):
+        return _default_value(schema[0], default)
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt in ("timestamp-millis", "local-timestamp-millis"):
+            return _EPOCH + dt.timedelta(milliseconds=int(default))
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return _EPOCH + dt.timedelta(microseconds=int(default))
+        t = schema["type"]
+        if t == "record":
+            return {
+                f["name"]: _default_value(f["type"], default.get(f["name"]))
+                for f in schema["fields"]
+            }
+        if t == "array":
+            return [_default_value(schema["items"], d) for d in default]
+        if t == "map":
+            return {
+                k: _default_value(schema["values"], v)
+                for k, v in default.items()
+            }
+        if t in ("enum", "fixed"):
+            return default
+        schema = t
+    if schema == "bytes" and isinstance(default, str):
+        # spec: bytes defaults are JSON strings of latin-1 code points
+        return default.encode("latin-1")
+    if schema in ("float", "double") and default is not None:
+        return float(default)
+    return default
+
+
+def _compatible(writer: Any, reader: Any) -> bool:
+    """Can a value written as `writer` be read as `reader`? (shallow check;
+    nested mismatches surface during the recursive decode)."""
+    if isinstance(writer, list) or isinstance(reader, list):
+        return True  # branch choice happens at decode time
+    wt, rt = _plain_type(writer), _plain_type(reader)
+    if wt == rt:
+        return True
+    return isinstance(wt, str) and rt in _PROMOTIONS.get(wt, ())
+
+
+def _decode_resolved(buf: io.BytesIO, writer: Any, reader: Any) -> Any:
+    # writer union: the wire carries the branch index against the WRITER's
+    # union; resolve the chosen branch against the reader schema
+    if isinstance(writer, list):
+        idx = _read_long(buf)
+        return _decode_resolved(buf, writer[idx], reader)
+    # reader union, writer not: spec says read as the first reader branch
+    # that matches the writer schema
+    if isinstance(reader, list):
+        for branch in reader:
+            if _compatible(writer, branch):
+                return _decode_resolved(buf, writer, branch)
+        raise ValueError(
+            f"writer schema {writer!r} matches no reader union branch {reader!r}"
+        )
+
+    wt, rt = _plain_type(writer), _plain_type(reader)
+    if wt == "record" and rt == "record":
+        reader_fields = {f["name"]: f for f in reader["fields"]}
+        out: dict[str, Any] = {}
+        for wf in writer["fields"]:
+            name = wf["name"]
+            if name in reader_fields:
+                out[name] = _decode_resolved(
+                    buf, wf["type"], reader_fields[name]["type"]
+                )
+            else:
+                _decode(buf, wf["type"])  # skip a field the reader dropped
+        for rf in reader["fields"]:
+            if rf["name"] not in out:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} absent from writer "
+                        "schema and has no default"
+                    )
+                out[rf["name"]] = _default_value(rf["type"], rf["default"])
+        return out
+    if wt == "array" and rt == "array":
+        items: list[Any] = []
+        while True:
+            count = _read_long(buf)
+            if count == 0:
+                return items
+            if count < 0:
+                _read_long(buf)
+                count = -count
+            for _ in range(count):
+                items.append(
+                    _decode_resolved(buf, writer["items"], reader["items"])
+                )
+    if wt == "map" and rt == "map":
+        out = {}
+        while True:
+            count = _read_long(buf)
+            if count == 0:
+                return out
+            if count < 0:
+                _read_long(buf)
+                count = -count
+            for _ in range(count):
+                k = _decode(buf, "string")
+                out[k] = _decode_resolved(
+                    buf, writer["values"], reader["values"]
+                )
+    if wt == "enum" and rt == "enum":
+        symbol = writer["symbols"][_read_long(buf)]
+        if symbol not in reader["symbols"]:
+            raise ValueError(f"enum symbol {symbol!r} unknown to reader")
+        return symbol
+    if wt == rt:
+        # identical wire shape — decode per the READER's annotation, so a
+        # reader that adds/removes a logicalType gets its own view (the
+        # varint on the wire is the same either way)
+        return _decode(buf, reader)
+    if isinstance(wt, str) and rt in _PROMOTIONS.get(wt, ()):
+        return _promote(_decode(buf, writer), wt, rt)
+    raise ValueError(f"cannot resolve writer {writer!r} to reader {reader!r}")
+
+
+def decode_record_resolved(
+    writer_schema: str | dict[str, Any],
+    reader_schema: str | dict[str, Any],
+    payload: bytes,
+) -> dict[str, Any]:
+    """Decode one Avro-binary record written under `writer_schema`,
+    projected onto `reader_schema` per the spec's resolution rules."""
+    if isinstance(writer_schema, str):
+        writer_schema = json.loads(writer_schema)
+    if isinstance(reader_schema, str):
+        reader_schema = json.loads(reader_schema)
+    return _decode_resolved(io.BytesIO(payload), writer_schema, reader_schema)
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 

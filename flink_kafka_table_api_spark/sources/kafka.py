@@ -86,6 +86,14 @@ class SchemaRegistryClient:
             payload = json.loads(resp.read())
             return payload["id"], payload["schema"]
 
+    def get_by_id(self, schema_id: int) -> str:
+        """Writer-schema lookup by the id embedded in the Confluent header —
+        the call Flink's avro-confluent format makes per message id."""
+        with urllib.request.urlopen(
+            f"{self.url}/schemas/ids/{schema_id}"
+        ) as resp:
+            return json.loads(resp.read())["schema"]
+
 
 def _require_avro_functions():
     try:
@@ -115,6 +123,8 @@ def decode_avro_column(
     *,
     value_col: str = "value",
     confluent_framed: bool = True,
+    schema_registry_url: str | None = None,
+    expected_schema_ids: list[int] | None = None,
 ) -> DataFrame:
     """Decode an Avro-encoded binary column into its record fields.
 
@@ -123,34 +133,115 @@ def decode_avro_column(
     dependency-free pure-Python codec (sources/avro_codec.py) via
     Arrow-batched mapInPandas. Same results either way; install the jar for
     the 100 TB path.
+
+    Schema evolution (the reason the Confluent header carries an id at
+    all — reference TransactionProcessor.java:112-115): when
+    ``schema_registry_url`` is given and the payloads are framed, every
+    message is decoded with its WRITER schema — resolved from the embedded
+    id via the registry (cached per id, one lookup per id per task) — then
+    projected onto ``avro_schema_json`` (the reader schema) under the Avro
+    spec's resolution rules. A topic carrying several registered schema
+    versions therefore decodes correctly instead of crashing or silently
+    misreading bytes. Unknown ids fail loudly (registry 404 propagates).
+
+    Without a registry there is nothing to resolve against, so mixed ids
+    are a hard error, not a silent mis-decode: pass
+    ``expected_schema_ids`` (e.g. the id you registered at produce time)
+    to enforce the check in BOTH decode paths — it compiles to a
+    codegen-side ``CASE WHEN id IN (...) THEN value ELSE raise_error``
+    guard, which is the strongest check available on the JVM path (a
+    single from_avro expression cannot branch per writer schema). The
+    Python fallback additionally rejects a batch containing more than one
+    distinct id even when no expectation was declared.
     """
     from flink_kafka_table_api_spark.avro_schema import avro_to_struct
+
+    if expected_schema_ids is not None and confluent_framed:
+        sid = extract_schema_id(F.col(value_col))
+        guarded = F.when(
+            sid.isin([int(i) for i in expected_schema_ids]), F.col(value_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unexpected Avro schema id "),
+                    sid.cast("string"),
+                    F.lit(
+                        f"; expected one of {sorted(expected_schema_ids)}"
+                        " (pass schema_registry_url to resolve by id)"
+                    ),
+                )
+            ).cast("binary")
+        )
+        df = df.withColumn(value_col, guarded)
 
     body = (
         strip_confluent_header(F.col(value_col))
         if confluent_framed
         else F.col(value_col)
     )
-    if _jvm_avro_usable(df, body, avro_schema_json):
+    use_registry = schema_registry_url is not None and confluent_framed
+    if not use_registry and _jvm_avro_usable(df, body, avro_schema_json):
         from_avro, _ = _require_avro_functions()
         return df.select(from_avro(body, avro_schema_json).alias("v")).select("v.*")
 
     spark_schema = avro_to_struct(avro_schema_json)
     field_names = [f.name for f in spark_schema.fields]
     header = CONFLUENT_HEADER_LEN if confluent_framed else 0
+    registry_url = schema_registry_url
 
     def decode_batches(batches):
         import pandas as pd  # noqa: PLC0415
 
         from flink_kafka_table_api_spark.sources.avro_codec import (  # noqa: PLC0415
             decode_record,
+            decode_record_resolved,
         )
 
+        # per-task writer-schema cache: id -> parsed-or-None (None marks
+        # "identical to reader", skipping resolution overhead)
+        writer_cache: dict[int, str | None] = {}
+        client = (
+            SchemaRegistryClient(registry_url) if registry_url else None
+        )
+
+        def writer_for(schema_id: int) -> str | None:
+            if schema_id not in writer_cache:
+                fetched = client.get_by_id(schema_id)
+                writer_cache[schema_id] = (
+                    None
+                    if json.loads(fetched) == json.loads(avro_schema_json)
+                    else fetched
+                )
+            return writer_cache[schema_id]
+
         for pdf in batches:
-            records = [
-                decode_record(avro_schema_json, bytes(v)[header:])
-                for v in pdf[value_col]
-            ]
+            raws = [bytes(v) for v in pdf[value_col]]
+            if header and client is None:
+                # no registry to resolve against: a batch mixing schema
+                # ids cannot be decoded safely — check BEFORE decoding so
+                # the error names the cause, not a downstream EOF
+                seen_ids = {struct.unpack(">I", r[1:5])[0] for r in raws}
+                if len(seen_ids) > 1:
+                    raise ValueError(
+                        "mixed Avro schema ids in topic "
+                        f"({sorted(seen_ids)}) but no schema_registry_url"
+                        " to resolve writer schemas — refusing to mis-decode"
+                    )
+            records = []
+            for raw in raws:
+                payload = raw[header:]
+                if header and client is not None:
+                    sid = struct.unpack(">I", raw[1:5])[0]
+                    writer = writer_for(sid)
+                    records.append(
+                        decode_record(avro_schema_json, payload)
+                        if writer is None
+                        else decode_record_resolved(
+                            writer, avro_schema_json, payload
+                        )
+                    )
+                else:
+                    records.append(decode_record(avro_schema_json, payload))
             yield pd.DataFrame(records, columns=field_names)
 
     return df.select(value_col).mapInPandas(decode_batches, schema=spark_schema)
@@ -206,9 +297,14 @@ def read_topic(
     starting_offsets: str = "earliest",
     confluent_framed: bool = True,
     kafka_options: dict[str, str] | None = None,
+    schema_registry_url: str | None = None,
+    expected_schema_ids: list[int] | None = None,
 ) -> DataFrame:
     """O1/O11: read a topic as a streaming (unbounded) or batch (bounded)
     DataFrame, decoding Confluent-framed Avro values when a schema is given.
+    With a ``schema_registry_url`` the writer schema is resolved per
+    message from the framed id (full evolution support, see
+    decode_avro_column); ``expected_schema_ids`` adds a fail-loud id guard.
     """
     reader = (spark.read if bounded else spark.readStream).format("kafka")
     reader = (
@@ -226,7 +322,9 @@ def read_topic(
     if avro_schema_json is None:
         return raw
     return decode_avro_column(
-        raw, avro_schema_json, confluent_framed=confluent_framed
+        raw, avro_schema_json, confluent_framed=confluent_framed,
+        schema_registry_url=schema_registry_url,
+        expected_schema_ids=expected_schema_ids,
     )
 
 

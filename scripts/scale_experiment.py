@@ -47,6 +47,13 @@ MEASURE = [
     "chunk_dedup",          # hash-co-partitioned self stats
     "importance_weights",   # fit (2 scans) + broadcast-ratio scoring
     "tpch_q9_product_profit",  # 6-way join over derived partsupp
+    # round-4: the LSH family — the most expensive headline queries, whose
+    # 8x efficiency was unmeasured (VERDICT r3 item 6). Sub-linear is the
+    # expectation: band-bucket joins shuffle signatures (k longs/doc), and
+    # the pair space only grows with real duplicate density, not n^2.
+    "lsh_candidate_pairs",   # banding + bucket self-join
+    "neardup_verified_fast", # candidates + semi-join-pruned Jaccard verify
+    "dedup_clusters",        # pairs -> connected components -> canonical
 ]
 
 
@@ -60,10 +67,26 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
             df = spark.read.parquet(f"{BASE}/{t}.parquet")
             idc = SCALED[t]
             span = df.agg(F.max(idc)).first()[0] + 1
-            parts = [
-                df.withColumn(idc, F.col(idc) + F.lit(i * span))
-                for i in range(n)
-            ]
+            alpha = "abcdefghijklmnopqrstuvwxyz"
+            parts = []
+            for i in range(n):
+                p = df.withColumn(idc, F.col(idc) + F.lit(i * span))
+                if t == "documents" and i:
+                    # rotate the alphabet per replica: a bijection on chars
+                    # preserves every intra-replica Jaccard EXACTLY (so
+                    # duplicate density per row stays constant — the right
+                    # scaling model) while making replicas textually
+                    # disjoint (so the near-dup pair space grows linearly
+                    # with n, not quadratically from replica==replica dups)
+                    rot = alpha[i:] + alpha[:i]
+                    p = p.withColumn(
+                        "text",
+                        F.translate(
+                            "text", alpha + alpha.upper(),
+                            rot + rot.upper(),
+                        ),
+                    )
+                parts.append(p)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -74,7 +97,9 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    out_dir = f"/tmp/fkta_scale_x{n}"
+    # v2: documents replicas are alphabet-rotated (see build_scaled) — the
+    # dir name versions the construction so stale caches never mix
+    out_dir = f"/tmp/fkta_scale_x{n}_v2"
     spark = get_spark(app_name="fkta-scale", master="local[32]",
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")

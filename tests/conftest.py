@@ -7,6 +7,18 @@ from flink_kafka_table_api_spark.session import get_spark
 SF_SMALL = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "spark_avro: needs the spark-avro jar (set SPARK_AVRO_JAR)",
+    )
+    config.addinivalue_line(
+        "markers",
+        "kafka: needs a live broker+registry (set KAFKA_BOOTSTRAP and "
+        "SCHEMA_REGISTRY_URL)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     s = get_spark(

@@ -164,3 +164,104 @@ def test_encode_decode_column_roundtrip(spark):
     got = {r.k: (r.v, r.ts) for r in back}
     assert got["a"] == (1.5, NOW)
     assert got["b"] == (-2.25, NOW + dt.timedelta(seconds=1))
+
+
+# ---------------------------------------------------------------------------
+# writer -> reader schema resolution (Avro 1.11 "Schema Resolution")
+# ---------------------------------------------------------------------------
+
+def _rec(name, fields):
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def test_resolution_added_field_takes_default():
+    from flink_kafka_table_api_spark.sources.avro_codec import (
+        decode_record_resolved,
+    )
+    writer = _rec("R", [{"name": "a", "type": "long"}])
+    reader = _rec("R", [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"], "default": None},
+        {"name": "c", "type": "long", "default": 7},
+    ])
+    payload = encode_record(json.dumps(writer), {"a": 42})
+    got = decode_record_resolved(json.dumps(writer), json.dumps(reader), payload)
+    assert got == {"a": 42, "b": None, "c": 7}
+
+
+def test_resolution_removed_field_is_skipped():
+    from flink_kafka_table_api_spark.sources.avro_codec import (
+        decode_record_resolved,
+    )
+    writer = _rec("R", [
+        {"name": "a", "type": "long"},
+        {"name": "gone", "type": "string"},
+        {"name": "z", "type": "double"},
+    ])
+    reader = _rec("R", [
+        {"name": "a", "type": "long"},
+        {"name": "z", "type": "double"},
+    ])
+    payload = encode_record(
+        json.dumps(writer), {"a": 1, "gone": "bye", "z": 2.5}
+    )
+    got = decode_record_resolved(json.dumps(writer), json.dumps(reader), payload)
+    assert got == {"a": 1, "z": 2.5}
+
+
+def test_resolution_numeric_and_string_promotions():
+    from flink_kafka_table_api_spark.sources.avro_codec import (
+        decode_record_resolved,
+    )
+    writer = _rec("R", [
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": "string"},
+    ])
+    reader = _rec("R", [
+        {"name": "i", "type": "double"},
+        {"name": "l", "type": "double"},
+        {"name": "s", "type": "bytes"},
+    ])
+    payload = encode_record(json.dumps(writer), {"i": 3, "l": 9, "s": "hi"})
+    got = decode_record_resolved(json.dumps(writer), json.dumps(reader), payload)
+    assert got == {"i": 3.0, "l": 9.0, "s": b"hi"}
+    assert isinstance(got["i"], float) and isinstance(got["l"], float)
+
+
+def test_resolution_union_and_nested_record():
+    from flink_kafka_table_api_spark.sources.avro_codec import (
+        decode_record_resolved,
+    )
+    inner_w = _rec("Inner", [{"name": "x", "type": "long"}])
+    inner_r = _rec("Inner", [
+        {"name": "x", "type": "long"},
+        {"name": "y", "type": ["null", "long"], "default": None},
+    ])
+    writer = _rec("R", [
+        {"name": "n", "type": ["null", inner_w]},
+        {"name": "m", "type": {"type": "map", "values": "int"}},
+    ])
+    reader = _rec("R", [
+        {"name": "n", "type": ["null", inner_r]},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ])
+    payload = encode_record(
+        json.dumps(writer), {"n": {"x": 5}, "m": {"a": 1, "b": 2}}
+    )
+    got = decode_record_resolved(json.dumps(writer), json.dumps(reader), payload)
+    assert got == {"n": {"x": 5, "y": None}, "m": {"a": 1, "b": 2}}
+
+
+def test_resolution_missing_field_without_default_raises():
+    from flink_kafka_table_api_spark.sources.avro_codec import (
+        decode_record_resolved,
+    )
+    writer = _rec("R", [{"name": "a", "type": "long"}])
+    reader = _rec("R", [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},  # no default -> unresolvable
+    ])
+    payload = encode_record(json.dumps(writer), {"a": 1})
+    with pytest.raises(ValueError, match="no default"):
+        decode_record_resolved(json.dumps(writer), json.dumps(reader), payload)

@@ -172,3 +172,53 @@ def test_doc_chunks_cover_and_reconstruct(spark):
                 assert sum(chunks, []) == toks  # exact reconstruction
             else:
                 assert {t for c in chunks for t in c} == set(toks)
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    from flink_kafka_table_api_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    exact = {r.doc_id for r in decontaminate(
+        train, bench, ngram_n=4).select("doc_id").collect()}
+    # tiny bitmap (2^12 bits) forces a real false-positive rate so the
+    # verify stage is actually exercised, not vacuously true
+    bloom = {r.doc_id for r in bloom_decontaminate(
+        train, bench, ngram_n=4, m_bits=1 << 12
+    ).select("doc_id").collect()}
+    assert bloom == exact and exact
+
+
+def test_bloom_decontaminate_audit_counts_match_exact(spark):
+    from flink_kafka_table_api_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    exact = {(r.doc_id, r.overlap_ngrams) for r in decontaminate(
+        train, bench, ngram_n=4, keep_contaminated=True).collect()}
+    bloom = {(r.doc_id, r.overlap_ngrams) for r in bloom_decontaminate(
+        train, bench, ngram_n=4, m_bits=1 << 12, keep_contaminated=True
+    ).collect()}
+    assert bloom == exact and exact
+
+
+def test_length_band_filter_hand_example(spark):
+    from flink_kafka_table_api_spark.operators.curation import (
+        length_band_filter,
+    )
+    rows = [(i, "a", i * 10) for i in range(1, 12)]  # 10..110 in group a
+    rows += [(100 + i, "b", 1000 + i) for i in range(5)]  # tight group b
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = {r.doc_id for r in length_band_filter(
+        df, group_col="source", value_col="n_chars", lo=0.1, hi=0.9
+    ).collect()}
+    # group a: p10 of 10..110 = 20, p90 = 100 -> keeps ids 2..10
+    assert {r for r in kept if r < 100} == set(range(2, 11))
+    # group b: 5 values 1000..1004 -> p10=1000.4, p90=1003.6 -> ids 101..103
+    assert {r for r in kept if r >= 100} == {101, 102, 103}

@@ -39,9 +39,12 @@ SCHEMA = json.dumps({
 
 class _StubRegistry(BaseHTTPRequestHandler):
     """Minimal Confluent Schema Registry: POST /subjects/<s>/versions
-    registers (dedup by schema text), GET .../versions/latest fetches."""
+    registers (dedup by schema text, multiple versions per subject),
+    GET .../versions/latest fetches, GET /schemas/ids/<id> resolves a
+    writer schema by id (the evolution-critical call)."""
 
-    store: dict[str, tuple[int, str]] = {}
+    store: dict[str, tuple[int, str]] = {}  # subject -> latest (id, schema)
+    by_id: dict[int, str] = {}
     next_id = [1]
     requests: list[tuple[str, str]] = []
 
@@ -55,6 +58,7 @@ class _StubRegistry(BaseHTTPRequestHandler):
             sid = self.next_id[0]
             self.next_id[0] += 1
             self.store[subject] = (sid, body["schema"])
+            self.by_id[sid] = body["schema"]
         payload = json.dumps({"id": sid}).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
@@ -62,8 +66,20 @@ class _StubRegistry(BaseHTTPRequestHandler):
         self.wfile.write(payload)
 
     def do_GET(self):  # noqa: N802
-        subject = self.path.split("/")[2]
         type(self).requests.append(("GET", self.path))
+        parts = self.path.strip("/").split("/")
+        if parts[0] == "schemas" and parts[1] == "ids":
+            sid = int(parts[2])
+            if sid not in self.by_id:
+                self.send_response(404)
+                self.end_headers()
+                self.wfile.write(b'{"error_code": 40403}')
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(json.dumps({"schema": self.by_id[sid]}).encode())
+            return
+        subject = parts[1]
         sid, schema = self.store[subject]
         self.send_response(200)
         self.end_headers()
@@ -74,10 +90,19 @@ class _StubRegistry(BaseHTTPRequestHandler):
     def log_message(self, *args):  # silence per-request stderr noise
         pass
 
+    @classmethod
+    def store_id_for(cls, schema_json: str) -> int:
+        target = json.loads(schema_json)
+        for sid, s in cls.by_id.items():
+            if json.loads(s) == target:
+                return sid
+        raise KeyError("schema not registered")
+
 
 @pytest.fixture()
 def registry_url():
     _StubRegistry.store = {}
+    _StubRegistry.by_id = {}
     _StubRegistry.next_id = [1]
     _StubRegistry.requests = []
     server = HTTPServer(("127.0.0.1", 0), _StubRegistry)
@@ -126,3 +151,107 @@ def test_register_is_idempotent_and_fetchable(registry_url):
     got_id, got_schema = client.get_latest("orders-value")
     assert got_id == id1
     assert json.loads(got_schema) == json.loads(SCHEMA)
+    assert json.loads(client.get_by_id(id1)) == json.loads(SCHEMA)
+
+
+# Evolved Transaction schema: v2 adds a nullable `currency` with a default —
+# the registry's BACKWARD-compatible evolution the reference's
+# avro-confluent format supports (new consumers read old messages, defaults
+# fill the gap).
+SCHEMA_V2 = json.dumps({
+    "type": "record",
+    "name": "Transaction",
+    "fields": [
+        {"name": "transactionId", "type": "string"},
+        {"name": "amount", "type": "double"},
+        {"name": "status", "type": "string"},
+        {"name": "currency", "type": ["null", "string"], "default": None},
+    ],
+})
+
+
+def test_mixed_schema_versions_resolve_by_embedded_id(spark, registry_url):
+    """A topic carrying BOTH v1- and v2-written messages decodes correctly
+    when the reader passes the registry url: each payload's writer schema
+    is resolved from its framed id, then projected onto the v2 reader
+    schema (v1 messages surface currency=NULL via the default)."""
+    v1_rows = [("t1", 10.5, "APPROVED"), ("t2", 99.0, "PENDING")]
+    v2_rows = [("t3", 7.25, "APPROVED", "EUR"), ("t4", 1.0, "DECLINED", None)]
+    df1 = spark.createDataFrame(
+        v1_rows, "transactionId string, amount double, status string"
+    )
+    df2 = spark.createDataFrame(
+        v2_rows,
+        "transactionId string, amount double, status string, currency string",
+    )
+    framed1 = registered_payload(
+        df1, SCHEMA, topic="transactions", schema_registry_url=registry_url
+    )
+    framed2 = registered_payload(
+        df2, SCHEMA_V2, topic="transactions", schema_registry_url=registry_url
+    )
+    values = [bytes(r.value) for r in framed1.collect()]
+    values += [bytes(r.value) for r in framed2.collect()]
+    id1 = _StubRegistry.store_id_for(SCHEMA)
+    id2 = _StubRegistry.store_id_for(SCHEMA_V2)
+    assert id1 != id2  # two registered versions, two distinct ids
+    assert {struct.unpack(">I", v[1:5])[0] for v in values} == {id1, id2}
+
+    raw = spark.createDataFrame([(v,) for v in values], "value binary")
+    decoded = decode_avro_column(
+        raw, SCHEMA_V2, confluent_framed=True,
+        schema_registry_url=registry_url,
+    )
+    got = {
+        (r.transactionId, r.amount, r.status, r.currency)
+        for r in decoded.collect()
+    }
+    assert got == {
+        ("t1", 10.5, "APPROVED", None),
+        ("t2", 99.0, "PENDING", None),
+        ("t3", 7.25, "APPROVED", "EUR"),
+        ("t4", 1.0, "DECLINED", None),
+    }
+
+
+def test_mixed_ids_without_registry_fail_loudly(spark, registry_url):
+    """No registry url -> nothing to resolve against, so mixed schema ids
+    must raise instead of silently mis-decoding v2 bytes with v1 layout."""
+    df1 = spark.createDataFrame(
+        [("t1", 10.5, "APPROVED")],
+        "transactionId string, amount double, status string",
+    )
+    df2 = spark.createDataFrame(
+        [("t3", 7.25, "APPROVED", "EUR")],
+        "transactionId string, amount double, status string, currency string",
+    )
+    v = [bytes(r.value) for r in registered_payload(
+        df1, SCHEMA, topic="t", schema_registry_url=registry_url).collect()]
+    v += [bytes(r.value) for r in registered_payload(
+        df2, SCHEMA_V2, topic="t", schema_registry_url=registry_url).collect()]
+    raw = spark.createDataFrame([(x,) for x in v], "value binary").coalesce(1)
+    with pytest.raises(Exception, match="mixed Avro schema ids"):
+        decode_avro_column(raw, SCHEMA_V2, confluent_framed=True).collect()
+
+
+def test_expected_schema_ids_guard_raises_on_foreign_id(spark, registry_url):
+    """The codegen-side id guard (the strongest check available on the JVM
+    from_avro path) rejects payloads whose framed id is not expected."""
+    df = spark.createDataFrame(
+        [("t1", 10.5, "APPROVED")],
+        "transactionId string, amount double, status string",
+    )
+    values = [bytes(r.value) for r in registered_payload(
+        df, SCHEMA, topic="t", schema_registry_url=registry_url).collect()]
+    raw = spark.createDataFrame([(x,) for x in values], "value binary")
+    # correct expectation passes
+    ok = decode_avro_column(
+        raw, SCHEMA, confluent_framed=True,
+        expected_schema_ids=[_StubRegistry.store_id_for(SCHEMA)],
+    )
+    assert ok.count() == 1
+    # wrong expectation fails loudly at decode time
+    with pytest.raises(Exception, match="unexpected Avro schema id"):
+        decode_avro_column(
+            raw, SCHEMA, confluent_framed=True, expected_schema_ids=[999]
+        ).collect()

@@ -672,3 +672,73 @@ def test_prefix_filter_pairs_matches_bruteforce(spark):
     assert got == brute
     assert got[(1, 5)] == 1.0 and (1, 2) in got and (1, 3) in got
     assert all(p[0] != 4 and p[1] != 4 for p in got)
+
+
+@pytest.mark.parametrize("threshold", [0.55, 0.67, 0.81])
+def test_prefix_filter_pairs_float_safe_thresholds(spark, threshold):
+    # Regression for the float-representation hazard: 0.55/0.67/0.81 as
+    # doubles sit slightly ABOVE their decimals, so a raw
+    # ceil(t*n)/nb>=t*na overshoots — ceil(0.55*20)=12 instead of 11 cuts
+    # the prefix a token short, and a boundary pair with |b| = t*|a|
+    # exactly fails the length filter. Doc 2 is the first 13 words of doc
+    # 1 (11 of its 20 shingles, J = 11/20 = 0.55 exactly): at t=0.55 the
+    # buggy bound silently drops it. The exact brute force is the oracle.
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor").split()
+    assert len(words) == 22  # -> 20 3-shingles
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words[:13])),            # 11 shingles, subset of 1
+        (3, " ".join(words[:-1] + ["zulu"])),  # J = 17/23 ~ 0.739
+        (4, "unrelated text about catalyst optimizer rules and codegen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dd.prefix_filter_pairs(
+            df, "doc_id", "text", threshold=threshold, shingle_k=3
+        ).collect()
+    }
+    brute = {
+        (r.a, r.b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            df.withColumn("blk", F.lit(1)), "doc_id", "text",
+            block_cols=("blk",), threshold=threshold, shingle_k=3,
+        ).collect()
+    }
+    assert got == brute
+    if threshold == 0.55:
+        assert (1, 2) in got  # the exact-boundary pair must survive
+
+
+def test_keep_best_per_cluster_hand_example(spark):
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, cluster long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)],
+        "id long, quality_score double",
+    )
+    got = {
+        (r.id, r.cluster, r.is_kept)
+        for r in dd.keep_best_per_cluster(labels, quality).collect()
+    }
+    # cluster 1: 2 and 3 tie at 0.9 -> lowest id (2) wins over 3 and 1
+    # cluster 10: 10 and 11 tie -> 10 wins
+    assert (2, 1, True) in got and (3, 1, False) in got and (1, 1, False) in got
+    assert (10, 10, True) in got and (11, 10, False) in got
+
+
+def test_top_ngram_char_fraction_hand_example(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ab ab ab cd"),       # top 2-gram "ab ab" x2, len 5, 11 chars
+            (2, "x"),                  # short doc -> whole-doc gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in tx.top_ngram_char_fraction(df, k=2).collect()}
+    assert got[1].top_gram == "ab ab" and got[1].top_gram_count == 2
+    assert got[1].top_gram_char_fraction == round(2 * 5 / 11, 6)
+    assert got[2].top_gram == "x" and got[2].top_gram_char_fraction == 1.0
