@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.vector import (
@@ -167,6 +167,59 @@ def quantized_topk(
         )
         .orderBy(F.col("q_cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for every anchor vector,
+    the ``k`` most cosine-similar vectors with a DIFFERENT label — the
+    near-misses that make the strongest negatives for embedding/reranker
+    training (harder than random negatives, cheaper than full in-batch
+    mining).
+
+    Shape: the anchor set is small by construction (one per class /
+    sampled), so it broadcasts into a nested-loop scoring join — the
+    corpus never shuffles for scoring; the per-anchor top-k is a window
+    over anchor-partitioned candidates (TakeOrdered semantics per anchor).
+    At true scale, route each anchor through the IVF index first (ivf_
+    search) and mine negatives from the probed partitions only — this
+    exact-scoring variant is the oracle-checkable baseline of that path.
+    Ties resolve by ascending candidate id, so results are deterministic.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        as_double_array(vec_col).alias("__av"),
+    )
+    cand = vectors.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("__cl"),
+        as_double_array(vec_col).alias("__cv"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(a))
+        .filter(F.col("__cl") != F.col("anchor_label"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("__cv"), F.col("__av")), 6),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("anchor_id", "negative_id", "cosine_sim",
+                F.col("__rk").cast("int").alias("rank"))
     )
 
 

@@ -335,6 +335,106 @@ def top_ngram_char_fraction_sql(k: int = 2) -> str:
     """
 
 
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-self bigram language-model fluency score — the CCNet-style
+    LM quality filter (Wenzek et al. 2020 score with KenLM; here the LM is
+    a bigram MLE trained on the corpus itself, which needs no external
+    model file): per document, the mean conditional probability
+    p(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1} ·) over the
+    document's bigrams. Low scores flag token-salad/garbled docs whose
+    transitions are rare given the corpus.
+
+    Cross-engine float exactness uses the proven time_decay_score recipe:
+    each probability is a single IEEE division (exactly rounded, so
+    bit-identical given identical integer counts), and the mean is a
+    position-ordered left fold (collect_list -> sort -> F.aggregate here,
+    list_reduce in the oracle) — the accumulation order is pinned, so the
+    doubles match bit-for-bit.
+
+    Scale shape: two count aggregations over exploded bigrams (map-side
+    partial combine; shuffle carries distinct grams), one shuffle join of
+    doc bigrams against the counts keyed by gram, one keyed fold per doc.
+    Docs with fewer than 2 tokens have no bigrams and are excluded (same
+    rule in the oracle).
+    """
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= 2
+    ).select(F.col(id_col), kgram_strings(F.col("__t"), 2).alias("__bg"))
+    pos = base.select(
+        F.col(id_col), F.posexplode("__bg").alias("__pos", "__g")
+    )
+    counts_b = pos.groupBy("__g").agg(F.count("*").alias("__cb"))
+    counts_p = (
+        pos.select(F.substring_index("__g", " ", 1).alias("__p1"))
+        .groupBy("__p1").agg(F.count("*").alias("__cp"))
+    )
+    scored = (
+        pos.join(counts_b, "__g")
+        .withColumn("__p1", F.substring_index("__g", " ", 1))
+        .join(counts_p, "__p1")
+        .select(
+            id_col, "__pos",
+            (F.col("__cb").cast("double") / F.col("__cp")).alias("__p"),
+        )
+    )
+    folded = scored.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("__pos", "__p"))).alias("__ps")
+    )
+    total = F.aggregate(
+        F.transform("__ps", lambda e: e["__p"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return folded.select(
+        id_col,
+        F.size("__ps").cast("long").alias("n_bigrams"),
+        F.round(total / F.size("__ps"), 6).alias("lm_score"),
+    )
+
+
+def bigram_lm_score_sql() -> str:
+    """DuckDB twin of :func:`bigram_lm_score` over `documents`."""
+    toks = tokens_sql("text")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {toks} AS t FROM documents
+    ), eligible AS (
+      SELECT doc_id, t FROM docs WHERE len(t) >= 2
+    ), grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 1)) AS pos,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM eligible
+    ), cb AS (
+      SELECT g, COUNT(*) AS cb FROM grams GROUP BY g
+    ), cp AS (
+      SELECT split_part(g, ' ', 1) AS p1, COUNT(*) AS cp
+      FROM grams GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, pos, CAST(cb.cb AS DOUBLE) / cp.cp AS p
+      FROM grams
+      JOIN cb USING (g)
+      JOIN cp ON cp.p1 = split_part(grams.g, ' ', 1)
+    ), folded AS (
+      SELECT doc_id,
+             list_sort(list(struct_pack(pos := pos, p := p))) AS ps
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(len(ps) AS BIGINT) AS n_bigrams,
+           round(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+                          list_transform(ps, e -> e.p)),
+             (a, x) -> a + x) / len(ps), 6) AS lm_score
+    FROM folded
+    """
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: 60-bit hash of the sorted distinct
     token set (word-order- and repetition-insensitive). The standard cheap

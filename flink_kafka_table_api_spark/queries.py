@@ -4609,6 +4609,50 @@ def _dedup_keep_best_oracle() -> str:
     """
 
 
+@query("bigram_lm_score", tx.bigram_lm_score_sql())
+def q_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM fluency filter with a corpus-self bigram MLE: mean
+    p(w_i | w_{i-1}) per document, bit-exact across engines via single
+    IEEE divisions + a position-ordered fold (the time_decay_score
+    recipe). Low score = token salad / garbled doc."""
+    return tx.bigram_lm_score(_t(spark, sf, "documents"))
+
+
+_HN_COS = cosine_sql("v.embedding", "a.a_emb")
+
+
+@query(
+    "hard_negatives",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS a_emb
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT a.anchor_id, v.vec_id AS negative_id,
+             round({_HN_COS}, 6) AS cosine_sim
+      FROM embeddings v CROSS JOIN anchors a
+      WHERE v.label <> a.anchor_label
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cosine_sim DESC, negative_id ASC
+      ) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, negative_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor (vec_id < 8), the 5
+    most cosine-similar vectors with a DIFFERENT label — broadcast-NLJ
+    scoring (corpus never shuffles) + per-anchor TakeOrdered window.
+    The exact baseline of the IVF-routed variant a 100 TB run would use."""
+    emb = _t(spark, sf, "embeddings")
+    return sim.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 8), k=5,
+    )
+
+
 @query("dedup_keep_best", _dedup_keep_best_oracle())
 def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-aware near-dup canonicalization: LSH-verified pairs ->
@@ -4969,11 +5013,11 @@ _PRIORITY: list[str] = [
     # -- round-4 additions (new queries must enter the upcoming gate —
     #    enforced by tests/test_registry_coverage.py) --
     "bloom_decontaminate", "top_ngram_fraction", "length_band_filter",
-    "dedup_keep_best",
+    "dedup_keep_best", "bigram_lm_score", "hard_negatives",
     # -- load-bearing r2-era anchors --
     "approved_transactions", "connector_approved", "neardup_verified",
-    "dedup_clusters", "lsh_candidate_pairs", "ann_ivf", "asof_join",
-    "range_join", "percentiles", "decontaminate", "pack_sequences",
+    "dedup_clusters", "lsh_candidate_pairs", "ann_ivf",
+    "range_join", "decontaminate", "pack_sequences",
     "stream_sessions_stateful",
 ]
 

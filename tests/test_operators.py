@@ -742,3 +742,38 @@ def test_top_ngram_char_fraction_hand_example(spark):
     assert got[1].top_gram == "ab ab" and got[1].top_gram_count == 2
     assert got[1].top_gram_char_fraction == round(2 * 5 / 11, 6)
     assert got[2].top_gram == "x" and got[2].top_gram_char_fraction == 1.0
+
+
+def test_bigram_lm_score_hand_example(spark):
+    # corpus: "a b" x2 docs and one "a c" doc.
+    # bigrams: "a b" cnt 2, "a c" cnt 1; prefix "a" cnt 3.
+    # doc1/doc2 score = 2/3; doc3 score = 1/3; doc4 has <2 tokens -> absent
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in tx.bigram_lm_score(df).collect()}
+    assert got == {
+        1: (1, round(2 / 3, 6)),
+        2: (1, round(2 / 3, 6)),
+        3: (1, round(1 / 3, 6)),
+    }
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    rows = [
+        (0, 0, [1.0, 0.0]),   # anchor, label 0
+        (1, 0, [1.0, 0.01]),  # same label -> never a negative
+        (2, 1, [1.0, 0.1]),   # closest other-label
+        (3, 1, [0.9, 0.5]),   # further
+        (4, 2, [0.0, 1.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = [
+        (r.anchor_id, r.negative_id, r.rank)
+        for r in sim.hard_negatives(
+            df, df.filter(F.col("vec_id") == 0), k=2
+        ).orderBy("rank").collect()
+    ]
+    assert got == [(0, 2, 1), (0, 3, 2)]
