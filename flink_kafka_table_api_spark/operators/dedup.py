@@ -600,6 +600,84 @@ def duplicate_chunk_stats(
     )
 
 
+def cdc_chunk_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplication stats — the
+    shift-robust sibling of :func:`duplicate_chunk_stats`. Fixed windows
+    break on insertion: one added token shifts EVERY later 16-token chunk,
+    so a near-identical doc shares no fixed chunks. CDC cuts after any
+    token whose hash % ``boundary_mod`` == 0 (FastCDC/Rabin posture at
+    token granularity): boundaries depend only on LOCAL content, so an
+    edit perturbs at most the chunk containing it and duplicated spans
+    elsewhere re-align — expected chunk length = ``boundary_mod`` tokens.
+
+    Returns per-doc (n_chunks, n_dup_chunks, dup_ratio) where a chunk is
+    "dup" iff it appears verbatim in >= 2 distinct documents.
+
+    Scale shape: chunking is pure narrow HOF array algebra (no explode
+    until the chunk rows are formed); the stats stage is the same
+    hash-keyed groupBy + co-partitioned join as duplicate_chunk_stats —
+    no text is carried past the 60-bit chunk hash. Boundaries use the
+    portable md5 hash so the oracle replays them exactly; a production
+    run swaps xxhash64 in for scan-speed boundary detection.
+    """
+    df = ensure_parallelism(df)
+    toks_col = tokens(text_col)
+    base = df.select(F.col(id_col), toks_col.alias("__t")).filter(
+        F.size("__t") >= 1
+    )
+    t = F.col("__t")
+    n = F.size(t)
+    cuts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: portable_hash64(F.element_at(t, i)) % boundary_mod == 0,
+    )
+    bounds_core = F.concat(F.array(F.lit(0)), cuts)
+    bounds = F.when(
+        F.element_at(bounds_core, -1) == n, bounds_core
+    ).otherwise(F.concat(bounds_core, F.array(n)))
+    with_chunks = base.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda j: F.array_join(
+                F.slice(
+                    t,
+                    F.element_at(bounds, j) + 1,
+                    F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+                ),
+                " ",
+            ),
+        ).alias("__chunks"),
+    )
+    chunks = with_chunks.select(
+        F.col(id_col),
+        F.explode("__chunks").alias("__chunk"),
+    ).select(F.col(id_col), portable_hash64(F.col("__chunk")).alias("__ch"))
+    doc_counts = chunks.groupBy("__ch").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    return (
+        chunks.join(doc_counts, "__ch")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )
+
+
 def fuzzy_pairs_dist1(
     df: DataFrame,
     *,

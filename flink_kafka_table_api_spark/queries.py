@@ -4876,6 +4876,55 @@ def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dd.duplicate_chunk_stats(_t(spark, sf, "documents"), window=16)
 
 
+@query(
+    "cdc_chunk_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {tx.tokens_sql('text')} AS t FROM documents
+    ), nonempty AS (
+      SELECT doc_id, t FROM base WHERE len(t) >= 1
+    ), cutl AS (
+      SELECT doc_id, t,
+             list_filter(generate_series(1, len(t)),
+                         i -> ({portable_hash64_sql('t[i]')}) % 8 = 0) AS cuts
+      FROM nonempty
+    ), bnd AS (
+      SELECT doc_id, t,
+             CASE WHEN len(cuts) > 0 AND cuts[-1] = len(t)
+                  THEN list_prepend(0, cuts)
+                  ELSE list_append(list_prepend(0, cuts), len(t)) END AS b
+      FROM cutl
+    ), chunks AS (
+      SELECT doc_id,
+             ({portable_hash64_sql(
+                 "array_to_string(list_slice(t, b[j] + 1, b[j + 1]), ' ')")})
+               AS __ch
+      FROM (
+        SELECT doc_id, t, b,
+               unnest(generate_series(1, len(b) - 1)) AS j
+        FROM bnd
+      )
+    ), counts AS (
+      SELECT __ch, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY __ch
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+    FROM chunks JOIN counts USING (__ch)
+    GROUP BY doc_id
+    """,
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunk dedup stats: FastCDC-style hash-boundary
+    chunking (cut after tokens whose hash % 8 == 0, expected 8-token
+    chunks) makes duplicated spans re-align across insertions, where
+    fixed 16-token windows (chunk_dedup) lose every chunk after an edit
+    (operators/dedup.py:cdc_chunk_stats)."""
+    return dd.cdc_chunk_stats(_t(spark, sf, "documents"), boundary_mod=8)
+
+
 @query("doc_chunks", cu.doc_chunks_sql("documents"))
 def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """RAG-prep chunking: overlapping 32-token windows every 24 tokens
@@ -5014,11 +5063,11 @@ _PRIORITY: list[str] = [
     #    enforced by tests/test_registry_coverage.py) --
     "bloom_decontaminate", "top_ngram_fraction", "length_band_filter",
     "dedup_keep_best", "bigram_lm_score", "hard_negatives",
+    "cdc_chunk_dedup",
     # -- load-bearing r2-era anchors --
     "approved_transactions", "connector_approved", "neardup_verified",
     "dedup_clusters", "lsh_candidate_pairs", "ann_ivf",
-    "range_join", "decontaminate", "pack_sequences",
-    "stream_sessions_stateful",
+    "decontaminate", "pack_sequences", "stream_sessions_stateful",
 ]
 
 

@@ -777,3 +777,26 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
         ).orderBy("rank").collect()
     ]
     assert got == [(0, 2, 1), (0, 3, 2)]
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC selling point: insert one token near the front of a long
+    doc and the chunks AFTER the next boundary re-align (shared with the
+    original), where fixed-window chunking shares nothing. Uses dup_ratio
+    > 0 for the edited pair as the signal."""
+    base_words = [f"w{i}" for i in range(120)]
+    edited = base_words[:3] + ["INSERTED"] + base_words[3:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base_words)), (2, " ".join(edited)),
+         (3, "totally unrelated content here")],
+        "doc_id long, text string",
+    )
+    cdc = {r.doc_id: r for r in dd.cdc_chunk_stats(df).collect()}
+    # docs 1 and 2 share every chunk after the first boundary past the edit
+    assert cdc[1].n_dup_chunks > 0 and cdc[2].n_dup_chunks > 0
+    assert cdc[3].n_dup_chunks == 0
+    # fixed 16-token windows share almost nothing after the shift (the
+    # only possible match is a window fully before the edit point)
+    fixed = {r.doc_id: r for r in dd.duplicate_chunk_stats(
+        df, window=16).collect()}
+    assert cdc[1].n_dup_chunks > fixed[1].n_dup_chunks

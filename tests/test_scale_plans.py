@@ -585,3 +585,42 @@ def test_table_profile_is_single_scan_expand(spark):
     plan = _plan(QUERIES["table_profile"](spark, SF))
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan
+
+
+def test_bloom_decontaminate_broadcasts_bitmap_not_grams(spark):
+    """The Bloom path's point: the only broadcast is the fixed-size bitmap
+    (word -> bits) join; the exact verify join on gram strings must NOT be
+    a broadcast of the full benchmark gram set."""
+    plan = _plan(QUERIES["bloom_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # bitmap probe join
+    # the membership groupBy (doc, gram, hits==k) survives as an aggregate
+    assert "bit_or" in plan or "bitor" in plan.lower()
+
+
+def test_hard_negatives_broadcasts_anchors(spark):
+    plan = _plan(QUERIES["hard_negatives"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # anchors broadcast, corpus streams
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_band_filter_broadcasts_bounds(spark):
+    plan = _plan(QUERIES["length_band_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # per-source bounds table
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_keep_best_windows_label_tables_only(spark):
+    """The quality argmax must window over the (id, cluster, score) label
+    table — document text must never reach the window sort."""
+    df = QUERIES["dedup_keep_best"](spark, SF)
+    plan = _plan(df)
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "text" not in _optimized(df).split("Window")[0]
+
+
+def test_top_ngram_fraction_is_partial_aggregated(spark):
+    """The argmax is min(struct(...)) — a hash aggregate with map-side
+    partials — not a row_number window over an exploded corpus."""
+    plan = _plan(QUERIES["top_ngram_fraction"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
