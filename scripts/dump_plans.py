@@ -120,6 +120,29 @@ SHOWCASE = {
     "ts_pattern_topk": "one keyed sort builds length-L windows (bounded "
                        "following frame), z-norm + distance are codegen'd "
                        "folds, global top-k is TakeOrderedAndProject",
+    "bloom_decontaminate": "the ONLY broadcast is the fixed-size Bloom "
+                           "bitmap (word -> bit_or'd longs); the exact "
+                           "verify equi-join carries candidate grams only "
+                           "— the benchmark gram set itself is never "
+                           "broadcast",
+    "cdc_chunk_dedup": "content-defined chunking is pure HOF array "
+                       "algebra in the scan stage (no explode until chunk "
+                       "rows form); stats reuse the hash-keyed "
+                       "co-partitioned groupBy+join — no text past the "
+                       "60-bit chunk hash",
+    "hard_negatives": "anchors broadcast into a BroadcastNestedLoopJoin "
+                      "(the corpus never shuffles for scoring); per-anchor "
+                      "top-k is a window over anchor partitions",
+    "bigram_lm_score": "two partial-agg count shuffles over exploded "
+                       "bigrams + one gram-keyed join; the mean is a "
+                       "position-ordered fold, so no float "
+                       "order-sensitivity anywhere",
+    "length_band_filter": "per-source exact percentile bounds aggregate "
+                          "to one row per group, then broadcast back — "
+                          "the corpus is scanned once and never shuffled",
+    "dedup_keep_best": "the quality argmax windows over (id, cluster, "
+                       "score) label tables; document text never reaches "
+                       "the window sort",
 }
 
 
