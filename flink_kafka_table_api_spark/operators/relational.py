@@ -225,6 +225,46 @@ def scd2_versions(
     )
 
 
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    *,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Batch MERGE/upsert (SCD type 1): apply an updates table onto a base
+    table by key — matched keys take the update's NON-NULL column values
+    (partial updates: a NULL in the updates row keeps the base value),
+    unmatched update keys become inserts, untouched base rows pass
+    through. The
+    batch twin of streaming/upsert.py's foreachBatch keyed upsert, and the
+    operation `MERGE INTO` performs in table formats; expressed engine-
+    level as one full-outer join + per-column coalesce(update, base).
+
+    Scale shape: a single key-partitioned shuffle join (or a broadcast
+    join when the updates batch is small — the usual case, left to AQE /
+    the optimizer's threshold). Columns present only in base pass through;
+    updates must share the base schema (enforced by-name).
+    """
+    missing = [c for c in updates.columns if c not in base.columns]
+    if missing:
+        raise ValueError(f"update columns not in base schema: {missing}")
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in updates.columns]
+    )
+    cond = None
+    for k in key_cols:
+        c = base[k].eqNullSafe(u[f"__u_{k}"])
+        cond = c if cond is None else cond & c
+    joined = base.join(u, cond, "full_outer")
+    out_cols = []
+    for c in base.columns:
+        if f"__u_{c}" in u.columns:
+            out_cols.append(F.coalesce(u[f"__u_{c}"], base[c]).alias(c))
+        else:
+            out_cols.append(base[c].alias(c))
+    return joined.select(*out_cols)
+
+
 def skyline_2d(
     df: DataFrame,
     *,

@@ -38,6 +38,7 @@ from flink_kafka_table_api_spark.operators.relational import (
     anti_join,
     asof_join_last,
     join_dim,
+    merge_upsert,
     range_join_binned,
     semi_join,
     sessionize,
@@ -1447,6 +1448,151 @@ def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "o_custkey", "o_orderkey", "o_orderstatus",
         F.col("o_orderdate").alias("valid_from"), "valid_to", "is_current",
+    )
+
+
+@query(
+    "avro_file_roundtrip",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_avro_file_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro Object Container File source+sink, end to end: write the
+    documents slice as one `.avro` OCF per partition (pure-stdlib codec,
+    null codec), read it back distributed (binaryFile -> per-file block
+    decode), and aggregate — the oracle aggregates the original table, so
+    any loss/corruption in the container round trip breaks the hash
+    (sources/avro_file.py; Avro 1.11 object-container spec)."""
+    import tempfile
+
+    from flink_kafka_table_api_spark.avro_schema import struct_to_avro
+    from flink_kafka_table_api_spark.sources.avro_file import (
+        read_avro,
+        write_avro,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    schema_json = struct_to_avro(docs.schema, name="DocStats")
+    d = tempfile.mkdtemp(prefix="fkta_avro_rt_")
+    write_avro(docs.repartition(4), d, schema_json)
+    return (
+        read_avro(spark, d)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "approx_percentiles",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_within, TRUE AS p95_within
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna-style sketch) with a
+    deterministic oracle via its RANK-ERROR guarantee — the same pattern
+    approx_distinct uses for HLL: the sketch value itself is
+    engine-specific, but the returned value's exact rank must lie within
+    n/accuracy of the target rank, which both engines can assert as a
+    boolean. One extra exact-rank pass verifies each returned percentile;
+    at 100 TB the sketch (fixed-size mergeable partials) is the only
+    viable grouped percentile — `percentiles` covers the exact path.
+    """
+    eps = 1.0 / 10000
+    ev = _t(spark, sf, "events")
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("__ap"),
+        F.count("*").alias("n"),
+    ).select(
+        "event_type", "n",
+        F.col("__ap")[0].alias("__v50"), F.col("__ap")[1].alias("__v95"),
+    )
+    ranks = (
+        ev.join(F.broadcast(apx), "event_type")
+        .groupBy("event_type", "n", "__v50", "__v95")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("__v50"), 1).otherwise(0))
+            .alias("__le50"),
+            F.sum(F.when(F.col("value") < F.col("__v50"), 1).otherwise(0))
+            .alias("__lt50"),
+            F.sum(F.when(F.col("value") <= F.col("__v95"), 1).otherwise(0))
+            .alias("__le95"),
+            F.sum(F.when(F.col("value") < F.col("__v95"), 1).otherwise(0))
+            .alias("__lt95"),
+        )
+    )
+    n = F.col("n").cast("double")
+    return ranks.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (
+            (F.col("__le50") / n >= 0.5 - eps)
+            & (F.col("__lt50") / n <= 0.5 + eps)
+        ).alias("p50_within"),
+        (
+            (F.col("__le95") / n >= 0.95 - eps)
+            & (F.col("__lt95") / n <= 0.95 + eps)
+        ).alias("p95_within"),
+    ).orderBy("event_type")
+
+
+@query(
+    "merge_upsert",
+    """
+    WITH upd AS (
+      SELECT c_custkey,
+             CAST(NULL AS VARCHAR) AS c_name,
+             round(c_acctbal + 100, 2) AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             'new-' || CAST(c_custkey AS VARCHAR),
+             CAST(0.0 AS DOUBLE),
+             'NEW'
+      FROM customer WHERE c_custkey % 50 = 0
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+           COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+    FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch MERGE/upsert, SCD type 1 (operators/relational.py:
+    merge_upsert): a deterministic updates batch — partial updates (NULL
+    c_name keeps the base name, every 7th key gets +100 balance and a new
+    segment) plus inserts (new keys past the base range) — applied onto
+    customer via one full-outer join + per-column coalesce. The batch
+    twin of the streaming foreachBatch upsert, and what MERGE INTO does
+    in table formats."""
+    base = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    upd = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    ins = base.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_custkey").cast("string"))
+        .alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return merge_upsert(
+        base, upd.unionByName(ins), key_cols=("c_custkey",)
     )
 
 
@@ -5063,11 +5209,12 @@ _PRIORITY: list[str] = [
     #    enforced by tests/test_registry_coverage.py) --
     "bloom_decontaminate", "top_ngram_fraction", "length_band_filter",
     "dedup_keep_best", "bigram_lm_score", "hard_negatives",
-    "cdc_chunk_dedup",
+    "cdc_chunk_dedup", "merge_upsert", "approx_percentiles",
+    "avro_file_roundtrip",
     # -- load-bearing r2-era anchors --
     "approved_transactions", "connector_approved", "neardup_verified",
-    "dedup_clusters", "lsh_candidate_pairs", "ann_ivf",
-    "decontaminate", "pack_sequences", "stream_sessions_stateful",
+    "dedup_clusters", "lsh_candidate_pairs",
+    "stream_sessions_stateful",
 ]
 
 

@@ -800,3 +800,25 @@ def test_cdc_chunks_realign_after_insertion(spark):
     fixed = {r.doc_id: r for r in dd.duplicate_chunk_stats(
         df, window=16).collect()}
     assert cdc[1].n_dup_chunks > fixed[1].n_dup_chunks
+
+
+def test_merge_upsert_semantics(spark):
+    from flink_kafka_table_api_spark.operators.relational import merge_upsert
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    upd = spark.createDataFrame(
+        [(2, None, 99.0),        # partial update: name stays "b"
+         (4, "d", 40.0)],        # insert
+        "k long, name string, bal double",
+    )
+    got = {r.k: (r.name, r.bal)
+           for r in merge_upsert(base, upd, key_cols=("k",)).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b", 99.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+    # update column not in base -> loud error
+    bad = spark.createDataFrame([(1, "x")], "k long, nope string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="nope"):
+        merge_upsert(base, bad, key_cols=("k",))
