@@ -2803,6 +2803,61 @@ def q_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_window_topk",
+    f"""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_type, COUNT(*) AS n_events,
+             {dec_sum_sql('value', 'sum_value')}
+      FROM events GROUP BY 1, 2, 3
+    ), wm AS (SELECT MAX(ts) - INTERVAL 5 SECOND AS w FROM events),
+    finalized AS (
+      SELECT window_start, window_end, event_type, n_events, sum_value
+      FROM agg, wm WHERE window_end <= wm.w
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY window_start
+        ORDER BY n_events DESC, event_type ASC
+      ) AS rank
+      FROM finalized
+    )
+    SELECT window_start, event_type, n_events,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_stream_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming -> batch composition: the tumbling-window APPEND stream
+    (watermark-finalized windows only, state evicted) lands in a sink
+    table, then a batch ranking window takes the top-3 event types per
+    hour. This is the production split: per-window ranking cannot emit
+    incrementally under append semantics (a late-but-in-watermark row
+    could reorder ranks), so rank-over-finalized-windows runs downstream
+    of the stream — exactly how a 100 TB pipeline separates the stateful
+    streaming stage from cheap batch post-processing."""
+    stream = _stream_table(spark, sf, "events")
+    windowed = sw.tumbling(
+        sw.with_watermark(stream, "ts", "5 seconds"),
+        "ts", "1 hour", group_by=("event_type",),
+        aggs=(F.count("*").alias("n_events"),
+              dec_sum("value", "sum_value")),
+    )
+    finalized = _run_stream_to_table(windowed, spark, "append")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        finalized.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "window_start", "event_type", "n_events",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@query(
     "stream_session",
     f"""
     WITH flagged AS (
@@ -5210,11 +5265,10 @@ _PRIORITY: list[str] = [
     "bloom_decontaminate", "top_ngram_fraction", "length_band_filter",
     "dedup_keep_best", "bigram_lm_score", "hard_negatives",
     "cdc_chunk_dedup", "merge_upsert", "approx_percentiles",
-    "avro_file_roundtrip",
+    "avro_file_roundtrip", "stream_window_topk",
     # -- load-bearing r2-era anchors --
     "approved_transactions", "connector_approved", "neardup_verified",
     "dedup_clusters", "lsh_candidate_pairs",
-    "stream_sessions_stateful",
 ]
 
 

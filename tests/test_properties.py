@@ -89,3 +89,89 @@ def test_portable_hash_contract_matches_duckdb(s):
         "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
     ).fetchone()[0]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# OCF container format (sources/avro_file.py)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(record_strategy, max_size=40),
+    st.sampled_from(["null", "deflate"]),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_ocf_roundtrip_any_records(records, codec, block_records):
+    from flink_kafka_table_api_spark.sources.avro_file import (
+        read_ocf_bytes,
+        write_ocf_bytes,
+    )
+    blob = write_ocf_bytes(
+        RECORD_SCHEMA, records, codec=codec, block_records=block_records
+    )
+    writer, got = read_ocf_bytes(blob)
+    assert json.loads(writer) == json.loads(RECORD_SCHEMA)
+    assert len(got) == len(records)
+    for a, b in zip(got, records):
+        for k in ("s", "n", "opt", "m", "arr", "ts"):
+            assert a[k] == b[k]
+        assert a["d"] == b["d"] or (a["d"] != a["d"] and b["d"] != b["d"])
+
+
+# ---------------------------------------------------------------------------
+# writer -> reader schema resolution (avro_codec.decode_record_resolved)
+# ---------------------------------------------------------------------------
+
+@given(record_strategy)
+@settings(max_examples=100)
+def test_resolution_identity_matches_plain_decode(rec):
+    from flink_kafka_table_api_spark.sources.avro_codec import (
+        decode_record_resolved,
+    )
+    payload = encode_record(RECORD_SCHEMA, rec)
+    assert decode_record_resolved(RECORD_SCHEMA, RECORD_SCHEMA, payload) == \
+        decode_record(RECORD_SCHEMA, payload)
+
+
+@given(record_strategy)
+@settings(max_examples=100)
+def test_resolution_added_default_and_dropped_field(rec):
+    from flink_kafka_table_api_spark.sources.avro_codec import (
+        decode_record_resolved,
+    )
+    reader = json.loads(RECORD_SCHEMA)
+    reader["fields"] = [f for f in reader["fields"] if f["name"] != "m"]
+    reader["fields"].append(
+        {"name": "extra", "type": ["null", "long"], "default": None}
+    )
+    payload = encode_record(RECORD_SCHEMA, rec)
+    got = decode_record_resolved(RECORD_SCHEMA, json.dumps(reader), payload)
+    assert "m" not in got and got["extra"] is None
+    assert got["s"] == rec["s"] and got["arr"] == rec["arr"]
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter float-safe bounds (operators/dedup.py:prefix_filter_pairs)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=99),   # threshold = t100/100
+    st.integers(min_value=1, max_value=5000),  # set size n
+)
+@settings(max_examples=400)
+def test_prefix_bound_round9_recovers_exact_ceiling(t100, n):
+    """The operator computes ceil(round(t*n, 9)) in Spark (round is
+    HALF_UP on doubles). For any 2-decimal threshold this must equal the
+    EXACT rational ceiling ceil(t100*n/100) — the property the raw
+    float ceil violated (e.g. ceil(0.55*20) = 12)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    t = t100 / 100.0
+    # Spark's round(double, 9) is decimal HALF_UP on the double's value
+    rounded = float(
+        Decimal(t * n).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+    )
+    exact = math.ceil(Fraction(t100 * n, 100))
+    assert math.ceil(rounded) == exact
