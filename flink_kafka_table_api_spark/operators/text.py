@@ -227,6 +227,58 @@ def clean_text_sql(expr: str) -> str:
     )
 
 
+# The classic UTF-8-read-as-cp1252 double-encoding artifacts (what ftfy
+# calls mojibake). The pair table is DERIVED at import time — broken form
+# = the real character's UTF-8 bytes decoded as cp1252 — so it cannot be
+# mangled by hand-typed literals. U+201D (right double quote) is omitted:
+# its final byte 0x9D is undefined in cp1252, so its artifact is not a
+# stable string. Single source of truth for BOTH engines' replace chains.
+
+def _mojibake(ch: str) -> str:
+    return ch.encode("utf-8").decode("cp1252")
+
+
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = tuple(
+    (_mojibake(ch), ch)
+    for ch in (
+        "\u2019",  # right single quote
+        "\u201c",  # left double quote
+        "\u2014",  # em dash
+        "\u2026",  # ellipsis
+        "\u00e9",  # e-acute
+        "\u00e8",  # e-grave
+        "\u00e4",  # a-umlaut
+        "\u00f6",  # o-umlaut
+        "\u00fc",  # u-umlaut
+        "\u00f1",  # n-tilde
+        "\u00a0",  # non-breaking space (C2 A0 -> 'A-circ nbsp')
+    )
+)
+
+
+def fix_encoding(text: Column | str) -> Column:
+    """Mojibake repair (ftfy's core case, expression-level): undo the
+    UTF-8-decoded-as-Latin-1 artifacts that survive real-world crawls —
+    â€™ for apostrophes, Ã© for é, Â before non-breaking spaces. A fixed
+    literal-replace chain (no regex needed), fully codegen'd: scan-speed
+    at 100 TB, and the pair table is shared verbatim with the oracle so
+    both engines repair identically."""
+    out = F.col(text) if isinstance(text, str) else text
+    for broken, fixed in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(broken), F.lit(fixed))
+    return out
+
+
+def fix_encoding_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`fix_encoding` (same pair order)."""
+    out = expr
+    for broken, fixed in MOJIBAKE_PAIRS:
+        b = broken.replace("'", "''")
+        f = fixed.replace("'", "''")
+        out = f"replace({out}, '{b}', '{f}')"
+    return out
+
+
 def with_repetition_score(
     df: DataFrame, text_col: str = "text", *, k: int = 3
 ) -> DataFrame:

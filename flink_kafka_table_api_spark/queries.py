@@ -3444,6 +3444,42 @@ def q_text_clean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Deterministic mojibake fixture: the corpus is clean, so BOTH engines
+# append the same broken-form suffix (derived from the pair table — never
+# hand-typed) before repairing; every pair is therefore proven to fire.
+_MOJIBAKE_SUFFIX = " " + " ".join(b for b, _ in tx.MOJIBAKE_PAIRS)
+_MOJIBAKE_SUFFIX_SQL = "'" + _MOJIBAKE_SUFFIX.replace("'", "''") + "'"
+
+
+@query(
+    "fix_encoding",
+    f"""
+    SELECT doc_id,
+           {tx.fix_encoding_sql(f"(text || {_MOJIBAKE_SUFFIX_SQL})")} AS fixed_text,
+           CAST(length(text || {_MOJIBAKE_SUFFIX_SQL})
+                - length({tx.fix_encoding_sql(f"(text || {_MOJIBAKE_SUFFIX_SQL})")})
+                AS BIGINT) AS removed_chars
+    FROM documents
+    """,
+)
+def q_fix_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Mojibake repair (ftfy's core UTF-8-read-as-cp1252 case) as a
+    codegen'd literal-replace chain (operators/text.py:fix_encoding).
+    The corpus is synthetic-clean, so the query appends a deterministic
+    broken-form suffix derived from the pair table itself and repairs it
+    — proving each pair fires; removed_chars counts the byte shrinkage
+    (every 2-3 char artifact collapses to its 1-char original)."""
+    d = _t(spark, sf, "documents")
+    broken = F.concat(F.col("text"), F.lit(_MOJIBAKE_SUFFIX))
+    fixed = tx.fix_encoding(broken)
+    return d.select(
+        "doc_id",
+        fixed.alias("fixed_text"),
+        (F.length(broken) - F.length(fixed)).cast("long")
+        .alias("removed_chars"),
+    )
+
+
 # (the Gopher repetition signal is checked inside `text_quality`, which
 # computes it in the same narrow pass as the other quality features;
 # with_repetition_score remains the standalone operator, unit-tested)
@@ -5265,10 +5301,10 @@ _PRIORITY: list[str] = [
     "bloom_decontaminate", "top_ngram_fraction", "length_band_filter",
     "dedup_keep_best", "bigram_lm_score", "hard_negatives",
     "cdc_chunk_dedup", "merge_upsert", "approx_percentiles",
-    "avro_file_roundtrip", "stream_window_topk",
+    "avro_file_roundtrip", "stream_window_topk", "fix_encoding",
     # -- load-bearing r2-era anchors --
     "approved_transactions", "connector_approved", "neardup_verified",
-    "dedup_clusters", "lsh_candidate_pairs",
+    "dedup_clusters",
 ]
 
 

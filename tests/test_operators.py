@@ -822,3 +822,19 @@ def test_merge_upsert_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="nope"):
         merge_upsert(base, bad, key_cols=("k",))
+
+
+def test_fix_encoding_repairs_each_pair(spark):
+    from flink_kafka_table_api_spark.operators.text import (
+        MOJIBAKE_PAIRS,
+        fix_encoding,
+    )
+    broken = " ".join(b for b, _ in MOJIBAKE_PAIRS)
+    expected = " ".join(f for _, f in MOJIBAKE_PAIRS)
+    df = spark.createDataFrame([(broken,)], "text string")
+    got = df.select(fix_encoding("text").alias("t")).collect()[0].t
+    assert got == expected
+    # already-clean text is untouched
+    df2 = spark.createDataFrame([("it’s fine — café",)], "text string")
+    assert df2.select(fix_encoding("text").alias("t")).collect()[0].t == \
+        "it’s fine — café"
