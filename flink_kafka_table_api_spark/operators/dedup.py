@@ -632,29 +632,40 @@ def cdc_chunk_stats(
         F.size("__t") >= 1
     )
     t = F.col("__t")
-    n = F.size(t)
-    cuts = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: portable_hash64(F.element_at(t, i)) % boundary_mod == 0,
-    )
-    bounds_core = F.concat(F.array(F.lit(0)), cuts)
-    bounds = F.when(
-        F.element_at(bounds_core, -1) == n, bounds_core
-    ).otherwise(F.concat(bounds_core, F.array(n)))
-    with_chunks = base.select(
-        F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(1), F.size(bounds) - 1),
-            lambda j: F.array_join(
-                F.slice(
-                    t,
-                    F.element_at(bounds, j) + 1,
-                    F.element_at(bounds, j + 1) - F.element_at(bounds, j),
-                ),
-                " ",
+    # ONE left fold over the tokens builds the chunk list directly:
+    # accumulate tokens into `cur`, flush to `done` after each boundary
+    # token, finish by flushing the tail. Exactly one hash per token —
+    # the index-based formulation (element_at over a cuts array) inlines
+    # the whole cuts computation into every chunk lookup under Catalyst's
+    # CollapseProject, going quadratic per document (measured 173 s for
+    # the sf0.1 corpus vs ~4 s for this fold).
+    empty = F.array().cast("array<string>")
+    chunks_expr = F.aggregate(
+        t,
+        F.struct(empty.alias("done"), empty.alias("cur")),
+        lambda acc, tok: F.when(
+            portable_hash64(tok) % boundary_mod == 0,
+            F.struct(
+                F.concat(
+                    acc["done"],
+                    F.array(
+                        F.array_join(F.concat(acc["cur"], F.array(tok)), " ")
+                    ),
+                ).alias("done"),
+                empty.alias("cur"),
             ),
-        ).alias("__chunks"),
+        ).otherwise(
+            F.struct(
+                acc["done"].alias("done"),
+                F.concat(acc["cur"], F.array(tok)).alias("cur"),
+            )
+        ),
+        lambda acc: F.when(
+            F.size(acc["cur"]) > 0,
+            F.concat(acc["done"], F.array(F.array_join(acc["cur"], " "))),
+        ).otherwise(acc["done"]),
     )
+    with_chunks = base.select(F.col(id_col), chunks_expr.alias("__chunks"))
     chunks = with_chunks.select(
         F.col(id_col),
         F.explode("__chunks").alias("__chunk"),

@@ -54,6 +54,11 @@ MEASURE = [
     "lsh_candidate_pairs",   # banding + bucket self-join
     "neardup_verified_fast", # candidates + semi-join-pruned Jaccard verify
     "dedup_clusters",        # pairs -> connected components -> canonical
+    # round-4 additions: new operator families
+    "bloom_decontaminate",   # broadcast bitmap + candidate-only verify join
+    "cdc_chunk_dedup",       # content-defined chunking + hash-keyed stats
+    "bigram_lm_score",       # 2 count aggs + gram-keyed join + ordered fold
+    "top_ngram_fraction",    # explode + partial-agg argmax
 ]
 
 

@@ -66,3 +66,14 @@ def test_gate_is_exactly_50_distinct_registered_names():
     assert len(set(gate)) == GATE_WIDTH
     for name in gate:
         assert name in QUERIES
+
+
+def test_bench_contract_names_resolve():
+    """bench.py's headline set must stay runnable: every name resolves in
+    the combined registry, and the calibration reference is a sane
+    positive constant (the driver parses the JSON payload per round)."""
+    import bench
+
+    for name in bench.HEADLINE:
+        assert name in bench.RUNNABLE, f"bench headline {name} unregistered"
+    assert 0.01 < bench.CALIBRATION_REF_SEC < 10
