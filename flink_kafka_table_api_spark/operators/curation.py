@@ -141,7 +141,6 @@ def bloom_decontaminate(
     broadcast join on word index. No UDFs, no driver-side bloom object.
     """
     train = ensure_parallelism(train)
-    n_words = m_bits // 64
 
     def probe_cols(gram: Column) -> list[Column]:
         # k independent probes: xxhash64 seeded by a distinct constant per

@@ -248,6 +248,30 @@ def merge_upsert(
     missing = [c for c in updates.columns if c not in base.columns]
     if missing:
         raise ValueError(f"update columns not in base schema: {missing}")
+    # SQL MERGE raises when several source rows match one target key;
+    # silently joining would multiply base rows. Enforce the same rule
+    # lazily (codegen raise_error at execution — no extra action): every
+    # update row must be its key's only row.
+    dup_w = Window.partitionBy(*key_cols)
+    first_key = key_cols[0]
+    updates = updates.withColumn(
+        first_key,
+        F.when(
+            F.count("*").over(dup_w) == 1, F.col(first_key)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "merge_upsert: multiple update rows for key ("
+                    ),
+                    F.concat_ws(
+                        ", ", *[F.col(k).cast("string") for k in key_cols]
+                    ),
+                    F.lit(")"),
+                )
+            ).cast(dict(updates.dtypes)[first_key])
+        ),
+    )
     u = updates.select(
         *[F.col(c).alias(f"__u_{c}") for c in updates.columns]
     )

@@ -1466,6 +1466,7 @@ def q_avro_file_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     decode), and aggregate — the oracle aggregates the original table, so
     any loss/corruption in the container round trip breaks the hash
     (sources/avro_file.py; Avro 1.11 object-container spec)."""
+    import shutil
     import tempfile
 
     from flink_kafka_table_api_spark.avro_schema import struct_to_avro
@@ -1476,7 +1477,14 @@ def q_avro_file_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
     schema_json = struct_to_avro(docs.schema, name="DocStats")
-    d = tempfile.mkdtemp(prefix="fkta_avro_rt_")
+    # fixed per-sf path, recreated each run: repeated invocations (gate,
+    # parity tests, bench) reuse one directory instead of leaking a fresh
+    # mkdtemp copy of the corpus every call
+    d = os.path.join(
+        tempfile.gettempdir(), "fkta_avro_rt", os.path.basename(sf)
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
     write_avro(docs.repartition(4), d, schema_json)
     return (
         read_avro(spark, d)
@@ -1505,8 +1513,10 @@ def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     boolean. One extra exact-rank pass verifies each returned percentile;
     at 100 TB the sketch (fixed-size mergeable partials) is the only
     viable grouped percentile — `percentiles` covers the exact path.
+    eps carries 2x slack over the documented 1/accuracy rank bound so a
+    boundary-exact rank can never flip on float division.
     """
-    eps = 1.0 / 10000
+    eps = 2.0 / 10000
     ev = _t(spark, sf, "events")
     apx = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95], 10000).alias("__ap"),
@@ -2994,12 +3004,15 @@ def q_stream_sessions_stateful(spark: SparkSession, sf: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) with a deterministic oracle:
     the HLL estimate itself is engine-specific, so the checkable contract
-    is the HLL++ accuracy guarantee — the estimate must land within ±5 %
-    of the exact count (rsd default 0.05; the bound holds with large
-    margin at these cardinalities). The oracle asserts the same boolean
-    from DuckDB's side (exact count + literal TRUE), so a drifting sketch
-    breaks the hash. At 100 TB the sketch is the ONLY viable distinct
-    count (fixed memory, one pass, mergeable partials)."""
+    is the HLL++ accuracy guarantee. rsd=0.05 is a 1-sigma RELATIVE
+    STANDARD DEVIATION, not a hard bound — a +-5 % check would fail
+    ~30 % of the time per group once cardinality leaves the exact sparse
+    range — so the assertion uses +-20 % (4 sigma, P(fail) ~ 6e-5 per
+    group): loose enough to be deterministic across scale factors, tight
+    enough that a broken sketch (orders-of-magnitude off) still trips it.
+    The oracle asserts the same boolean from DuckDB's side (exact count +
+    literal TRUE). At 100 TB the sketch is the ONLY viable distinct count
+    (fixed memory, one pass, mergeable partials)."""
     ev = _t(spark, sf, "events")
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -3010,7 +3023,7 @@ def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
+            <= 0.20 * F.col("exact_users")
         ).alias("within_tolerance"),
     ).orderBy("event_type")
 

@@ -409,6 +409,13 @@ def _decode_resolved(buf: io.BytesIO, writer: Any, reader: Any) -> Any:
             raise ValueError(f"enum symbol {symbol!r} unknown to reader")
         return symbol
     if wt == rt:
+        if wt == "fixed" and writer["size"] != reader["size"]:
+            # spec: fixed resolves only when sizes match — reading the
+            # reader's size would shift every later field silently
+            raise ValueError(
+                f"fixed size mismatch: writer {writer['size']} vs "
+                f"reader {reader['size']}"
+            )
         # identical wire shape — decode per the READER's annotation, so a
         # reader that adds/removes a logicalType gets its own view (the
         # varint on the wire is the same either way)

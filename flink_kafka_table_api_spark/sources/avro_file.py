@@ -62,6 +62,7 @@ def write_ocf_bytes(
 
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported OCF codec {codec!r}")
+    parsed = json.loads(schema_json)  # parse ONCE, not per record
     sync = sync or uuid.uuid4().bytes
     assert len(sync) == 16
     out = io.BytesIO()
@@ -81,7 +82,7 @@ def write_ocf_bytes(
         block = records[i:i + block_records]
         if not block:
             break
-        body = b"".join(encode_record(schema_json, r) for r in block)
+        body = b"".join(encode_record(parsed, r) for r in block)
         if codec == "deflate":
             # spec: raw deflate, no zlib header/checksum
             body = zlib.compress(body)[2:-4]
@@ -224,14 +225,19 @@ def write_avro(
     codec: str = "null",
 ) -> int:
     """Distributed OCF write: each partition serializes its rows to one
-    `part-*.avro` file under ``path`` (shared/POSIX filesystem). Returns
-    the number of files written."""
+    `part-<partitionId>.avro` file under ``path`` (shared/POSIX
+    filesystem). File names are DETERMINISTIC per partition and published
+    via atomic replace, so a retried or speculative task overwrites its
+    own earlier attempt instead of leaving a duplicate file (the
+    idempotence every distributed committer needs). Returns the number of
+    files written."""
     os.makedirs(path, exist_ok=True)
     cols = df.columns
     schema = schema_json
 
     def write_partition(it):
         import pandas as pd  # noqa: PLC0415
+        from pyspark import TaskContext  # noqa: PLC0415
 
         records = []
         for pdf in it:
@@ -243,11 +249,14 @@ def write_avro(
                     rec[name] = val
                 records.append(rec)
         if records:
-            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
-            tmp = fname + ".tmp"
+            pid = TaskContext.get().partitionId()
+            fname = os.path.join(path, f"part-{pid:05d}.avro")
+            # unique temp per attempt; atomic replace publishes exactly one
+            # complete file per partition no matter how many attempts ran
+            tmp = f"{fname}.{uuid.uuid4().hex}.tmp"
             with open(tmp, "wb") as fh:
                 fh.write(write_ocf_bytes(schema, records, codec=codec))
-            os.rename(tmp, fname)  # atomic publish, no partial files
+            os.replace(tmp, fname)
             yield pd.DataFrame({"files": [1]})
         else:
             yield pd.DataFrame({"files": [0]})

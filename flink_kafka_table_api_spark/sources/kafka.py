@@ -27,6 +27,7 @@ requires infra, same trade-off the reference makes with Testcontainers).
 
 from __future__ import annotations
 
+import io
 import json
 import struct
 import urllib.request
@@ -44,20 +45,23 @@ def frame_header(schema_id: int) -> bytes:
     return struct.pack(">bI", CONFLUENT_MAGIC, schema_id)
 
 
-def strip_confluent_header(value: Column) -> Column:
+def strip_confluent_header(value: Column | str | None = None) -> Column:
     """Drop the 5-byte Confluent header, leaving the raw Avro body.
-    expr-level: stays in codegen, no UDF."""
-    return F.expr(
-        f"substring(value, {CONFLUENT_HEADER_LEN + 1},"
-        f" length(value) - {CONFLUENT_HEADER_LEN})"
+    expr-level: stays in codegen, no UDF. Operates on the given column
+    (default: `value`, the Kafka source's payload column)."""
+    c = F.col(value) if isinstance(value, str) else (
+        value if value is not None else F.col("value")
     )
+    return F.substring(c, CONFLUENT_HEADER_LEN + 1, 2_000_000_000)
 
 
-def extract_schema_id(value: Column) -> Column:
-    """Big-endian int32 schema id from bytes 2-5 of the framed payload."""
-    return (
-        F.conv(F.hex(F.expr("substring(value, 2, 4)")), 16, 10).cast("int")
+def extract_schema_id(value: Column | str | None = None) -> Column:
+    """Big-endian int32 schema id from bytes 2-5 of the framed payload
+    (default column: `value`)."""
+    c = F.col(value) if isinstance(value, str) else (
+        value if value is not None else F.col("value")
     )
+    return F.conv(F.hex(F.substring(c, 2, 4)), 16, 10).cast("int")
 
 
 class SchemaRegistryClient:
@@ -151,8 +155,11 @@ def decode_avro_column(
     codegen-side ``CASE WHEN id IN (...) THEN value ELSE raise_error``
     guard, which is the strongest check available on the JVM path (a
     single from_avro expression cannot branch per writer schema). The
-    Python fallback additionally rejects a batch containing more than one
-    distinct id even when no expectation was declared.
+    Python fallback additionally rejects mixed distinct ids seen anywhere
+    within a task's scan (across all of its Arrow batches) even with no
+    expectation declared; mixing across PARTITIONS is only caught by
+    ``expected_schema_ids`` (checked row-by-row, codegen-side) or a
+    registry — partitions cannot compare notes without an action.
     """
     from flink_kafka_table_api_spark.avro_schema import avro_to_struct
 
@@ -193,35 +200,41 @@ def decode_avro_column(
         import pandas as pd  # noqa: PLC0415
 
         from flink_kafka_table_api_spark.sources.avro_codec import (  # noqa: PLC0415
-            decode_record,
-            decode_record_resolved,
+            _decode,
+            _decode_resolved,
         )
 
-        # per-task writer-schema cache: id -> parsed-or-None (None marks
-        # "identical to reader", skipping resolution overhead)
-        writer_cache: dict[int, str | None] = {}
+        reader_parsed = json.loads(avro_schema_json)
+        # per-task writer-schema cache: id -> parsed-dict-or-None (None
+        # marks "identical to reader", skipping resolution overhead);
+        # parsed ONCE per id per task — never json.loads per message
+        writer_cache: dict[int, dict | None] = {}
         client = (
             SchemaRegistryClient(registry_url) if registry_url else None
         )
 
-        def writer_for(schema_id: int) -> str | None:
+        def writer_for(schema_id: int) -> dict | None:
             if schema_id not in writer_cache:
-                fetched = client.get_by_id(schema_id)
+                fetched = json.loads(client.get_by_id(schema_id))
                 writer_cache[schema_id] = (
-                    None
-                    if json.loads(fetched) == json.loads(avro_schema_json)
-                    else fetched
+                    None if fetched == reader_parsed else fetched
                 )
             return writer_cache[schema_id]
 
+        # no-registry guard state spans ALL batches of this task (Arrow
+        # splits a partition into ~10k-row batches; a per-batch check
+        # would miss v1-batch/v2-batch splits). Cross-PARTITION mixing
+        # cannot be detected without an action — that is what
+        # expected_schema_ids (checked codegen-side on every row) or a
+        # schema_registry_url is for; the docstring says so.
+        seen_ids: set[int] = set()
         for pdf in batches:
             raws = [bytes(v) for v in pdf[value_col]]
             if header and client is None:
-                # no registry to resolve against: a batch mixing schema
-                # ids cannot be decoded safely — check BEFORE decoding so
-                # the error names the cause, not a downstream EOF
-                seen_ids = {struct.unpack(">I", r[1:5])[0] for r in raws}
+                seen_ids.update(struct.unpack(">I", r[1:5])[0] for r in raws)
                 if len(seen_ids) > 1:
+                    # check BEFORE decoding so the error names the cause,
+                    # not a downstream EOF
                     raise ValueError(
                         "mixed Avro schema ids in topic "
                         f"({sorted(seen_ids)}) but no schema_registry_url"
@@ -229,19 +242,17 @@ def decode_avro_column(
                     )
             records = []
             for raw in raws:
-                payload = raw[header:]
+                payload = io.BytesIO(raw[header:])
                 if header and client is not None:
                     sid = struct.unpack(">I", raw[1:5])[0]
                     writer = writer_for(sid)
                     records.append(
-                        decode_record(avro_schema_json, payload)
+                        _decode(payload, reader_parsed)
                         if writer is None
-                        else decode_record_resolved(
-                            writer, avro_schema_json, payload
-                        )
+                        else _decode_resolved(payload, writer, reader_parsed)
                     )
                 else:
-                    records.append(decode_record(avro_schema_json, payload))
+                    records.append(_decode(payload, reader_parsed))
             yield pd.DataFrame(records, columns=field_names)
 
     return df.select(value_col).mapInPandas(decode_batches, schema=spark_schema)

@@ -265,3 +265,20 @@ def test_resolution_missing_field_without_default_raises():
     payload = encode_record(json.dumps(writer), {"a": 1})
     with pytest.raises(ValueError, match="no default"):
         decode_record_resolved(json.dumps(writer), json.dumps(reader), payload)
+
+
+def test_resolution_fixed_size_mismatch_raises():
+    from flink_kafka_table_api_spark.sources.avro_codec import (
+        decode_record_resolved,
+    )
+    writer = _rec("R", [
+        {"name": "f", "type": {"type": "fixed", "name": "F8", "size": 8}},
+        {"name": "tail", "type": "long"},
+    ])
+    reader = _rec("R", [
+        {"name": "f", "type": {"type": "fixed", "name": "F8", "size": 16}},
+        {"name": "tail", "type": "long"},
+    ])
+    payload = encode_record(json.dumps(writer), {"f": b"12345678", "tail": 7})
+    with pytest.raises(ValueError, match="fixed size mismatch"):
+        decode_record_resolved(json.dumps(writer), json.dumps(reader), payload)

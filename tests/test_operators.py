@@ -838,3 +838,14 @@ def test_fix_encoding_repairs_each_pair(spark):
     df2 = spark.createDataFrame([("it’s fine — café",)], "text string")
     assert df2.select(fix_encoding("text").alias("t")).collect()[0].t == \
         "it’s fine — café"
+
+
+def test_merge_upsert_duplicate_update_keys_fail_loudly(spark):
+    from flink_kafka_table_api_spark.operators.relational import merge_upsert
+    base = spark.createDataFrame([(1, "a")], "k long, name string")
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k long, name string"
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="multiple update rows"):
+        merge_upsert(base, dup, key_cols=("k",)).collect()
