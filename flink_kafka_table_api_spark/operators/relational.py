@@ -195,13 +195,17 @@ def scd2_versions(
     key_cols: Sequence[str],
     ts_col: str,
     tie_cols: Sequence[str] = (),
-    open_end: str = "9999-12-31 00:00:00",
+    open_end: str | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: turn a change log (one row per
     key per change, stamped ``ts_col``) into versioned dimension rows with
     ``valid_from`` / ``valid_to`` / ``is_current`` — each version closes at
     the NEXT change's timestamp (lead over the per-key order), the latest
-    stays open at ``open_end``.
+    stays open: ``valid_to`` is NULL (the default, pairs with the
+    ``is_current`` flag and survives ns-resolution consumers) or the
+    explicit ``open_end`` sentinel timestamp when a warehouse convention
+    requires one (e.g. ``"9999-12-31 00:00:00"`` — note such far-future
+    sentinels overflow pandas/Arrow nanosecond timestamps downstream).
 
     The dimension-maintenance shape every warehouse ingest runs: one
     shuffle on the key, a linear lead() within each key partition, no
@@ -214,14 +218,19 @@ def scd2_versions(
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(ts_col), *[F.col(c) for c in tie_cols]
     )
+    nxt = F.lead(ts_col).over(w)
+    if open_end is None:
+        valid_to = nxt
+        is_current = F.col("valid_to").isNull()
+    else:
+        valid_to = F.coalesce(nxt, F.lit(open_end).cast("timestamp"))
+        is_current = (
+            F.col("valid_to") == F.lit(open_end).cast("timestamp")
+        )
     return (
         changes.withColumn("valid_from", F.col(ts_col))
-        .withColumn("valid_to", F.coalesce(
-            F.lead(ts_col).over(w),
-            F.lit(open_end).cast("timestamp"),
-        ))
-        .withColumn("is_current", F.col("valid_to")
-                    == F.lit(open_end).cast("timestamp"))
+        .withColumn("valid_to", valid_to)
+        .withColumn("is_current", is_current)
     )
 
 

@@ -1418,15 +1418,12 @@ def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey, o_orderstatus,
            o_orderdate AS valid_from,
-           COALESCE(
-             lead(o_orderdate) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey),
-             TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
-           COALESCE(
-             lead(o_orderdate) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey),
-             TIMESTAMP '9999-12-31 00:00:00')
-             = TIMESTAMP '9999-12-31 00:00:00' AS is_current
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+             AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+             IS NULL AS is_current
     FROM orders
     """,
 )
@@ -1434,8 +1431,11 @@ def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     """SCD type-2 dimension versioning (operators/relational.py:
     scd2_versions): the orders table plays a per-customer change log; each
     row becomes a version valid until the customer's next change, latest
-    version open-ended. One keyed shuffle + linear lead() — no join, no
-    driver state."""
+    version open (valid_to NULL + is_current — the NULL representation,
+    not a 9999-12-31 sentinel, which overflows nanosecond-timestamp
+    consumers; the sentinel stays available via the operator's
+    ``open_end`` parameter). One keyed shuffle + linear lead() — no join,
+    no driver state."""
     from flink_kafka_table_api_spark.operators.relational import (
         scd2_versions,
     )
@@ -5284,7 +5284,7 @@ def q_connector_approved(spark: SparkSession, sf: str) -> DataFrame:
 # first 25 slots are exactly the never-gated set from VERDICT.md (the nine
 # consolidation merges, profiling/funnel/skyline/SCD2/DSIR/fuzzy/prefix
 # joins, and the formerly rows-only `approx_distinct`, which now carries a
-# deterministic ±5 % tolerance oracle). Three remain rows-only by nature
+# deterministic ±20 % tolerance oracle — 4-sigma on HLL rsd=0.05). Three remain rows-only by nature
 # (ann_ivf_trained: kmeans float-order; audio_features: binary feature
 # vectors DuckDB can't parse; stream_dedup: arrival-order dependent) —
 # they get the weaker rows-only driver row, which is still stronger than

@@ -406,7 +406,16 @@ def _decode_resolved(buf: io.BytesIO, writer: Any, reader: Any) -> Any:
     if wt == "enum" and rt == "enum":
         symbol = writer["symbols"][_read_long(buf)]
         if symbol not in reader["symbols"]:
-            raise ValueError(f"enum symbol {symbol!r} unknown to reader")
+            # Avro >=1.9 resolution: an unknown writer symbol maps to the
+            # reader enum's declared default, if any; only a defaultless
+            # reader makes it an error
+            default = reader.get("default")
+            if default is not None:
+                return default
+            raise ValueError(
+                f"enum symbol {symbol!r} unknown to reader and the reader "
+                "enum declares no default symbol"
+            )
         return symbol
     if wt == rt:
         if wt == "fixed" and writer["size"] != reader["size"]:

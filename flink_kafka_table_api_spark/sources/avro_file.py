@@ -180,22 +180,10 @@ def read_avro(
     """Distributed OCF read: one task per file via the binaryFile source,
     Arrow-batched decode executor-side. Files written under older schema
     versions resolve to ``reader_schema_json`` (or, when omitted, to the
-    schema embedded in the FIRST file, read driver-side)."""
+    schema embedded in one file's header, probed through the same
+    binaryFile source — so hdfs://, s3a://, and glob paths work exactly
+    like local ones; no driver-side os.listdir)."""
     from flink_kafka_table_api_spark.avro_schema import avro_to_struct
-
-    if reader_schema_json is None:
-        # self-describing: take the reader schema from one file's header
-        first = sorted(
-            os.path.join(path, f) for f in os.listdir(path)
-            if f.endswith(".avro")
-        ) if os.path.isdir(path) else [path]
-        if not first:
-            raise ValueError(f"no .avro files under {path}")
-        with open(first[0], "rb") as fh:
-            reader_schema_json = read_ocf_schema(fh.read())
-    spark_schema = avro_to_struct(reader_schema_json)
-    field_names = [f.name for f in spark_schema.fields]
-    reader_json = reader_schema_json
 
     raw = (
         spark.read.format("binaryFile")
@@ -203,6 +191,18 @@ def read_avro(
         .load(path)
         .select("content")
     )
+    if reader_schema_json is None:
+        # self-describing: take the reader schema from one file's header.
+        # head() is limit-1 without a sort — Spark reads a single
+        # partition (one file), not the whole dataset, so the probe stays
+        # O(1 file) at any scale.
+        first = raw.head()
+        if first is None:
+            raise ValueError(f"no .avro files under {path}")
+        reader_schema_json = read_ocf_schema(bytes(first["content"]))
+    spark_schema = avro_to_struct(reader_schema_json)
+    field_names = [f.name for f in spark_schema.fields]
+    reader_json = reader_schema_json
 
     def decode(batches):
         import pandas as pd  # noqa: PLC0415

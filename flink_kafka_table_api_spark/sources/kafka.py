@@ -157,7 +157,11 @@ def decode_avro_column(
     single from_avro expression cannot branch per writer schema). The
     Python fallback additionally rejects mixed distinct ids seen anywhere
     within a task's scan (across all of its Arrow batches) even with no
-    expectation declared; mixing across PARTITIONS is only caught by
+    expectation declared; declaring several ``expected_schema_ids`` is an
+    explicit assertion that all of them are decodable with the reader
+    schema (e.g. one schema registered under several subjects), so ids
+    within that allowlist do NOT trip the mixed-id error — matching what
+    the JVM path accepts. Mixing across PARTITIONS is only caught by
     ``expected_schema_ids`` (checked row-by-row, codegen-side) or a
     registry — partitions cannot compare notes without an action.
     """
@@ -195,6 +199,11 @@ def decode_avro_column(
     field_names = [f.name for f in spark_schema.fields]
     header = CONFLUENT_HEADER_LEN if confluent_framed else 0
     registry_url = schema_registry_url
+    allowed_ids = (
+        frozenset(int(i) for i in expected_schema_ids)
+        if expected_schema_ids is not None
+        else None
+    )
 
     def decode_batches(batches):
         import pandas as pd  # noqa: PLC0415
@@ -232,7 +241,9 @@ def decode_avro_column(
             raws = [bytes(v) for v in pdf[value_col]]
             if header and client is None:
                 seen_ids.update(struct.unpack(">I", r[1:5])[0] for r in raws)
-                if len(seen_ids) > 1:
+                if len(seen_ids) > 1 and not (
+                    allowed_ids is not None and seen_ids <= allowed_ids
+                ):
                     # check BEFORE decoding so the error names the cause,
                     # not a downstream EOF
                     raise ValueError(

@@ -267,6 +267,37 @@ def test_resolution_missing_field_without_default_raises():
         decode_record_resolved(json.dumps(writer), json.dumps(reader), payload)
 
 
+def test_resolution_enum_unknown_symbol_takes_reader_default():
+    """Avro >=1.9: a writer enum symbol absent from the reader's symbols
+    resolves to the reader enum's declared default; without one it is an
+    error (avro_codec.py enum resolution)."""
+    from flink_kafka_table_api_spark.sources.avro_codec import (
+        decode_record_resolved,
+    )
+    w_enum = {"type": "enum", "name": "E", "symbols": ["A", "B", "NEW"]}
+    writer = _rec("R", [{"name": "e", "type": w_enum}, {"name": "t", "type": "long"}])
+    payload = encode_record(json.dumps(writer), {"e": "NEW", "t": 5})
+
+    r_default = {"type": "enum", "name": "E", "symbols": ["A", "B"],
+                 "default": "A"}
+    reader_ok = _rec("R", [{"name": "e", "type": r_default},
+                           {"name": "t", "type": "long"}])
+    got = decode_record_resolved(
+        json.dumps(writer), json.dumps(reader_ok), payload)
+    assert got == {"e": "A", "t": 5}
+    # known symbols still pass through unchanged
+    p2 = encode_record(json.dumps(writer), {"e": "B", "t": 6})
+    assert decode_record_resolved(
+        json.dumps(writer), json.dumps(reader_ok), p2) == {"e": "B", "t": 6}
+
+    r_nodefault = {"type": "enum", "name": "E", "symbols": ["A", "B"]}
+    reader_bad = _rec("R", [{"name": "e", "type": r_nodefault},
+                            {"name": "t", "type": "long"}])
+    with pytest.raises(ValueError, match="no default symbol"):
+        decode_record_resolved(
+            json.dumps(writer), json.dumps(reader_bad), payload)
+
+
 def test_resolution_fixed_size_mismatch_raises():
     from flink_kafka_table_api_spark.sources.avro_codec import (
         decode_record_resolved,

@@ -234,6 +234,40 @@ def test_mixed_ids_without_registry_fail_loudly(spark, registry_url):
         decode_avro_column(raw, SCHEMA_V2, confluent_framed=True).collect()
 
 
+def test_multi_expected_ids_decode_without_registry(spark, registry_url):
+    """Declaring several expected_schema_ids is an explicit assertion that
+    all of them decode with the reader schema (e.g. one schema registered
+    under two subjects -> two ids). The Python fallback must then accept
+    the id mix like the JVM guard does, instead of tripping the mixed-id
+    error (ADVICE r4: the multi-id allowlist was unusable on the fallback
+    path)."""
+    df = spark.createDataFrame(
+        [("t1", 10.5, "APPROVED"), ("t2", 99.0, "PENDING")],
+        "transactionId string, amount double, status string",
+    )
+    # same schema, two subjects -> the stub registry assigns two ids
+    v1 = [bytes(r.value) for r in registered_payload(
+        df.limit(1), SCHEMA, topic="ta",
+        schema_registry_url=registry_url).collect()]
+    v2 = [bytes(r.value) for r in registered_payload(
+        df.where("transactionId = 't2'"), SCHEMA, topic="tb",
+        schema_registry_url=registry_url).collect()]
+    ids = sorted({struct.unpack(">I", x[1:5])[0] for x in v1 + v2})
+    assert len(ids) == 2  # genuinely mixed on the wire
+    raw = spark.createDataFrame(
+        [(x,) for x in v1 + v2], "value binary").coalesce(1)
+    got = {
+        (r.transactionId, r.amount, r.status)
+        for r in decode_avro_column(
+            raw, SCHEMA, confluent_framed=True, expected_schema_ids=ids,
+        ).collect()
+    }
+    assert got == {("t1", 10.5, "APPROVED"), ("t2", 99.0, "PENDING")}
+    # without the allowlist the same mix still fails loudly
+    with pytest.raises(Exception, match="mixed Avro schema ids"):
+        decode_avro_column(raw, SCHEMA, confluent_framed=True).collect()
+
+
 def test_expected_schema_ids_guard_raises_on_foreign_id(spark, registry_url):
     """The codegen-side id guard (the strongest check available on the JVM
     from_avro path) rejects payloads whose framed id is not expected."""

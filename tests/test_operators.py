@@ -560,7 +560,14 @@ def test_scd2_versions_chain_and_current(spark):
     assert out[102].valid_to == out[103].valid_from  # tie broken by id
     assert out[103].is_current and out[201].is_current
     assert not out[101].is_current and not out[102].is_current
-    assert str(out[103].valid_to).startswith("9999-12-31")
+    # default open representation: NULL valid_to (+ is_current flag)
+    assert out[103].valid_to is None and out[201].valid_to is None
+    # opt-in sentinel representation still available via open_end
+    sent = {r.id: r for r in scd2_versions(
+        df, key_cols=("k",), ts_col="ts", tie_cols=("id",),
+        open_end="9999-12-31 00:00:00").collect()}
+    assert str(sent[103].valid_to).startswith("9999-12-31")
+    assert sent[103].is_current and not sent[101].is_current
 
 
 def test_skyline_2d_matches_bruteforce(spark):
