@@ -1,17 +1,28 @@
-"""Rotation-discipline guard (VERDICT r3 item 5): the driver's correctness
-gate only checks the first 50 entries of queries() per round, so a
-hand-ordered rotation can silently starve queries of driver-grade evidence
-— r3's audit found 25 registered names that had NEVER been gated. This test
-makes that state unrepresentable going forward:
+"""Rotation-discipline guard (VERDICT r3 item 5, relaxed per VERDICT r4):
+the driver's correctness gate only checks the first 50 entries of
+queries() per round, and the registry (138+ names) has outgrown the
+50-slot × 2-round evidence window (max 100 distinct names). Freshness is
+therefore managed as a committed TWO-round plan, and this test makes the
+plan binding:
 
   every registered query must appear in the union of
-    (a) the two most recent CORRECTNESS_r*.json driver artifacts, and
-    (b) the first 50 entries of the CURRENT rotation (= next round's gate),
+    (a) the two most recent CORRECTNESS_r*.json driver artifacts,
+    (b) the first 50 entries of the CURRENT rotation (= this round's
+        gate, which the driver will check at round end), and
+    (c) `_NEXT_GATE_SCHEDULE` — the committed gate for the FOLLOWING
+        round;
 
-and every query without an oracle must carry an explicit rows-only reason.
-Adding a new query therefore forces it into the upcoming gate (or the test
-fails), and renaming a query breaks the link to its old evidence loudly
-instead of silently.
+  a query that has NEVER had a driver row must sit in (b), the actual
+  gate — a schedule slot is a promise, not evidence;
+
+  and every query without an oracle must carry an explicit rows-only
+  reason.
+
+Adding a new query therefore forces it into the upcoming gate (or the
+test fails), renaming a query breaks the link to its old evidence loudly
+instead of silently, and the schedule cannot silently absorb overflow
+forever: its slots count only until the next artifact lands, at which
+point anything still unchecked resurfaces here.
 """
 
 from __future__ import annotations
@@ -24,6 +35,7 @@ from flink_kafka_table_api_spark.queries import (
     ORACLES,
     QUERIES,
     ROWS_ONLY_REASONS,
+    _NEXT_GATE_SCHEDULE,
     queries,
 )
 
@@ -31,22 +43,61 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GATE_WIDTH = 50
 
 
+def _artifacts() -> list[str]:
+    return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+
+
 def _recent_driver_entries() -> set[str]:
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))[-2:]
     names: set[str] = set()
-    for f in files:
+    for f in _artifacts()[-2:]:
+        names |= set(json.load(open(f)))
+    return names
+
+
+def _ever_checked() -> set[str]:
+    names: set[str] = set()
+    for f in _artifacts():
         names |= set(json.load(open(f)))
     return names
 
 
 def test_every_query_has_recent_or_scheduled_driver_evidence():
     recent = _recent_driver_entries()
-    scheduled = set(list(queries())[:GATE_WIDTH])
-    uncovered = sorted(set(QUERIES) - recent - scheduled)
+    gate = set(list(queries())[:GATE_WIDTH])
+    scheduled = set(_NEXT_GATE_SCHEDULE)
+    uncovered = sorted(set(QUERIES) - recent - gate - scheduled)
     assert not uncovered, (
         f"{len(uncovered)} queries have no driver CORRECTNESS entry in the "
-        f"last two rounds and are not in the upcoming 50-slot gate: "
-        f"{uncovered}. Rotate _PRIORITY (queries.py) so they are checked."
+        f"last two rounds, no slot in the upcoming {GATE_WIDTH}-slot gate, "
+        f"and no slot in the committed next-round schedule: {uncovered}. "
+        "Rotate _PRIORITY or _NEXT_GATE_SCHEDULE (queries.py)."
+    )
+
+
+def test_never_checked_queries_are_in_the_actual_gate():
+    """A brand-new query must enter the real gate, not the next-round
+    promise list — otherwise evidence for it is deferred a full round."""
+    gate = set(list(queries())[:GATE_WIDTH])
+    never = sorted(set(QUERIES) - _ever_checked() - gate)
+    assert not never, (
+        f"queries with no driver evidence EVER that are not in the "
+        f"upcoming gate: {never}. Put them in _PRIORITY[:{GATE_WIDTH}]."
+    )
+
+
+def test_next_gate_schedule_is_sane():
+    sched = _NEXT_GATE_SCHEDULE
+    assert len(sched) == len(set(sched)), "duplicate names in schedule"
+    assert len(sched) <= GATE_WIDTH, (
+        f"next-round schedule holds {len(sched)} names but the gate has "
+        f"only {GATE_WIDTH} slots — it cannot be honored"
+    )
+    unknown = sorted(set(sched) - set(QUERIES))
+    assert not unknown, f"schedule names not registered: {unknown}"
+    overlap = sorted(set(sched) & set(list(queries())[:GATE_WIDTH]))
+    assert not overlap, (
+        f"names in BOTH the current gate and the next-round schedule "
+        f"waste a slot: {overlap}"
     )
 
 
