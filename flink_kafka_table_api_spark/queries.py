@@ -2348,23 +2348,109 @@ def q_ann_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_trained", rows_only_reason=(
-    "iterative k-means float means are aggregation-order-dependent; "
-    "convergence + cluster quality pinned by unit test instead"))
+@query(
+    "ann_ivf_trained",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(10 AS BIGINT) AS k,
+           TRUE AS self_in_topk,
+           TRUE AS recall10_ge_010,
+           TRUE AS probed_exact
+    FROM embeddings
+    """,
+)
 def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end IVF: TRAIN centroids with distributed Lloyd k-means (per
     iteration one broadcast assignment pass + one (cluster, dim)-keyed mean
     shuffle — the step ann_ivf's fixed centroids stand in for), then route
     the query to its nearest trained centroid and exact-re-rank within that
-    cluster (nprobe=1). The full faiss-style train->assign->search flow as
-    declarative Spark; kmeans_lloyd convergence itself is unit-pinned in
-    tests/test_operators.py."""
+    cluster (nprobe=1).
+
+    Formerly rows-only; now a tolerance-bound boolean oracle in the
+    approx_distinct mold, with bounds an approximate index can actually
+    promise. A full-recall bound like recall>=0.9 is NOT one of them: the
+    synthetic embeddings are uniform random high-dim vectors, so true
+    neighbors spread uniformly over clusters and nprobe=1 expected recall
+    is about the scanned fraction, ~1/8 (measured 0.2-0.3 at
+    sf0.001/sf0.01). What a CORRECT IVF does guarantee, and what a broken
+    one trips: (a) self_in_topk — the query vector is its own nearest
+    neighbor and correct routing probes its own cluster, so vec_id 0 must
+    appear in the result (mis-routing misses it); (b) recall10_ge_010 —
+    at least the self-match survives against the full brute-force top-10
+    (independent code path, brute_force_topk); (c) probed_exact — the
+    result EQUALS an independently-ranked (window row_number, not
+    orderBy+limit) exact top-10 within the probed cluster's members:
+    IVF's approximation is the routing alone, never the in-cluster
+    ranking. Centroids are driver-literal after kmeans_lloyd's eager
+    iteration loop, so every branch sees identical centroids within a
+    run. The unpartitioned verification window ranks one cluster's
+    members for one query vector — production search stays ivf_topk's
+    orderBy+limit (TakeOrdered), never a global window. kmeans_lloyd
+    convergence itself is unit-pinned in tests/test_operators.py."""
     emb = _t(spark, sf, "embeddings")
     cents = sim.kmeans_lloyd(emb, k=8, n_iter=2).select("c_id", "c_embedding")
     query_df = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding")
     )
-    return sim.ivf_topk(emb, cents, query_df, k=10)
+    ivf = sim.ivf_topk(emb, cents, query_df, k=10)
+    ivf_ids = ivf.select(F.col("vec_id").alias("id"))
+
+    exact = sim.brute_force_topk(emb, query_df, k=10)
+    exact_ids = exact.select(F.col(exact.columns[0]).alias("id"))
+
+    # independent exact ranking within the probed cluster: assignment via
+    # ivf_assign (broadcast literal centroids), ranking via a window
+    probed = sim.ivf_route(cents, query_df, nprobe=1)
+    assign = sim.ivf_assign(emb, cents)
+    members = emb.join(
+        assign.filter(F.col("cluster").isin([int(c) for c in probed])),
+        "vec_id",
+    )
+    ranked = (
+        members.crossJoin(F.broadcast(query_df))
+        .withColumn(
+            "__sim",
+            F.round(
+                sim.cosine(
+                    sim.as_double_array("embedding"),
+                    sim.as_double_array("q_embedding"),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("__sim"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("__rn") <= 10)
+        .select(F.col("vec_id").alias("id"))
+    )
+
+    n_vectors = emb.agg(F.count("*").cast("long").alias("n_vectors"))
+    overlap = ivf_ids.join(exact_ids, "id", "inner").agg(
+        F.count("*").alias("__n")
+    )
+    self_hit = ivf_ids.filter(F.col("id") == 0).agg(
+        (F.count("*") > 0).alias("__self")
+    )
+    sym_diff = (
+        ivf_ids.exceptAll(ranked).union(ranked.exceptAll(ivf_ids))
+        .agg((F.count("*") == 0).alias("__eq"))
+    )
+    return (
+        n_vectors.crossJoin(F.broadcast(self_hit))
+        .crossJoin(F.broadcast(overlap))
+        .crossJoin(F.broadcast(sym_diff))
+        .select(
+            "n_vectors",
+            F.lit(10).cast("long").alias("k"),
+            F.col("__self").alias("self_in_topk"),
+            (F.col("__n") >= 1).alias("recall10_ge_010"),
+            F.col("__eq").alias("probed_exact"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2416,12 +2502,24 @@ def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("stream_dedup", rows_only_reason=(
-    "which duplicate row survives is arrival/partition-order-dependent "
-    "in a streaming dedup; key-set equality pinned by unit test"))
+@query(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exact dedup with watermark-bounded state
-    (dropDuplicatesWithinWatermark) through the real engine."""
+    (dropDuplicatesWithinWatermark) through the real engine.
+
+    Formerly rows-only (WHICH physical row survives is arrival-order
+    dependent) — but this query projects the survivors to their key
+    columns and distincts, and the surviving KEY SET is deterministic:
+    every key's first arrival emits exactly one row. That makes the
+    order-insensitive oracle batch DISTINCT over the same keys (the
+    round-4 VERDICT's suggested upgrade). Caveat pinned here on purpose:
+    key-set equality additionally needs no key to have ALL its
+    occurrences dropped as late, which holds for the availableNow file
+    replay used everywhere in this repo (single-file sources replay in
+    one batch; the watermark only advances between batches)."""
     stream = _stream_table(spark, sf, "events")
     deduped = sw.streaming_dedup(stream, ["user_id", "event_type"], ts_col="ts")
     return _run_stream_to_table(
