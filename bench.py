@@ -66,6 +66,13 @@ HEADLINE = [
     "tpch_q3_shipping",        # classic 3-way join + top-k (TPC-H Q3)
     "decontaminate",           # benchmark n-gram broadcast anti-join
     "pack_sequences",          # distributed prefix-sum sequence packing
+    # round-5: the round-4 operator additions enter the headline set
+    # (VERDICT r4 item 5 — driver-green but previously unbenched here)
+    "cdc_chunk_dedup",         # content-defined chunking + hash-keyed stats
+    "simjoin_prefix",          # prefix-filter exact similarity self-join
+    "stream_window_topk",      # stateful stream windows + batch ranking
+    "merge_upsert",            # full-outer MERGE/upsert by key
+    "bigram_lm_score",         # bigram LM train + ordered-fold scoring
 ]
 
 
@@ -193,7 +200,7 @@ def main() -> None:
         max(1.0, (cal_before + cal_after) / 2 / CALIBRATION_REF_SEC), 3
     )
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_query_wall_seconds_total",
         "value": total,
         "unit": "sec",
@@ -219,7 +226,18 @@ def main() -> None:
         "runs_per_query": n_runs_default,
         "sf": SF_DIR,
         "cpus": CPUS,
-    }))
+    }
+    print(json.dumps(payload))
+    # Also write the payload to a file: BENCH_r*.json archives only a
+    # 2,000-char stdout tail, which truncated the r4 payload into regex
+    # archaeology (VERDICT r4 item 8). The file is the machine-readable
+    # record; stdout stays the driver contract.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_payload.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
     spark.stop()
 
 

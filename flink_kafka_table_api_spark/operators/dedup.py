@@ -742,3 +742,120 @@ def fuzzy_pairs_dist1(
         .withColumn("dist", F.levenshtein("a_name", "b_name"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    portable: bool = True,
+) -> DataFrame:
+    """Exact substring-overlap dedup statistics — the windowed-hash
+    formulation of ExactSubstr from Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022; they build suffix
+    arrays, the fixed-k rolling-window hash is the standard scalable
+    approximation). Finds text REUSED VERBATIM across or within
+    documents at sub-document granularity — the duplication mode that
+    document-level (dedup_exact/minhash) and chunk-level
+    (duplicate_chunk_stats/cdc_chunk_stats) dedup both miss when a
+    boilerplate paragraph is embedded in otherwise-distinct documents.
+
+    Per input row: every overlapping k-token window (kgram_strings;
+    shorter docs collapse to one whole-doc window), hashed; a window is
+    DUPLICATED when its hash occurs >= 2 times corpus-wide (cross- or
+    intra-document, as in the paper). Output per document:
+    n_tokens, n_windows, n_dup_windows, n_dup_spans (maximal duplicated
+    regions — overlapping/touching windows merged, i.e. consecutive dup
+    positions closer than k), covered_dup_tokens (union length of the
+    duplicated windows' token intervals, capped at n_tokens), and
+    dup_window_fraction (single IEEE division of the two counts —
+    cross-engine exact).
+
+    Scale shape, all linear in corpus tokens: one posexplode (n_tokens
+    rows/doc) -> partial-agg count keyed by the 60-bit window hash (the
+    shuffle carries (hash, count), never window text) -> left-semi join
+    of windows against the >=2 hashes (sparse survivor set) -> per-doc
+    lag window + two-level span agg on survivors only. The per-doc
+    totals (n_tokens, n_windows) come straight off the un-exploded
+    array, and the exploded (id, pos, hash) relation is tracked-persisted
+    across its two consumers so tokenize+hash runs once.
+    ``portable=False`` swaps the md5 portable hash for codegen'd
+    xxhash64 (production path, same plan)."""
+    from flink_kafka_table_api_spark.operators.text import kgram_strings
+
+    toks = tokens(text_col)
+    grams = kgram_strings(toks, k)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(grams).cast("long").alias("n_windows"),
+    )
+    # (id, pos, hash) is consumed twice (corpus-wide frequency + the
+    # survivor semi-join); tracked-persist it so the tokenize+hash pass
+    # runs once — ~24 bytes/token cached vs re-scanning the raw text
+    # (released at query boundaries via caching.release_cached, same
+    # contract as the LSH pipeline's signature cache)
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    win = tracked_persist(
+        df.select(
+            F.col(id_col), F.posexplode(grams).alias("__pos", "__g")
+        ).select(
+            id_col, "__pos", _base_hash(F.col("__g"), portable).alias("__h")
+        )
+    )
+    dup_hashes = (
+        win.groupBy("__h").agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__h")
+    )
+    survivors = win.join(dup_hashes, "__h", "left_semi")
+    wdoc = Window.partitionBy(id_col).orderBy("__pos")
+    spans = (
+        survivors.withColumn("__prev", F.lag("__pos").over(wdoc))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | ((F.col("__pos") - F.col("__prev")) >= k)
+            ).cast("long"),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__new").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "__sid")
+        .agg(
+            F.count("*").alias("__nw"),
+            (F.max("__pos") - F.min("__pos") + k).alias("__cov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__nw").cast("long").alias("n_dup_windows"),
+            F.count("*").cast("long").alias("n_dup_spans"),
+            F.sum("__cov").cast("long").alias("__cov_sum"),
+        )
+    )
+    return (
+        base.join(spans, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            F.least(
+                F.coalesce("__cov_sum", F.lit(0)), F.col("n_tokens")
+            ).cast("long").alias("covered_dup_tokens"),
+            (
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.col("n_windows")
+            ).alias("dup_window_fraction"),
+        )
+    )

@@ -5284,6 +5284,75 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dd.cdc_chunk_stats(_t(spark, sf, "documents"), boundary_mod=8)
 
 
+@query(
+    "substring_dup_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) >= 10 THEN
+               list_transform(generate_series(1, len(toks) - 9),
+                              i -> array_to_string(
+                                     list_slice(toks, i, i + 9), ' '))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM t
+    ), e AS (
+      SELECT doc_id, n_tokens, len(grams) AS n_windows,
+             unnest(grams) AS g, generate_subscripts(grams, 1) AS pos
+      FROM w
+    ), dupg AS (
+      SELECT g FROM e GROUP BY g HAVING COUNT(*) >= 2
+    ), d AS (
+      SELECT * FROM e WHERE g IN (SELECT g FROM dupg)
+    ), marked AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) >= 10
+                  THEN 1 ELSE 0 END AS ns
+      FROM d
+    ), sid AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS s
+      FROM marked
+    ), per_span AS (
+      SELECT doc_id, n_tokens, s, COUNT(*) AS nw,
+             MAX(pos) - MIN(pos) + 10 AS cov
+      FROM sid GROUP BY doc_id, n_tokens, s
+    ), per_doc AS (
+      SELECT doc_id, SUM(nw) AS n_dup_windows, COUNT(*) AS n_dup_spans,
+             LEAST(SUM(cov), any_value(n_tokens)) AS covered
+      FROM per_span GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(w.n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(w.grams) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered_dup_tokens,
+           COALESCE(p.n_dup_windows, 0) / CAST(len(w.grams) AS DOUBLE)
+             AS dup_window_fraction
+    FROM w LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_substring_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-overlap dedup (ExactSubstr, Lee et al. ACL 2022,
+    windowed-hash formulation — operators/dedup.py:substring_dup_stats):
+    per-document statistics of 10-token windows reused verbatim anywhere
+    in the corpus — the sub-document duplication that document-level
+    (dedup_exact/minhash) and chunk-level (cdc_chunk_dedup) dedup miss.
+    The engine shuffles (60-bit window hash, count) partials and then
+    only the sparse duplicated-window survivors; the oracle re-derives
+    the same spans from the window STRINGS (hash-free), so a hash
+    collision or off-by-one in the span merge breaks the driver hash."""
+    return dd.substring_dup_stats(
+        _t(spark, sf, "documents"), "doc_id", "text", k=10
+    )
+
+
 @query("doc_chunks", cu.doc_chunks_sql("documents"))
 def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """RAG-prep chunking: overlapping 32-token windows every 24 tokens
@@ -5420,10 +5489,12 @@ _PRIORITY: list[str] = [
     "window_analytic", "window_running", "window_topk",
     # -- re-gate: semantics changed or oracle upgraded this round --
     "scd2_history", "ann_ivf_trained", "stream_dedup",
+    # -- round-5 additions (never checked -> must be in the gate) --
+    "substring_dup_stats",
     # -- anchors (r4-green; touched or benched this round) --
     "merge_upsert", "cdc_chunk_dedup", "simjoin_prefix",
     "approved_transactions", "connector_approved", "pricing_summary",
-    "dedup_minhash", "neardup_verified", "dedup_clusters",
+    "dedup_minhash", "neardup_verified",
 ]
 
 # Next round's committed gate: the 50 names whose most recent driver

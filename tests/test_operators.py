@@ -897,3 +897,48 @@ def test_top_k_per_group_agg_matches_window(spark):
     with _pytest.raises(ValueError, match="project first"):
         top_k_per_group_agg(
             df.withColumn("extra", F.lit(1)), ["g"], "v", "id", k=3)
+
+
+def test_substring_dup_stats_hand_checked(spark):
+    """ExactSubstr windowed-hash stats on a corpus small enough to check
+    by hand: doc 1 and doc 2 share one verbatim 3-token run; doc 3 is
+    disjoint; doc 4 repeats doc 1 entirely (every window duplicated,
+    one maximal span covering the whole doc)."""
+    rows = [
+        (1, "a b c d e"),        # windows (k=3): abc bcd cde
+        (2, "x a b c y"),        # windows: xab abc bcy -> abc dup w/ 1,4
+        (3, "p q r s t"),        # no shared windows
+        (4, "a b c d e"),        # exact copy of 1 -> all windows dup
+        (5, "u v"),              # shorter than k -> one whole-doc window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from flink_kafka_table_api_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+
+    out = {r.doc_id: r for r in
+           substring_dup_stats(df, "doc_id", "text", k=3).collect()}
+    # doc 1: 3 windows, only 'a b c' also occurs elsewhere (docs 2, 4) —
+    # but 'b c d','c d e' are duplicated vs doc 4 too: ALL 3 dup
+    assert (out[1].n_windows, out[1].n_dup_windows) == (3, 3)
+    assert out[1].n_dup_spans == 1 and out[1].covered_dup_tokens == 5
+    # doc 2: 3 windows, exactly the middle one duplicated; span covers 3
+    assert (out[2].n_windows, out[2].n_dup_windows) == (3, 1)
+    assert out[2].n_dup_spans == 1 and out[2].covered_dup_tokens == 3
+    assert out[2].dup_window_fraction == 1 / 3
+    # doc 3: clean
+    assert out[3].n_dup_windows == 0 and out[3].covered_dup_tokens == 0
+    # doc 4 mirrors doc 1
+    assert (out[4].n_dup_windows, out[4].covered_dup_tokens) == (3, 5)
+    # doc 5: single whole-doc window, unique -> clean; coverage capped
+    assert (out[5].n_windows, out[5].n_dup_windows) == (1, 0)
+    # xxhash64 production path agrees on this corpus
+    fast = {r.doc_id: r for r in substring_dup_stats(
+        df, "doc_id", "text", k=3, portable=False).collect()}
+    assert all(
+        (fast[i].n_dup_windows, fast[i].n_dup_spans,
+         fast[i].covered_dup_tokens)
+        == (out[i].n_dup_windows, out[i].n_dup_spans,
+            out[i].covered_dup_tokens)
+        for i in out
+    )
