@@ -859,3 +859,118 @@ def substring_dup_stats(
             ).alias("dup_window_fraction"),
         )
     )
+
+
+def strip_dup_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    portable: bool = True,
+) -> DataFrame:
+    """Exact substring-overlap dedup, the REMOVAL step (Lee et al. ACL
+    2022 ExactSubstr: "we remove all but one occurrence"): for every
+    k-token window duplicated corpus-wide, keep the CANONICAL occurrence
+    — the lexicographically first (id, pos) — and delete the tokens
+    covered by every other occurrence, rebuilding each document's text
+    from its surviving tokens. Complements
+    :func:`substring_dup_stats` (which only measures): run stats to
+    tune k, then strip.
+
+    Determinism: the canonical occurrence is a pure function of the data
+    (min (id, pos) per window group), so output text is reproducible
+    run-to-run and engine-to-engine. Removal is token-index based:
+    overlapping non-canonical windows union their covered indices, so a
+    token is dropped once no matter how many duplicated windows cover
+    it. Short docs (< k tokens) are one whole-doc window — a duplicate
+    short doc keeps its first copy and empties the rest, which is
+    exactly document-level exact dedup degenerating out of the same
+    rule.
+
+    Scale shape: the frequency pass and survivor semi-join are
+    substring_dup_stats' linear shuffles; the canonical pick is one
+    min_by per duplicated hash (aggregate on the sparse survivor set);
+    index expansion (sequence(pos, pos+k-1) -> explode) happens ONLY for
+    non-canonical duplicated windows, so the k-fold row amplification is
+    confined to the text actually being deleted; reconstruction is one
+    per-doc aggregation of (index, token) pairs — sort_array of the
+    surviving struct list, never a window over the corpus."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+    from flink_kafka_table_api_spark.operators.text import kgram_strings
+
+    toks = tokens(text_col)
+    grams = kgram_strings(toks, k)
+    win = tracked_persist(
+        df.select(
+            F.col(id_col), F.posexplode(grams).alias("__pos", "__g")
+        ).select(
+            id_col, "__pos", _base_hash(F.col("__g"), portable).alias("__h")
+        )
+    )
+    dup_hashes = (
+        win.groupBy("__h").agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2).select("__h")
+    )
+    survivors = win.join(dup_hashes, "__h", "left_semi")
+    canon = survivors.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__c")
+    )
+    doomed = (
+        survivors.join(canon, "__h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__c.{id_col}"))
+                & (F.col("__pos") == F.col("__c.__pos"))
+            )
+        )
+        .select(id_col, "__pos")
+    )
+    # short docs' whole-doc fallback window covers n_tokens < k tokens;
+    # cap the removal interval at the doc's own length
+    doc_len = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("__len")
+    )
+    removal = (
+        doomed.join(doc_len, id_col)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("__pos"),
+                    F.least(
+                        F.col("__pos") + (k - 1), F.col("__len") - 1
+                    ),
+                )
+            ).alias("__idx"),
+        )
+        .distinct()
+    )
+    toks_idx = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__idx", "__tok")
+    )
+    kept = toks_idx.join(removal, [id_col, "__idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__idx"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept_tokens"),
+    )
+    return (
+        doc_len.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("__len").alias("n_tokens"),
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long")
+            .alias("n_kept_tokens"),
+            (F.col("__len") - F.coalesce("n_kept_tokens", F.lit(0)))
+            .cast("long").alias("n_removed_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

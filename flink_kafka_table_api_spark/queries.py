@@ -5353,6 +5353,68 @@ def q_substring_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "strip_dup_substrings",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {tx.tokens_sql('text')} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) >= 10 THEN
+               list_transform(generate_series(1, len(toks) - 9),
+                              i -> array_to_string(
+                                     list_slice(toks, i, i + 9), ' '))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM t
+    ), e AS (
+      SELECT doc_id, n_tokens,
+             unnest(grams) AS g, generate_subscripts(grams, 1) AS pos
+      FROM w
+    ), dupg AS (
+      SELECT g FROM e GROUP BY g HAVING COUNT(*) >= 2
+    ), ranked AS (
+      SELECT doc_id, n_tokens, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      FROM e WHERE g IN (SELECT g FROM dupg)
+    ), rem AS (
+      SELECT DISTINCT doc_id,
+             unnest(generate_series(pos, least(pos + 9, n_tokens))) AS idx
+      FROM ranked WHERE rn > 1
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tk,
+             generate_subscripts(toks, 1) AS idx
+      FROM t
+    ), kept AS (
+      SELECT tok.doc_id, tok.tk, tok.idx FROM tok
+      ANTI JOIN rem ON tok.doc_id = rem.doc_id AND tok.idx = rem.idx
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             array_to_string(array_agg(tk ORDER BY idx), ' ') AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+           CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_removed_tokens,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_strip_dup_substrings(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. ACL 2022 — operators/dedup.py:
+    strip_dup_substrings): every 10-token window duplicated corpus-wide
+    keeps only its lexicographically-first (doc, pos) occurrence; all
+    other occurrences' tokens are deleted and each document's text is
+    rebuilt from the survivors. The oracle re-derives canonical picks
+    and token-index removal from the window STRINGS and compares the
+    REBUILT TEXT itself, so ranking, interval union, and reconstruction
+    are all pinned by the driver hash."""
+    return dd.strip_dup_substrings(
+        _t(spark, sf, "documents"), "doc_id", "text", k=10
+    )
+
+
 @query("doc_chunks", cu.doc_chunks_sql("documents"))
 def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """RAG-prep chunking: overlapping 32-token windows every 24 tokens
@@ -5490,11 +5552,11 @@ _PRIORITY: list[str] = [
     # -- re-gate: semantics changed or oracle upgraded this round --
     "scd2_history", "ann_ivf_trained", "stream_dedup",
     # -- round-5 additions (never checked -> must be in the gate) --
-    "substring_dup_stats",
+    "substring_dup_stats", "strip_dup_substrings",
     # -- anchors (r4-green; touched or benched this round) --
     "merge_upsert", "cdc_chunk_dedup", "simjoin_prefix",
     "approved_transactions", "connector_approved", "pricing_summary",
-    "dedup_minhash", "neardup_verified",
+    "dedup_minhash",
 ]
 
 # Next round's committed gate: the 50 names whose most recent driver

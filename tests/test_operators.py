@@ -942,3 +942,40 @@ def test_substring_dup_stats_hand_checked(spark):
             out[i].covered_dup_tokens)
         for i in out
     )
+
+
+def test_strip_dup_substrings_hand_checked(spark):
+    """ExactSubstr removal: the canonical (first) occurrence survives,
+    every other occurrence's tokens are deleted, text is rebuilt."""
+    rows = [
+        (1, "a b c d e"),   # canonical for every shared window
+        (2, "x a b c y"),   # loses its copy of 'a b c' -> "x y"
+        (3, "p q r s t"),   # untouched
+        (4, "a b c d e"),   # full copy of 1 -> emptied
+        (5, "u v"),         # short unique -> untouched
+        (6, "u v"),         # short dup of 5 -> emptied (doc-level dedup)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from flink_kafka_table_api_spark.operators.dedup import (
+        strip_dup_substrings,
+    )
+
+    out = {r.doc_id: r for r in
+           strip_dup_substrings(df, "doc_id", "text", k=3).collect()}
+    assert out[1].clean_text == "a b c d e" and out[1].n_removed_tokens == 0
+    assert out[2].clean_text == "x y" and out[2].n_removed_tokens == 3
+    assert out[3].clean_text == "p q r s t"
+    assert out[4].clean_text == "" and out[4].n_kept_tokens == 0
+    assert out[5].clean_text == "u v"
+    assert out[6].clean_text == "" and out[6].n_removed_tokens == 2
+    # removing duplicated windows leaves no duplicated k-gram behind
+    # except the canonical copies themselves
+    from flink_kafka_table_api_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+    clean = spark.createDataFrame(
+        [(i, r.clean_text) for i, r in out.items() if r.clean_text],
+        ["doc_id", "text"],
+    )
+    again = substring_dup_stats(clean, "doc_id", "text", k=3)
+    assert again.agg(F.sum("n_dup_windows")).first()[0] == 0
