@@ -675,3 +675,60 @@ def importance_weights(
         .groupBy(id_col)
         .agg(F.round(dec_avg("ratio", "__a"), 6).alias("importance"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pair_df: DataFrame,
+    *,
+    weights: tuple[int, int, int] = (80, 10, 10),
+    salt: str = "fkta-split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: assign every document to a
+    split BY ITS NEAR-DUP CLUSTER, not by its own id, so two
+    near-duplicate documents can never land in different splits — the
+    standard eval-contamination failure mode that per-row random splits
+    produce whenever dedup is imperfect (the reason benchmark
+    decontamination pipelines split after clustering; cf. the
+    train/test-overlap analyses in the GPT-3 and Gopher data cards).
+
+    ``pair_df`` is any (a, b) near-dup pair relation (e.g.
+    lsh_verified_pairs); documents that appear in no pair form singleton
+    clusters of themselves. The split decision is a deterministic hash
+    of the CLUSTER label (salted, md5-portable): hash % 100 against
+    integer percentage ``weights`` (train, val, test). Integer
+    arithmetic end-to-end — reproducible across runs, partitionings, and
+    engines, unlike randomSplit.
+
+    Scale shape: connected_components on the sparse pair graph (see its
+    docstring for the two execution paths), one left join of the corpus
+    against the (tiny) cluster map, then a narrow codegen'd hash —
+    no corpus self-shuffle. Whole clusters move together by
+    construction, so rebalancing weights later re-assigns clusters
+    atomically."""
+    from flink_kafka_table_api_spark.operators.dedup import (
+        connected_components,
+    )
+
+    t_train, t_val, t_test = weights
+    if t_train + t_val + t_test != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    clusters = connected_components(pair_df).select(
+        F.col("id").alias(id_col), "cluster"
+    )
+    labeled = df.select(id_col).join(clusters, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cluster", F.col(id_col)).alias("cluster"),
+    )
+    bucket = portable_hash64(
+        F.concat(F.lit(salt + ":"), F.col("cluster").cast("string"))
+    ) % 100
+    return labeled.select(
+        id_col,
+        "cluster",
+        F.when(bucket < t_train, "train")
+        .when(bucket < t_train + t_val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

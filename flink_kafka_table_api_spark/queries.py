@@ -2028,6 +2028,60 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def _leakage_split_oracle() -> str:
+    pairs = _neardup_verified_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    bidir(a, b) AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    verts(id) AS (SELECT DISTINCT a FROM bidir),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN bidir e ON e.a = reach.id
+    ),
+    cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN ({portable_hash64_sql(
+               "'fkta-split:' || CAST(cluster AS VARCHAR)")}) % 100 < 80
+                  THEN 'train'
+                WHEN ({portable_hash64_sql(
+               "'fkta-split:' || CAST(cluster AS VARCHAR)")}) % 100 < 90
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """
+
+
+@query("leakage_safe_split", _leakage_split_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/curation.py:
+    leakage_safe_split): documents are assigned 80/10/10 by a salted
+    portable hash of their NEAR-DUP CLUSTER label (connected components
+    over the LSH-verified pair graph; singletons cluster as themselves),
+    so near-duplicates can never straddle splits — the eval-contamination
+    guarantee a per-row random split cannot give. Deterministic integer
+    hash arithmetic end-to-end; the oracle re-derives clusters via a
+    recursive-CTE transitive closure and the same md5 hash rule."""
+    from flink_kafka_table_api_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    pairs = dd.lsh_verified_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=8, bands=4, rows_per_band=2, shingle_k=3,
+        threshold=0.5, portable=True,
+    )
+    return leakage_safe_split(
+        _t(spark, sf, "documents"), "doc_id", pairs
+    )
+
+
 @query("dedup_clusters", _dedup_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the LSH-verified pair
@@ -5552,11 +5606,10 @@ _PRIORITY: list[str] = [
     # -- re-gate: semantics changed or oracle upgraded this round --
     "scd2_history", "ann_ivf_trained", "stream_dedup",
     # -- round-5 additions (never checked -> must be in the gate) --
-    "substring_dup_stats", "strip_dup_substrings",
+    "substring_dup_stats", "strip_dup_substrings", "leakage_safe_split",
     # -- anchors (r4-green; touched or benched this round) --
     "merge_upsert", "cdc_chunk_dedup", "simjoin_prefix",
     "approved_transactions", "connector_approved", "pricing_summary",
-    "dedup_minhash",
 ]
 
 # Next round's committed gate: the 50 names whose most recent driver

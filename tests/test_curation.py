@@ -222,3 +222,37 @@ def test_length_band_filter_hand_example(spark):
     assert {r for r in kept if r < 100} == set(range(2, 11))
     # group b: 5 values 1000..1004 -> p10=1000.4, p90=1003.6 -> ids 101..103
     assert {r for r in kept if r >= 100} == {101, 102, 103}
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """Near-dup cluster members always share a split; singletons are
+    their own cluster; weights are validated; assignment is a pure
+    function of the cluster label (re-running yields identical rows)."""
+    import pytest as _pytest
+
+    from flink_kafka_table_api_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 101)], ["doc_id"])
+    # pair graph: chains {1-2-3}, {10-11}, everything else singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["a", "b"])
+    out = leakage_safe_split(docs, "doc_id", pairs).collect()
+    assert len(out) == 100
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].split == by_id[2].split == by_id[3].split
+    assert by_id[1].cluster == by_id[2].cluster == by_id[3].cluster == 1
+    assert by_id[10].split == by_id[11].split
+    assert by_id[50].cluster == 50  # singleton clusters as itself
+    # all three splits are populated at this size and roughly weighted
+    from collections import Counter
+    c = Counter(r.split for r in out)
+    assert set(c) == {"train", "val", "test"} and c["train"] > c["val"]
+    # deterministic: a second run is identical
+    again = {r.doc_id: (r.cluster, r.split)
+             for r in leakage_safe_split(docs, "doc_id", pairs).collect()}
+    assert again == {r.doc_id: (r.cluster, r.split) for r in out}
+    with _pytest.raises(ValueError, match="sum to 100"):
+        leakage_safe_split(docs, "doc_id", pairs, weights=(70, 10, 10))
