@@ -545,3 +545,91 @@ def lexicon_sentiment(
             F.when(n_toks > 0, score_raw / n_toks).otherwise(0.0), 6
         ).alias("sentiment"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 12,
+    alnum_only: bool = True,
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich, Haddow & Birch,
+    "Neural Machine Translation of Rare Words with Subword Units", ACL
+    2016 — the byte-pair-encoding vocabulary construction behind GPT/
+    Llama-family tokenizers). Returns the learned merge table:
+    (rank, left, right, merged, pair_freq).
+
+    The scale insight that makes BPE trainable on a 100 TB corpus: only
+    the FIRST step touches the corpus (tokenize -> explode -> word
+    frequency — one shuffled count agg). Every merge iteration after
+    that operates on the distinct-WORD table (vocabulary-sized, millions
+    of rows at web scale, not billions): count symbol bigrams weighted
+    by word freq (partial-agg shuffle of (l, r, partial sum)), pick the
+    argmax on the driver (one row), apply the merge with a codegen'd
+    F.aggregate fold over each word's symbol array — greedy left-to-
+    right non-overlapping, the reference semantics ("aaaa" + (a,a) ->
+    [aa, aa]; "aaa" -> [aa, a]). The evolving word table is
+    tracked-persisted per iteration so lineage stays flat (the
+    kmeans_lloyd pattern: driver holds k scalars, never data).
+
+    Determinism: integer frequencies, argmax tie-broken by (freq DESC,
+    left ASC, right ASC) — identical merges on any partitioning or
+    engine. ``alnum_only`` drops tokens with non-alphanumeric chars
+    first (the registered query uses it so oracle-side symbol handling
+    never meets regex metacharacters)."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    spark = df.sparkSession
+    toks = tokens(text_col)
+    w = df.select(F.explode(toks).alias("w"))
+    if alnum_only:
+        w = w.filter(F.col("w").rlike("^[a-z0-9]+$"))
+    words = tracked_persist(
+        w.groupBy("w").agg(F.count("*").alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            words.filter(F.size("syms") >= 2)  # 1-symbol words have no pairs
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.element_at("syms", i + 1).alias("l"),
+                            F.element_at("syms", i + 2).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .first()
+        )
+        if best is None:
+            break
+        left, right, freq = best.l, best.r, int(best.c)
+        merged = left + right
+        merges.append((rank, left, right, merged, freq))
+        fold = F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        words = tracked_persist(words.select(fold.alias("syms"), "freq"))
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+                "pair_freq long",
+    )

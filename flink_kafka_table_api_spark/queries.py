@@ -5031,6 +5031,80 @@ def q_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     return tx.bigram_lm_score(_t(spark, sf, "documents"))
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Generated n-step BPE training oracle. Two deliberately DIFFERENT
+    algorithms must agree: Spark applies each merge with a greedy left-
+    to-right F.aggregate fold; this SQL selects merge positions by
+    island-parity (eligible positions -> gaps-and-islands -> odd ranks
+    within an island are the greedy non-overlapping picks) and rebuilds
+    symbol lists with an indexed lambda. Every chained CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs per reference, and a
+    12-step chain re-expands the whole prefix exponentially (>120 s;
+    0.35 s materialized) — the DuckDB cousin of the Catalyst
+    CollapseProject quadratic recorded in PLANS.md."""
+    toks = tx.tokens_sql("text")
+    parts = [f"""w0 AS MATERIALIZED (
+      SELECT w, string_split(w, '') AS syms, COUNT(*) AS freq FROM (
+        SELECT unnest({toks}) AS w FROM documents
+      ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+      GROUP BY w
+    )"""]
+    for n in range(n_merges):
+        parts.append(f"""p{n} AS MATERIALIZED (
+      SELECT z[1] AS l, z[2] AS r, SUM(freq) AS c
+      FROM (SELECT freq,
+                   unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
+                                   list_slice(syms, 2, len(syms)))) AS z
+            FROM w{n} WHERE len(syms) >= 2)
+      GROUP BY 1, 2
+    ), b{n} AS (
+      SELECT l, r, l || r AS m, c FROM p{n} ORDER BY c DESC, l, r LIMIT 1
+    ), e{n} AS (
+      SELECT w{n}.w,
+             unnest(list_filter(generate_series(1, len(syms) - 1),
+                    i -> syms[i] = b.l AND syms[i + 1] = b.r)) AS e
+      FROM w{n}, b{n} b
+    ), i{n} AS (
+      SELECT w, e,
+             e - row_number() OVER (PARTITION BY w ORDER BY e) AS isl
+      FROM e{n}
+    ), s{n} AS (
+      SELECT w, list(e) AS sel FROM (
+        SELECT w, e,
+               row_number() OVER (PARTITION BY w, isl ORDER BY e) AS rn2
+        FROM i{n}) WHERE rn2 % 2 = 1 GROUP BY w
+    ), w{n + 1} AS MATERIALIZED (
+      SELECT a.w,
+             CASE WHEN s.sel IS NULL THEN a.syms ELSE
+               list_filter(list_transform(a.syms, (x, i) ->
+                 CASE WHEN list_contains(s.sel, i) THEN x || a.syms[i + 1]
+                      WHEN list_contains(s.sel, i - 1) THEN NULL
+                      ELSE x END), x -> x IS NOT NULL) END AS syms,
+             a.freq
+      FROM w{n} a LEFT JOIN s{n} s ON a.w = s.w
+    )""")
+    union = "\n      UNION ALL ".join(
+        f'SELECT {n} AS "rank", l AS "left", r AS "right", m AS merged, '
+        f"CAST(c AS BIGINT) AS pair_freq FROM b{n}"
+        for n in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({union})"
+
+
+@query("bpe_train_merges", _bpe_oracle(12))
+def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. ACL 2016 —
+    operators/text.py:bpe_train): learn the first 12 merge rules over
+    the documents corpus (alnum words). Only step one touches the
+    corpus (word-frequency agg); every merge iteration runs on the
+    vocabulary-sized word table — the property that makes tokenizer
+    training feasible at 100 TB. Deterministic: integer frequencies,
+    (freq DESC, left, right) tie-break. The oracle replays training
+    with an island-parity merge application — a different algorithm
+    whose agreement pins the greedy fold semantics."""
+    return tx.bpe_train(_t(spark, sf, "documents"), n_merges=12)
+
+
 _HN_COS = cosine_sql("v.embedding", "a.a_emb")
 
 
@@ -5607,9 +5681,10 @@ _PRIORITY: list[str] = [
     "scd2_history", "ann_ivf_trained", "stream_dedup",
     # -- round-5 additions (never checked -> must be in the gate) --
     "substring_dup_stats", "strip_dup_substrings", "leakage_safe_split",
+    "bpe_train_merges",
     # -- anchors (r4-green; touched or benched this round) --
     "merge_upsert", "cdc_chunk_dedup", "simjoin_prefix",
-    "approved_transactions", "connector_approved", "pricing_summary",
+    "approved_transactions", "connector_approved",
 ]
 
 # Next round's committed gate: the 50 names whose most recent driver

@@ -979,3 +979,53 @@ def test_strip_dup_substrings_hand_checked(spark):
     )
     again = substring_dup_stats(clean, "doc_id", "text", k=3)
     assert again.agg(F.sum("n_dup_windows")).first()[0] == 0
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Tiny reference BPE (Sennrich et al. 2016), list-based greedy."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, l + r, c))
+        new = {}
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        words = new
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed BPE trainer agrees with an independent in-memory
+    reference on the classic Sennrich corpus plus an overlap-run word
+    (greedy non-overlapping application: aaaa + (a,a) -> [aa, aa])."""
+    from flink_kafka_table_api_spark.operators.text import bpe_train
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
+    rows = [(i, " ".join([w] * f))
+            for i, (w, f) in enumerate(corpus.items())]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in bpe_train(df, n_merges=8).collect()
+    )
+    want = _bpe_reference(corpus, 8)
+    assert got == want
+    # sanity on the classic example: 'es'/'est' merges appear early
+    merged = [m[3] for m in want]
+    assert "es" in merged and "est" in merged and "aa" in merged
