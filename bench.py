@@ -73,6 +73,11 @@ HEADLINE = [
     "stream_window_topk",      # stateful stream windows + batch ranking
     "merge_upsert",            # full-outer MERGE/upsert by key
     "bigram_lm_score",         # bigram LM train + ordered-fold scoring
+    # round-5 operator additions
+    "substring_dup_stats",     # ExactSubstr window-hash dup statistics
+    "strip_dup_substrings",    # ExactSubstr removal + text rebuild
+    "leakage_safe_split",      # cluster-atomic train/val/test split
+    "bpe_train_merges",        # BPE tokenizer training (12 merges)
 ]
 
 

@@ -547,12 +547,57 @@ def lexicon_sentiment(
     )
 
 
+def _bpe_merges_inmemory(
+    words: list[tuple[tuple[str, ...], int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """In-process BPE merge loop over a collected (syms, freq) table —
+    the driver path of :func:`bpe_train`. Same argmax tie-break and
+    greedy left-to-right non-overlapping application as the distributed
+    fold."""
+    table = {}
+    for syms, freq in words:
+        table[syms] = table.get(syms, 0) + freq
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in table.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        merges.append((rank, left, right, merged, freq))
+        new: dict[tuple[str, ...], int] = {}
+        for syms, f in table.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + f
+        table = new
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     *,
     n_merges: int = 12,
     alnum_only: bool = True,
+    driver_vocab_threshold: int = 100_000,
 ) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich, Haddow & Birch,
     "Neural Machine Translation of Rare Words with Subword Units", ACL
@@ -577,7 +622,9 @@ def bpe_train(
     left ASC, right ASC) — identical merges on any partitioning or
     engine. ``alnum_only`` drops tokens with non-alphanumeric chars
     first (the registered query uses it so oracle-side symbol handling
-    never meets regex metacharacters)."""
+    never meets regex metacharacters). ``driver_vocab_threshold``
+    selects the in-process merge loop for small vocabularies (see the
+    two-path note in the body); both paths produce identical merges."""
     from flink_kafka_table_api_spark.caching import tracked_persist
 
     spark = df.sparkSession
@@ -589,6 +636,29 @@ def bpe_train(
         w.groupBy("w").agg(F.count("*").alias("freq"))
         .select(F.split("w", "").alias("syms"), "freq")
     )
+    # Two execution paths, chosen by vocabulary size (the
+    # connected_components precedent — driver union-find under a
+    # threshold, distributed label propagation above):
+    # - Below ``driver_vocab_threshold`` distinct words, collect the
+    #   (syms, freq) table and run the merge loop in-process — Sennrich's
+    #   reference algorithm runs exactly there, and a distributed loop
+    #   on a small vocabulary pays ~1 s/rank of pure job-scheduling
+    #   latency for empty partitions (measured: 31-word vocab, 12 ranks,
+    #   12-30 s at sf0.1 vs <0.1 s driver-side).
+    # - Above it, the distributed loop: per rank one partial-agg bigram
+    #   shuffle + driver argmax (one row) + a codegen'd fold, word table
+    #   tracked-persisted per iteration (kmeans_lloyd lineage pattern).
+    # Both paths produce IDENTICAL merges (same integer argmax and
+    # greedy semantics; pinned against each other in
+    # tests/test_operators.py).
+    n_words = words.count()
+    if n_words <= driver_vocab_threshold:
+        local = [(tuple(r.syms), int(r.freq)) for r in words.collect()]
+        return spark.createDataFrame(
+            _bpe_merges_inmemory(local, n_merges),
+            "rank int, left string, right string, merged string, "
+            "pair_freq long",
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         best = (

@@ -1011,21 +1011,26 @@ def _bpe_reference(word_freqs, n_merges):
 
 
 def test_bpe_train_matches_python_reference(spark):
-    """The distributed BPE trainer agrees with an independent in-memory
-    reference on the classic Sennrich corpus plus an overlap-run word
-    (greedy non-overlapping application: aaaa + (a,a) -> [aa, aa])."""
+    """BOTH bpe_train paths — the driver in-memory loop (default for
+    small vocabularies) and the distributed fold loop (forced via
+    driver_vocab_threshold=0) — agree with an independent reference on
+    the classic Sennrich corpus plus an overlap-run word (greedy
+    non-overlapping application: aaaa + (a,a) -> [aa, aa])."""
     from flink_kafka_table_api_spark.operators.text import bpe_train
 
     corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
     rows = [(i, " ".join([w] * f))
             for i, (w, f) in enumerate(corpus.items())]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    got = sorted(
-        (r.rank, r.left, r.right, r.merged, r.pair_freq)
-        for r in bpe_train(df, n_merges=8).collect()
-    )
     want = _bpe_reference(corpus, 8)
-    assert got == want
+    for thresh in (100_000, 0):  # driver path, then distributed path
+        got = sorted(
+            (r.rank, r.left, r.right, r.merged, r.pair_freq)
+            for r in bpe_train(
+                df, n_merges=8, driver_vocab_threshold=thresh
+            ).collect()
+        )
+        assert got == want, f"threshold={thresh}"
     # sanity on the classic example: 'es'/'est' merges appear early
     merged = [m[3] for m in want]
     assert "es" in merged and "est" in merged and "aa" in merged
