@@ -624,3 +624,43 @@ def test_top_ngram_fraction_is_partial_aggregated(spark):
     plan = _plan(QUERIES["top_ngram_fraction"](spark, SF))
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_substring_dup_stats_is_broadcast_semi_joined(spark):
+    """ExactSubstr stats: the duplicated-hash set joins back as a
+    BROADCAST (it is sparse by construction), the per-doc stats join is
+    broadcast too, and the scan reads only (doc_id, text)."""
+    plan = _plan(QUERIES["substring_dup_stats"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema  # untouched columns pruned
+
+
+def test_strip_dup_substrings_no_cartesian(spark):
+    """ExactSubstr removal: survivor semi-join + anti-join shapes, no
+    cartesian products anywhere in the rebuild pipeline."""
+    plan = _plan(QUERIES["strip_dup_substrings"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_topk_is_aggregate_not_sort_window(spark):
+    """top_k_per_group_agg: the plan must be the hash-aggregate shape —
+    map-side partial collect_list (combiner), ONE keyed exchange, and no
+    Window/partition-wide Sort operator at all."""
+    plan = _plan(QUERIES["window_topk"](spark, SF))
+    assert "partial_collect_list" in plan  # map-side combine present
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_bpe_merge_table_is_driver_literal(spark):
+    """bpe_train (driver path for small vocabularies): the returned
+    merge table is literal data — consuming it must not re-run the
+    corpus scan (no FileScan in its plan)."""
+    plan = _plan(QUERIES["bpe_train_merges"](spark, SF))
+    assert "FileScan" not in plan
