@@ -703,3 +703,70 @@ def bpe_train(
         merges, "rank int, left string, right string, merged string, "
                 "pair_freq long",
     )
+
+
+def bpe_piece_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 12,
+    alnum_only: bool = True,
+) -> DataFrame:
+    """BPE ENCODE, aggregated: learn ``n_merges`` merge rules
+    (:func:`bpe_train`), apply them to the corpus, and return the
+    resulting piece vocabulary with corpus-wide occurrence counts
+    (piece, n_occurrences) — the token-frequency table a tokenizer
+    hands to the training pipeline (vocabulary coverage, OOV-rate, and
+    tokens-per-doc budgeting all read from it).
+
+    Scale shape: training is bpe_train (corpus agg + vocabulary-sized
+    iterations); encoding re-aggregates the corpus word table ONCE and
+    applies all learned merges as a chain of ``n_merges`` literal
+    F.aggregate folds inside a single narrow projection (each fold
+    consumes the previous symbols array exactly once — linear, no
+    CollapseProject re-expansion), then explodes the final symbols
+    weighted by word frequency into one partial-agg count shuffle.
+    Word-frequency weighting means the explode is vocabulary-sized, not
+    corpus-sized."""
+    merges = [
+        (r.left, r.right, r.merged)
+        for r in bpe_train(
+            df, text_col, n_merges=n_merges, alnum_only=alnum_only
+        ).collect()
+    ]
+    toks = tokens(text_col)
+    w = df.select(F.explode(toks).alias("w"))
+    if alnum_only:
+        w = w.filter(F.col("w").rlike("^[a-z0-9]+$"))
+    words = (
+        w.groupBy("w").agg(F.count("*").alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+    )
+    def merge_step(left: str, right: str, merged: str):
+        # closure factory: PySpark counts a HOF lambda's FULL parameter
+        # list (defaults included), so captured values must close over,
+        # not default-bind
+        def step(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return step
+
+    syms = F.col("syms")
+    for left, right, merged in merges:
+        syms = F.aggregate(
+            syms,
+            F.expr("CAST(array() AS array<string>)"),
+            merge_step(left, right, merged),
+        )
+    return (
+        words.select(F.explode(syms).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+    )

@@ -5031,7 +5031,7 @@ def q_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     return tx.bigram_lm_score(_t(spark, sf, "documents"))
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle(n_merges: int, final_select: str | None = None) -> str:
     """Generated n-step BPE training oracle. Two deliberately DIFFERENT
     algorithms must agree: Spark applies each merge with a greedy left-
     to-right F.aggregate fold; this SQL selects merge positions by
@@ -5088,7 +5088,11 @@ def _bpe_oracle(n_merges: int) -> str:
         f"CAST(c AS BIGINT) AS pair_freq FROM b{n}"
         for n in range(n_merges)
     )
-    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({union})"
+    if final_select is None:
+        final_select = f"SELECT * FROM ({union})"
+    else:
+        final_select = final_select.format(w=f"w{n_merges}")
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final_select
 
 
 @query("bpe_train_merges", _bpe_oracle(12))
@@ -5103,6 +5107,26 @@ def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     with an island-parity merge application — a different algorithm
     whose agreement pins the greedy fold semantics."""
     return tx.bpe_train(_t(spark, sf, "documents"), n_merges=12)
+
+
+@query(
+    "bpe_encode_counts",
+    _bpe_oracle(12, final_select=(
+        "SELECT piece, CAST(SUM(freq) AS BIGINT) AS n_occurrences "
+        "FROM (SELECT unnest(syms) AS piece, freq FROM {w}) "
+        "GROUP BY piece"
+    )),
+)
+def q_bpe_encode_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE ENCODE, aggregated (operators/text.py:bpe_piece_counts): apply
+    the 12 learned merges to the corpus and emit the piece vocabulary
+    with corpus-wide occurrence counts — the token-frequency table a
+    tokenizer hands to the training pipeline. Encoding is a chain of 12
+    literal folds in one narrow projection over the vocabulary-sized
+    word table + one partial-agg count shuffle. The oracle replays
+    training AND encoding from the same 12-step materialized chain and
+    aggregates its final word table."""
+    return tx.bpe_piece_counts(_t(spark, sf, "documents"), n_merges=12)
 
 
 _HN_COS = cosine_sql("v.embedding", "a.a_emb")
@@ -5681,10 +5705,10 @@ _PRIORITY: list[str] = [
     "scd2_history", "ann_ivf_trained", "stream_dedup",
     # -- round-5 additions (never checked -> must be in the gate) --
     "substring_dup_stats", "strip_dup_substrings", "leakage_safe_split",
-    "bpe_train_merges",
+    "bpe_train_merges", "bpe_encode_counts",
     # -- anchors (r4-green; touched or benched this round) --
     "merge_upsert", "cdc_chunk_dedup", "simjoin_prefix",
-    "approved_transactions", "connector_approved",
+    "approved_transactions",
 ]
 
 # Next round's committed gate: the 50 names whose most recent driver

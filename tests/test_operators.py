@@ -1034,3 +1034,24 @@ def test_bpe_train_matches_python_reference(spark):
     # sanity on the classic example: 'es'/'est' merges appear early
     merged = [m[3] for m in want]
     assert "es" in merged and "est" in merged and "aa" in merged
+
+
+def test_bpe_piece_counts_conservation(spark):
+    """Mass conservation under BPE: merges only fuse adjacent pieces,
+    so sum(len(piece) * occurrences) over the encoded vocabulary must
+    equal the total character count of all alnum token instances; and
+    the corpus must actually compress (some piece longer than 1)."""
+    from flink_kafka_table_api_spark.operators.text import (
+        bpe_piece_counts,
+        tokens,
+    )
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
+    rows = [(i, " ".join([w] * f))
+            for i, (w, f) in enumerate(corpus.items())]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bpe_piece_counts(df, n_merges=8).collect()
+    total_chars = sum(len(w) * f for w, f in corpus.items())
+    assert sum(len(r.piece) * r.n_occurrences for r in out) == total_chars
+    # merged pieces actually appear (the corpus compresses)
+    assert any(len(r.piece) > 1 for r in out)
