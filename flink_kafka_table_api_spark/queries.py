@@ -5129,6 +5129,33 @@ def q_bpe_encode_counts(spark: SparkSession, sf: str) -> DataFrame:
     return tx.bpe_piece_counts(_t(spark, sf, "documents"), n_merges=12)
 
 
+def _jl_projection_oracle(d_in: int = 64, d_out: int = 8) -> str:
+    signs = sim.jl_sign_matrix(d_in, d_out)
+    cols = []
+    for j in range(d_out):
+        lits = ", ".join(
+            f"{'1.0' if signs[i][j] == 1 else '-1.0'}" for i in range(d_in)
+        )
+        cols.append(
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {d_in}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])), "
+            f"(a, x) -> a + x) AS p{j}"
+        )
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+@query("jl_projection", _jl_projection_oracle())
+def q_jl_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->8 reduction with the Achlioptas +-1
+    sign matrix (operators/similarity.py:jl_project): md5-parity literal
+    matrix, per-dimension position-ordered folds — bit-exact across
+    engines (the time_decay_score fold recipe), one narrow codegen'd
+    pass, zero shuffles. The shuffle-byte reducer that precedes
+    LSH/clustering when raw embedding width dominates I/O."""
+    return sim.jl_project(_t(spark, sf, "embeddings"), 8)
+
+
 _HN_COS = cosine_sql("v.embedding", "a.a_emb")
 
 
@@ -5705,10 +5732,9 @@ _PRIORITY: list[str] = [
     "scd2_history", "ann_ivf_trained", "stream_dedup",
     # -- round-5 additions (never checked -> must be in the gate) --
     "substring_dup_stats", "strip_dup_substrings", "leakage_safe_split",
-    "bpe_train_merges", "bpe_encode_counts",
+    "bpe_train_merges", "bpe_encode_counts", "jl_projection",
     # -- anchors (r4-green; touched or benched this round) --
     "merge_upsert", "cdc_chunk_dedup", "simjoin_prefix",
-    "approved_transactions",
 ]
 
 # Next round's committed gate: the 50 names whose most recent driver

@@ -1055,3 +1055,25 @@ def test_bpe_piece_counts_conservation(spark):
     assert sum(len(r.piece) * r.n_occurrences for r in out) == total_chars
     # merged pieces actually appear (the corpus compresses)
     assert any(len(r.piece) > 1 for r in out)
+
+
+def test_jl_project_onehot_recovers_sign_rows(spark):
+    """Projecting one-hot vectors must return exactly the corresponding
+    sign-matrix rows (p_j(e_i) = s_ij), and the matrix derivation is
+    deterministic across calls."""
+    from flink_kafka_table_api_spark.operators.similarity import (
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    d_in, d_out = 6, 4
+    signs = jl_sign_matrix(d_in, d_out)
+    assert signs == jl_sign_matrix(d_in, d_out)
+    assert {v for row in signs for v in row} <= {-1, 1}
+    rows = [(i, [1.0 if k == i else 0.0 for k in range(d_in)])
+            for i in range(d_in)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: [r[f"p{j}"] for j in range(d_out)]
+           for r in jl_project(df, d_out).collect()}
+    for i in range(d_in):
+        assert got[i] == [float(signs[i][j]) for j in range(d_out)], i
