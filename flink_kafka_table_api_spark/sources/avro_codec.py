@@ -17,6 +17,10 @@ records, and timestamp logical types — per the public Avro 1.11 spec:
   and accept both on read)
 - record: fields in declared order
 - timestamp-millis/micros: long
+- date: int (days since epoch) <-> datetime.date
+- decimal (bytes/fixed): two's-complement big-endian unscaled int, minimal
+  length (the same bytes java.math.BigInteger.toByteArray() emits, so the
+  JVM UDF path in java/fkta/ and this codec are bit-identical)
 
 The Spark integration (`sources/kafka.py`) prefers the JVM `from_avro` when
 the jar is present and falls back to this codec via an Arrow-batched
@@ -27,10 +31,30 @@ you install spark-avro; the fallback keeps tests and small jobs honest.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import io
 import json
 import struct
 from typing import Any
+
+_EPOCH_DATE = dt.date(1970, 1, 1)
+
+
+def _decimal_to_bytes(value: Any, scale: int) -> bytes:
+    """Unscaled int -> minimal two's-complement big-endian bytes (matches
+    java.math.BigInteger.toByteArray so both decode paths see one wire)."""
+    if isinstance(value, decimal.Decimal):
+        unscaled = int(value.scaleb(scale).to_integral_value())
+    else:
+        unscaled = int(value)
+    length = (unscaled.bit_length() // 8) + 1  # sign bit always fits
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+def _bytes_to_decimal(raw: bytes, scale: int) -> decimal.Decimal:
+    return decimal.Decimal(
+        int.from_bytes(raw, "big", signed=True)
+    ).scaleb(-scale)
 
 
 # ---------------------------------------------------------------------------
@@ -108,6 +132,23 @@ def _encode(buf: io.BytesIO, schema: Any, value: Any) -> None:
             return
         if lt in ("timestamp-micros", "local-timestamp-micros"):
             _write_long(buf, _ts_to_units(value, 1_000_000))
+            return
+        if lt == "date" and t == "int":
+            days = (
+                (value - _EPOCH_DATE).days
+                if isinstance(value, dt.date) else int(value)
+            )
+            _write_long(buf, days)
+            return
+        if lt == "decimal" and t in ("bytes", "fixed"):
+            raw = _decimal_to_bytes(value, int(schema.get("scale", 0)))
+            if t == "fixed":
+                size = int(schema["size"])
+                pad = b"\xff" if raw[0] & 0x80 else b"\x00"
+                buf.write(pad * (size - len(raw)) + raw)
+            else:
+                _write_long(buf, len(raw))
+                buf.write(raw)
             return
         if t == "record":
             for f in schema["fields"]:
@@ -201,6 +242,14 @@ def _decode(buf: io.BytesIO, schema: Any) -> Any:
             return _EPOCH + dt.timedelta(milliseconds=_read_long(buf))
         if lt in ("timestamp-micros", "local-timestamp-micros"):
             return _EPOCH + dt.timedelta(microseconds=_read_long(buf))
+        if lt == "date" and t == "int":
+            return _EPOCH_DATE + dt.timedelta(days=_read_long(buf))
+        if lt == "decimal" and t in ("bytes", "fixed"):
+            raw = (
+                buf.read(int(schema["size"]))
+                if t == "fixed" else buf.read(_read_long(buf))
+            )
+            return _bytes_to_decimal(raw, int(schema.get("scale", 0)))
         if t == "record":
             return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
         if t == "map":
@@ -304,6 +353,13 @@ def _default_value(schema: Any, default: Any) -> Any:
             return _EPOCH + dt.timedelta(milliseconds=int(default))
         if lt in ("timestamp-micros", "local-timestamp-micros"):
             return _EPOCH + dt.timedelta(microseconds=int(default))
+        if lt == "date" and schema["type"] == "int":
+            return _EPOCH_DATE + dt.timedelta(days=int(default))
+        if lt == "decimal" and schema["type"] in ("bytes", "fixed"):
+            # spec: bytes defaults are JSON strings of latin-1 code points
+            return _bytes_to_decimal(
+                default.encode("latin-1"), int(schema.get("scale", 0))
+            )
         t = schema["type"]
         if t == "record":
             return {

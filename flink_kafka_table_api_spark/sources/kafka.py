@@ -19,10 +19,13 @@ Kafka prefix passthrough mirrors the reference's createKafkaProperties
 (reference ConfigUtils.java:46-60): options prefixed ``kafka.`` reach the
 client untouched — Spark uses the exact same convention.
 
-Requires the spark-sql-kafka and spark-avro packages on the classpath; this
-module raises a clear error otherwise (no broker exists in the test
-container — unit tests cover the framing codec standalone, integration
-requires infra, same trade-off the reference makes with Testcontainers).
+The Kafka connector itself (spark-sql-kafka) still needs its jar and a
+broker; Avro decode/encode does NOT need external jars — beyond the
+optional spark-avro fast path there is an in-repo javac-compiled JVM codec
+(java/fkta/, sources/java_udf.py) and a pure-Python fallback, so the wire
+format runs everywhere (no broker exists in the test container — framing
+and codecs are fully tested standalone, broker integration is env-gated,
+same trade-off the reference makes with Testcontainers).
 """
 
 from __future__ import annotations
@@ -129,14 +132,31 @@ def decode_avro_column(
     confluent_framed: bool = True,
     schema_registry_url: str | None = None,
     expected_schema_ids: list[int] | None = None,
+    writer_schemas: dict[int, str] | None = None,
 ) -> DataFrame:
     """Decode an Avro-encoded binary column into its record fields.
 
-    Prefers the JVM from_avro expression (codegen, zero Python) when the
-    spark-avro jar is on the classpath; otherwise falls back to the
-    dependency-free pure-Python codec (sources/avro_codec.py) via
-    Arrow-batched mapInPandas. Same results either way; install the jar for
-    the 100 TB path.
+    Three decode paths, fastest available wins (sources/java_udf.py):
+
+    1. spark-avro ``from_avro`` — whole-stage codegen, zero per-row calls
+       (external jar; single-schema topics only).
+    2. the in-repo ``fkta.ConfluentAvroDecode`` Java UDF — compiled with
+       javac against pyspark's bundled avro jar; per-row but entirely
+       JVM-side (no Arrow transfer, no Python), with Avro's own
+       writer→reader resolution when ``writer_schemas`` maps the framed
+       ids to their schema JSON. Taken only when the caller DECLARED an
+       id expectation (``writer_schemas`` / ``expected_schema_ids``) or
+       the payloads are unframed — a row-at-a-time UDF cannot pre-scan
+       for the undeclared-mixed-ids case, which path 3 guards.
+    3. the pure-Python codec via Arrow mapInPandas — dependency-free
+       fallback and the only path that resolves ids against a LIVE
+       ``schema_registry_url`` at scan time.
+
+    ``writer_schemas`` ({schema_id: writer schema JSON}) serves topics
+    whose message ids are known up front (e.g. fetched once from the
+    registry on the driver): both the Java-UDF and Python paths then
+    decode mixed-version topics without any executor-side HTTP. Unknown
+    ids fail loudly on every path.
 
     Schema evolution (the reason the Confluent header carries an id at
     all — reference TransactionProcessor.java:112-115): when
@@ -191,9 +211,45 @@ def decode_avro_column(
         else F.col(value_col)
     )
     use_registry = schema_registry_url is not None and confluent_framed
-    if not use_registry and _jvm_avro_usable(df, body, avro_schema_json):
+    if (
+        not use_registry
+        and writer_schemas is None
+        and _jvm_avro_usable(df, body, avro_schema_json)
+    ):
         from_avro, _ = _require_avro_functions()
         return df.select(from_avro(body, avro_schema_json).alias("v")).select("v.*")
+
+    # The in-repo Java UDF is row-at-a-time, so it cannot reproduce the
+    # Python fallback's batch-level mixed-id pre-scan; route to it only
+    # when the caller DECLARED an expectation (writer map -> unknown ids
+    # throw in the UDF; id allowlist -> the codegen guard above enforces
+    # membership; unframed -> no ids exist). Undeclared framed topics
+    # keep the guarded Python path.
+    declared = (
+        not confluent_framed
+        or writer_schemas is not None
+        or expected_schema_ids is not None
+    )
+    if not use_registry and declared:
+        from flink_kafka_table_api_spark.sources import java_udf
+
+        fname = java_udf.ensure_decode_registered(
+            df.sparkSession, avro_schema_json
+        )
+        if fname is not None:
+            wm = (
+                java_udf.writer_map_json(writer_schemas)
+                if confluent_framed
+                else None
+            )
+            decoded = F.call_udf(
+                fname,
+                F.col(value_col),
+                F.lit(avro_schema_json),
+                F.lit(wm).cast("string"),
+                F.lit(CONFLUENT_HEADER_LEN if confluent_framed else 0),
+            )
+            return df.select(decoded.alias("v")).select("v.*")
 
     spark_schema = avro_to_struct(avro_schema_json)
     field_names = [f.name for f in spark_schema.fields]
@@ -202,6 +258,11 @@ def decode_avro_column(
     allowed_ids = (
         frozenset(int(i) for i in expected_schema_ids)
         if expected_schema_ids is not None
+        else None
+    )
+    preloaded_writers = (
+        {int(i): s for i, s in writer_schemas.items()}
+        if writer_schemas
         else None
     )
 
@@ -216,30 +277,46 @@ def decode_avro_column(
         reader_parsed = json.loads(avro_schema_json)
         # per-task writer-schema cache: id -> parsed-dict-or-None (None
         # marks "identical to reader", skipping resolution overhead);
-        # parsed ONCE per id per task — never json.loads per message
+        # parsed ONCE per id per task — never json.loads per message.
+        # Pre-seeded from writer_schemas when the caller fetched the
+        # topic's ids up front (then no executor-side HTTP ever happens).
         writer_cache: dict[int, dict | None] = {}
+        if preloaded_writers:
+            for wid, wjson in preloaded_writers.items():
+                parsed = json.loads(wjson)
+                writer_cache[wid] = (
+                    None if parsed == reader_parsed else parsed
+                )
         client = (
             SchemaRegistryClient(registry_url) if registry_url else None
         )
+        resolve_by_id = client is not None or bool(writer_cache)
 
         def writer_for(schema_id: int) -> dict | None:
             if schema_id not in writer_cache:
+                if client is None:
+                    raise ValueError(
+                        f"unknown Avro schema id {schema_id}; known ids "
+                        f"{sorted(writer_cache)} and no schema_registry_url"
+                        " to fetch more"
+                    )
                 fetched = json.loads(client.get_by_id(schema_id))
                 writer_cache[schema_id] = (
                     None if fetched == reader_parsed else fetched
                 )
             return writer_cache[schema_id]
 
-        # no-registry guard state spans ALL batches of this task (Arrow
+        # no-resolution guard state spans ALL batches of this task (Arrow
         # splits a partition into ~10k-row batches; a per-batch check
         # would miss v1-batch/v2-batch splits). Cross-PARTITION mixing
         # cannot be detected without an action — that is what
         # expected_schema_ids (checked codegen-side on every row) or a
-        # schema_registry_url is for; the docstring says so.
+        # schema_registry_url / writer_schemas map is for; the docstring
+        # says so.
         seen_ids: set[int] = set()
         for pdf in batches:
             raws = [bytes(v) for v in pdf[value_col]]
-            if header and client is None:
+            if header and not resolve_by_id:
                 seen_ids.update(struct.unpack(">I", r[1:5])[0] for r in raws)
                 if len(seen_ids) > 1 and not (
                     allowed_ids is not None and seen_ids <= allowed_ids
@@ -254,7 +331,7 @@ def decode_avro_column(
             records = []
             for raw in raws:
                 payload = io.BytesIO(raw[header:])
-                if header and client is not None:
+                if header and resolve_by_id:
                     sid = struct.unpack(">I", raw[1:5])[0]
                     writer = writer_for(sid)
                     records.append(
@@ -276,14 +353,34 @@ def encode_avro_column(
     schema_id: int | None = None,
 ) -> DataFrame:
     """Inverse of decode_avro_column: rows -> single binary 'value' column,
-    Confluent-framed when a schema_id is given. JVM to_avro when available,
-    pure-Python codec otherwise."""
+    Confluent-framed when a schema_id is given. Same three-path ladder as
+    the decoder: spark-avro to_avro > in-repo Java UDF (bit-identical to
+    the Python codec, proven by tests/test_java_udf_avro.py) > pure-Python
+    codec."""
     cols = df.columns
     if _jvm_avro_usable(df, F.lit(b""), avro_schema_json):
         _, to_avro = _require_avro_functions()
         payload = to_avro(F.struct(*cols), avro_schema_json)
         if schema_id is not None:
             payload = F.concat(F.lit(frame_header(schema_id)), payload)
+        return df.select(payload.alias("value"))
+
+    from flink_kafka_table_api_spark.sources import java_udf
+
+    fname = java_udf.ensure_encode_registered(df.sparkSession)
+    if fname is not None:
+        # the Java encoder reads row fields POSITIONALLY against the avro
+        # schema's field order, so build the struct in that order (the
+        # Python fallback matches by name; same contract either way)
+        field_order = [
+            f["name"] for f in json.loads(avro_schema_json)["fields"]
+        ]
+        payload = F.call_udf(
+            fname,
+            F.struct(*[F.col(c) for c in field_order]),
+            F.lit(avro_schema_json),
+            F.lit(schema_id).cast("int"),
+        )
         return df.select(payload.alias("value"))
 
     header = frame_header(schema_id) if schema_id is not None else b""
@@ -321,12 +418,15 @@ def read_topic(
     kafka_options: dict[str, str] | None = None,
     schema_registry_url: str | None = None,
     expected_schema_ids: list[int] | None = None,
+    writer_schemas: dict[int, str] | None = None,
 ) -> DataFrame:
     """O1/O11: read a topic as a streaming (unbounded) or batch (bounded)
     DataFrame, decoding Confluent-framed Avro values when a schema is given.
     With a ``schema_registry_url`` the writer schema is resolved per
     message from the framed id (full evolution support, see
-    decode_avro_column); ``expected_schema_ids`` adds a fail-loud id guard.
+    decode_avro_column); ``writer_schemas`` pre-resolves known ids so the
+    JVM decode path handles mixed-version topics without a live registry;
+    ``expected_schema_ids`` adds a fail-loud id guard.
     """
     reader = (spark.read if bounded else spark.readStream).format("kafka")
     reader = (
@@ -347,6 +447,7 @@ def read_topic(
         raw, avro_schema_json, confluent_framed=confluent_framed,
         schema_registry_url=schema_registry_url,
         expected_schema_ids=expected_schema_ids,
+        writer_schemas=writer_schemas,
     )
 
 

@@ -15,7 +15,11 @@ How to run outside the sandbox:
   #  — `curl https://repo1.maven.org/...` fails with "Could not resolve
   #  host" — and no spark-avro jar exists anywhere on disk; only the core
   #  avro-1.12.1 jars ship with pyspark. Environment-blocked, not
-  #  deferred.)
+  #  deferred. What the sandbox CAN do — and now does, ungated — is
+  #  compile the in-repo JVM codec from java/fkta/ with javac against
+  #  that bundled avro jar: tests/test_java_udf_avro.py executes a real
+  #  JVM-side decode/encode path and asserts parity with the Python
+  #  codec. This test remains for the from_avro CODEGEN path proper.)
 
   # Live Kafka broker + Schema Registry smoke (the reference's
   # TransactionFlinkTest shape — produce, run pipeline, bounded read-back):
