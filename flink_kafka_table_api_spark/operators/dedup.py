@@ -335,24 +335,47 @@ def prefix_filter_pairs(
         postings.join(freq, "__tok")
         .withColumn("__pos", F.row_number().over(pos_w))
         .filter(F.col("__pos") <= prefix_len)
-        .select(id_col, "__tok", "__n")
+        .select(id_col, "__tok", "__n", "__pos")
     )
     a = prefix.select(
-        F.col(id_col).alias("a"), F.col("__tok"), F.col("__n").alias("__na")
+        F.col(id_col).alias("a"), F.col("__tok"),
+        F.col("__n").alias("__na"), F.col("__pos").alias("__pa"),
     )
     b = prefix.select(
-        F.col(id_col).alias("b"), F.col("__tok"), F.col("__n").alias("__nb")
+        F.col(id_col).alias("b"), F.col("__tok"),
+        F.col("__n").alias("__nb"), F.col("__pos").alias("__pb"),
     )
     # Length filter inside the join: J >= t forces t*|a| <= |b| and
-    # t*|b| <= |a|, killing most candidates before the distinct.
+    # t*|b| <= |a|. Positional filter (PPJoin, Xiao et al. WWW'08): under
+    # the global token order, overlap through a common token at positions
+    # (pa, pb) is at most prior_overlap + 1 + min(na-pa, nb-pb); J >= t
+    # needs overlap >= ceil(t/(1+t) * (na+nb)), and for a qualifying
+    # pair's FIRST common token prior_overlap = 0, so requiring
+    # 1 + min(na-pa, nb-pb) >= alpha never drops a true pair while
+    # killing most of the postings-join fan-out before the distinct.
     # cand feeds the id-union prune AND the verify join — persist so the
     # postings self-join (the expensive stage) runs exactly once.
+    alpha = F.ceil(
+        F.round(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("__na") + F.col("__nb")),
+            9,
+        )
+    )
     cand = tracked_persist(
         a.join(b, "__tok")
         .filter(
             (F.col("a") < F.col("b"))
             & (F.col("__nb") >= F.round(F.lit(threshold) * F.col("__na"), 9))
             & (F.col("__na") >= F.round(F.lit(threshold) * F.col("__nb"), 9))
+            & (
+                1
+                + F.least(
+                    F.col("__na") - F.col("__pa"),
+                    F.col("__nb") - F.col("__pb"),
+                )
+                >= alpha
+            )
         )
         .select("a", "b")
         .distinct()
