@@ -78,6 +78,9 @@ HEADLINE = [
     "strip_dup_substrings",    # ExactSubstr removal + text rebuild
     "leakage_safe_split",      # cluster-atomic train/val/test split
     "bpe_train_merges",        # BPE tokenizer training (12 merges)
+    "hybrid_search",           # BM25 + cosine reciprocal-rank fusion
+    "heavy_hitters",           # Count-Min sketch frequency top-k
+    "hierarchy_rollup",        # pointer-jumping recursive hierarchy
 ]
 
 

@@ -429,3 +429,73 @@ def skyline_2d(
         (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__ymin")),
         "left_semi",
     )
+
+
+def hierarchy_levels(
+    nodes: DataFrame,
+    id_col: str,
+    parent: Column,
+    *,
+    is_root: Column | None = None,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Root and depth for every node of a forest given a parent pointer —
+    the recursive-CTE capability (DuckDB/Trino `WITH RECURSIVE`, org
+    charts / BOM explosion / thread nesting) that Spark SQL lacks,
+    realized with POINTER JUMPING (Wyllie 1979): each round replaces every
+    node's ancestor pointer with its ancestor's ancestor while summing the
+    hop distances, so after r rounds each pointer spans up to 2^r original
+    edges and the loop converges in O(log(max depth)) rounds, not
+    O(max depth) like a per-edge recursive walk. At 100 TB this is the
+    difference between ~40 shuffle joins and millions of sequential steps
+    for deep hierarchies.
+
+    ``parent`` is an expression over the node id; a node whose parent
+    equals itself (or matching ``is_root``) is a root. Per round: one
+    self-equi-join on the ancestor key (key-partitioned shuffle), one
+    small count action for the convergence test (a driver decision over
+    an aggregate — same contract as k-means/connected components).
+    localCheckpoint (eager), NOT persist, between rounds: a self-join
+    doubles the logical plan per iteration, so without lineage truncation
+    the plan grows 2^rounds and the driver OOMs stringifying it long
+    before any data is large (the connected_components lesson,
+    operators/dedup.py:495). Returns ``id_col``, ``root``, ``depth``.
+    """
+    root_now = parent == F.col(id_col) if is_root is None else is_root
+    ptr = nodes.select(
+        F.col(id_col).alias("__node"),
+        parent.alias("__anc"),
+        F.when(root_now, F.lit(0)).otherwise(F.lit(1)).alias("__d"),
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        hop = ptr.select(
+            F.col("__node").alias("__anc"),
+            F.col("__anc").alias("__anc2"),
+            F.col("__d").alias("__d2"),
+        )
+        nxt = (
+            ptr.join(hop, "__anc")
+            .select(
+                "__node",
+                F.col("__anc2").alias("__anc"),
+                (F.col("__d") + F.col("__d2")).alias("__d"),
+                (F.col("__d2") > 0).alias("__moved"),
+            )
+            .localCheckpoint()
+        )
+        moving = nxt.filter("__moved").count()
+        old = ptr
+        ptr = nxt.select("__node", "__anc", "__d")
+        old.unpersist()
+        if moving == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"hierarchy_levels: not converged after {max_iterations} "
+            "pointer-jumping rounds (cycle in parent pointers?)"
+        )
+    return ptr.select(
+        F.col("__node").alias(id_col),
+        F.col("__anc").alias("root"),
+        F.col("__d").alias("depth"),
+    )

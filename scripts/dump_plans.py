@@ -133,16 +133,33 @@ SHOWCASE = {
     "hard_negatives": "anchors broadcast into a BroadcastNestedLoopJoin "
                       "(the corpus never shuffles for scoring); per-anchor "
                       "top-k is a window over anchor partitions",
-    "bigram_lm_score": "two partial-agg count shuffles over exploded "
-                       "bigrams + one gram-keyed join; the mean is a "
-                       "position-ordered fold, so no float "
-                       "order-sensitivity anywhere",
+    "bigram_lm_score": "ONE partial-agg count shuffle over exploded "
+                       "bigrams (prefix counts re-aggregate from the "
+                       "gram-sized count table, never a second instance "
+                       "scan) + one gram-keyed join carrying precomputed "
+                       "probabilities; the mean is a position-ordered "
+                       "fold, so no float order-sensitivity anywhere",
     "length_band_filter": "per-source exact percentile bounds aggregate "
                           "to one row per group, then broadcast back — "
                           "the corpus is scanned once and never shuffled",
     "dedup_keep_best": "the quality argmax windows over (id, cluster, "
                        "score) label tables; document text never reaches "
                        "the window sort",
+    "hybrid_search": "BM25 corpus stats collapse to ONE broadcast row; "
+                     "both candidate lists are TakeOrderedAndProject "
+                     "(distributed top-100 + driver merge, never a "
+                     "corpus-wide range sort); the row_number windows "
+                     "then rank 100-row inputs",
+    "heavy_hitters": "the Count-Min grid partially aggregates map-side "
+                     "(shuffle carries <= depth*width cells per "
+                     "partition, volume-independent); estimate probes "
+                     "are broadcast joins of the 20-row top-k against "
+                     "the cached grid",
+    "hierarchy_rollup": "pointer jumping: each round is one self-"
+                        "equi-join on the ancestor key + localCheckpoint "
+                        "(lineage truncation — without it the plan "
+                        "doubles per round); O(log depth) rounds total "
+                        "vs the oracle's O(depth) recursive walk",
 }
 
 

@@ -664,3 +664,63 @@ def test_bpe_merge_table_is_driver_literal(spark):
     corpus scan (no FileScan in its plan)."""
     plan = _plan(QUERIES["bpe_train_merges"](spark, SF))
     assert "FileScan" not in plan
+
+
+def test_bm25_stats_join_is_broadcast_single_row(spark):
+    """BM25's corpus statistics (N, avgdl, dfs) aggregate to one row that
+    must reach the per-doc scorer by BROADCAST — the scoring pass itself
+    stays a narrow map over the corpus scan."""
+    from flink_kafka_table_api_spark.operators.retrieval import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_scores(docs, ["spark", "vector"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_search_candidate_lists_are_take_ordered(spark):
+    """RRF candidate generation must compile to TakeOrderedAndProject
+    (distributed per-partition top-depth + driver merge), never a global
+    sort Exchange over the corpus."""
+    plan = _plan(QUERIES["hybrid_search"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_cms_sketch_shuffle_carries_cells_not_rows(spark):
+    """The Count-Min grid must partially aggregate map-side: the only
+    wide exchange below the sketch aggregate hashes on the (seed, bucket)
+    cell key, and a partial_count precedes it."""
+    from flink_kafka_table_api_spark.operators.sketches import cms_sketch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id")
+    plan = _plan(cms_sketch(ev, "user_id", depth=4, width=64))
+    assert "partial_count" in plan
+    # the wide exchange hashes on the (seed, bucket) grouping key (rendered
+    # as _groupingexpression) and sits ABOVE the partial aggregate
+    assert "Exchange hashpartitioning(_groupingexpression" in plan
+    assert plan.index("partial_count") > plan.index("Exchange hashpartitioning")
+
+
+def test_hierarchy_rollup_rounds_are_logarithmic(spark):
+    """Pointer jumping must converge in O(log depth) joins: the sf0.001
+    customer forest has max depth 11, so the loop needs <= 5 jump rounds
+    (2^4 = 16 > 11); a per-edge walk would need 11+. Convergence rounds
+    are observable as the localCheckpoint count."""
+    import flink_kafka_table_api_spark.operators.relational as rel
+
+    calls = {"n": 0}
+    orig = rel.DataFrame.localCheckpoint
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    rel.DataFrame.localCheckpoint = counting
+    try:
+        QUERIES["hierarchy_rollup"](spark, SF).count()
+    finally:
+        rel.DataFrame.localCheckpoint = orig
+    # 1 seed checkpoint + one per round; depth 11 -> exactly 5 rounds
+    # (spans 2,4,8,16 then the all-roots confirmation round)
+    assert calls["n"] <= 7, calls
