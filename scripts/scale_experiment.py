@@ -38,7 +38,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 # table -> (id column to remap, other columns referencing it stay internal)
 SCALED = {"documents": "doc_id", "lineitem": "l_orderkey",
-          "events": "event_id", "customer": "c_custkey"}
+          "events": "event_id", "customer": "c_custkey",
+          "embeddings": "vec_id"}
 MEASURE = [
     "dedup_minhash_fast",   # CPU-bound narrow + tiny shuffle
     "lang_id",              # narrow text pass

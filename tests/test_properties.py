@@ -235,3 +235,107 @@ def test_merge_upsert_duplicate_update_key_raises(spark):
     upd_df = spark.createDataFrame([(1, 11, "y"), (1, 12, "z")], schema)
     with _pytest.raises(Exception, match="multiple update rows"):
         merge_upsert(base_df, upd_df, key_cols=("k",)).collect()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: BM25 equivalence to a reference Python scorer over
+# random corpora, CMS no-undercount over random streams, and hierarchy
+# pointer-jumping equivalence to a reference Python walk over random
+# forests. Spark-backed: few examples, deadline off.
+# ---------------------------------------------------------------------------
+
+_WORDS = ["spark", "fast", "data", "engine", "slow", "table", "row"]
+_DOC = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12)
+
+
+def _ref_bm25(corpus, terms, k1=1.2, b=0.75):
+    n = len(corpus)
+    avgdl = sum(len(d) for d in corpus) / n
+    dfs = {t: sum(1 for d in corpus if t in d) for t in terms}
+    out = {}
+    for i, d in enumerate(corpus):
+        s = 0.0
+        for t in terms:
+            tf = float(d.count(t))
+            idf = (n - dfs[t] + 0.5) / (dfs[t] + 0.5)
+            s = s + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * (len(d) / avgdl))
+            )
+        out[i] = s
+    return out
+
+
+@given(st.lists(_DOC, min_size=1, max_size=10))
+@settings(max_examples=15, deadline=None)
+def test_bm25_matches_reference_on_random_corpora(spark, corpus):
+    from flink_kafka_table_api_spark.operators.retrieval import bm25_scores
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25
+           for r in bm25_scores(df, ["spark", "data"]).collect()}
+    want = _ref_bm25(corpus, ["spark", "data"])
+    assert got.keys() == want.keys()
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-12, (i, got[i], want[i])
+
+
+@given(st.lists(st.integers(min_value=0, max_value=20),
+                min_size=1, max_size=300))
+@settings(max_examples=10, deadline=None)
+def test_cms_estimate_never_undercounts_random_streams(spark, stream):
+    from collections import Counter
+
+    from flink_kafka_table_api_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([(k,) for k in stream], "k long")
+    sk = cms_sketch(df, "k", depth=3, width=16)  # narrow grid: collisions
+    keys = spark.createDataFrame(
+        [(k,) for k in set(stream)], "k long"
+    )
+    true = Counter(stream)
+    for r in cms_estimate(keys, sk, "k", depth=3, width=16).collect():
+        assert r.cms_est >= true[r.k], (r.k, r.cms_est, true[r.k])
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**31), min_size=2,
+                max_size=60, unique=True))
+@settings(max_examples=10, deadline=None)
+def test_hierarchy_levels_matches_walk_on_random_forests(spark, ids):
+    from pyspark.sql import functions as F
+
+    from flink_kafka_table_api_spark.operators.relational import (
+        hierarchy_levels,
+    )
+
+    # deterministic random-ish forest over arbitrary ids: parent = some
+    # STRICTLY SMALLER member id (guarantees acyclicity), chosen by index
+    # arithmetic; the smallest id is the lone root
+    ordered = sorted(ids)
+    parent_map = {ordered[0]: ordered[0]}
+    for i, k in enumerate(ordered[1:], start=1):
+        parent_map[k] = ordered[(i * 7919) % i]  # any index < i
+
+    def walk(k):
+        d = 0
+        while parent_map[k] != k:
+            k = parent_map[k]
+            d += 1
+        return k, d
+
+    nodes = spark.createDataFrame([(k,) for k in ids], "id long")
+    pm = F.create_map(
+        *[F.lit(x) for kv in parent_map.items() for x in kv]
+    )
+    got = {
+        r.id: (r.root, r.depth)
+        for r in hierarchy_levels(
+            nodes, "id", pm[F.col("id")].cast("long")
+        ).collect()
+    }
+    assert got == {k: walk(k) for k in ids}
