@@ -74,25 +74,42 @@ def cms_estimate(
     width: int = 2048,
 ) -> DataFrame:
     """CMS point estimate for each key in ``keys``: min over the depth
-    rows of the key's cell counters. ``depth`` broadcast joins of the
-    probe set against the fixed-size sketch — O(probes) work."""
-    out = keys.withColumn("__ks", F.col(key_col).cast("string"))
-    est = None
-    for s in range(depth):
-        cell = (
-            sketch.filter(F.col("seed") == s)
-            .select("bucket", F.col("cell_count").alias(f"__c{s}"))
-        )
-        out = out.withColumn(
-            "__b", F.pmod(F.xxhash64(F.lit(s), F.col("__ks")), F.lit(width))
-        ).join(
-            F.broadcast(cell), F.col("__b") == F.col("bucket"), "left"
-        ).drop("bucket", "__b")
+    rows of the key's cell counters. ONE broadcast join: each probe fans
+    out into its ``depth`` (seed, bucket) cell addresses, joins the
+    fixed-size sketch once, and a groupBy-min folds the depth counters
+    back to the estimate — O(probes * depth) join rows against a
+    broadcast-sized build side, and a single join stage regardless of
+    depth (the previous shape chained ``depth`` sequential broadcast
+    joins, i.e. depth broadcast builds and depth plan nodes)."""
+    probe_cells = keys.withColumn(
+        "__ks", F.col(key_col).cast("string")
+    ).select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(
+                            F.xxhash64(F.lit(s), F.col("__ks")), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("__cell"),
+    )
+    joined = probe_cells.join(
+        F.broadcast(sketch),
+        (F.col("__cell.seed") == F.col("seed"))
+        & (F.col("__cell.bucket") == F.col("bucket")),
+        "left",
+    )
+    other_cols = [c for c in keys.columns if c != key_col]
+    return (
+        joined.groupBy(key_col, *other_cols)
         # an unoccupied cell means the true count is 0 for that row
-        c = F.coalesce(F.col(f"__c{s}"), F.lit(0))
-        est = c if est is None else F.least(est, c)
-    return out.withColumn("cms_est", est).drop(
-        "__ks", *[f"__c{s}" for s in range(depth)]
+        .agg(F.min(F.coalesce(F.col("cell_count"), F.lit(0))).alias("cms_est"))
     )
 
 
