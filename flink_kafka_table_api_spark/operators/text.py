@@ -152,29 +152,35 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-(doc, token) TF-IDF: tf = occurrences/doc_len, idf = ln(N/df).
 
-    Pure relational algebra: explode -> two aggregations -> join. At scale
-    the token->df table is the only global state; it is tiny (vocabulary-
-    sized) and broadcast back, so the heavy side never shuffles twice.
+    Pure relational algebra with ONE shuffle of the exploded instances:
+    doc_len is size(tokens) computed BEFORE the explode (a constant per
+    doc carried through for free — not a post-aggregation window, which
+    would reshuffle the tf table by doc), the tf aggregate is persisted,
+    and both the token->df table and n_docs derive from it (tf IS the
+    distinct (doc, token) set, so docfreq = count per token over tf —
+    no second explode+distinct pass over the corpus). At scale the
+    vocabulary-sized df table broadcasts back; the heavy side shuffles
+    exactly once.
     """
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
     df = ensure_parallelism(df)
-    exploded = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    exploded = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("doc_len"),
+        F.explode("__toks").alias("token"),
     )
-    # term frequency within each doc
-    tf = (
-        exploded.groupBy(id_col, "token")
+    # term frequency within each doc (doc_len is functionally dependent
+    # on the doc id — grouping by it adds nothing to the key)
+    tf = tracked_persist(
+        exploded.groupBy(id_col, "doc_len", "token")
         .agg(F.count("*").alias("occurrences"))
-        .withColumn(
-            "doc_len",
-            F.sum("occurrences").over(Window.partitionBy(id_col)),
-        )
     )
-    n_docs = df.select(id_col).distinct().count()
-    docfreq = (
-        exploded.distinct()
-        .groupBy("token")
-        .agg(F.count("*").alias("df"))
-    )
+    # docs with >= 1 token, counted over the persisted aggregate (the
+    # oracle's COUNT(DISTINCT doc_id) over exploded sees the same set)
+    n_docs = tf.select(id_col).distinct().count()
+    docfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     return (
         tf.join(F.broadcast(docfreq), "token")
         .select(
