@@ -339,3 +339,56 @@ def test_hierarchy_levels_matches_walk_on_random_forests(spark, ids):
         ).collect()
     }
     assert got == {k: walk(k) for k in ids}
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_pairs two-stage verify (operators/dedup.py): the hashed
+# fingerprint prescreen + exact re-check must be INVISIBLE — the operator's
+# output over random corpora equals the brute-force all-pairs Jaccard,
+# pair-for-pair and value-for-value. Spark-backed: few examples, no deadline.
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+_DOC = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12)
+
+
+def _brute_pairs(texts, threshold, k=3):
+    def sh(text):
+        toks = text.split()
+        if len(toks) >= k:
+            return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    sets = {i: sh(t) for i, t in texts.items()}
+    out = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union if union else 0.0
+            if round(j, 6) >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+@given(
+    st.lists(_DOC, min_size=2, max_size=7),
+    st.sampled_from([0.5, 0.6, 0.75]),
+)
+@settings(max_examples=12, deadline=None)
+def test_prefix_filter_two_stage_verify_matches_bruteforce(spark, docs, threshold):
+    from flink_kafka_table_api_spark.operators import dedup as dd
+
+    texts = {i: " ".join(words) for i, words in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dd.prefix_filter_pairs(
+            df, "doc_id", "text", threshold=threshold, shingle_k=3
+        ).collect()
+    }
+    assert got == _brute_pairs(texts, threshold)
