@@ -23,6 +23,16 @@ from pyspark.sql import SparkSession
 # executor cores, or let AQE coalesce from a high initial number).
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# In local mode spark.driver.memory IS the whole JVM heap (driver +
+# executors + broadcast builds share it), and Spark's 1g default is wildly
+# undersized for a 32-core/128 GiB harness: an AQE-chosen broadcast build
+# that fits the 64 MB threshold can still OOM the 1g heap once JVM object
+# overhead multiplies it (observed: the 8x scale experiment's prescreen
+# join died in BroadcastExchange). Only effective at JVM launch — a
+# getOrCreate against an existing session keeps that session's heap; on a
+# real cluster the submitter sizes driver/executor memory explicitly.
+DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 
 # Confs every query path depends on for CORRECTNESS (not tuning): these are
 # re-asserted at runtime by harden_session because the driver's verify may
@@ -60,6 +70,7 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         # --- correctness posture ---
         .config("spark.sql.session.timeZone", "UTC")
         # parquet timestamps in testdata are NTZ; keep inference stable
