@@ -326,6 +326,95 @@ def corpus_mix(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+    scale: float = 1.0,
+    salt: str = "fkta-tmix",
+) -> DataFrame:
+    """Temperature-scaled source rebalancing — the multilingual/multi-domain
+    mixing rule from mC4/mT5 (Xue et al. 2021 §3.1) and the Pile: target
+    share of source s is n_s^(1/T) / sum_t n_t^(1/T), which up-weights
+    low-resource sources as T grows (T=1 keeps natural proportions). Each
+    document is then kept/dropped/REPEATED deterministically so the output
+    hits the target shares at total size ``scale * N``: a document of
+    source s appears floor(c_s) (+1 if its hash-uniform < frac(c_s)) times,
+    where c_s = target_share_s * scale * N / n_s — repetition-based
+    upsampling (epochs over small sources), hash-based downsampling, both
+    reproducible across runs, partitionings, and engines.
+
+    Cross-engine exactness (the round-6 oracle contract): ``temperature``
+    must be a power of two, so n^(1/T) is a chain of sqrt calls — sqrt is
+    IEEE correctly-rounded everywhere, while pow is NOT guaranteed to be
+    and may differ between JVM and DuckDB in the last ulp. The per-source
+    rate table is computed on the DRIVER from the (tiny, bounded) source
+    counts with a source-name-ordered left-fold sum, rounded to 9
+    decimals — the same accepted driver-decision pattern as k-means /
+    connected components, and the same float recipe as the prefix-filter
+    bounds. The per-row uniform is portable_hash64(salt:id) % 2^30 / 2^30
+    (exact double division of exact integers).
+
+    Scale shape: one partial-aggregated count by source, a broadcast join
+    of the rate table, a narrow hash + explode(sequence) projection —
+    the corpus shuffles zero times. Returns (id_col, source_col, copy)
+    with copy in 1..n_copies."""
+    import math
+
+    k = math.log2(temperature)
+    if k != int(k) or k < 0:
+        raise ValueError(
+            f"temperature must be a power of two >= 1, got {temperature}"
+        )
+    counts = sorted(
+        (r[0], r[1])
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    )
+    n_total = sum(n for _, n in counts)
+
+    def rootk(x: float) -> float:
+        for _ in range(int(k)):
+            x = math.sqrt(x)
+        return x
+
+    weights = [(s, rootk(float(n))) for s, n in counts]
+    w_sum = 0.0
+    for _, w in weights:  # source-name-ordered left fold (see docstring)
+        w_sum += w
+    rates = [
+        (s, round(w / w_sum * scale * n_total / n, 9))
+        for (s, w), (_, n) in zip(weights, counts)
+    ]
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(rates, f"{source_col} string, __c double")
+    u = (
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+            ),
+            F.lit(1 << 30),
+        ).cast("double")
+        / F.lit(float(1 << 30))
+    )
+    n_copies = (
+        F.floor("__c")
+        + F.when(u < F.round(F.col("__c") - F.floor("__c"), 9), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.select(id_col, source_col)
+        .join(F.broadcast(rate_df), source_col)
+        .withColumn("__nc", n_copies)
+        .filter(F.col("__nc") >= 1)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(1), F.col("__nc"))).alias("copy"),
+        )
+    )
+
+
 def corpus_shuffle(
     df: DataFrame,
     *,
