@@ -5885,6 +5885,15 @@ _PRIORITY: list[str] = [
 # plus round-6 additions) — the coverage test counts these slots as
 # scheduled evidence, so dropping one without a fresh driver row turns
 # pytest red.
+#
+# Round-6 registration plan (registry is at 147 of the 150-name cap the
+# 50-slot x 3-round evidence window supports, so exactly 3 additions
+# fit): oracle-bearing gate queries for the round-5 continuation
+# operators `temperature_mix` (operators/curation.py — sqrt-chain +
+# portable-hash construction is oracle-ready by design) and
+# `zorder_write` (sources/layout.py — e.g. rows preserved + z-key
+# monotonicity, or register its pruning probe as a boolean), leaving
+# one slot free.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "ann_ivf_nprobe2", "ann_ivf_quantized", "ann_quantized",
     "chunk_dedup", "cold_customers", "contamination_audit", "corpus_mix",

@@ -152,9 +152,18 @@ SHOWCASE = {
                      "then rank 100-row inputs",
     "heavy_hitters": "the Count-Min grid partially aggregates map-side "
                      "(shuffle carries <= depth*width cells per "
-                     "partition, volume-independent); estimate probes "
-                     "are broadcast joins of the 20-row top-k against "
-                     "the cached grid",
+                     "partition, volume-independent); estimation is ONE "
+                     "broadcast join of the exploded (probe, seed, "
+                     "bucket) cells against the cached grid + a "
+                     "groupBy-min fold, a single join stage at any depth",
+    "tfidf": "single-shuffle shape: doc_len computed before the explode "
+             "(no post-aggregation window), docfreq and n_docs derive "
+             "from the persisted tf aggregate, vocabulary-sized df table "
+             "broadcasts back — the exploded instances shuffle once",
+    "simjoin_prefix": "rare-first prefix postings self-join with length + "
+                      "PPJoin positional filters; verify is two-stage "
+                      "(hashed-fingerprint prescreen in codegen, exact "
+                      "string-set re-check on survivors only)",
     "hierarchy_rollup": "pointer jumping: each round is one self-"
                         "equi-join on the ancestor key + localCheckpoint "
                         "(lineage truncation — without it the plan "

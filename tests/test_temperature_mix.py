@@ -114,3 +114,16 @@ def test_rejects_non_power_of_two_temperature(spark):
     df = _corpus(spark, {"a": 4})
     with pytest.raises(ValueError):
         temperature_mix(df, temperature=3.0)
+
+
+def test_scale_shrinks_output_proportionally(spark):
+    df = _corpus(spark, SIZES)
+    n_full = temperature_mix(df, temperature=2.0, scale=1.0).count()
+    n_half = temperature_mix(df, temperature=2.0, scale=0.5).count()
+    assert abs(n_half - n_full / 2) / n_full < 0.05
+    # and it still matches the Python replay at scale 0.5
+    got = {
+        tuple(r)
+        for r in temperature_mix(df, temperature=2.0, scale=0.5).collect()
+    }
+    assert got == _py_replay(SIZES, 2.0, 0.5)
