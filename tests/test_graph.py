@@ -1,0 +1,75 @@
+"""pagerank (operators/graph.py): pinned against an independent Python
+replay of the documented rule (same ordered fold, same IEEE ops, same
+HALF_UP rounding), plus conservation and partitioning-invariance."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from flink_kafka_table_api_spark.operators.graph import pagerank
+
+
+def _sym(pairs):
+    out = set()
+    for a, b in pairs:
+        out.add((a, b))
+        out.add((b, a))
+    return sorted(out)
+
+
+# a triangle with a two-node tail and one high-degree hub
+EDGES = _sym([(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (3, 6), (3, 7)])
+
+
+def _py_pagerank(edges, damping=0.85, iterations=5):
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    incoming = defaultdict(list)
+    for s, d in edges:
+        outdeg[s] += 1
+        incoming[d].append(s)
+    n = len(outdeg)
+    rank = {v: 1.0 / n for v in outdeg}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        nxt = {}
+        for v, srcs in incoming.items():
+            acc = 0.0
+            for s in sorted(srcs):  # the pinned ascending-src fold
+                acc += rank[s] / outdeg[s]
+            nxt[v] = base + damping * acc
+        rank = nxt
+    return {
+        v: float(
+            Decimal(r).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        )
+        for v, r in rank.items()
+    }
+
+
+def test_matches_independent_python_replay(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    assert got == _py_pagerank(EDGES)
+
+
+def test_rank_mass_is_conserved(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    total = sum(r.rank for r in pagerank(df, iterations=3).collect())
+    # symmetric graph => no dangling mass leaks; only rounding residue
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_hub_outranks_leaves(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    assert got[3] == max(got.values())  # the degree-5 hub
+    assert got[5] < got[3] and got[6] < got[3]
+
+
+def test_partitioning_invariant(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    a = {r.node: r.rank for r in pagerank(df).collect()}
+    b = {r.node: r.rank for r in pagerank(df.repartition(5)).collect()}
+    assert a == b
