@@ -5890,10 +5890,11 @@ _PRIORITY: list[str] = [
 # 50-slot x 3-round evidence window supports, so exactly 3 additions
 # fit): oracle-bearing gate queries for the round-5 continuation
 # operators `temperature_mix` (operators/curation.py — sqrt-chain +
-# portable-hash construction is oracle-ready by design) and
+# portable-hash construction is oracle-ready by design),
 # `zorder_write` (sources/layout.py — e.g. rows preserved + z-key
-# monotonicity, or register its pruning probe as a boolean), leaving
-# one slot free.
+# monotonicity, or register its pruning probe as a boolean), and
+# `pagerank` (operators/graph.py — the src-ordered fold replays as an
+# unrolled WITH chain of list_reduce folds in DuckDB, bit-exact).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "ann_ivf_nprobe2", "ann_ivf_quantized", "ann_quantized",
     "chunk_dedup", "cold_customers", "contamination_audit", "corpus_mix",
