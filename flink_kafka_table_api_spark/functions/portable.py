@@ -45,6 +45,19 @@ def portable_hash64_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def hash_uniform(salt: str, col: Column, modulus: int) -> Column:
+    """The engine's ONE deterministic sampling uniform:
+    pmod(portable_hash64(salt || CAST(col AS STRING)), modulus).
+    Callers own their salt string VERBATIM (including any separator
+    character) because oracle SQL replays the concatenation
+    byte-for-byte — centralizing the construction here keeps new
+    samplers from drifting into a subtly different recipe."""
+    return F.pmod(
+        portable_hash64(F.concat(F.lit(salt), col.cast("string"))),
+        F.lit(modulus),
+    )
+
+
 def minhash_perm(h: Column, a: int, b: int) -> Column:
     """One member of the MinHash permutation family over a base hash column.
     Folding to 31 bits first keeps a*h within int64 (see MINHASH_MOD note)."""

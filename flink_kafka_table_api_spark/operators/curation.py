@@ -30,7 +30,10 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_kafka_table_api_spark.functions.portable import portable_hash64
+from flink_kafka_table_api_spark.functions.portable import (
+    hash_uniform,
+    portable_hash64,
+)
 from flink_kafka_table_api_spark.operators.text import (
     token_count,
     tokens,
@@ -279,10 +282,7 @@ def stratified_sample(
     rate = F.lit(default_rate)
     for value, pct in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == value, F.lit(pct)).otherwise(rate)
-    keep = (
-        F.pmod(portable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-               F.lit(100)) < rate
-    )
+    keep = hash_uniform(salt, F.col(id_col), 100) < rate
     return df.filter(keep)
 
 
@@ -368,10 +368,17 @@ def temperature_mix(
         raise ValueError(
             f"temperature must be a power of two >= 1, got {temperature}"
         )
-    counts = sorted(
+    raw_counts = [
         (r[0], r[1])
         for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
-    )
+    ]
+    if any(s is None for s, _ in raw_counts):
+        raise ValueError(
+            f"temperature_mix: NULL values in {source_col!r} — fill or "
+            "filter them first (a null source has no defined target share, "
+            "and the rate join would silently drop those documents)"
+        )
+    counts = sorted(raw_counts)
     n_total = sum(n for _, n in counts)
 
     def rootk(x: float) -> float:
@@ -390,12 +397,7 @@ def temperature_mix(
     spark = df.sparkSession
     rate_df = spark.createDataFrame(rates, f"{source_col} string, __c double")
     u = (
-        F.pmod(
-            portable_hash64(
-                F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
-            ),
-            F.lit(1 << 30),
-        ).cast("double")
+        hash_uniform(salt + ":", F.col(id_col), 1 << 30).cast("double")
         / F.lit(float(1 << 30))
     )
     n_copies = (

@@ -413,13 +413,9 @@ def prefix_filter_pairs(
     hb = hsets.select(F.col(id_col).alias("b"), F.col("__hh").alias("__hb"))
     # J(A,B) >= t  <=>  I >= t/(1+t) * (|A|+|B|)  (|A|,|B| are the TRUE
     # set sizes carried through cand); +1 = the one-collision credit.
-    required = F.ceil(
-        F.round(
-            F.lit(threshold / (1.0 + threshold))
-            * (F.col("__na") + F.col("__nb")),
-            9,
-        )
-    )
+    # Same bound expression as the positional filter's alpha above —
+    # reuse it so the two stages can never drift apart.
+    required = alpha
     survivors = (
         cand.join(ha, "a").join(hb, "b")
         .filter(

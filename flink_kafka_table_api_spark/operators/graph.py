@@ -60,6 +60,11 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
     # symmetric edges => node set == src set; N is an exact integer
     n = outdeg.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge relation (an upstream filter removed "
+            "every edge?) — rank is undefined over zero nodes"
+        )
     base = float(1.0 - damping) / n
     ranks = outdeg.select(
         F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank")
@@ -87,8 +92,12 @@ def pagerank(
             F.col("dst").alias("node"),
             (F.lit(base) + F.lit(damping) * F.col("__s")).alias("rank"),
         ).localCheckpoint()
-        old = ranks
         ranks = nxt
-        old.unpersist()
+        # NOTE: a localCheckpoint'ed DataFrame's blocks are NOT freed by
+        # DataFrame.unpersist (no cacheManager entry) — they are released
+        # when the JVM RDD is GC'd via the py4j finalizer after the
+        # Python reference drops. Peak retained state is therefore
+        # bounded by O(iterations * nodes) longs/doubles, tiny relative
+        # to the edge list; the rebinding above is the whole cleanup.
     esd.unpersist()
     return ranks.select("node", F.round("rank", 9).alias("rank"))

@@ -484,9 +484,11 @@ def hierarchy_levels(
             .localCheckpoint()
         )
         moving = nxt.filter("__moved").count()
-        old = ptr
         ptr = nxt.select("__node", "__anc", "__d")
-        old.unpersist()
+        # localCheckpoint blocks are freed on JVM GC of the RDD (py4j
+        # finalizer), not by DataFrame.unpersist (no cacheManager entry);
+        # rebinding drops the Python reference, and peak retained state
+        # is bounded by O(rounds * nodes) — see pagerank for the same note
         if moving == 0:
             break
     else:

@@ -73,14 +73,20 @@ def cms_estimate(
     depth: int = 4,
     width: int = 2048,
 ) -> DataFrame:
-    """CMS point estimate for each key in ``keys``: min over the depth
-    rows of the key's cell counters. ONE broadcast join: each probe fans
-    out into its ``depth`` (seed, bucket) cell addresses, joins the
-    fixed-size sketch once, and a groupBy-min folds the depth counters
-    back to the estimate — O(probes * depth) join rows against a
+    """CMS point estimate for each DISTINCT key in ``keys``: min over the
+    depth rows of the key's cell counters. ONE broadcast join: each probe
+    fans out into its ``depth`` (seed, bucket) cell addresses, joins the
+    fixed-size sketch once, and a groupBy(key)-min folds the depth
+    counters back to the estimate — O(probes * depth) join rows against a
     broadcast-sized build side, and a single join stage regardless of
     depth (the previous shape chained ``depth`` sequential broadcast
-    joins, i.e. depth broadcast builds and depth plan nodes)."""
+    joins, i.e. depth broadcast builds and depth plan nodes).
+
+    Contract: probe keys must be unique per row (they are a top-k / probe
+    SET by construction); duplicate key rows would collapse to one output
+    row here. Grouping is by ``key_col`` alone — carried columns ride
+    through F.first (well-defined under the uniqueness contract, and it
+    keeps non-groupable types like maps usable as carried columns)."""
     probe_cells = keys.withColumn(
         "__ks", F.col(key_col).cast("string")
     ).select(
@@ -106,10 +112,10 @@ def cms_estimate(
         "left",
     )
     other_cols = [c for c in keys.columns if c != key_col]
-    return (
-        joined.groupBy(key_col, *other_cols)
+    return joined.groupBy(key_col).agg(
+        *[F.first(c).alias(c) for c in other_cols],
         # an unoccupied cell means the true count is 0 for that row
-        .agg(F.min(F.coalesce(F.col("cell_count"), F.lit(0))).alias("cms_est"))
+        F.min(F.coalesce(F.col("cell_count"), F.lit(0))).alias("cms_est"),
     )
 
 

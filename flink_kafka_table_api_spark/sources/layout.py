@@ -59,6 +59,8 @@ def zorder_key(
     then a narrow bucket+interleave projection. Returns (df_with_key,
     key_column). Numeric columns only (dates/timestamps: cast to their
     epoch numbers first)."""
+    if "__z" in df.columns:
+        raise ValueError("input already has a __z column; rename it first")
     probs = [0.01, 0.99]
     bounds = df.agg(
         *[
@@ -69,6 +71,11 @@ def zorder_key(
     nb = (1 << bits) - 1
     bucketed = []
     for c in cols:
+        # empty input / all-NULL column: percentile_approx returns NULL —
+        # degrade that column to a single bucket instead of crashing
+        if bounds[c] is None or bounds[c][0] is None:
+            bucketed.append(F.lit(0).cast("long"))
+            continue
         lo, hi = float(bounds[c][0]), float(bounds[c][1])
         if hi <= lo:  # constant (or near-constant) column: single bucket
             bucketed.append(F.lit(0).cast("long"))
@@ -128,13 +135,21 @@ def files_overlapping_box(
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         mins: dict[str, float] = {}
         maxs: dict[str, float] = {}
+        stats_missing = False
         for rg in range(md.num_row_groups):
             for c in box:
                 st = md.row_group(rg).column(names[c]).statistics
+                if st is None or st.min is None or st.max is None:
+                    # a row group without stats could contain anything:
+                    # the reader cannot skip it, so neither do we
+                    stats_missing = True
+                    continue
                 mins[c] = min(mins.get(c, float("inf")), float(st.min))
                 maxs[c] = max(maxs.get(c, float("-inf")), float(st.max))
         total += 1
-        if all(
+        if md.num_row_groups == 0:
+            continue  # empty file: trivially no matching rows
+        if stats_missing or all(
             maxs[c] >= lo and mins[c] <= hi for c, (lo, hi) in box.items()
         ):
             hit += 1
