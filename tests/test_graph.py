@@ -73,3 +73,11 @@ def test_partitioning_invariant(spark):
     a = {r.node: r.rank for r in pagerank(df).collect()}
     b = {r.node: r.rank for r in pagerank(df.repartition(5)).collect()}
     assert a == b
+
+
+def test_empty_edges_raise_clearly(spark):
+    import pytest
+
+    df = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty edge"):
+        pagerank(df)

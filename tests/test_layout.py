@@ -111,3 +111,16 @@ def test_zorder_key_constant_column_is_safe(spark):
     )
     keyed, _ = zorder_key(df, ["a", "c"], bits=4)
     assert keyed.select("__z").distinct().count() > 1
+
+
+def test_zorder_write_empty_input_writes_empty_dataset(spark, tmp_path):
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").filter("l_partkey < 0")
+    out = str(tmp_path / "li_empty")
+    zorder_write(li, out, ["l_partkey", "l_suppkey"], num_files=4)
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_zorder_key_rejects_reserved_column(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, __z long")
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a"])

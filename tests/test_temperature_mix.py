@@ -127,3 +127,11 @@ def test_scale_shrinks_output_proportionally(spark):
         for r in temperature_mix(df, temperature=2.0, scale=0.5).collect()
     }
     assert got == _py_replay(SIZES, 2.0, 0.5)
+
+
+def test_null_source_raises_clearly(spark):
+    df = spark.createDataFrame(
+        [(1, "web"), (2, None)], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        temperature_mix(df, temperature=2.0)
