@@ -390,8 +390,16 @@ def temperature_mix(
     w_sum = 0.0
     for _, w in weights:  # source-name-ordered left fold (see docstring)
         w_sum += w
+    # HALF_UP, not Python round() (banker's): Spark F.round and DuckDB
+    # round() are both half-away-from-zero, and the oracle replays this
+    # computation — ties must break the same way in all three places
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
     rates = [
-        (s, round(w / w_sum * scale * n_total / n, 9))
+        (s, r9(w / w_sum * scale * n_total / n))
         for (s, w), (_, n) in zip(weights, counts)
     ]
     spark = df.sparkSession
@@ -415,6 +423,62 @@ def temperature_mix(
             F.explode(F.sequence(F.lit(1), F.col("__nc"))).alias("copy"),
         )
     )
+
+
+def temperature_mix_sql(
+    *,
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+    scale: float = 1.0,
+    salt: str = "fkta-tmix",
+) -> str:
+    """DuckDB replay of :func:`temperature_mix`, float-exact by the same
+    construction (sqrt chain, source-ordered left fold via list_reduce —
+    DuckDB's no-init fold starts acc = first element, identical to a
+    0.0-seeded left fold since 0.0 + x == x — HALF_UP rounding, portable
+    md5 uniform). This is the committed round-6 oracle; validated
+    against the operator by tests/test_temperature_mix.py."""
+    import math
+
+    k = int(math.log2(temperature))
+    root = "CAST(n AS DOUBLE)"
+    for _ in range(k):
+        root = f"sqrt({root})"
+    h = (f"(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)),"
+         f" 1, 15))::BIGINT)")
+    return f"""
+    WITH counts AS (
+      SELECT {source_col} AS source, COUNT(*) AS n
+      FROM {table} GROUP BY 1
+    ), w AS (
+      SELECT source, n, {root} AS w FROM counts
+    ), tot AS (
+      SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS ws,
+             SUM(n) AS nt
+      FROM w
+    ), rates AS (
+      -- CAST: decimal-point literals are DECIMAL in DuckDB; the driver
+      -- computes these products in IEEE doubles
+      SELECT source,
+             round(w / ws * CAST({scale!r} AS DOUBLE) * nt / n, 9) AS c
+      FROM w, tot
+    ), scored AS (
+      SELECT d.{id_col} AS {id_col}, d.{source_col} AS source, r.c,
+             CAST({h} % 1073741824 AS DOUBLE)
+               / CAST(1073741824 AS DOUBLE) AS u
+      FROM {table} d JOIN rates r ON d.{source_col} = r.source
+    ), copies AS (
+      SELECT {id_col}, source,
+             CAST(floor(c) + CASE WHEN u < round(c - floor(c), 9)
+                                  THEN 1 ELSE 0 END AS INT) AS nc
+      FROM scored
+    )
+    SELECT {id_col}, source AS {source_col}, CAST(copy AS INT) AS copy
+    FROM copies, unnest(generate_series(1, nc)) AS t(copy)
+    WHERE nc >= 1
+    """
 
 
 def corpus_shuffle(

@@ -101,3 +101,47 @@ def pagerank(
         # to the edge list; the rebinding above is the whole cleanup.
     esd.unpersist()
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def pagerank_sql(
+    edges_sql: str,
+    *,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> str:
+    """DuckDB replay of :func:`pagerank` — the committed round-6 oracle.
+    ``edges_sql`` is a query producing the symmetric (src, dst) relation.
+    Iterations unroll as a WITH chain; each per-node sum is
+    list_reduce over a src-ORDERED list of contributions (DuckDB's
+    no-init fold seeds acc with the first element — identical to Spark's
+    0.0-seeded F.aggregate fold since 0.0 + x == x), so the float
+    accumulation sequence matches the operator's bit-for-bit. Validated
+    against the operator by tests/test_graph.py."""
+    # decimal-point literals are DECIMAL-typed in DuckDB, and decimal
+    # arithmetic does NOT reproduce IEEE double ops — cast every float
+    # constant to DOUBLE explicitly (1.0 - 0.85 as decimals is exactly
+    # 0.15; as doubles it is 0.15000000000000002, which is what Spark
+    # computes)
+    d = f"CAST({damping!r} AS DOUBLE)"
+    parts = [
+        f"e AS ({edges_sql})",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS c FROM deg)",
+        "r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / c AS rank "
+        "FROM deg, nn)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS ("
+            f"SELECT e.dst AS node, "
+            f"((CAST(1.0 AS DOUBLE) - {d}) / nn.c) + {d} * "
+            f"list_reduce(list(r.rank / deg.d ORDER BY e.src), "
+            f"(a, b) -> a + b) AS rank "
+            f"FROM e JOIN deg ON e.src = deg.src "
+            f"JOIN r{i} r ON e.src = r.node, nn "
+            f"GROUP BY e.dst, nn.c)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, round(rank, 9) AS rank FROM r{iterations}"
+    )

@@ -81,3 +81,23 @@ def test_empty_edges_raise_clearly(spark):
     df = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty edge"):
         pagerank(df)
+
+
+def test_oracle_sql_replays_operator_exactly(spark):
+    """The committed round-6 oracle: DuckDB runs pagerank_sql over the
+    same symmetric edges and must match the operator bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    from flink_kafka_table_api_spark.operators.graph import pagerank_sql
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {(r.node, r.rank) for r in pagerank(df, iterations=5).collect()}
+    con = duckdb.connect()
+    con.register("edges_tbl", pd.DataFrame(EDGES, columns=["src", "dst"]))
+    want = set(
+        con.execute(
+            pagerank_sql("SELECT src, dst FROM edges_tbl", iterations=5)
+        ).fetchall()
+    )
+    assert got == want

@@ -135,3 +135,38 @@ def test_null_source_raises_clearly(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         temperature_mix(df, temperature=2.0)
+
+
+def test_oracle_sql_replays_operator_exactly(spark):
+    """The committed round-6 oracle: DuckDB runs temperature_mix_sql on
+    the same rows and must match the operator value-for-value."""
+    import duckdb
+    import pandas as pd
+
+    from flink_kafka_table_api_spark.operators.curation import (
+        temperature_mix_sql,
+    )
+
+    rows = []
+    i = 0
+    for src, n in sorted(SIZES.items()):
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for t, s in ((4.0, 1.0), (2.0, 0.5), (1.0, 1.0)):
+        got = {
+            tuple(r)
+            for r in temperature_mix(df, temperature=t, scale=s).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "source"])
+        )
+        want = {
+            tuple(r)
+            for r in con.execute(
+                temperature_mix_sql(temperature=t, scale=s)
+            ).fetchall()
+        }
+        assert got == want, (t, s)
