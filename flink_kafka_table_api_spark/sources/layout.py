@@ -114,6 +114,43 @@ def zorder_write(
     )
 
 
+def zorder_gate_probe(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    box: dict[str, tuple[float, float]],
+    *,
+    num_files: int = 16,
+) -> DataFrame:
+    """The committed round-6 gate-query shape for the z-order layout: a
+    single-row result combining (a) the box-predicate aggregate over the
+    REWRITTEN data — which the DuckDB oracle reproduces over the original
+    table, proving the rewrite lost nothing the predicate can see — and
+    (b) the layout guarantees as oracle-checkable booleans (the
+    approx_distinct / cms pattern for engine-internal effects): row count
+    preserved through the rewrite, and the multi-dimensional pruning
+    claim hit_files <= total/2 measured from real parquet file stats."""
+    import pyspark.sql.functions as _F
+
+    n_in = df.count()
+    zorder_write(df, out_dir, cols, num_files=num_files)
+    back = spark.read.parquet(out_dir)
+    hit, total = files_overlapping_box(out_dir, box)
+    pred = None
+    for c, (lo, hi) in sorted(box.items()):
+        p = (_F.col(c) >= lo) & (_F.col(c) <= hi)
+        pred = p if pred is None else (pred & p)
+    return back.filter(pred).agg(
+        _F.count("*").cast("long").alias("n_box_rows"),
+        *[_F.sum(c).cast("long").alias(f"sum_{c}") for c in sorted(box)],
+    ).select(
+        "*",
+        _F.lit(back.count() == n_in).alias("rows_preserved"),
+        _F.lit(hit * 2 <= total).alias("pruned_to_half_or_less"),
+    )
+
+
 def files_overlapping_box(
     path: str, box: dict[str, tuple[float, float]]
 ) -> tuple[int, int]:

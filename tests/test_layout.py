@@ -124,3 +124,32 @@ def test_zorder_key_rejects_reserved_column(spark):
     df = spark.createDataFrame([(1, 2)], "a long, __z long")
     with pytest.raises(ValueError):
         zorder_key(df, ["a"])
+
+
+def test_zorder_gate_probe_matches_duckdb_oracle(spark, tmp_path):
+    """The committed round-6 gate query + oracle, validated now: the
+    box aggregate over the REWRITTEN files must equal DuckDB's over the
+    original table, and both guarantee booleans must be TRUE."""
+    import duckdb
+
+    from flink_kafka_table_api_spark.sources.layout import zorder_gate_probe
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    box = {"l_partkey": (400.0, 600.0), "l_suppkey": (40.0, 60.0)}
+    got = zorder_gate_probe(
+        spark, li, str(tmp_path / "li_gate"), ["l_partkey", "l_suppkey"],
+        box, num_files=16,
+    ).collect()[0]
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT COUNT(*) AS n_box_rows,
+               CAST(SUM(l_partkey) AS BIGINT) AS sum_l_partkey,
+               CAST(SUM(l_suppkey) AS BIGINT) AS sum_l_suppkey,
+               TRUE AS rows_preserved, TRUE AS pruned_to_half_or_less
+        FROM '{SF001}/lineitem.parquet'
+        WHERE l_partkey BETWEEN 400.0 AND 600.0
+          AND l_suppkey BETWEEN 40.0 AND 60.0
+        """
+    ).fetchone()
+    assert tuple(got) == tuple(want)
