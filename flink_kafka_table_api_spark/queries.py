@@ -5895,6 +5895,12 @@ _PRIORITY: list[str] = [
 # monotonicity, or register its pruning probe as a boolean), and
 # `pagerank` (operators/graph.py — the src-ordered fold replays as an
 # unrolled WITH chain of list_reduce folds in DuckDB, bit-exact).
+# All three are PRE-VALIDATED: operator + oracle SQL + local parity
+# test already exist (test_temperature_mix / test_graph / test_layout);
+# round 6 only wires them into @query/@oracle form. NOTE: at 150 the
+# registry is CLOSED under the 50-slot gate — later rounds add
+# operators with test+local-oracle evidence (as these three did this
+# round) or retire a registered query to free a slot.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "ann_ivf_nprobe2", "ann_ivf_quantized", "ann_quantized",
     "chunk_dedup", "cold_customers", "contamination_audit", "corpus_mix",
