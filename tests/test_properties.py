@@ -392,3 +392,41 @@ def test_prefix_filter_two_stage_verify_matches_bruteforce(spark, docs, threshol
         ).collect()
     }
     assert got == _brute_pairs(texts, threshold)
+
+
+# ---------------------------------------------------------------------------
+# z-order bit interleaving (sources/layout.py) — random pairs against the
+# Python reference, batched into one Spark job per example
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_interleave_bits_matches_python_reference(spark, triples):
+    from pyspark.sql import functions as F
+
+    from flink_kafka_table_api_spark.sources.layout import interleave_bits
+
+    def py(vals, bits=8):
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * len(vals) + j)
+        return z
+
+    df = spark.createDataFrame(triples, "a long, b long, c long")
+    got = df.select(
+        "a", "b", "c",
+        interleave_bits([F.col("a"), F.col("b"), F.col("c")], 8).alias("z"),
+    ).collect()
+    for r in got:
+        assert r.z == py([r.a, r.b, r.c]), (r.a, r.b, r.c)
