@@ -357,6 +357,17 @@ def temperature_mix(
     bounds. The per-row uniform is portable_hash64(salt:id) % 2^30 / 2^30
     (exact double division of exact integers).
 
+    Residual cross-engine risk (documented, not hidden): the oracle
+    RE-DERIVES the rate table inside DuckDB, whose round(x, 9) goes
+    through a multiply-round-divide on doubles and can in principle
+    differ from Python's Decimal.quantize(HALF_UP) by one ulp when the
+    unrounded rate sits within an ulp of a 9-decimal half-way boundary —
+    and a document whose uniform lands inside that ulp would flip a copy
+    count. No observed corpus hits this (the gate corpus and the parity
+    test's fixed SIZES corpus are both verified exact); a consumer who
+    needs the guarantee unconditionally injects the driver-computed
+    rates into the oracle as literals instead of re-rounding.
+
     Scale shape: one partial-aggregated count by source, a broadcast join
     of the rate table, a narrow hash + explode(sequence) projection —
     the corpus shuffles zero times. Returns (id_col, source_col, copy)

@@ -278,6 +278,7 @@ def prefix_filter_pairs(
     *,
     threshold: float = 0.6,
     shingle_k: int = 3,
+    prescreen: bool = True,
 ) -> DataFrame:
     """EXACT similarity self-join via AllPairs/PPJoin prefix filtering
     (Bayardo et al., WWW'07; Xiao et al., WWW'08) — the third point in the
@@ -322,6 +323,13 @@ def prefix_filter_pairs(
     exact STRING shingle sets — hash collisions can therefore only cost a
     prescreen false positive (killed by stage 2), never a false negative,
     and the emitted jaccard is always the true string-set value.
+
+    ``prescreen=False`` disables stage 1 entirely (every candidate goes
+    straight to the exact string-set verify): the prescreen makes the
+    operator probabilistically exact — two simultaneous intra-pair 64-bit
+    collisions (P < 1e-26) could in principle drop a true pair — and an
+    oracle-audited or compliance run that wants UNCONDITIONAL exactness
+    trades the ~4x verify-stage saving for it.
     """
     from flink_kafka_table_api_spark.caching import tracked_persist
 
@@ -399,31 +407,40 @@ def prefix_filter_pairs(
         .distinct()
     )
     pruned = sets.join(F.broadcast(ids), on=id_col, how="left_semi")
-    # Stage 1: hashed-fingerprint prescreen (see docstring). Persisted —
-    # it feeds both sides of the pair join.
-    hsets = tracked_persist(
-        pruned.select(
-            F.col(id_col),
-            F.array_sort(
-                F.array_distinct(F.transform("__sh", lambda s: F.xxhash64(s)))
-            ).alias("__hh"),
+    if prescreen:
+        # Stage 1: hashed-fingerprint prescreen (see docstring).
+        # Persisted — it feeds both sides of the pair join.
+        hsets = tracked_persist(
+            pruned.select(
+                F.col(id_col),
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform("__sh", lambda s: F.xxhash64(s))
+                    )
+                ).alias("__hh"),
+            )
         )
-    )
-    ha = hsets.select(F.col(id_col).alias("a"), F.col("__hh").alias("__ha"))
-    hb = hsets.select(F.col(id_col).alias("b"), F.col("__hh").alias("__hb"))
-    # J(A,B) >= t  <=>  I >= t/(1+t) * (|A|+|B|)  (|A|,|B| are the TRUE
-    # set sizes carried through cand); +1 = the one-collision credit.
-    # Same bound expression as the positional filter's alpha above —
-    # reuse it so the two stages can never drift apart.
-    required = alpha
-    survivors = (
-        cand.join(ha, "a").join(hb, "b")
-        .filter(
-            F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))) + 1
-            >= required
+        ha = hsets.select(
+            F.col(id_col).alias("a"), F.col("__hh").alias("__ha")
         )
-        .select("a", "b")
-    )
+        hb = hsets.select(
+            F.col(id_col).alias("b"), F.col("__hh").alias("__hb")
+        )
+        # J(A,B) >= t  <=>  I >= t/(1+t) * (|A|+|B|)  (|A|,|B| are the
+        # TRUE set sizes carried through cand); +1 = the one-collision
+        # credit. Same bound expression as the positional filter's alpha
+        # above — reuse it so the two stages can never drift apart.
+        required = alpha
+        survivors = (
+            cand.join(ha, "a").join(hb, "b")
+            .filter(
+                F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))) + 1
+                >= required
+            )
+            .select("a", "b")
+        )
+    else:
+        survivors = cand.select("a", "b")
     # Stage 2: exact string-set verification of the few survivors.
     sa = pruned.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sa"))
     sb = pruned.select(F.col(id_col).alias("b"), F.col("__sh").alias("__sb"))

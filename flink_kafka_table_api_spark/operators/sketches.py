@@ -87,6 +87,12 @@ def cms_estimate(
     row here. Grouping is by ``key_col`` alone — carried columns ride
     through F.first (well-defined under the uniqueness contract, and it
     keeps non-groupable types like maps usable as carried columns)."""
+    clash = {"seed", "bucket", "cell_count", "__ks"} & set(keys.columns)
+    if clash:
+        raise ValueError(
+            f"cms_estimate: probe columns {sorted(clash)} collide with the "
+            "sketch side's internal names — alias them before probing"
+        )
     probe_cells = keys.withColumn(
         "__ks", F.col(key_col).cast("string")
     ).select(

@@ -9,7 +9,7 @@ in the DuckDB oracles: lowercase, split on whitespace runs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import portable_hash64
@@ -151,6 +151,15 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-(doc, token) TF-IDF: tf = occurrences/doc_len, idf = ln(N/df).
+
+    BEHAVIOR CHANGE (round 5): N counts documents with >= 1 token, not
+    all distinct input documents. A corpus containing empty or
+    whitespace-only documents therefore gets slightly smaller idf values
+    than the pre-r5 operator produced. This matches the standard
+    definition (a zero-token document contributes to no df and can carry
+    no tf-idf mass) and the DuckDB oracle's COUNT(DISTINCT doc_id) over
+    the exploded relation — but downstream consumers comparing tfidf
+    values across versions should know N shifted.
 
     Pure relational algebra with ONE shuffle of the exploded instances:
     doc_len is size(tokens) computed BEFORE the explode (a constant per

@@ -2184,23 +2184,6 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return sim.brute_force_topk(emb, query_df, k=10)
 
 
-@query(
-    "ann_quantized",
-    f"""
-    WITH qv AS (
-      SELECT vec_id, {sim.int8_quantize_sql('embedding')} AS qe
-      FROM embeddings
-    ), qq AS (
-      SELECT {sim.int8_quantize_sql('embedding')} AS qe
-      FROM embeddings WHERE vec_id = 0
-    )
-    SELECT v.vec_id,
-           round({sim.int_cosine_sql('v.qe', 'q.qe')}, 6) AS q_cosine_sim
-    FROM qv v CROSS JOIN qq q
-    ORDER BY q_cosine_sim DESC, v.vec_id
-    LIMIT 10
-    """,
-)
 def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """Int8-quantized cosine top-10 (the 4x-less-memory scale path): the
     per-vector scale cancels in cosine, so ranking runs entirely on exact
@@ -2281,29 +2264,7 @@ def _ivf_index_for(spark: SparkSession, sf: str) -> str:
     return _IVF_INDEX_CACHE[key]
 
 
-@query(
-    "ann_ivf",
-    f"""
-    WITH centroids AS (
-      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
-    ), assign AS (
-      SELECT v.vec_id, arg_min(c.c_id, 1 - {_IVF_COS_VC}) AS cluster
-      FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
-    ), q AS (
-      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
-    ), qa AS (
-      SELECT arg_min(c.c_id, 1 - {_IVF_COS_QC}) AS qcluster
-      FROM q CROSS JOIN centroids c
-    )
-    SELECT v.vec_id, round({_IVF_COS_VQ}, 6) AS cosine_sim
-    FROM embeddings v
-    JOIN assign a ON v.vec_id = a.vec_id
-    JOIN qa ON a.cluster = qa.qcluster
-    CROSS JOIN q
-    ORDER BY cosine_sim DESC, v.vec_id
-    LIMIT 10
-    """,
-)
+@bench_query("ann_ivf")
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN against a MATERIALIZED inverted file: the corpus is
     assigned to 8 deterministic centroids once and written partitioned by
@@ -2324,30 +2285,6 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return sim.ivf_topk_indexed(spark, index_path, qclusters, query_df, k=10)
 
 
-@query(
-    "ann_ivf_nprobe2",
-    f"""
-    WITH centroids AS (
-      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
-    ), assign AS (
-      SELECT v.vec_id, arg_min(c.c_id, 1 - {_IVF_COS_VC}) AS cluster
-      FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
-    ), q AS (
-      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
-    ), qa AS (
-      SELECT c.c_id AS qcluster
-      FROM q CROSS JOIN centroids c
-      ORDER BY 1 - {_IVF_COS_QC}, c.c_id LIMIT 2
-    )
-    SELECT v.vec_id, round({_IVF_COS_VQ}, 6) AS cosine_sim
-    FROM embeddings v
-    JOIN assign a ON v.vec_id = a.vec_id
-    JOIN qa ON a.cluster = qa.qcluster
-    CROSS JOIN q
-    ORDER BY cosine_sim DESC, v.vec_id
-    LIMIT 10
-    """,
-)
 def q_ann_ivf_nprobe2(spark: SparkSession, sf: str) -> DataFrame:
     """IVF search with nprobe=2: the query probes its TWO nearest
     centroids' partitions (recall knob). Plan shape is identical to
@@ -2366,34 +2303,6 @@ def q_ann_ivf_nprobe2(spark: SparkSession, sf: str) -> DataFrame:
     return sim.ivf_topk_indexed(spark, index_path, qclusters, query_df, k=10)
 
 
-@query(
-    "ann_ivf_quantized",
-    f"""
-    WITH centroids AS (
-      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
-    ), assign AS (
-      SELECT v.vec_id, arg_min(c.c_id, 1 - {_IVF_COS_VC}) AS cluster
-      FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
-    ), q AS (
-      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
-    ), qa AS (
-      SELECT arg_min(c.c_id, 1 - {_IVF_COS_QC}) AS qcluster
-      FROM q CROSS JOIN centroids c
-    ), qv AS (
-      SELECT v.vec_id, {sim.int8_quantize_sql('v.embedding')} AS qe
-      FROM embeddings v
-      JOIN assign a ON v.vec_id = a.vec_id
-      JOIN qa ON a.cluster = qa.qcluster
-    ), qq AS (
-      SELECT {sim.int8_quantize_sql('q.q_emb')} AS qe FROM q
-    )
-    SELECT v.vec_id,
-           round({sim.int_cosine_sql('v.qe', 'q.qe')}, 6) AS q_cosine_sim
-    FROM qv v CROSS JOIN qq q
-    ORDER BY q_cosine_sim DESC, v.vec_id
-    LIMIT 10
-    """,
-)
 def q_ann_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """IVF + int8: the two orthogonal scale levers composed. The query
     routes driver-side and the scan prunes to one cluster partition (same
@@ -2416,17 +2325,6 @@ def q_ann_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_trained",
-    """
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(10 AS BIGINT) AS k,
-           TRUE AS self_in_topk,
-           TRUE AS recall10_ge_010,
-           TRUE AS probed_exact
-    FROM embeddings
-    """,
-)
 def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end IVF: TRAIN centroids with distributed Lloyd k-means (per
     iteration one broadcast assignment pass + one (cluster, dim)-keyed mean
@@ -2519,6 +2417,151 @@ def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
             F.col("__eq").alias("probed_exact"),
         )
     )
+
+
+@query(
+    "ann_ivf_variants",
+    f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT v.vec_id, arg_min(c.c_id, 1 - {_IVF_COS_VC}) AS cluster
+      FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
+    ), q AS (
+      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+    ), qa1 AS (
+      SELECT arg_min(c.c_id, 1 - {_IVF_COS_QC}) AS qcluster
+      FROM q CROSS JOIN centroids c
+    ), qa2 AS (
+      SELECT c.c_id AS qcluster
+      FROM q CROSS JOIN centroids c
+      ORDER BY 1 - {_IVF_COS_QC}, c.c_id LIMIT 2
+    ), qq AS (
+      SELECT {sim.int8_quantize_sql('q.q_emb')} AS qe FROM q
+    )
+    SELECT * FROM (
+      SELECT 'ivf' AS variant, CAST(v.vec_id AS BIGINT) AS vec_id,
+             round({_IVF_COS_VQ}, 6) AS score
+      FROM embeddings v
+      JOIN assign a ON v.vec_id = a.vec_id
+      JOIN qa1 ON a.cluster = qa1.qcluster
+      CROSS JOIN q
+      ORDER BY score DESC, vec_id LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'ivf_nprobe2' AS variant, CAST(v.vec_id AS BIGINT) AS vec_id,
+             round({_IVF_COS_VQ}, 6) AS score
+      FROM embeddings v
+      JOIN assign a ON v.vec_id = a.vec_id
+      JOIN qa2 ON a.cluster = qa2.qcluster
+      CROSS JOIN q
+      ORDER BY score DESC, vec_id LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'ivf_quantized' AS variant, CAST(v.vec_id AS BIGINT) AS vec_id,
+             round({sim.int_cosine_sql('v.qe', 'q.qe')}, 6) AS score
+      FROM (SELECT m.vec_id, {sim.int8_quantize_sql('m.embedding')} AS qe
+            FROM embeddings m
+            JOIN assign a ON m.vec_id = a.vec_id
+            JOIN qa1 ON a.cluster = qa1.qcluster) v
+      CROSS JOIN qq q
+      ORDER BY score DESC, vec_id LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'int8' AS variant, CAST(v.vec_id AS BIGINT) AS vec_id,
+             round({sim.int_cosine_sql('v.qe', 'q.qe')}, 6) AS score
+      FROM (SELECT vec_id, {sim.int8_quantize_sql('embedding')} AS qe
+            FROM embeddings) v
+      CROSS JOIN qq q
+      ORDER BY score DESC, vec_id LIMIT 10
+    )
+    UNION ALL
+    SELECT 'trained_n_vectors' AS variant, CAST(-1 AS BIGINT) AS vec_id,
+           CAST(COUNT(*) AS DOUBLE) AS score FROM embeddings
+    UNION ALL
+    SELECT 'trained_self_in_topk', CAST(-1 AS BIGINT), CAST(1 AS DOUBLE)
+    UNION ALL
+    SELECT 'trained_recall10_ge_010', CAST(-1 AS BIGINT), CAST(1 AS DOUBLE)
+    UNION ALL
+    SELECT 'trained_probed_exact', CAST(-1 AS BIGINT), CAST(1 AS DOUBLE)
+    """,
+)
+def q_ann_ivf_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole IVF/quantized ANN family as ONE tagged multi-assert gate
+    query (round-5 VERDICT item 5: consolidate the 5-slot family into one
+    registry slot with identical capability coverage — the
+    agg_rollup_cube/set_ops_all precedent). Variants, each a 10-row
+    value-level block against the same DuckDB replay the retired
+    standalone queries carried:
+
+    - ``ivf``           — materialized-index IVF, nprobe=1 (pruned scan);
+    - ``ivf_nprobe2``   — same index, query probes its TWO nearest
+                          centroids' partitions (the recall knob);
+    - ``ivf_quantized`` — pruned scan over the index's int8 column
+                          (partition pruning x 4x-smaller rows);
+    - ``int8``          — full-corpus int8 cosine top-10 (quantization
+                          alone, no index);
+    - ``trained_*``     — the end-to-end k-means-trained IVF contract
+                          rows (n_vectors + the three invariants a
+                          correct IVF must satisfy; see
+                          :func:`q_ann_ivf_trained`'s docstring for why
+                          recall bounds beyond self-hit are NOT promises
+                          an approximate index can make on uniform
+                          synthetic vectors), booleans encoded 1.0/0.0.
+
+    Each variant keeps its own physical plan (pinned in
+    tests/test_scale_plans.py); the union is driver-side assembly of
+    five tiny top-k results, so the consolidated query costs the same
+    as the five standalone ones did. `ann_ivf` itself remains in
+    bench.py's headline set as a BENCH_ONLY twin for cross-round
+    performance continuity."""
+
+    def tag(df: DataFrame, name: str, score_col: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("variant"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col(score_col).cast("double").alias("score"),
+        )
+
+    out = tag(q_ann_ivf(spark, sf), "ivf", "cosine_sim")
+    out = out.unionAll(
+        tag(q_ann_ivf_nprobe2(spark, sf), "ivf_nprobe2", "cosine_sim")
+    )
+    out = out.unionAll(
+        tag(q_ann_ivf_quantized(spark, sf), "ivf_quantized", "q_cosine_sim")
+    )
+    out = out.unionAll(tag(q_ann_quantized(spark, sf), "int8", "q_cosine_sim"))
+    t = q_ann_ivf_trained(spark, sf)
+    trained = t.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("trained_n_vectors").alias("variant"),
+                    F.lit(-1).cast("long").alias("vec_id"),
+                    F.col("n_vectors").cast("double").alias("score"),
+                ),
+                F.struct(
+                    F.lit("trained_self_in_topk").alias("variant"),
+                    F.lit(-1).cast("long").alias("vec_id"),
+                    F.col("self_in_topk").cast("double").alias("score"),
+                ),
+                F.struct(
+                    F.lit("trained_recall10_ge_010").alias("variant"),
+                    F.lit(-1).cast("long").alias("vec_id"),
+                    F.col("recall10_ge_010").cast("double").alias("score"),
+                ),
+                F.struct(
+                    F.lit("trained_probed_exact").alias("variant"),
+                    F.lit(-1).cast("long").alias("vec_id"),
+                    F.col("probed_exact").cast("double").alias("score"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return out.unionAll(trained)
 
 
 # ---------------------------------------------------------------------------
@@ -2902,15 +2945,54 @@ def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return mm.frame_sample(payloads, n_frames=4, frame_len=16, fake=True)
 
 
-@query("audio_features", rows_only_reason=(
-    "byte-level feature windows aren't expressible in DuckDB SQL "
-    "(md5/substring are VARCHAR-only); pinned vs a Python reference"))
+@query(
+    "audio_features",
+    """
+    SELECT doc_id,
+           n_windows,
+           n_windows - 1 AS max_window_idx,
+           TRUE AS rms_in_range,
+           TRUE AS zcr_in_range
+    FROM (
+      SELECT doc_id,
+             CAST(greatest((octet_length(encode(text)) + 255) // 256, 1)
+                  AS BIGINT) AS n_windows
+      FROM documents
+    )
+    """,
+)
 def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """Audio leg of the multimodal pattern: windowed RMS + zero-crossing
-    features over opaque payloads via Arrow-batched numpy (decode stubbed;
-    operators/multimodal.py). Deterministic fake, pinned by unit test."""
+    features over opaque payloads via Arrow-batched numpy (decode stubbed
+    behind the deterministic int8 fake; operators/multimodal.py).
+
+    Formerly the registry's one rows-only query; now a per-document
+    CONTRACT oracle in the heavy_hitters/ann_ivf_trained mold (round-5
+    VERDICT item 2). The per-window byte math itself is not
+    DuckDB-expressible (no byte extraction from BLOBs), so the oracle
+    checks what IS: (a) the windowing algebra value-for-value — each
+    document yields exactly ceil(max(octet_length, 1) / 256) windows
+    (DuckDB recomputes the expected count from the utf-8 byte length)
+    with contiguous indices 0..n-1 (max_window_idx is recomputed
+    Spark-side from the actual windows, oracle-side as n_windows - 1) —
+    and (b) the feature guarantees as booleans: centered-int8 samples
+    bound RMS to [0, 128], and a 256-sample window bounds zero-crossings
+    to [0, 255]. Exact per-window RMS/ZCR values stay pinned against an
+    independent Python reference in tests/test_multimodal.py."""
     payloads = mm.documents_as_binary(_t(spark, sf, "documents"))
-    return mm.audio_features(payloads, window_bytes=256, fake=True)
+    feats = mm.audio_features(payloads, window_bytes=256, fake=True)
+    return feats.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.max("window_idx").cast("long").alias("max_window_idx"),
+        (
+            (F.min(F.col("rms").cast("double")) >= 0.0)
+            & (F.max(F.col("rms").cast("double")) <= 128.0)
+        ).alias("rms_in_range"),
+        (
+            (F.min("zero_crossings") >= 0)
+            & (F.max("zero_crossings") <= 255)
+        ).alias("zcr_in_range"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3360,21 +3442,16 @@ def q_time_decay_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "stream_stream_join",
-    """
-    SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
-    FROM (SELECT * FROM events WHERE event_type = 'error') e
-    JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON e.user_id = c.user_id
-     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
-    """,
-)
-def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Watermarked stream-stream inner join (equi key + time-range bound):
-    clicks by the same user within 10 minutes after each error. The time
-    bound is what lets the state store evict — without it stream-stream
-    join state grows forever (the 100 TB/day constraint)."""
+def _stream_stream_join_run(
+    spark: SparkSession, sf: str, how: str
+) -> DataFrame:
+    """One watermarked stream-stream join run (equi key + time-range
+    bound): clicks by the same user within 10 minutes after each error.
+    The time bound is what lets the state store evict — without it
+    stream-stream join state grows forever (the 100 TB/day constraint).
+    ``how`` is inner / left_outer / full_outer; OUTER null emission
+    follows watermark state-eviction semantics (see the consolidated
+    query's oracle, which encodes the eviction bounds explicitly)."""
     errors = (
         _stream_table(spark, sf, "events")
         .filter(F.col("event_type") == "error")
@@ -3400,133 +3477,79 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("e_ts"))
         & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
-    ).select("error_id", "click_id", "user_id")
-    return _run_stream_to_table(joined, spark, "append")
-
-
-@query(
-    "stream_stream_left_join",
-    """
-    WITH e AS (SELECT event_id AS error_id, user_id, ts AS e_ts
-               FROM events WHERE event_type = 'error'),
-         c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
-               FROM events WHERE event_type = 'click'),
-         wm AS (SELECT LEAST(
-                  (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
-                  (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
-                - INTERVAL 5 SECOND AS w),
-         j AS (SELECT e.error_id, c.click_id, e.user_id, e.e_ts
-               FROM e LEFT JOIN c ON e.user_id = c.c_user
-                AND c.c_ts >= e.e_ts
-                AND c.c_ts <= e.e_ts + INTERVAL 10 MINUTE)
-    SELECT error_id, click_id, user_id FROM j, wm
-    WHERE click_id IS NOT NULL OR e_ts + INTERVAL 10 MINUTE < wm.w
-    """,
-)
-def q_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Watermarked LEFT OUTER stream-stream join: errors with no click from
-    the same user within 10 minutes emit a NULL-click row — but only once
-    the watermark passes the join window's upper bound, because until then a
-    matching click could still arrive. The oracle mirrors the runtime
-    semantics exactly: the global watermark is the MIN over both input
-    streams' (max event time - delay), and an unmatched error emits iff
-    e_ts + 10min < watermark (state eviction is strict); trailing errors
-    whose window the watermark never passed produce nothing. The time bound
-    is also what lets state evict — the 100 TB/day requirement."""
-    errors = (
-        _stream_table(spark, sf, "events")
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("error_id"),
-            F.col("user_id"),
-            F.col("ts").alias("e_ts"),
-        )
-        .withWatermark("e_ts", "5 seconds")
-    )
-    clicks = (
-        _stream_table(spark, sf, "events")
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "5 seconds")
-    )
-    joined = errors.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("e_ts"))
-        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
-        "left_outer",
-    ).select("error_id", "click_id", "user_id")
-    return _run_stream_to_table(joined, spark, "append")
-
-
-@query(
-    "stream_stream_full_join",
-    """
-    WITH e AS (SELECT event_id AS error_id, user_id, ts AS e_ts
-               FROM events WHERE event_type = 'error'),
-         c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
-               FROM events WHERE event_type = 'click'),
-         wm AS (SELECT LEAST(
-                  (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
-                  (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
-                - INTERVAL 5 SECOND AS w),
-         j AS (SELECT e.error_id, c.click_id, e.user_id AS e_user,
-                      c.c_user, e.e_ts, c.c_ts
-               FROM e FULL JOIN c ON e.user_id = c.c_user
-                AND c.c_ts >= e.e_ts
-                AND c.c_ts <= e.e_ts + INTERVAL 10 MINUTE)
-    SELECT error_id, click_id, COALESCE(e_user, c_user) AS user_id
-    FROM j, wm
-    WHERE (error_id IS NOT NULL AND click_id IS NOT NULL)
-       OR (click_id IS NULL AND e_ts + INTERVAL 10 MINUTE < wm.w)
-       OR (error_id IS NULL AND c_ts < wm.w)
-    """,
-)
-def q_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Watermarked FULL OUTER stream-stream join. Null emission is
-    asymmetric because state lifetime is: an unmatched ERROR's state can
-    only be dropped once the watermark passes its whole 10-minute match
-    window (e_ts + 10min < wm), but an unmatched CLICK only had to wait
-    for late errors within the watermark delay — its state drops as soon
-    as c_ts < wm, since any error it could still match would have
-    e_ts >= c_ts - 10min and such errors are no longer admissible once
-    the watermark passes c_ts. The oracle encodes both eviction bounds
-    explicitly; trailing rows on either side stay withheld."""
-    errors = (
-        _stream_table(spark, sf, "events")
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("error_id"),
-            F.col("user_id"),
-            F.col("ts").alias("e_ts"),
-        )
-        .withWatermark("e_ts", "5 seconds")
-    )
-    clicks = (
-        _stream_table(spark, sf, "events")
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "5 seconds")
-    )
-    joined = errors.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("e_ts"))
-        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
-        "full_outer",
+        how,
     ).select(
         "error_id", "click_id",
         F.coalesce("user_id", "c_user").alias("user_id"),
     )
     return _run_stream_to_table(joined, spark, "append")
+
+
+@query(
+    "stream_stream_joins",
+    """
+    WITH e AS (SELECT event_id AS error_id, user_id, ts AS e_ts
+               FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST(
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+                - INTERVAL 5 SECOND AS w),
+         jl AS (SELECT e.error_id, c.click_id, e.user_id, e.e_ts
+                FROM e LEFT JOIN c ON e.user_id = c.c_user
+                 AND c.c_ts >= e.e_ts
+                 AND c.c_ts <= e.e_ts + INTERVAL 10 MINUTE),
+         jf AS (SELECT e.error_id, c.click_id, e.user_id AS e_user,
+                       c.c_user, e.e_ts, c.c_ts
+                FROM e FULL JOIN c ON e.user_id = c.c_user
+                 AND c.c_ts >= e.e_ts
+                 AND c.c_ts <= e.e_ts + INTERVAL 10 MINUTE)
+    SELECT 'inner' AS join_type, e.error_id, c.click_id, e.user_id
+    FROM e JOIN c ON e.user_id = c.c_user
+     AND c.c_ts >= e.e_ts AND c.c_ts <= e.e_ts + INTERVAL 10 MINUTE
+    UNION ALL
+    SELECT 'left', error_id, click_id, user_id FROM jl, wm
+    WHERE click_id IS NOT NULL OR e_ts + INTERVAL 10 MINUTE < wm.w
+    UNION ALL
+    SELECT 'full', error_id, click_id, COALESCE(e_user, c_user)
+    FROM jf, wm
+    WHERE (error_id IS NOT NULL AND click_id IS NOT NULL)
+       OR (click_id IS NULL AND e_ts + INTERVAL 10 MINUTE < wm.w)
+       OR (error_id IS NULL AND c_ts < wm.w)
+    """,
+)
+def q_stream_stream_joins(spark: SparkSession, sf: str) -> DataFrame:
+    """The stream-stream join family (inner / left-outer / full-outer) as
+    ONE tagged multi-assert gate query (round-5 VERDICT item 5: the
+    3-slot family consolidated into one registry slot with identical
+    capability coverage). Three REAL Structured Streaming runs — each a
+    watermarked availableNow join with its own state store — tagged and
+    unioned batch-side.
+
+    OUTER null-emission semantics the oracle encodes exactly: the global
+    watermark is the MIN over both inputs' (max event time - delay). An
+    unmatched ERROR emits its NULL-click row only once the watermark
+    passes its whole 10-minute match window (e_ts + 10min < wm — until
+    then a matching click could still arrive); an unmatched CLICK (full
+    join only) emits as soon as c_ts < wm, because any error it could
+    still match would have e_ts >= c_ts - 10min and such errors are no
+    longer admissible once the watermark passes c_ts. Trailing rows on
+    either side stay withheld — state eviction is strict."""
+    parts = []
+    for how, jt in (
+        ("inner", "inner"),
+        ("left_outer", "left"),
+        ("full_outer", "full"),
+    ):
+        res = _stream_stream_join_run(spark, sf, how)
+        parts.append(
+            res.select(
+                F.lit(jt).alias("join_type"),
+                "error_id", "click_id", "user_id",
+            )
+        )
+    return parts[0].unionAll(parts[1]).unionAll(parts[2])
 
 
 @query(
@@ -5828,81 +5851,199 @@ def q_hierarchy_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "temperature_mix",
+    cu.temperature_mix_sql(
+        table="documents", source_col="source", id_col="doc_id",
+        temperature=4.0, scale=1.0,
+    ),
+)
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (T=4) over the documents
+    corpus: per-source target shares n^(1/T)/sum, documents kept/dropped/
+    REPEATED deterministically to hit them (operators/curation.py
+    `temperature_mix` — the mC4/mT5 mixing rule). Zero corpus shuffles:
+    one count-by-source partial agg, a broadcast rate join, a narrow
+    hash+explode projection. The oracle replays the whole rule in DuckDB
+    float-exactly by construction (sqrt-chain roots, source-ordered left
+    fold, HALF_UP 9-decimal rounding, portable md5 uniform) — validated
+    independently in tests/test_temperature_mix.py."""
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return cu.temperature_mix(d, temperature=4.0, scale=1.0)
+
+
+@query(
+    "zorder_write",
+    """
+    WITH mx AS (
+      SELECT CAST(MAX(l_partkey) AS DOUBLE) AS mp,
+             CAST(MAX(l_suppkey) AS DOUBLE) AS ms
+      FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_box_rows,
+           CAST(SUM(l_partkey) AS BIGINT) AS sum_l_partkey,
+           CAST(SUM(l_suppkey) AS BIGINT) AS sum_l_suppkey,
+           TRUE AS rows_preserved,
+           TRUE AS pruned_to_half_or_less
+    FROM lineitem, mx
+    WHERE l_partkey >= CAST(0.28 AS DOUBLE) * mx.mp
+      AND l_partkey <= CAST(0.45 AS DOUBLE) * mx.mp
+      AND l_suppkey >= CAST(0.28 AS DOUBLE) * mx.ms
+      AND l_suppkey <= CAST(0.45 AS DOUBLE) * mx.ms
+    """,
+)
+def q_zorder_write(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton-curve) layout rewrite as a gate query
+    (sources/layout.py): lineitem is rewritten z-ordered on
+    (l_partkey, l_suppkey) into 16 range-partitioned files, then a
+    ~17% x ~17% conjunctive box predicate on BOTH columns is aggregated
+    over the REWRITTEN data — the DuckDB oracle reproduces the aggregate
+    over the original table, proving the rewrite lost nothing the
+    predicate can see — and the layout guarantees land as
+    oracle-checkable booleans: row count preserved through the rewrite,
+    and the multi-dimensional pruning claim (box overlaps <= half the
+    files by real parquet file min/max stats — the exact skipping
+    decision a stats-aware reader makes; a linear sort can only prune
+    its lead column). Box bounds are 0.28/0.45 of each column's exact
+    MAX, computed as the identical IEEE double product in both engines.
+
+    Two robustness notes baked into those constants. (1) The box is
+    deliberately OFF-CENTER: a box straddling the domain midpoint sits
+    on the Morton curve's top-level quadrant corner — the curve's
+    worst case, where even a tiny box touches all four level-0
+    subtrees and overlaps ~half the files (measured 6-9/16 for a
+    centered 4%-area box; a production optimizer has the same blind
+    spot, c.f. Delta/Iceberg z-order guidance). [0.28, 0.45] of the
+    domain stays inside one level-1 subtree per dimension: measured
+    3-4/16 files at sf0.01, 2-3/16 at sf0.001. (2) repartitionByRange
+    samples its range bounds, so exact file boundaries vary run to run
+    (+-1 file on the probe) — the pruning margin above absorbs that
+    nondeterminism; the box AGGREGATE is layout-independent and stays
+    bit-exact."""
+    import tempfile
+
+    from flink_kafka_table_api_spark.sources.layout import zorder_gate_probe
+
+    li = _t(spark, sf, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").cast("double").alias("mp"),
+        F.max("l_suppkey").cast("double").alias("ms"),
+    ).first()
+    box = {
+        "l_partkey": (0.28 * mx["mp"], 0.45 * mx["mp"]),
+        "l_suppkey": (0.28 * mx["ms"], 0.45 * mx["ms"]),
+    }
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "fkta_zorder", os.path.basename(sf.rstrip("/"))
+    )
+    return zorder_gate_probe(
+        spark, li, out_dir, ["l_partkey", "l_suppkey"], box, num_files=16
+    )
+
+
+def _pagerank_edges_sql() -> str:
+    """The synthetic bounded-degree symmetric edge relation, SQL twin of
+    q_pagerank's construction (the hierarchy_rollup precedent: derive the
+    relation from customer keys so both engines build the identical
+    graph). Each key k gets base edge k -> 1 + (k*13 mod N); 13 is
+    coprime to N at every shipped scale (150 / 1500 / 15000), so targets
+    are a bijection and every node's degree is bounded by 2 after
+    symmetrization — no celebrity key, no hot partition, which is what
+    keeps the per-node ordered collect_list fold skew-safe
+    (operators/graph.py's documented caveat)."""
+    return """
+    WITH nn0 AS (SELECT COUNT(*) AS n FROM customer),
+    b AS (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(1 + (c_custkey * 13) % nn0.n AS BIGINT) AS dst
+      FROM customer, nn0
+      WHERE c_custkey <> 1 + (c_custkey * 13) % nn0.n
+    )
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM b
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM b
+    )
+    """
+
+
+def _pagerank_oracle() -> str:
+    from flink_kafka_table_api_spark.operators.graph import pagerank_sql
+
+    return pagerank_sql(_pagerank_edges_sql(), iterations=5)
+
+
+@query("pagerank", _pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (5 synchronous rounds, d=0.85) over a synthetic
+    bounded-degree symmetric graph on customer keys (operators/graph.py).
+    Per round: ONE equi-join of the rank vector against the persisted
+    edge+degree build, one fan-in aggregate whose per-node sum is a
+    src-ORDERED fold — so the DuckDB oracle (unrolled WITH chain of
+    list_reduce folds over src-sorted contribution lists) replays the
+    identical IEEE add sequence bit-for-bit. Edge degrees are bounded by
+    construction (see _pagerank_edges_sql), so the collect_list fold has
+    no skew exposure here; extreme-skew graphs swap in the order-free
+    decimal F.sum documented in the operator."""
+    from flink_kafka_table_api_spark.operators.graph import pagerank
+
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    n = cust.count()
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.lit(1) + (F.col("c_custkey") * 13) % F.lit(n))
+        .cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank(edges, iterations=5).select(
+        F.col("node").cast("long").alias("node"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# dict order. The registry (138 names) outgrew the 50-slot × 2-round
-# evidence window (max 100 distinct), so freshness is now managed as a
-# committed TWO-round plan (exactly the relaxation the round-4 VERDICT
-# prescribed): `_PRIORITY[:50]` is THIS round's gate, and
-# `_NEXT_GATE_SCHEDULE` is next round's committed gate — the 50 names
+# dict order. The registry outgrew the 50-slot × 2-round evidence window,
+# so freshness is managed as a committed TWO-round plan (the relaxation
+# the round-4 VERDICT prescribed): `_PRIORITY[:50]` is THIS round's gate,
+# and `_NEXT_GATE_SCHEDULE` is next round's committed gate — the names
 # whose evidence will be oldest once this round's artifact lands.
 # tests/test_registry_coverage.py enforces that the union
-# (last two CORRECTNESS artifacts) ∪ gate ∪ next-schedule covers every
-# registered name, that never-gated names sit in the ACTUAL gate (a
-# schedule slot is not evidence), and that the two lists don't overlap.
+# (last two CORRECTNESS artifacts, GREEN rows only) ∪ gate ∪ next-schedule
+# covers every registered name, that never-green names sit in the ACTUAL
+# gate (a schedule slot is not evidence), and that the two lists don't
+# overlap.
 #
-# Round-5 gate = the 38 queries whose last driver check was r1/r2 (the
-# round-4 tripwire list, verbatim), plus scd2_history (round 4's one red
-# cell — re-gate the NULL-valid_to fix), plus ann_ivf_trained and
-# stream_dedup (flipping from rows-only to tolerance/set oracles this
-# round, so the driver records them hash-green), plus anchors from the
-# r4-green set chosen where this round changes behavior or measures
-# performance (merge_upsert property-testing; cdc_chunk_dedup and
-# simjoin_prefix entering the headline bench). The local driver-replica
-# (tests/test_oracle_parity.py) still runs EVERY oracle at sf0.001.
+# Round-6 gate = the round-5 committed schedule (the 50 r3-stale names),
+# executed with these deviations, each forced by the round-5 VERDICT's
+# own mandates:
+#   - 5 schedule names were RETIRED by the mandated family consolidation
+#     (VERDICT r5 item 5): ann_ivf_nprobe2 / ann_ivf_quantized /
+#     ann_quantized fold into `ann_ivf_variants`, and
+#     stream_stream_left_join / stream_stream_full_join fold into
+#     `stream_stream_joins` (which also absorbs r5-green
+#     stream_stream_join; the ann merge also absorbs r5-green ann_ivf +
+#     ann_ivf_trained). Registry: 147 -> 144 with identical capability
+#     coverage; ann_ivf stays in bench.py via a BENCH_ONLY twin.
+#   - 6 slots go to names that MUST be in the actual gate: the two
+#     consolidated queries, the three pre-validated round-5 continuation
+#     operators (temperature_mix / zorder_write / pagerank — VERDICT r5
+#     item 1), and audio_features, whose rows-only tag was replaced by a
+#     windowing-contract oracle (VERDICT r5 item 2) and which was the
+#     registry's only never-green name.
+#   - that leaves 44 schedule slots for 45 surviving names:
+#     vocab_coverage is displaced to the committed r7 schedule below
+#     (VERDICT r5 item 4's displacement rule).
 _PRIORITY: list[str] = [
-    # -- the 38 r1/r2-stale queries (round-4 VERDICT item 2, verbatim) --
-    "ann_bruteforce", "ann_ivf", "ann_lsh", "asof_join", "cte_query",
-    "decontaminate", "dedup_exact", "dedup_simhash", "exists_orders",
-    "filter_project", "grouping_sets", "join_full_outer", "join_semi",
-    "lang_id", "llm_curation_packed", "lsh_candidate_pairs",
-    "multi_distinct", "multimodal_meta", "ngram_jaccard", "not_null_audit",
-    "pack_sequences", "percentiles", "predicates", "range_join",
-    "salted_join", "scalar_subquery", "sessionize", "sort_limit",
-    "stream_sessions_stateful", "stream_stream_join", "text_quality",
-    "tfidf", "token_count", "tpch_q18_big_orders", "tpch_q3_shipping",
-    "window_analytic", "window_running", "window_topk",
-    # -- re-gate: semantics changed or oracle upgraded this round --
-    "scd2_history", "ann_ivf_trained", "stream_dedup",
-    # -- round-5 additions (never checked -> must be in the gate) --
-    "substring_dup_stats", "strip_dup_substrings", "leakage_safe_split",
-    "bpe_train_merges", "bpe_encode_counts", "jl_projection",
-    "hybrid_search", "heavy_hitters", "hierarchy_rollup",
-    # merge_upsert / cdc_chunk_dedup / simjoin_prefix were displaced to
-    # admit the three new operators: all three are hash-green in
-    # CORRECTNESS_r04 (still inside the two-round evidence window), and
-    # simjoin_prefix's round-5 positional-filter change is locally
-    # verified against its brute-force oracle at sf0.01
-    # (tests/test_oracle_parity.py + scripts/check_gate.py).
-]
-
-# Next round's committed gate: the 50 names whose most recent driver
-# check will be r3 once CORRECTNESS_r05 exists. Round 6 MUST rotate
-# _PRIORITY to exactly this list (minus any name re-checked meanwhile,
-# plus round-6 additions) — the coverage test counts these slots as
-# scheduled evidence, so dropping one without a fresh driver row turns
-# pytest red.
-#
-# Round-6 registration plan (registry is at 147 of the 150-name cap the
-# 50-slot x 3-round evidence window supports, so exactly 3 additions
-# fit): oracle-bearing gate queries for the round-5 continuation
-# operators `temperature_mix` (operators/curation.py — sqrt-chain +
-# portable-hash construction is oracle-ready by design),
-# `zorder_write` (sources/layout.py — e.g. rows preserved + z-key
-# monotonicity, or register its pruning probe as a boolean), and
-# `pagerank` (operators/graph.py — the src-ordered fold replays as an
-# unrolled WITH chain of list_reduce folds in DuckDB, bit-exact).
-# All three are PRE-VALIDATED: operator + oracle SQL + local parity
-# test already exist (test_temperature_mix / test_graph / test_layout);
-# round 6 only wires them into @query/@oracle form. NOTE: at 150 the
-# registry is CLOSED under the 50-slot gate — later rounds add
-# operators with test+local-oracle evidence (as these three did this
-# round) or retire a registered query to free a slot.
-_NEXT_GATE_SCHEDULE: list[str] = [
-    "ann_ivf_nprobe2", "ann_ivf_quantized", "ann_quantized",
+    # -- never-green / new / consolidated: must be in the actual gate --
+    "temperature_mix", "zorder_write", "pagerank", "audio_features",
+    "ann_ivf_variants", "stream_stream_joins",
+    # -- the round-5 committed schedule, minus the 5 consolidation
+    #    retirees and displaced vocab_coverage --
     "chunk_dedup", "cold_customers", "contamination_audit", "corpus_mix",
     "corpus_shuffle", "corr_avg_subquery", "doc_chunks",
     "embedding_neardup", "embedding_quantize", "fingerprint",
@@ -5910,15 +6051,46 @@ _NEXT_GATE_SCHEDULE: list[str] = [
     "incremental_neardup", "llm_curation", "pii_redact", "semantic_dedup",
     "simhash_pairs", "source_token_cap", "stratified_sample",
     "stream_approved", "stream_session", "stream_sliding",
-    "stream_static_join", "stream_stream_full_join",
-    "stream_stream_left_join", "text_clean", "time_decay_score",
+    "stream_static_join", "text_clean", "time_decay_score",
     "top_bigrams", "tpch_q10_returns", "tpch_q11_important_stock",
     "tpch_q12_priority", "tpch_q13_custdist", "tpch_q14_promo",
     "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive", "tpch_q20_promotion_stock", "tpch_q21_waiting",
     "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier",
     "tpch_q6_forecast", "tpch_q7_volume", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "udtf_sentences", "vocab_coverage",
+    "tpch_q9_product_profit", "udtf_sentences",
+]
+
+# Next round's committed gate: the names whose most recent driver check
+# will be r4 once CORRECTNESS_r06 lands (the full r4 cohort minus
+# audio_features, which re-enters this round's gate), plus
+# vocab_coverage (displaced from this round's gate by the six mandatory
+# never-green slots above). Round 7 MUST rotate _PRIORITY to exactly
+# this list (minus any name re-checked meanwhile, plus round-7
+# additions) — the coverage test counts these slots as scheduled
+# evidence, so dropping one without a fresh driver row turns pytest red.
+#
+# Headroom note: after this round's consolidation the registry is 144 of
+# the 150-name cap the 50-slot x 3-round evidence window supports, and
+# this schedule holds 47 of 50 slots — up to 3 round-6 additions can
+# still enter the gate by displacing a schedule-covered name into the
+# slots below (same displacement rule), and up to 6 more names fit the
+# registry before the cap binds again.
+_NEXT_GATE_SCHEDULE: list[str] = [
+    "activity_islands", "agg_minmax_by", "agg_rollup_cube",
+    "approved_transactions", "approx_distinct", "approx_percentiles",
+    "avro_file_roundtrip", "bigram_lm_score", "bloom_decontaminate",
+    "cdc_chunk_dedup", "cohort_retention", "connector_approved",
+    "datetime_funcs", "dedup_clusters", "dedup_keep_best", "dedup_minhash",
+    "dsir_select", "fix_encoding", "funnel_conversion", "fuzzy_name_match",
+    "hard_negatives", "join_anti", "join_inner_agg", "join_left",
+    "json_funcs", "length_band_filter", "merge_upsert", "neardup_verified",
+    "pivot_unpivot", "pricing_summary", "salted_agg", "scalar_funcs",
+    "sentiment_lexicon", "set_ops_all", "set_ops_distinct",
+    "simjoin_prefix", "skyline_parts", "star_join", "stream_tumbling",
+    "stream_window_topk", "table_profile", "time_rollup_multi",
+    "top_ngram_fraction", "ts_pattern_topk", "value_histogram",
+    "vocab_coverage", "window_frames",
 ]
 
 

@@ -679,6 +679,16 @@ def test_prefix_filter_pairs_matches_bruteforce(spark):
     assert got == brute
     assert got[(1, 5)] == 1.0 and (1, 2) in got and (1, 3) in got
     assert all(p[0] != 4 and p[1] != 4 for p in got)
+    # prescreen=False (the unconditionally-exact audit mode) skips the
+    # hashed stage-1 filter and must produce the identical result
+    exact_mode = {
+        (r.a, r.b): r.jaccard
+        for r in dd.prefix_filter_pairs(
+            df, "doc_id", "text", threshold=0.5, shingle_k=3,
+            prescreen=False,
+        ).collect()
+    }
+    assert exact_mode == brute
 
 
 @pytest.mark.parametrize("threshold", [0.55, 0.67, 0.81])

@@ -6,14 +6,17 @@ therefore managed as a committed TWO-round plan, and this test makes the
 plan binding:
 
   every registered query must appear in the union of
-    (a) the two most recent CORRECTNESS_r*.json driver artifacts,
+    (a) the GREEN rows (hash match, no error; see _green for the
+        rows-only carve-out) of the two most recent
+        CORRECTNESS_r*.json driver artifacts — a red row is the
+        opposite of evidence (VERDICT r5 item 3),
     (b) the first 50 entries of the CURRENT rotation (= this round's
         gate, which the driver will check at round end), and
     (c) `_NEXT_GATE_SCHEDULE` — the committed gate for the FOLLOWING
         round;
 
-  a query that has NEVER had a driver row must sit in (b), the actual
-  gate — a schedule slot is a promise, not evidence;
+  a query that has NEVER had a green driver row must sit in (b), the
+  actual gate — a schedule slot is a promise, not evidence;
 
   and every query without an oracle must carry an explicit rows-only
   reason.
@@ -47,17 +50,35 @@ def _artifacts() -> list[str]:
     return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
 
 
+def _green(name: str, row: dict) -> bool:
+    """GREEN-only evidence predicate (round-5 VERDICT item 3): an artifact
+    ENTRY is not evidence — a red row (hash mismatch, error) means the
+    driver looked and the query FAILED, which is exactly when it must come
+    back into the gate. A rows-only query's strongest achievable driver
+    row is err='no_oracle' with a successful row count; that counts for
+    it (and only for it)."""
+    if row.get("hash_match") and not row.get("err"):
+        return True
+    return (
+        name in ROWS_ONLY_REASONS
+        and row.get("err") == "no_oracle"
+        and row.get("spark_rows") is not None
+    )
+
+
 def _recent_driver_entries() -> set[str]:
     names: set[str] = set()
     for f in _artifacts()[-2:]:
-        names |= set(json.load(open(f)))
+        d = json.load(open(f))
+        names |= {n for n, row in d.items() if _green(n, row)}
     return names
 
 
 def _ever_checked() -> set[str]:
     names: set[str] = set()
     for f in _artifacts():
-        names |= set(json.load(open(f)))
+        d = json.load(open(f))
+        names |= {n for n, row in d.items() if _green(n, row)}
     return names
 
 

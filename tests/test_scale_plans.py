@@ -275,7 +275,9 @@ def test_ann_ivf_scan_is_partition_pruned(spark):
     """The registered IVF query must read ONLY the routed cluster's
     partition of the materialized index — a PartitionFilters entry on the
     index scan, never a full-corpus assignment pass (the round-1 shape)."""
-    df = QUERIES["ann_ivf"](spark, SF)
+    from flink_kafka_table_api_spark.queries import q_ann_ivf
+
+    df = q_ann_ivf(spark, SF)
     plan = _plan(df)
     assert ".cache/ivf/" in plan  # scans the materialized index...
     part = plan.split("PartitionFilters: [")[1].split("]")[0]
@@ -333,7 +335,9 @@ def test_stream_left_join_withholds_open_tail(spark):
 
     from flink_kafka_table_api_spark.catalog import read_table
 
-    out = QUERIES["stream_stream_left_join"](spark, SF).collect()
+    from flink_kafka_table_api_spark.queries import _stream_stream_join_run
+
+    out = _stream_stream_join_run(spark, SF, "left_outer").collect()
     ev = read_table(spark, SF, "events")
     mx = (
         ev.filter(F.col("event_type").isin("error", "click"))
@@ -368,7 +372,9 @@ def test_stream_full_join_withholds_both_open_tails(spark):
 
     from flink_kafka_table_api_spark.catalog import read_table
 
-    out = QUERIES["stream_stream_full_join"](spark, SF).collect()
+    from flink_kafka_table_api_spark.queries import _stream_stream_join_run
+
+    out = _stream_stream_join_run(spark, SF, "full_outer").collect()
     ev = read_table(spark, SF, "events")
     mx = (
         ev.filter(F.col("event_type").isin("error", "click"))
@@ -396,7 +402,9 @@ def test_ann_ivf_quantized_scan_reads_int8_not_floats(spark):
     of the index AND read only (vec_id, qe) — the float embedding column
     must not appear in the index scan's ReadSchema (that's the 4x I/O
     saving being real, not aspirational)."""
-    df = QUERIES["ann_ivf_quantized"](spark, SF)
+    from flink_kafka_table_api_spark.queries import q_ann_ivf_quantized
+
+    df = q_ann_ivf_quantized(spark, SF)
     plan = _plan(df)
     assert ".cache/ivf/" in plan
     part = plan.split("PartitionFilters: [")[1].split("]")[0]
