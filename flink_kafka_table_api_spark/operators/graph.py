@@ -103,6 +103,114 @@ def pagerank(
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over a SYMMETRIC edge relation — the
+    clustering/cohesion primitive (friend-of-friend closure, community
+    cores, spam-graph anomaly detection) the engine's other graph ops
+    (pagerank fan-in, hierarchy pointer-jumping, CC label propagation)
+    don't cover. Returns (node, n_triangles) for every node in at least
+    one triangle; integer-exact, so the DuckDB oracle matches
+    bit-for-bit with no float recipe needed.
+
+    Algorithm: degree-ordered edge orientation (Schank & Wagner 2005;
+    the Suri-Vassilvitskii MapReduce formulation) — orient every
+    undirected edge from its lower to its higher endpoint under the
+    total order (degree, node), enumerate wedges (b, c) from each
+    node's ORIENTED out-neighborhood, and close them with a semi-join
+    against the oriented edge set. Each triangle is enumerated exactly
+    once, at its lowest-ordered vertex.
+
+    Why it scales: the naive wedge join fans out sum(deg^2) — a
+    celebrity node with 10M neighbors contributes 10^14 wedges. After
+    degree orientation every node's OUT-degree is O(sqrt(2m)) (a node
+    keeps only edges toward higher-degree peers, and only sqrt(2m)
+    nodes can have degree above sqrt(2m)), so the wedge fan-out is
+    bounded by m^1.5 total and the hot key disappears — the same
+    orientation trick production graph engines apply before triangle
+    listing. Plan: two keyed aggregates (degree, counts), one
+    self-join on the wedge apex, one semi-join; the oriented edge set
+    is persisted once and feeds all three."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    # the edge relation feeds the degree aggregate AND both sides of the
+    # orientation join — persist it, or every downstream branch replays
+    # the caller's (possibly expensive) edge derivation
+    e = tracked_persist(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    # symmetric relation => degree = out-edge count per node
+    deg = e.groupBy("u").agg(F.count("*").alias("__d"))
+    # (degree, node) packed into one long key; node ids must fit 32 bits
+    key = (F.col("__d") * F.lit(1 << 32) + F.col("u")).alias("__k")
+    ku = deg.select("u", key)
+    kv = ku.select(F.col("u").alias("v"), F.col("__k").alias("__kv"))
+    oriented = tracked_persist(
+        e.join(ku, "u")
+        .join(kv, "v")
+        .filter(F.col("__k") < F.col("__kv"))
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            F.col("__kv").alias("__kb"),
+        )
+    )
+    lo = oriented.select("a", "b", "__kb")
+    hi = oriented.select(
+        F.col("a"), F.col("b").alias("c"), F.col("__kb").alias("__kc")
+    )
+    wedges = lo.join(hi, "a").filter(F.col("__kb") < F.col("__kc"))
+    closing = oriented.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"], "left_semi").select("a", "b", "c")
+    # one explode pass, NOT a 3-way union of projections — a union would
+    # execute the wedge+closure joins three times (once per branch)
+    members = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return members.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def triangle_count_sql(edges_sql: str) -> str:
+    """DuckDB replay of :func:`triangle_count` — same orientation, same
+    wedge closure, pure integer arithmetic, bit-exact by construction.
+    ``edges_sql`` must produce the same symmetric (src, dst) relation."""
+    return f"""
+    WITH e0 AS ({edges_sql}),
+    dg AS (SELECT src AS u, COUNT(*) AS d FROM e0 GROUP BY src),
+    kk AS (SELECT u, d * 4294967296 + u AS ku FROM dg),
+    o AS (
+      SELECT e0.src AS a, e0.dst AS b, kb.ku AS kb
+      FROM e0
+      JOIN kk ka ON e0.src = ka.u
+      JOIN kk kb ON e0.dst = kb.u
+      WHERE ka.ku < kb.ku
+    ),
+    w AS (
+      SELECT o1.a, o1.b, o2.b AS c
+      FROM o o1 JOIN o o2 ON o1.a = o2.a AND o1.kb < o2.kb
+    ),
+    t AS (
+      SELECT w.a, w.b, w.c FROM w
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.b AND o.b = w.c)
+    ),
+    m AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM m GROUP BY node
+    """
+
+
 def pagerank_sql(
     edges_sql: str,
     *,

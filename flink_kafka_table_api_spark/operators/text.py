@@ -800,3 +800,230 @@ def bpe_piece_counts(
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("n_occurrences"))
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information (the
+    Church & Hanks 1990 word-association ratio): for each adjacent token
+    pair, pmi = ln(n_ab * N / (n_a * n_b)) with N the corpus token count
+    — high-PMI pairs are the multi-word units ("new york", "machine
+    learning") a tokenizer-merge or phrase-vocabulary pass wants ahead
+    of raw bigram frequency, which top_bigrams already covers.
+
+    Returns (bigram, n_ab, pmi) for every pair with n_ab >= min_count.
+    Membership is decided by the INTEGER count threshold (no top-k cut
+    on the float score), so result membership is exact; pmi is rounded
+    to 6 decimals (tf_idf's F.log/ln precedent). Counts stay < 2^53 at
+    any realistic corpus so the double products are exact; the docs-
+    with-<2-tokens edge contributes unigrams to N but no pairs, same in
+    both engines.
+
+    Scale shape: one explode -> bigram aggregate (shuffle carries
+    (bigram, partial count)), one explode -> unigram aggregate, N as a
+    1-row broadcast crossJoin (the hybrid_search corpus-stats pattern),
+    then two joins keyed on the unigram token — the post-threshold
+    bigram table is vocabulary-sized, and each join ships (token, count)
+    aggregates, never corpus rows."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    toks = ensure_parallelism(df).select(tokens(text_col).alias("__t"))
+    # the unigram table feeds both join sides AND the corpus-N aggregate
+    # — persist it, or the corpus is re-tokenized three times
+    uni = tracked_persist(
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("__nw"))
+    )
+    n_total = uni.agg(F.sum("__nw").cast("double").alias("__n"))
+    pairs = (
+        toks.filter(F.size("__t") >= 2)
+        .select(F.explode(kgram_strings(F.col("__t"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    w1 = uni.select(F.col("w").alias("__w1"), F.col("__nw").alias("__na"))
+    w2 = uni.select(F.col("w").alias("__w2"), F.col("__nw").alias("__nb"))
+    return (
+        pairs.withColumn("__w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("__w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(w1, "__w1")
+        .join(w2, "__w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "bigram",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("__n"))
+                    / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def pmi_collocations_sql(min_count: int = 5) -> str:
+    """DuckDB replay of :func:`pmi_collocations` over the documents
+    table — identical tokenization, identical IEEE product/division
+    order, ln + round(6)."""
+    toks = tokens_sql("text")
+    return f"""
+    WITH tk AS (SELECT {toks} AS t FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS na
+      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w
+    ),
+    nt AS (SELECT CAST(SUM(na) AS DOUBLE) AS n FROM uni),
+    pairs AS (
+      SELECT bigram, COUNT(*) AS n_ab
+      FROM (
+        SELECT unnest(
+          list_transform(generate_series(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i + 1])
+        ) AS bigram
+        FROM tk WHERE len(t) >= 2
+      )
+      GROUP BY bigram HAVING COUNT(*) >= {min_count}
+    )
+    SELECT p.bigram,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           round(ln((CAST(p.n_ab AS DOUBLE) * nt.n)
+                    / (CAST(u1.na AS DOUBLE) * CAST(u2.na AS DOUBLE))),
+                 6) AS pmi
+    FROM pairs p
+    JOIN uni u1 ON split_part(p.bigram, ' ', 1) = u1.w
+    JOIN uni u2 ON split_part(p.bigram, ' ', 2) = u2.w
+    CROSS JOIN nt
+    """
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon character entropy (nats): the
+    gibberish / boilerplate / base64-blob quality signal — natural text
+    sits in a characteristic band (~2.8-4.2 nats for English), repeated
+    padding collapses toward 0, and random alphanumeric noise pushes
+    toward the alphabet ceiling; quality stacks cut both tails.
+
+    Returns (doc_id, n_chars, distinct_chars, entropy) with
+    entropy = ln(n) - (sum over characters of c*ln(c)) / n, rounded to
+    6 decimals; empty text yields 0 by convention.
+
+    Scale shape: ZERO shuffles, zero Python — one codegen'd projection
+    per row: split to characters, array_sort, and ONE run-length
+    F.aggregate fold that closes each run with its c*ln(c) term. The
+    per-character term sequence is therefore accumulated in ascending
+    character order, which is what lets the DuckDB oracle replay the
+    identical IEEE add sequence as an ORDER BY ch list_reduce (the
+    bigram_lm_score ordered-fold recipe). Collation note: both engines
+    compare/sort these single-char strings by binary codepoint;
+    characters beyond the BMP differ (JVM splits UTF-16 code units,
+    DuckDB splits codepoints) — document-level entropy over
+    surrogate-pair-heavy text is engine-internal, flagged here rather
+    than hidden."""
+    chars = F.array_sort(
+        F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+    )
+    n = F.size(chars).cast("double")
+    run_term = F.col("__f.run").cast("double") * F.log(
+        F.col("__f.run").cast("double")
+    )
+    folded = F.aggregate(
+        chars,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+            F.lit(0).cast("long").alias("k"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(x == acc["prev"], acc["s"])
+            .otherwise(
+                acc["s"]
+                + F.when(
+                    acc["run"] > 0,
+                    acc["run"].cast("double")
+                    * F.log(acc["run"].cast("double")),
+                ).otherwise(F.lit(0.0))
+            )
+            .alias("s"),
+            F.when(x == acc["prev"], acc["k"])
+            .otherwise(acc["k"] + 1)
+            .alias("k"),
+        ),
+    )
+    out = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+        ).cast("long").alias("n_chars"),
+        folded.alias("__f"),
+    )
+    # close the final run outside the fold (finish lambdas interact badly
+    # with struct field pruning; an explicit projection is plain algebra)
+    s_total = F.col("__f.s") + F.when(
+        F.col("__f.run") > 0, run_term
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_chars",
+        F.col("__f.k").cast("long").alias("distinct_chars"),
+        F.round(
+            F.when(
+                F.col("n_chars") > 0,
+                F.log(F.col("n_chars").cast("double"))
+                - s_total / F.col("n_chars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def char_entropy_sql() -> str:
+    """DuckDB replay of :func:`char_entropy` over the documents table:
+    per-char counts grouped, the c*ln(c) terms folded in ascending
+    character order via list_reduce (matching the operator's sorted-run
+    accumulation bit-for-bit), left-joined back so empty documents keep
+    their 0-entropy row."""
+    return """
+    WITH ch AS (
+      SELECT doc_id, ch, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE length(text) > 0
+      )
+      GROUP BY doc_id, ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             SUM(c) AS n,
+             COUNT(*) AS k,
+             list_reduce(
+               list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY ch),
+               (a, b) -> a + b
+             ) AS s
+      FROM ch GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_chars,
+           CAST(COALESCE(agg.k, 0) AS BIGINT) AS distinct_chars,
+           round(CASE WHEN agg.n IS NULL OR agg.n = 0 THEN 0.0
+                      ELSE ln(CAST(agg.n AS DOUBLE)) - agg.s / agg.n
+                 END, 6) AS entropy
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """

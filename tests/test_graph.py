@@ -101,3 +101,80 @@ def test_oracle_sql_replays_operator_exactly(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# triangle_count (operators/graph.py): pinned against a brute-force
+# Python enumeration, plus structural cases (triangle-free ring, K4).
+# ---------------------------------------------------------------------------
+
+
+def _py_triangles(edges):
+    """Brute-force reference: count per-node triangle membership."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    counts = defaultdict(int)
+    nodes = sorted(adj)
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return dict(counts)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from flink_kafka_table_api_spark.operators.graph import triangle_count
+
+    # two triangles sharing an edge + a pendant: (1,2,3), (2,3,4), 4-5
+    edges = _sym([(1, 2), (2, 3), (3, 1), (2, 4), (3, 4), (4, 5)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == _py_triangles(edges)
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}  # node 5 in no triangle
+
+
+def test_triangle_count_ring_is_triangle_free(spark):
+    from flink_kafka_table_api_spark.operators.graph import triangle_count
+
+    ring = _sym([(i, (i + 1) % 6) for i in range(6)])
+    df = spark.createDataFrame(ring, "src long, dst long")
+    assert triangle_count(df).count() == 0
+
+
+def test_triangle_count_complete_graph(spark):
+    from flink_kafka_table_api_spark.operators.graph import triangle_count
+
+    from itertools import combinations
+
+    k4 = _sym(list(combinations(range(4), 2)))
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    # K4 has C(4,3)=4 triangles; every node is in exactly 3
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_oracle_sql_matches(spark):
+    import duckdb
+    import pandas as pd
+
+    from flink_kafka_table_api_spark.operators.graph import (
+        triangle_count,
+        triangle_count_sql,
+    )
+
+    edges = _sym([(1, 2), (2, 3), (3, 1), (2, 4), (3, 4), (7, 8)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.n_triangles) for r in triangle_count(df).collect()}
+    con = duckdb.connect()
+    con.register("edges_tbl", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = set(
+        con.execute(
+            triangle_count_sql("SELECT src, dst FROM edges_tbl")
+        ).fetchall()
+    )
+    assert got == want

@@ -732,3 +732,35 @@ def test_hierarchy_rollup_rounds_are_logarithmic(spark):
     # 1 seed checkpoint + one per round; depth 11 -> exactly 5 rounds
     # (spans 2,4,8,16 then the all-roots confirmation round)
     assert calls["n"] <= 7, calls
+
+
+def test_char_entropy_is_single_narrow_pass(spark):
+    """Entropy is a per-row fold: one scan, no joins, no Python, and the
+    only Exchange is the parallelism repartition of the single-file
+    testdata input (a many-file production scan wouldn't need it)."""
+    plan = _plan(QUERIES["char_entropy"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_pmi_unigram_table_is_computed_once(spark):
+    """The unigram table feeds both join sides and the corpus-N row; it
+    must come from ONE persisted aggregate (3 InMemoryTableScans), not
+    three re-tokenizations of the corpus. No Python anywhere."""
+    plan = _plan(QUERIES["pmi_collocations"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 3
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_triangle_count_has_no_nlj_and_single_tri_pass(spark):
+    """Triangle counting must stay equi-join-only (degree orientation
+    kills the celebrity-vertex wedge blowup; no cartesian fallback),
+    and per-node membership must come from ONE explode over the
+    triangle list, not a 3-way union that would re-run the closure
+    join per branch (pinned: exactly 3 reads of the persisted oriented
+    edge set — wedge left + wedge right + closure)."""
+    plan = _plan(QUERIES["triangle_count"](spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Generate explode" in plan or "explode" in plan
+    assert plan.count("InMemoryTableScan") == 12  # 3 oriented + nested e
