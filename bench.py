@@ -81,6 +81,13 @@ HEADLINE = [
     "hybrid_search",           # BM25 + cosine reciprocal-rank fusion
     "heavy_hitters",           # Count-Min sketch frequency top-k
     "hierarchy_rollup",        # pointer-jumping recursive hierarchy
+    # round-6 operator additions (driver-registered this round)
+    "temperature_mix",         # temperature-scaled source rebalancing
+    "pagerank",                # 5 rounds of fan-in message passing
+    "triangle_count",          # degree-oriented wedge closure
+    "pmi_collocations",        # PMI collocation mining
+    "char_entropy",            # zero-shuffle run-length entropy fold
+    "zorder_write",            # Morton-layout rewrite + pruning probe
 ]
 
 

@@ -898,3 +898,92 @@ def leakage_safe_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str,
+    target_n: int,
+    salt: str = "fkta-wsample",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (PPS) Bernoulli
+    sampling: row i is kept with probability p_i = min(1, target_n *
+    w_i / W), so E[kept] ~= target_n and heavy rows (more tokens, higher
+    quality, rarer source) are proportionally favored — the standard
+    importance-aware subsampling step between uniform stratified_sample
+    (fixed per-stratum rate, ignores row mass) and full DSIR importance
+    reweighting (distribution matching). Survey sampling's classic
+    Hansen-Hurwitz / Poisson-PPS design, made reproducible: the
+    inclusion test is hash_uniform(salt:id) < p_i, so membership is
+    stable across runs, partitionings, and engines.
+
+    Cross-engine exactness contract: ``weight_col`` must be
+    INTEGER-valued (token counts, byte lengths, repeat counts — the
+    natural mass measures). W = SUM(w) is then an exact int64, each
+    p_i = (w_i * target_n) / W is one exactly-rounded double division of
+    exact integers computed identically in Spark and DuckDB, and the
+    uniform is an exact dyadic rational — bit-equal membership with no
+    rounding recipe needed. (Float weights would make W an
+    accumulation-order-dependent sum; quantize them first.)
+
+    Scale shape: ONE aggregate for W (a broadcast 1-row crossJoin — the
+    corpus never shuffles), then a narrow hash-compare projection.
+    Returns (id_col, weight_col, p) with p rounded to 6 for inspection;
+    membership is decided on the unrounded double, identically in both
+    engines."""
+    w = F.col(weight_col)
+    tot = df.agg(F.sum(w.cast("long")).alias("__w_total"))
+    u = (
+        hash_uniform(salt + ":", F.col(id_col), 1 << 30).cast("double")
+        / F.lit(float(1 << 30))
+    )
+    p = F.least(
+        F.lit(1.0),
+        (w.cast("double") * F.lit(float(target_n))) / F.col("__w_total"),
+    )
+    return (
+        df.select(id_col, weight_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__p", p)
+        .filter(u < F.col("__p"))
+        .select(
+            id_col,
+            F.col(weight_col).cast("long").alias(weight_col),
+            F.round(F.col("__p"), 6).alias("p"),
+        )
+    )
+
+
+def weighted_sample_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    weight_expr: str = "n_chars",
+    weight_alias: str = "n_chars",
+    target_n: int = 100,
+    salt: str = "fkta-wsample",
+) -> str:
+    """DuckDB replay of :func:`weighted_sample` — the pre-validated
+    round-7 oracle (same integer W, same IEEE division, same md5
+    uniform; membership bit-equal by construction)."""
+    h = (f"(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)),"
+         f" 1, 15))::BIGINT)")
+    return f"""
+    WITH tot AS (
+      SELECT SUM(CAST({weight_expr} AS BIGINT)) AS w_total FROM {table}
+    ), scored AS (
+      SELECT {id_col},
+             CAST({weight_expr} AS BIGINT) AS {weight_alias},
+             least(CAST(1.0 AS DOUBLE),
+                   (CAST({weight_expr} AS DOUBLE)
+                    * CAST({float(target_n)!r} AS DOUBLE)) / tot.w_total)
+               AS p,
+             CAST({h} % 1073741824 AS DOUBLE)
+               / CAST(1073741824 AS DOUBLE) AS u
+      FROM {table}, tot
+    )
+    SELECT {id_col}, {weight_alias}, round(p, 6) AS p
+    FROM scored WHERE u < p
+    """

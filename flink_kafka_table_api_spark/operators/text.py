@@ -1027,3 +1027,82 @@ def char_entropy_sql() -> str:
                  END, 6) AS entropy
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
+
+
+def frequent_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_support: int = 10,
+) -> DataFrame:
+    """Frequent 2-itemset mining (the A-priori / market-basket shape,
+    Agrawal & Srikant 1994, over documents-as-baskets): unordered token
+    pairs co-occurring in >= ``min_support`` distinct documents.
+    Complements pmi_collocations, which scores only ADJACENT pairs —
+    document-level co-occurrence surfaces topical pairs ("spark",
+    "shuffle") that never sit next to each other.
+
+    Integer-exact end to end (distinct-doc counts, integer threshold):
+    the DuckDB oracle matches bit-for-bit with no float recipe.
+
+    Scale shape — the A-priori pruning IS the scale story: the naive
+    per-doc pair explosion is O(v^2) per document. Instead (a) per-doc
+    DISTINCT tokens only, (b) the downward-closure prune: a pair can
+    only be frequent if BOTH members are frequent alone, so the
+    vocabulary-sized frequent-token table (doc-frequency >=
+    min_support) is broadcast-semi-joined onto the exploded tokens
+    BEFORE any pair is formed, and (c) the pair join is keyed on
+    ``id_col`` (both sides co-partitioned on the doc key) with t1 < t2
+    canonicalization, so the fan-out is bounded by (frequent tokens per
+    doc)^2 — raising min_support shrinks the candidate space, exactly
+    the knob a 100 TB run turns. The final aggregate shuffles (pair,
+    partial count) rows only."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    doc_toks = tracked_persist(
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .distinct()
+    )
+    freq = (
+        doc_toks.groupBy("w")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_support)
+        .select("w")
+    )
+    pruned = tracked_persist(
+        doc_toks.join(F.broadcast(freq), "w").select(id_col, "w")
+    )
+    a = pruned.select(F.col(id_col), F.col("w").alias("token_a"))
+    b = pruned.select(F.col(id_col), F.col("w").alias("token_b"))
+    return (
+        a.join(b, id_col)
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_support)
+    )
+
+
+def frequent_pairs_sql(min_support: int = 10) -> str:
+    """DuckDB replay of :func:`frequent_pairs` over the documents table —
+    identical tokenization, identical distinct/prune/pair pipeline,
+    pure integer arithmetic; the pre-validated round-7 oracle."""
+    toks = tokens_sql("text")
+    return f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest({toks}) AS w FROM documents)
+    ),
+    freq AS (
+      SELECT w FROM dt GROUP BY w HAVING COUNT(*) >= {min_support}
+    ),
+    pruned AS (SELECT dt.doc_id, dt.w FROM dt JOIN freq USING (w))
+    SELECT a.w AS token_a, b.w AS token_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pruned a JOIN pruned b
+      ON a.doc_id = b.doc_id AND a.w < b.w
+    GROUP BY a.w, b.w
+    HAVING COUNT(*) >= {min_support}
+    """

@@ -6176,6 +6176,17 @@ _PRIORITY: list[str] = [
 # schedule-covered name into the r8 schedule (3 registry slots remain
 # under the cap), or retire/consolidate a family (the ann_ivf_variants /
 # stream_stream_joins precedent, worth ~1 slot per 2 merged names).
+#
+# Round-7 registration plan (PRE-VALIDATED, the pattern rounds 5 and 6
+# proved: operator + oracle SQL builder + local parity test land a
+# round early; the next round only wires @query/@oracle forms and
+# displaces schedule names): `weighted_sample`
+# (operators/curation.py:weighted_sample + weighted_sample_sql — PPS
+# Bernoulli sampling, integer-weight contract makes membership
+# bit-equal) and `frequent_pairs` (operators/text.py:frequent_pairs +
+# frequent_pairs_sql — A-priori 2-itemset co-occurrence, integer-exact).
+# Both are oracle-parity-tested against the real sf0.001 documents
+# table in tests/test_r7_prevalidated.py.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

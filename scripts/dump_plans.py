@@ -185,6 +185,26 @@ SHOWCASE = {
                         "(lineage truncation — without it the plan "
                         "doubles per round); O(log depth) rounds total "
                         "vs the oracle's O(depth) recursive walk",
+    "pagerank": "per round ONE equi-join of the O(nodes) rank vector "
+                "against the persisted edge+degree build + one fan-in "
+                "aggregate; localCheckpoint truncates the iterative "
+                "lineage; the src-ordered fold is inside the aggregate, "
+                "no window",
+    "triangle_count": "degree-ordered orientation bounds out-degree at "
+                      "O(sqrt(2m)) before the wedge self-join (the "
+                      "celebrity-vertex guard); equi-joins only, the "
+                      "oriented edge set persisted once (3 InMemory "
+                      "reads: wedge left/right + closure semi-join); "
+                      "per-node membership via ONE explode, not a "
+                      "3-way union re-running the closure",
+    "char_entropy": "a per-row codegen'd run-length fold over the "
+                    "sorted char array: one scan, zero joins, zero "
+                    "Python; the only Exchange is the single-file "
+                    "testdata parallelism repartition",
+    "temperature_mix": "per-source counts collapse to a driver rate "
+                       "table broadcast back; the corpus itself never "
+                       "shuffles — one narrow hash+explode(sequence) "
+                       "projection emits the copies",
 }
 
 

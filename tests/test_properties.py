@@ -430,3 +430,76 @@ def test_interleave_bits_matches_python_reference(spark, triples):
     ).collect()
     for r in got:
         assert r.z == py([r.a, r.b, r.c]), (r.a, r.b, r.c)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count (operators/graph.py) — equivalence to the brute-force
+# O(n^3) enumeration over random small symmetric graphs: the degree-
+# ordered orientation must never lose or double-count a triangle,
+# whatever the degree distribution. Spark-backed: few examples,
+# deadline off.
+# ---------------------------------------------------------------------------
+
+_EDGE = st.tuples(
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=0, max_value=9),
+).filter(lambda e: e[0] != e[1])
+
+
+@given(st.sets(_EDGE, min_size=1, max_size=25))
+@settings(max_examples=15, deadline=None)
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark, pairs):
+    from itertools import combinations
+
+    from flink_kafka_table_api_spark.operators.graph import triangle_count
+
+    sym = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    adj: dict[int, set[int]] = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# char_entropy (operators/text.py) — the run-length fold must equal the
+# Counter-based definition on arbitrary ASCII strings (sorted-order
+# accumulation makes the float sequence deterministic, so equality is
+# exact, not approximate).
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60),
+    min_size=1, max_size=8,
+))
+@settings(max_examples=15, deadline=None)
+def test_char_entropy_matches_counter_reference(spark, texts):
+    import math
+    from collections import Counter
+
+    import flink_kafka_table_api_spark.operators.text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars, r.distinct_chars, r.entropy)
+        for r in tx.char_entropy(df).collect()
+    }
+    for i, t in rows:
+        n = len(t)
+        if n == 0:
+            assert got[i] == (0, 0, 0.0)
+            continue
+        counts = Counter(t)
+        s = 0.0
+        for ch in sorted(counts):
+            s += counts[ch] * math.log(counts[ch])
+        assert got[i] == (n, len(counts), round(math.log(n) - s / n, 6)), t
