@@ -678,3 +678,216 @@ def jl_project(
             ).alias(f"p{j}")
         )
     return vectors.select(F.col(id_col), *outs)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid — TPAMI 2011): the third
+# vector-compression tier after float32 (1x) and int8 (4x). Splitting
+# d dims into m subspaces with a k-entry codebook each stores a vector
+# as m small codes — 64-dim float32 (256 B) becomes 8 bytes at
+# m=8, k=16 (32x) — and asymmetric-distance (ADC) search scores
+# candidates from an m*k lookup table without ever touching the raw
+# vectors. Codebooks are driver-side literals (m*k*(d/m) doubles, tiny),
+# exactly like the IVF centroids; every per-row computation below is
+# codegen'd expression algebra — zero Python, zero shuffles outside the
+# training aggregates.
+# ---------------------------------------------------------------------------
+
+
+def _l2sq_lit(v: Column, lit_vec: list[float]) -> Column:
+    """Squared L2 distance of an array column to a literal vector, as a
+    left-to-right fold (deterministic accumulation order)."""
+    bl = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(v, bl, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_code_cols(vec: Column, codebooks: list[list[list[float]]]):
+    """One argmin-code Column per subspace: nearest codebook entry by
+    squared L2 over that subspace's slice. Ties break toward the lower
+    code id ((dist, code) struct min)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cols = []
+    for j in range(m):
+        sl = F.slice(vec, j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _l2sq_lit(sl, c).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in enumerate(codebooks[j])
+            ]
+        )
+        cols.append(F.array_min(cands)["c"].alias(f"__code{j}"))
+    return cols
+
+
+def pq_train(
+    vectors: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: per-subspace Lloyd k-means (L2 geometry — the
+    standard PQ objective; cosine-style normalization belongs upstream).
+    Returns driver-side ``codebooks[m][k][d/m]``.
+
+    Distributed shape per iteration: ONE narrow assignment pass computes
+    every subspace's code in the same projection (codebooks are plan
+    literals), then ONE aggregate keyed by (subspace, code, dim) folds
+    the elementwise means — only m*k*(d/m) aggregated doubles reach the
+    driver, never vectors. Same sample-then-assign guidance as
+    kmeans_lloyd applies at 100 TB. Deterministic init: the k vectors
+    minimizing the portable md5 hash of their id, sliced per subspace
+    (engine- and partitioning-independent)."""
+    from flink_kafka_table_api_spark.functions.portable import portable_hash64
+
+    df = vectors.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    ).persist()
+    d = len(df.select("__v").first()[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub = d // m
+    seeds = (
+        df.withColumn("__h", portable_hash64(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select("__v")
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} codes")
+    codebooks = [
+        [list(r["__v"][j * sub:(j + 1) * sub]) for r in seeds]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        coded = df.select("__v", *_pq_code_cols(F.col("__v"), codebooks))
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub"),
+                    F.col(f"__code{j}").alias("code"),
+                    F.slice("__v", j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+        dims = (
+            coded.select(F.explode(entries).alias("e"))
+            .select("e.sub", "e.code", F.posexplode("e.sv").alias("pos", "x"))
+        )
+        means = (
+            dims.groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mn"))
+            .collect()
+        )
+        by_cell: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault((r.sub, r.code), {})[r.pos] = r.mn
+        codebooks = [
+            [
+                [by_cell[(j, c)][p] for p in range(sub)]
+                if (j, c) in by_cell
+                else codebooks[j][c]  # empty cell keeps prior centroid
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    df.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its m nearest-codebook-entry codes:
+    (id_col, codes array<int>) — the m-byte row a PQ index materializes
+    at ingest so search never reads the raw vectors."""
+    v = as_double_array(vec_col)
+    code_cols = _pq_code_cols(v, codebooks)
+    tmp = vectors.select(F.col(id_col), *code_cols)
+    m = len(codebooks)
+    return tmp.select(
+        id_col,
+        F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_reconstruct(
+    codes: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Decode codes back to the quantized vector (array<double>): per
+    subspace a literal-2D-array lookup, flattened. Pure expression
+    algebra — usable inside any projection."""
+    parts = []
+    for j, cb in enumerate(codebooks):
+        lit2d = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cb]
+        )
+        parts.append(F.element_at(lit2d, F.element_at(codes, j + 1) + 1))
+    return F.flatten(F.array(*parts))
+
+
+def pq_adc_distance(
+    codes: Column,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+) -> Column:
+    """Asymmetric-distance (ADC): squared L2 from the RAW query to each
+    vector's reconstruction, computed as m lookup-table reads — the
+    tables (lut[j][c] = l2sq(query_sub_j, codebooks[j][c])) are
+    driver-computed literals, so scoring a candidate costs m array
+    lookups + m-1 adds, independent of d."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    acc = None
+    for j in range(m):
+        qs = query[j * sub:(j + 1) * sub]
+        lut = [
+            sum((qx - cx) ** 2 for qx, cx in zip(qs, c))
+            for c in codebooks[j]
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]),
+            F.element_at(codes, j + 1) + 1,
+        )
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC over the encoded table: one narrow LUT-scoring pass
+    + TakeOrdered — the scan reads m-byte code rows, never raw vectors
+    (the 32x I/O lever at 100 TB); compose with the IVF partition
+    pruning for IVFPQ."""
+    return (
+        encoded.select(
+            id_col,
+            F.round(
+                pq_adc_distance(F.col("codes"), codebooks, query), 6
+            ).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

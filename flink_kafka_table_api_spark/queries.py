@@ -6180,13 +6180,20 @@ _PRIORITY: list[str] = [
 # Round-7 registration plan (PRE-VALIDATED, the pattern rounds 5 and 6
 # proved: operator + oracle SQL builder + local parity test land a
 # round early; the next round only wires @query/@oracle forms and
-# displaces schedule names): `weighted_sample`
+# displaces schedule names — 3 registry slots remain under the cap, so
+# exactly these three fit): `weighted_sample`
 # (operators/curation.py:weighted_sample + weighted_sample_sql — PPS
 # Bernoulli sampling, integer-weight contract makes membership
-# bit-equal) and `frequent_pairs` (operators/text.py:frequent_pairs +
-# frequent_pairs_sql — A-priori 2-itemset co-occurrence, integer-exact).
-# Both are oracle-parity-tested against the real sf0.001 documents
-# table in tests/test_r7_prevalidated.py.
+# bit-equal), `frequent_pairs` (operators/text.py:frequent_pairs +
+# frequent_pairs_sql — A-priori 2-itemset co-occurrence, integer-exact),
+# and `pq_ann` (operators/similarity.py pq_train/pq_encode/pq_search —
+# product quantization, the 32x vector-compression tier; contract-
+# boolean oracle in the ann_ivf_trained mold: codes_in_range,
+# adc_matches_reconstruction — ADC's defining LUT-sum == distance-to-
+# reconstruction property — and reconstruction-query-top1, plus the
+# n_vectors value column). All three are parity-tested against
+# independent Python/numpy replays and (where SQL-expressible) DuckDB
+# over the real sf0.001 tables in tests/test_r7_prevalidated.py.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

@@ -132,3 +132,149 @@ def test_frequent_pairs_oracle_parity_on_testdata(spark, docs_con):
         docs_con.execute(tx.frequent_pairs_sql(min_support=25)).fetchall()
     )
     assert got == want and len(got) > 5
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/similarity.py pq_*): the third
+# pre-validated round-7 candidate. Pinned against an independent numpy
+# replay of train/encode/ADC, plus the defining ADC property (LUT-sum ==
+# distance-to-reconstruction) and the exact-reconstruction-query top-1.
+# ---------------------------------------------------------------------------
+
+
+def _np_pq(vectors_by_id, m, k, n_iter):
+    """Independent PQ replay: same deterministic hash-min seeding, same
+    L2 Lloyd with empty-cell carry-over, same lower-code tie-break."""
+    import numpy as np
+
+    ids = sorted(vectors_by_id)
+    d = len(next(iter(vectors_by_id.values())))
+    sub = d // m
+    seeds = sorted(
+        ids,
+        key=lambda i: (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i
+        ),
+    )[:k]
+    cbs = [
+        [list(vectors_by_id[s][j * sub:(j + 1) * sub]) for s in seeds]
+        for j in range(m)
+    ]
+
+    def codes_of(v):
+        out = []
+        for j in range(m):
+            sl = np.array(v[j * sub:(j + 1) * sub])
+            dists = [
+                float(((sl - np.array(c)) ** 2).sum()) for c in cbs[j]
+            ]
+            out.append(min(range(k), key=lambda c: (dists[c], c)))
+        return out
+
+    for _ in range(n_iter):
+        sums = {}
+        counts = {}
+        for i in ids:
+            v = vectors_by_id[i]
+            for j, c in enumerate(codes_of(v)):
+                key = (j, c)
+                sl = np.array(v[j * sub:(j + 1) * sub])
+                sums[key] = sums.get(key, 0) + sl
+                counts[key] = counts.get(key, 0) + 1
+        for (j, c), s in sums.items():
+            cbs[j][c] = list(s / counts[(j, c)])
+    return cbs, codes_of
+
+
+def test_pq_train_and_encode_match_numpy_replay(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(16)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    import flink_kafka_table_api_spark.operators.similarity as sim
+
+    cbs = sim.pq_train(df, m=4, k=8, n_iter=2)
+    ref_cbs, ref_codes = _np_pq(vecs, 4, 8, 2)
+    for j in range(4):
+        for c in range(8):
+            for a, b in zip(cbs[j][c], ref_cbs[j][c]):
+                assert abs(a - b) < 1e-9
+    got = {
+        r.vec_id: list(r.codes)
+        for r in sim.pq_encode(df, cbs).collect()
+    }
+    assert got == {i: ref_codes(v) for i, v in vecs.items()}
+
+
+def test_pq_adc_equals_distance_to_reconstruction(spark):
+    """The DEFINING ADC property: the LUT-sum distance must equal the
+    plain L2 distance from the query to the reconstructed vector (up to
+    per-subspace summation-order float dust)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    import flink_kafka_table_api_spark.operators.similarity as sim
+
+    rng = random.Random(11)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(16)] for i in range(50)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = sim.pq_train(df, m=4, k=8, n_iter=1)
+    enc = sim.pq_encode(df, cbs)
+    q = vecs[0]
+    both = enc.select(
+        "vec_id",
+        sim.pq_adc_distance(F.col("codes"), cbs, q).alias("adc"),
+        sim._l2sq_lit(
+            sim.pq_reconstruct(F.col("codes"), cbs), q
+        ).alias("direct"),
+    ).collect()
+    assert len(both) == 50
+    for r in both:
+        assert abs(r.adc - r.direct) < 1e-9, (r.vec_id, r.adc, r.direct)
+
+
+def test_pq_search_reconstruction_query_is_top1(spark):
+    """Querying with vector 0's OWN reconstruction makes its ADC distance
+    exactly 0 — it must rank first (ties broken by id; 0 is minimal)."""
+    import random
+
+    import flink_kafka_table_api_spark.operators.similarity as sim
+
+    rng = random.Random(13)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(16)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = sim.pq_train(df, m=4, k=8, n_iter=2)
+    enc = sim.pq_encode(df, cbs)
+    codes0 = enc.filter("vec_id = 0").first().codes
+    sub = len(cbs[0][0])
+    recon0 = []
+    for j, c in enumerate(codes0):
+        recon0.extend(cbs[j][c])
+    top = sim.pq_search(enc, cbs, recon0, 5).collect()
+    assert top[0].vec_id == 0 and top[0].adc_dist == 0.0
+    assert all(
+        top[i].adc_dist <= top[i + 1].adc_dist for i in range(len(top) - 1)
+    )
+
+
+def test_pq_rejects_indivisible_dims(spark):
+    import pytest as _pytest
+
+    import flink_kafka_table_api_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train(df, m=2, k=1, n_iter=1)
