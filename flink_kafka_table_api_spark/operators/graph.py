@@ -48,6 +48,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Ranks after ``iterations`` synchronous PageRank rounds over a
     symmetric edge relation. Returns (node, rank) with rank rounded to
@@ -55,7 +56,16 @@ def pagerank(
 
     rank_0 = 1/N; rank_{k+1}(v) = (1-d)/N + d * fold_{u->v}(rank_k(u)/outdeg(u))
     with the fold in ascending-u order (see module docstring).
-    """
+
+    ``checkpoint_every`` trades lineage growth against materialization
+    cost: each localCheckpoint eagerly materializes the O(nodes) rank
+    vector (a full job), but between checkpoints the self-referential
+    plan doubles per round. Every round (1) is safest for deep
+    iteration counts; the default 2 halves the materialization jobs
+    while the plan grows at most one un-truncated doubling — the right
+    balance for the typical 5-20 round run. Results are bit-identical
+    for any value (checkpointing never changes arithmetic; pinned in
+    tests/test_graph.py)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
     # symmetric edges => node set == src set; N is an exact integer
@@ -72,7 +82,7 @@ def pagerank(
     # the edge+degree side is iteration-invariant: persist it once, keyed
     # by src, so every round reuses the same co-partitioned build
     esd = e.join(outdeg, "src").persist()
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             esd.join(ranks, esd["src"] == ranks["node"])
             .select(
@@ -91,7 +101,9 @@ def pagerank(
         nxt = folded.select(
             F.col("dst").alias("node"),
             (F.lit(base) + F.lit(damping) * F.col("__s")).alias("rank"),
-        ).localCheckpoint()
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            nxt = nxt.localCheckpoint()
         ranks = nxt
         # NOTE: a localCheckpoint'ed DataFrame's blocks are NOT freed by
         # DataFrame.unpersist (no cacheManager entry) — they are released

@@ -178,3 +178,15 @@ def test_triangle_count_oracle_sql_matches(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_pagerank_checkpoint_period_never_changes_results(spark):
+    """checkpointing is pure materialization — any period must yield the
+    bit-identical ranks (the arithmetic and fold order are untouched)."""
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    want = {(r.node, r.rank) for r in
+            pagerank(df, iterations=5, checkpoint_every=1).collect()}
+    for period in (2, 3, 5):
+        got = {(r.node, r.rank) for r in
+               pagerank(df, iterations=5, checkpoint_every=period).collect()}
+        assert got == want, period
