@@ -891,3 +891,133 @@ def pq_search(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_codes_col(
+    vec: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Expression form of :func:`pq_encode`: the array<int> of per-
+    subspace argmin codes for an arbitrary array column — usable inside
+    any projection (the index build encodes RESIDUALS through this)."""
+    return F.array(*_pq_code_cols(vec, codebooks))
+
+
+def ivf_pq_train(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on IVF RESIDUALS (v - assigned centroid) — the
+    faiss IVFPQ recipe: residuals concentrate around the origin with far
+    less variance than raw vectors, so the same m*k codebook budget
+    spends its resolution where the data actually is. One assignment
+    pass + one broadcast centroid join feed :func:`pq_train` unchanged."""
+    assign = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    cent = centroids.select(
+        F.col("c_id").alias("cluster"),
+        as_double_array("c_embedding").alias("__cemb"),
+    )
+    residuals = (
+        vectors.join(assign, id_col)
+        .join(F.broadcast(cent), "cluster")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                as_double_array(vec_col), F.col("__cemb"),
+                lambda x, c: x - c,
+            ).alias("__res"),
+        )
+    )
+    return pq_train(
+        residuals, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col="__res"
+    )
+
+
+def ivf_pq_build_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVFPQ index: one assignment pass writes
+    (id, pq codes) parquet partitioned by cluster — the two scale levers
+    fully composed at ingest. Each row costs m bytes (codes are
+    array<tinyint>; k <= 127 fits) instead of 4d for floats or d for
+    int8: a query's pruned partition scan reads nprobe/k of the rows at
+    1/32 the bytes per row (64-dim float32, m=8). Codes encode the
+    RESIDUAL to the assigned centroid (see :func:`ivf_pq_train`)."""
+    if len(codebooks[0]) > 127:
+        raise ValueError("codebook size must fit array<tinyint> (k <= 127)")
+    assign = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    cent = centroids.select(
+        F.col("c_id").alias("cluster"),
+        as_double_array("c_embedding").alias("__cemb"),
+    )
+    residual = F.zip_with(
+        as_double_array(vec_col), F.col("__cemb"), lambda x, c: x - c
+    )
+    (
+        vectors.join(assign, id_col)
+        .join(F.broadcast(cent), "cluster")
+        .select(
+            F.col(id_col),
+            pq_codes_col(residual, codebooks).cast("array<tinyint>")
+            .alias("pq"),
+            F.col("cluster"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def ivf_pq_topk(
+    spark,
+    index_path: str,
+    centroids_by_id: dict[int, list[float]],
+    codebooks: list[list[list[float]]],
+    qclusters: int | list[int],
+    query: list[float],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFPQ search: for each probed cluster a PARTITION-PRUNED scan of
+    (id, pq) rows scored by ADC against that cluster's residual query
+    (query - centroid_c; per-cluster LUTs are driver literals, m*k
+    doubles each), unioned and TakeOrdered. The scan never reads float
+    vectors — nprobe/k of the rows at m bytes each, the full 100 TB
+    composition. Exact re-rank of the survivors against raw vectors is
+    the standard optional third stage (ivf_topk_indexed provides it)."""
+    if isinstance(qclusters, int):
+        qclusters = [qclusters]
+    parts = []
+    for c in qclusters:
+        qres = [q - cc for q, cc in zip(query, centroids_by_id[int(c)])]
+        scan = (
+            spark.read.parquet(index_path)
+            .filter(F.col("cluster") == int(c))
+            .select(F.col(id_col), F.col("pq").cast("array<int>").alias("pq"))
+        )
+        parts.append(
+            scan.select(
+                id_col,
+                F.round(
+                    pq_adc_distance(F.col("pq"), codebooks, qres), 6
+                ).alias("adc_dist"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    ).limit(k)

@@ -278,3 +278,91 @@ def test_pq_rejects_indivisible_dims(spark):
     )
     with _pytest.raises(ValueError, match="not divisible"):
         sim.pq_train(df, m=2, k=1, n_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ (operators/similarity.py ivf_pq_*): the composed index. Pinned
+# against a numpy ADC replay over residuals, the zero-distance
+# reconstruction-query top-1, and the plan contract (partition-pruned
+# scan that reads codes, never vectors).
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_fixture(spark):
+    import flink_kafka_table_api_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = emb.filter("vec_id < 4").selectExpr(
+        "vec_id AS c_id", "embedding AS c_embedding"
+    )
+    cbs = sim.ivf_pq_train(emb, cents, m=8, k=16, n_iter=1)
+    cmap = {
+        int(r.c_id): [float(x) for x in r.c_embedding]
+        for r in cents.collect()
+    }
+    return sim, emb, cents, cbs, cmap
+
+
+def test_ivf_pq_search_matches_numpy_adc_replay(spark, tmp_path):
+    import numpy as np
+
+    sim, emb, cents, cbs, cmap = _ivfpq_fixture(spark)
+    path = str(tmp_path / "ivfpq")
+    sim.ivf_pq_build_index(emb, cents, cbs, path)
+
+    q_row = emb.filter("vec_id = 0").first()
+    q = [float(x) for x in q_row.embedding]
+    probed = sim.ivf_route(cents, emb.filter("vec_id = 0").selectExpr(
+        "embedding AS q_embedding"), nprobe=2)
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in sim.ivf_pq_topk(
+            spark, path, cmap, cbs, probed, q, 10
+        ).collect()
+    ]
+
+    # numpy replay: recompute assignment, residual codes, ADC per cluster
+    idx = spark.read.parquet(path).collect()
+    sub = len(cbs[0][0])
+    m = len(cbs)
+    want = []
+    for r in idx:
+        if int(r.cluster) not in [int(c) for c in probed]:
+            continue
+        qres = np.array(q) - np.array(cmap[int(r.cluster)])
+        dist = 0.0
+        for j in range(m):
+            cj = int(r.pq[j])
+            qs = qres[j * sub:(j + 1) * sub]
+            dist += float(((qs - np.array(cbs[j][cj])) ** 2).sum())
+        want.append((r.vec_id, round(dist, 6)))
+    want.sort(key=lambda t: (t[1], t[0]))
+    assert got == want[:10]
+
+
+def test_ivf_pq_reconstruction_query_is_top1(spark, tmp_path):
+    sim, emb, cents, cbs, cmap = _ivfpq_fixture(spark)
+    path = str(tmp_path / "ivfpq2")
+    sim.ivf_pq_build_index(emb, cents, cbs, path)
+    row0 = spark.read.parquet(path).filter("vec_id = 0").first()
+    c0 = int(row0.cluster)
+    recon = list(cmap[c0])
+    sub = len(cbs[0][0])
+    for j, code in enumerate(row0.pq):
+        for p in range(sub):
+            recon[j * sub + p] += cbs[j][int(code)][p]
+    top = sim.ivf_pq_topk(spark, path, cmap, cbs, [c0], recon, 5).collect()
+    assert top[0].vec_id == 0 and top[0].adc_dist == 0.0
+
+
+def test_ivf_pq_scan_is_pruned_and_never_reads_vectors(spark, tmp_path):
+    sim, emb, cents, cbs, cmap = _ivfpq_fixture(spark)
+    path = str(tmp_path / "ivfpq3")
+    sim.ivf_pq_build_index(emb, cents, cbs, path)
+    q = [0.0] * 64
+    df = sim.ivf_pq_topk(spark, path, cmap, cbs, [1], q, 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cluster" in part
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "pq" in read_schema and "embedding" not in read_schema
