@@ -149,3 +149,30 @@ def test_bench_contract_names_resolve():
     for name in bench.HEADLINE:
         assert name in bench.RUNNABLE, f"bench headline {name} unregistered"
     assert 0.01 < bench.CALIBRATION_REF_SEC < 10
+
+
+def test_green_predicate_rejects_red_and_errored_rows():
+    """The round-5 audit found the old predicate counted ANY artifact
+    entry — including scd2_history's r4 red row and audio_features'
+    no_oracle error — as coverage evidence. Pin the corrected
+    semantics."""
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 10, "oracle_rows": 10, "err": None}
+    red_hash = dict(green, hash_match=False)
+    errored = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": 10, "oracle_rows": None, "err": "oracle: boom"}
+    rows_only_ok = {"rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": 815,
+                    "oracle_rows": None, "err": "no_oracle"}
+    some_name = "any_query"
+    assert _green(some_name, green)
+    assert not _green(some_name, red_hash)
+    assert not _green(some_name, errored)
+    # a no_oracle row only counts for a query REGISTERED as rows-only
+    assert not _green(some_name, rows_only_ok)
+    ROWS_ONLY_REASONS[some_name] = "test fixture"
+    try:
+        assert _green(some_name, rows_only_ok)
+        assert not _green(some_name, dict(rows_only_ok, spark_rows=None))
+    finally:
+        del ROWS_ONLY_REASONS[some_name]

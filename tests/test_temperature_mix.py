@@ -170,3 +170,50 @@ def test_oracle_sql_replays_operator_exactly(spark):
             ).fetchall()
         }
         assert got == want, (t, s)
+
+
+def test_oracle_replays_operator_on_random_corpora(spark):
+    """The round-6 ADVICE flagged that cross-engine parity was only
+    proven on the fixed SIZES corpus; this drives the operator vs the
+    DuckDB oracle over a sweep of adversarial source-size mixes
+    (prime sizes, near-equal weights, singleton sources, heavy skew) —
+    the shapes most likely to land a rate near a 9-decimal rounding
+    boundary."""
+    import duckdb
+    import pandas as pd
+
+    from flink_kafka_table_api_spark.operators.curation import (
+        temperature_mix_sql,
+    )
+
+    corpora = [
+        {"a": 7, "b": 11, "c": 13},            # small primes
+        {"a": 97, "b": 101},                   # near-equal
+        {"only": 50},                          # single source
+        {"big": 997, "mid": 89, "tiny": 1},    # heavy skew + singleton
+        {"x": 256, "y": 128, "z": 64, "w": 32},  # powers of two
+        {"s1": 333, "s2": 334, "s3": 333},     # three-way near-tie
+    ]
+    for sizes in corpora:
+        for temp in (2.0, 4.0, 8.0):
+            df = _corpus(spark, sizes)
+            got = {
+                (r.doc_id, r.source, r.copy)
+                for r in temperature_mix(df, temperature=temp).collect()
+            }
+            rows = []
+            i = 0
+            for src, n in sorted(sizes.items()):
+                for _ in range(n):
+                    rows.append((i, src))
+                    i += 1
+            con = duckdb.connect()
+            con.register(
+                "documents", pd.DataFrame(rows, columns=["doc_id", "source"])
+            )
+            want = set(
+                con.execute(
+                    temperature_mix_sql(temperature=temp)
+                ).fetchall()
+            )
+            assert got == want, (sizes, temp)
