@@ -223,6 +223,103 @@ def triangle_count_sql(edges_sql: str) -> str:
     """
 
 
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over a SYMMETRIC edge relation: every node
+    starts with its own id as label and each round adopts the most
+    frequent label among its neighbors, ties broken by MINIMUM label —
+    the deterministic variant (the classic algorithm breaks ties
+    randomly; a seeded choice would not be replayable across engines,
+    a min tie-break is). Returns (node, label) after ``iterations``
+    rounds. Distinct from the connected-components min-label pass in
+    operators/dedup.py: CC spreads the minimum over the whole component,
+    LPA's frequency vote finds dense sub-communities WITHIN a component.
+
+    Integer-exact end to end (labels are node ids, votes are counts),
+    so the DuckDB oracle matches bit-for-bit with no float recipe.
+
+    Scale shape per round: ONE equi-join of the O(nodes) label vector
+    against the edge list on src (the edge side is iteration-invariant
+    and persisted once, the pagerank recipe), then TWO partial-agg
+    shuffles — count per (dst, label), then min(struct(-count, label))
+    per dst. The argmax is a single-row aggregate, never a window sort
+    over the vote table. Synchronous LPA can oscillate 2-cycles on
+    bipartite structures; bounded ``iterations`` (the Pregel-style
+    fixed-round contract every iterative operator here uses) makes the
+    output well-defined regardless. localCheckpoint truncates the
+    self-referential plan every ``checkpoint_every`` rounds."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ep = e.persist()
+    labels = (
+        ep.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for i in range(iterations):
+        votes = (
+            ep.join(labels, ep["src"] == labels["node"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("__c"))
+        )
+        nxt = (
+            votes.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("__b")
+            )
+            .select(
+                F.col("dst").alias("node"), F.col("__b.l").alias("label")
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            nxt = nxt.localCheckpoint()
+        labels = nxt
+    ep.unpersist()
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, *, iterations: int = 4) -> str:
+    """DuckDB replay of :func:`label_propagation` — iterations unroll as
+    a WITH chain, each round's argmax via row_number ordered by
+    (count DESC, label ASC); pure integer arithmetic, bit-exact by
+    construction. ``edges_sql`` must produce the same symmetric
+    (src, dst) relation."""
+    parts = [
+        f"e AS ({edges_sql})",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"c{i + 1} AS ("
+            f"SELECT e.dst, l.label, COUNT(*) AS c "
+            f"FROM e JOIN l{i} l ON e.src = l.node "
+            f"GROUP BY e.dst, l.label)"
+        )
+        parts.append(
+            f"l{i + 1} AS ("
+            f"SELECT dst AS node, label FROM ("
+            f"SELECT dst, label, row_number() OVER ("
+            f"PARTITION BY dst ORDER BY c DESC, label ASC) AS rn "
+            f"FROM c{i + 1}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, label FROM l{iterations}"
+    )
+
+
 def pagerank_sql(
     edges_sql: str,
     *,

@@ -1106,3 +1106,227 @@ def frequent_pairs_sql(min_support: int = 10) -> str:
     GROUP BY a.w, b.w
     HAVING COUNT(*) >= {min_support}
     """
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Duplicate-n-gram COVERAGE (Gopher, Rae et al. 2021 Table A1: the
+    "duplicate n-gram character fraction" family, n=5..10): the fraction
+    of a document's token positions — and of its token character mass —
+    covered by at least one occurrence of a token n-gram that appears
+    MORE THAN ONCE in the document. Complements the two repetition
+    signals already here: :func:`with_repetition_score` counts duplicate
+    OCCURRENCES (blind to how much text they span) and
+    :func:`top_ngram_char_fraction` looks only at the single most
+    frequent gram; coverage is the Gopher drop rule for long-range
+    templated spam where many different grams each repeat a little.
+
+    Returns one row per input document:
+    (doc_id, n_tokens, n_grams, dup_grams, dup_gram_occurrences,
+    covered_tokens, dup_token_frac, dup_char_frac) — all counts exact
+    integers; the two fractions are single divisions of exact integers
+    rounded to 6 decimals (the engine-portable float recipe). Documents
+    shorter than ``n`` tokens report 0 grams and zero coverage.
+
+    Scale shape: ZERO shuffles, zero Python — one codegen'd projection
+    per row. Duplicated grams are found by sort + adjacent-equality on
+    the per-document gram array (O(L log L), never the O(L^2) all-pairs
+    compare); coverage is the distinct union of the [i, i+n-1] position
+    windows of flagged occurrences, built with
+    transform/flatten/array_distinct; character mass is an F.aggregate
+    fold over covered positions. Each intermediate is a named column in
+    its own projection — CollapseProject leaves multiply-referenced
+    higher-order expressions alone (they fail its isCheap test), so
+    nothing re-evaluates (the cdc_chunk_dedup lesson).
+    """
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    step0 = df.select(
+        F.col(id_col).alias(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__nt"),
+    )
+    grams = F.when(
+        F.col("__nt") >= n, kgram_strings(F.col("__toks"), n)
+    ).otherwise(F.array().cast("array<string>"))
+    step1 = step0.select(id_col, "__toks", "__nt", grams.alias("__g"))
+    lg = F.size(F.col("__g"))
+    srt = F.array_sort(F.col("__g"))
+    # a gram is duplicated iff it equals its successor in the sorted array
+    dup_set = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                F.slice(srt, 1, F.greatest(lg - 1, F.lit(0))),
+                F.slice(srt, 2, F.greatest(lg - 1, F.lit(0))),
+                lambda a, b: F.when(a == b, a),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    step2 = step1.select(
+        id_col, "__toks", "__nt", "__g", dup_set.alias("__dup")
+    )
+    flags = F.transform(
+        F.col("__g"), lambda g: F.array_contains(F.col("__dup"), g)
+    )
+    step3 = step2.select(
+        id_col, "__toks", "__nt", "__g", "__dup", flags.alias("__fl")
+    )
+    # covered token positions: union of the n-token windows of every
+    # flagged gram occurrence (0-based; element_at is 1-based). The
+    # empty-gram guard matters: sequence(0, -1) infers step -1 and
+    # element_at(_, 0) is an ANSI error, so never build the index list
+    # for a gramless document.
+    covered = F.when(
+        F.size(F.col("__fl")) > 0,
+        F.array_distinct(
+            F.flatten(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(F.col("__fl")) - 1),
+                        lambda i: F.when(
+                            F.element_at(F.col("__fl"), i + 1),
+                            F.sequence(i, i + F.lit(n - 1)),
+                        ),
+                    ),
+                    lambda s: s.isNotNull(),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    step4 = step3.select(
+        id_col,
+        "__toks",
+        "__nt",
+        F.size(F.col("__g")).cast("long").alias("n_grams"),
+        F.size(F.col("__dup")).cast("long").alias("dup_grams"),
+        F.size(F.filter(F.col("__fl"), lambda b: b))
+        .cast("long")
+        .alias("dup_gram_occurrences"),
+        covered.alias("__cov"),
+    )
+    cov_chars = F.aggregate(
+        F.col("__cov"),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.length(F.element_at(F.col("__toks"), i + 1)).cast("long"),
+    )
+    tok_chars = F.aggregate(
+        F.col("__toks"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t).cast("long"),
+    )
+    step5 = step4.select(
+        id_col,
+        F.col("__nt").cast("long").alias("n_tokens"),
+        "n_grams",
+        "dup_grams",
+        "dup_gram_occurrences",
+        F.size(F.col("__cov")).cast("long").alias("covered_tokens"),
+        cov_chars.alias("__cc"),
+        tok_chars.alias("__tc"),
+    )
+    return step5.select(
+        id_col,
+        "n_tokens",
+        "n_grams",
+        "dup_grams",
+        "dup_gram_occurrences",
+        "covered_tokens",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("covered_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.when(
+                F.col("__tc") > 0,
+                F.col("__cc").cast("double") / F.col("__tc").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_char_frac"),
+    )
+
+
+def dup_ngram_coverage_sql(*, n: int = 5) -> str:
+    """DuckDB oracle for :func:`dup_ngram_coverage` over `documents`.
+
+    Deliberately a DIFFERENT algorithm (exploded relational form: gram
+    rows -> per-doc counts -> duplicated-gram positions -> lateral
+    window expansion -> distinct covered positions) so the parity check
+    exercises semantics, not a shared implementation. Every intermediate
+    is an exact integer; the only floats are the two final round(x, 6)
+    single divisions, identical across engines by the repo's standing
+    recipe."""
+    toks = tokens_sql("text")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {toks} AS toks, len({toks}) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT b.doc_id, u.i - 1 AS pos,
+             array_to_string(b.toks[u.i:u.i + {n} - 1], ' ') AS gram
+      FROM base b, unnest(generate_series(1, b.n_tok - {n} + 1)) AS u(i)
+      WHERE b.n_tok >= {n}
+    ),
+    cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    ),
+    dup AS (SELECT doc_id, gram, c FROM cnt WHERE c > 1),
+    dpos AS (
+      SELECT g.doc_id, g.pos FROM g JOIN dup USING (doc_id, gram)
+    ),
+    cov AS (
+      SELECT DISTINCT d.doc_id, u.p
+      FROM dpos d, unnest(generate_series(d.pos, d.pos + {n} - 1)) AS u(p)
+    ),
+    tl AS (
+      SELECT b.doc_id, u.i - 1 AS pos, length(b.toks[u.i]) AS tlen
+      FROM base b, unnest(generate_series(1, b.n_tok)) AS u(i)
+    ),
+    per_doc AS (
+      SELECT b.doc_id,
+             b.n_tok,
+             COALESCE(ng.n_grams, 0) AS n_grams,
+             COALESCE(dg.dup_grams, 0) AS dup_grams,
+             COALESCE(dg.dup_occ, 0) AS dup_occ,
+             COALESCE(cv.covered, 0) AS covered,
+             COALESCE(cc.cov_chars, 0) AS cov_chars,
+             COALESCE(tc.tok_chars, 0) AS tok_chars
+      FROM base b
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+        ng ON b.doc_id = ng.doc_id
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS dup_grams, SUM(c) AS dup_occ
+                 FROM dup GROUP BY doc_id) dg ON b.doc_id = dg.doc_id
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY doc_id)
+        cv ON b.doc_id = cv.doc_id
+      LEFT JOIN (SELECT cov.doc_id, SUM(tl.tlen) AS cov_chars
+                 FROM cov JOIN tl ON cov.doc_id = tl.doc_id
+                                 AND cov.p = tl.pos
+                 GROUP BY cov.doc_id) cc ON b.doc_id = cc.doc_id
+      LEFT JOIN (SELECT doc_id, SUM(tlen) AS tok_chars FROM tl
+                 GROUP BY doc_id) tc ON b.doc_id = tc.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(dup_grams AS BIGINT) AS dup_grams,
+           CAST(dup_occ AS BIGINT) AS dup_gram_occurrences,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           round(CASE WHEN n_tok > 0
+                 THEN CAST(covered AS DOUBLE) / n_tok ELSE 0.0 END,
+                 6) AS dup_token_frac,
+           round(CASE WHEN tok_chars > 0
+                 THEN CAST(cov_chars AS DOUBLE) / tok_chars ELSE 0.0 END,
+                 6) AS dup_char_frac
+    FROM per_doc
+    """

@@ -6194,6 +6194,21 @@ _PRIORITY: list[str] = [
 # n_vectors value column). All three are parity-tested against
 # independent Python/numpy replays and (where SQL-expressible) DuckDB
 # over the real sf0.001 tables in tests/test_r7_prevalidated.py.
+#
+# Round-8 staging (pre-validated this round, tests/test_r8_prevalidated
+# .py — registration requires freeing slots, since the cap is reached
+# once the three r7 names land; the committed levers are the same two as
+# always, displacement or family consolidation — candidate merge: the
+# three r3-green stream window shapes stream_tumbling / stream_sliding /
+# stream_session into one tagged stream_windows, worth 2 slots):
+# `dup_ngram_coverage` (operators/text.py + dup_ngram_coverage_sql — the
+# Gopher duplicate-n-gram coverage signal, zero-shuffle array algebra,
+# n=2 for a live signal on this corpus), `label_propagation`
+# (operators/graph.py + label_propagation_sql — deterministic LPA
+# communities, min-label tie-break, unrolled-WITH oracle), and
+# `nb_scores` (operators/classify.py + nb_scores_sql — multinomial
+# Naive Bayes train+score, counting-only training, broadcast model grid,
+# ordered-fold scoring).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

@@ -1,0 +1,225 @@
+"""Round-8 pre-validated operators (the established staging pattern:
+operator + oracle SQL + local parity land a round BEFORE the registry has
+a free gate slot): dup_ngram_coverage (the Gopher duplicate-n-gram
+coverage signal), label_propagation (deterministic LPA communities), and
+nb_scores (multinomial Naive Bayes train+score — the model-based
+filtering family). Each is pinned against an independent Python replay
+AND its DuckDB oracle over the real sf0.001 tables."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+import flink_kafka_table_api_spark.operators.classify as cl
+import flink_kafka_table_api_spark.operators.graph as gr
+import flink_kafka_table_api_spark.operators.text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con
+
+
+# ---------------------------------------------------------------------------
+# dup_ngram_coverage
+# ---------------------------------------------------------------------------
+
+def _py_dup_coverage(text: str, n: int):
+    toks = [t for t in re.split(r"\s+", text.lower().strip()) if t]
+    grams = (
+        [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if len(toks) >= n else []
+    )
+    c = Counter(grams)
+    dup = {g for g, k in c.items() if k > 1}
+    flags = [g in dup for g in grams]
+    cov: set[int] = set()
+    for i, f in enumerate(flags):
+        if f:
+            cov.update(range(i, i + n))
+    cc = sum(len(toks[i]) for i in cov)
+    tc = sum(len(t) for t in toks)
+    return (
+        len(toks), len(grams), len(dup), sum(flags), len(cov),
+        round(len(cov) / len(toks), 6) if toks else 0.0,
+        round(cc / tc, 6) if tc else 0.0,
+    )
+
+
+def test_dup_ngram_coverage_matches_python_replay(spark):
+    rows = [
+        (1, "a b c a b c a b c"),          # everything duplicated
+        (2, "x y"),                        # shorter than n
+        (3, ""),                           # empty
+        (4, "   "),                        # whitespace only
+        (5, "one two three four five six seven"),  # no duplicates
+        (6, "w w w w w w w w w w"),        # one gram repeated
+        (7, "p q r s t p q r s t u v"),    # partial coverage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in tx.dup_ngram_coverage(df, n=5).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _py_dup_coverage(t, 5), (i, got[i])
+
+
+def test_dup_ngram_coverage_oracle_parity_on_testdata(spark, docs_con):
+    # n=2: the setting where the synthetic corpus has a live signal
+    # (342/500 docs with nonzero coverage; exact 5-grams never repeat
+    # in this testdata, so the eventual gate query pins n=2)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in tx.dup_ngram_coverage(docs, n=2).collect()
+    }
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in docs_con.execute(tx.dup_ngram_coverage_sql(n=2)).fetchall()
+    }
+    assert got == want and len(got) == 500
+    # the synthetic corpus repeats heavily — the signal must be live
+    assert sum(1 for v in got.values() if v[5] > 0) > 100
+
+
+def test_dup_ngram_coverage_is_zero_shuffle(spark):
+    # parquet scan input (already at session parallelism, so
+    # ensure_parallelism adds no round-robin spread): the whole signal
+    # must be one codegen'd projection per row — no shuffle, no explode,
+    # no Python
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        tx.dup_ngram_coverage(df, n=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only permitted exchange is ensure_parallelism's round-robin
+    # input spread (a local[32] utilization aid on tiny scans, absent on
+    # real multi-file inputs) — never a KEY shuffle, explode, or Python
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Generate" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+def _clique(nodes):
+    return [(a, b) for a, b in itertools.permutations(nodes, 2)]
+
+
+def _py_lpa(edges, iterations):
+    nodes = sorted({s for s, _ in edges})
+    lab = {v: v for v in nodes}
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(d, []).append(s)
+    for _ in range(iterations):
+        new = {}
+        for v in nodes:
+            c = Counter(lab[u] for u in adj[v])
+            m = max(c.values())
+            new[v] = min(lb for lb, k in c.items() if k == m)
+        lab = new
+    return sorted(lab.items())
+
+
+def test_label_propagation_finds_clique_communities(spark):
+    # two 6-cliques joined by a single bridge: LPA must separate them,
+    # CC-style min-label propagation (the dedup.py operator) would not
+    edges = _clique(range(6)) + _clique(range(10, 16)) + [(0, 10), (10, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r.node, r.label)
+        for r in gr.label_propagation(df, iterations=4).collect()
+    )
+    assert got == _py_lpa(edges, 4)
+    labs = dict(got)
+    assert len({labs[v] for v in range(6)}) == 1
+    assert len({labs[v] for v in range(10, 16)}) == 1
+    assert labs[0] != labs[10]
+
+
+def test_label_propagation_checkpoint_period_is_bit_identical(spark):
+    edges = _clique(range(5)) + _clique(range(7, 11)) + [(0, 7), (7, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, gr.label_propagation(
+        df, iterations=3, checkpoint_every=1).collect()))
+    b = sorted(map(tuple, gr.label_propagation(
+        df, iterations=3, checkpoint_every=3).collect()))
+    assert a == b
+
+
+def test_label_propagation_oracle_parity(spark):
+    # deterministic synthetic graph in both engines (the triangle_count
+    # gate recipe: arithmetic edge relations, symmetrized)
+    edges = sorted(set(
+        (i % 40, (i * 7 + 3) % 40) for i in range(200)
+    ) - {(i, i) for i in range(40)})
+    edges = sorted(set(edges) | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r.node, r.label)
+        for r in gr.label_propagation(df, iterations=4).collect()
+    )
+    esql = ("SELECT * FROM (VALUES "
+            + ",".join(f"({s},{d})" for s, d in edges)
+            + ") AS t(src, dst)")
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            gr.label_propagation_sql(esql, iterations=4)
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# nb_scores
+# ---------------------------------------------------------------------------
+
+def test_nb_scores_separates_synthetic_classes(spark):
+    rows = (
+        [(i, "alpha beta gamma " * 3, "A") for i in range(10)]
+        + [(i, "delta epsilon zeta " * 3, "B") for i in range(10, 20)]
+        + [(20, "", "A")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    g = {(r.doc_id, r.label): r.score for r in cl.nb_scores(df).collect()}
+    for i in range(10):
+        assert g[(i, "A")] > g[(i, "B")]
+    for i in range(10, 20):
+        assert g[(i, "B")] > g[(i, "A")]
+    # the empty document scores its bare class prior: ln(11/21)
+    assert g[(20, "A")] == round(math.log(11 / 21), 6)
+
+
+def test_nb_scores_oracle_parity_on_testdata(spark, docs_con):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        (r.doc_id, r.label): (r.n_tokens, r.score)
+        for r in cl.nb_scores(docs).collect()
+    }
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in docs_con.execute(cl.nb_scores_sql()).fetchall()
+    }
+    assert got == want
+    # one row per (document, observed label); 5 langs in the corpus
+    assert len(got) == 500 * 5
