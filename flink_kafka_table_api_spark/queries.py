@@ -6039,17 +6039,10 @@ def _triangle_oracle() -> str:
 
 
 @query("triangle_count", _triangle_oracle())
-def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-node triangle counts (operators/graph.py `triangle_count` —
-    degree-ordered orientation, Schank-Wagner) over a synthetic
-    bounded-degree ring-with-chords graph on customer keys: ring edges
-    k-(k+1), k-(k+2) guarantee a triangle at every node, the (3k+1)
-    chord makes counts vary. Integer-exact vs the DuckDB replay of the
-    identical orientation + wedge closure. The orientation bounds every
-    node's out-degree by O(sqrt(2m)) — the wedge join cannot blow up on
-    a celebrity vertex at 100 TB."""
-    from flink_kafka_table_api_spark.operators.graph import triangle_count
-
+def _ring_chord_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The symmetric bounded-degree ring-with-chords graph on customer
+    keys (ring k-(k+1), k-(k+2), chord k-(3k+1) mod N) shared by the
+    triangle_count gate query and the graph bench twins."""
     cust = _t(spark, sf, "customer").select("c_custkey")
     n = cust.count()
     k = F.col("c_custkey").cast("long")
@@ -6063,10 +6056,58 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     base = parts[0].unionAll(parts[1]).unionAll(parts[2]).filter(
         F.col("src") != F.col("dst")
     )
-    edges = base.union(
+    return base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    return triangle_count(edges)
+
+
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py `triangle_count` —
+    degree-ordered orientation, Schank-Wagner) over a synthetic
+    bounded-degree ring-with-chords graph on customer keys: ring edges
+    k-(k+1), k-(k+2) guarantee a triangle at every node, the (3k+1)
+    chord makes counts vary. Integer-exact vs the DuckDB replay of the
+    identical orientation + wedge closure. The orientation bounds every
+    node's out-degree by O(sqrt(2m)) — the wedge join cannot blow up on
+    a celebrity vertex at 100 TB."""
+    from flink_kafka_table_api_spark.operators.graph import triangle_count
+
+    return triangle_count(_ring_chord_edges(spark, sf))
+
+
+# Round-8 pre-validated operators as BENCH_ONLY twins: measurable by
+# bench.py/scale_experiment.py this round without consuming a registry
+# slot (the cap note above); their @query registration is the committed
+# round-8 plan. Oracles already pre-validated in
+# tests/test_r8_prevalidated.py.
+
+@bench_query("dup_ngram_coverage")
+def q_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher duplicate-2-gram coverage over documents (operators/
+    text.py `dup_ngram_coverage`): one zero-shuffle codegen'd projection
+    per row."""
+    return tx.dup_ngram_coverage(_t(spark, sf, "documents"), n=2)
+
+
+@bench_query("label_propagation")
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic LPA communities (operators/graph.py
+    `label_propagation`, 4 rounds) over the ring-with-chords customer
+    graph."""
+    from flink_kafka_table_api_spark.operators.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(_ring_chord_edges(spark, sf), iterations=4)
+
+
+@bench_query("nb_scores")
+def q_nb_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial Naive Bayes train+score over documents with lang as
+    the supervision column (operators/classify.py `nb_scores`)."""
+    from flink_kafka_table_api_spark.operators.classify import nb_scores
+
+    return nb_scores(_t(spark, sf, "documents"))
 
 
 @query("pmi_collocations", tx.pmi_collocations_sql(min_count=5))
