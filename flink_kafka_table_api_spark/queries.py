@@ -6038,7 +6038,6 @@ def _triangle_oracle() -> str:
     return triangle_count_sql(_triangle_edges_sql())
 
 
-@query("triangle_count", _triangle_oracle())
 def _ring_chord_edges(spark: SparkSession, sf: str) -> DataFrame:
     """The symmetric bounded-degree ring-with-chords graph on customer
     keys (ring k-(k+1), k-(k+2), chord k-(3k+1) mod N) shared by the
@@ -6061,6 +6060,7 @@ def _ring_chord_edges(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
 
 
+@query("triangle_count", _triangle_oracle())
 def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py `triangle_count` —
     degree-ordered orientation, Schank-Wagner) over a synthetic
