@@ -987,3 +987,130 @@ def weighted_sample_sql(
     SELECT {id_col}, {weight_alias}, round(p, 6) AS p
     FROM scored WHERE u < p
     """
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source distribution drift audit: KL(P_s || P_corpus) over
+    unigram token distributions —
+
+        KL(s) = sum over tokens t with count_s(t) > 0 of
+                (c_s(t) / N_s) * ln( (c_s(t) * N) / (c(t) * N_s) )
+
+    the corpus-monitoring primitive (which ingest source/shard/day has
+    drifted from the mixture) that pairs with `corpus_mix`'s volume
+    shares: mix tells you how MUCH each source contributes, KL tells you
+    how DIFFERENT its text is. Sources that dominate the corpus score
+    near 0 by construction; small off-distribution sources spike.
+
+    Returns (source, n_tokens, distinct_tokens, kl_divergence) — one row
+    per source with at least one token (integer-decided membership);
+    kl rounded to 6 decimals. Every ln/division argument is a single
+    operation on exact integer counts (c_s*N and c*N_s stay far under
+    2^53), and the per-source sum is an ascending-TOKEN ordered fold —
+    the bigram_lm_score recipe — so the DuckDB oracle replays the
+    identical IEEE sequence bit-for-bit.
+
+    Scale shape: one explode feeding TWO keyed partial-agg shuffles
+    ((source, token) counts; token corpus counts derived from the first
+    aggregate, never a second corpus scan), one vocabulary-sized join on
+    token, one per-source fold. Corpus totals ride along as exact
+    integer sums — no driver collect. The fold's collect_list is
+    bounded by per-source VOCABULARY (not corpus rows); at extreme
+    vocabularies swap the ordered fold for decimal-accumulated F.sum,
+    the pagerank escape hatch, at the cost of cross-engine bit equality.
+    """
+    from flink_kafka_table_api_spark.caching import tracked_persist
+    from flink_kafka_table_api_spark.parallelism import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("__t"),
+    )
+    # (source, token) counts — the single corpus-sized aggregate; the
+    # three smaller relations below all derive from it
+    cs = tracked_persist(
+        tok.groupBy("source", "__t").agg(F.count("*").alias("__cs"))
+    )
+    ct = cs.groupBy("__t").agg(F.sum("__cs").alias("__c"))
+    ns = cs.groupBy("source").agg(
+        F.sum("__cs").alias("__ns"),
+        F.count("*").alias("distinct_tokens"),
+    )
+    n_row = cs.agg(F.sum("__cs").alias("__n"))
+    terms = (
+        cs.join(ct, "__t")
+        .join(F.broadcast(n_row))
+        .join(ns, "source")
+        .select(
+            "source",
+            "__ns",
+            "distinct_tokens",
+            "__t",
+            (
+                (F.col("__cs").cast("double") / F.col("__ns").cast("double"))
+                * F.log(
+                    (F.col("__cs") * F.col("__n")).cast("double")
+                    / (F.col("__c") * F.col("__ns")).cast("double")
+                )
+            ).alias("__term"),
+        )
+    )
+    return (
+        terms.groupBy("source", "__ns", "distinct_tokens")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("__t", "__term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__term"],
+            ).alias("__kl")
+        )
+        .select(
+            "source",
+            F.col("__ns").cast("long").alias("n_tokens"),
+            F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+            F.round("__kl", 6).alias("kl_divergence"),
+        )
+    )
+
+
+def source_kl_divergence_sql(
+    source_expr: str = "source", text_expr: str = "text"
+) -> str:
+    """DuckDB replay of :func:`source_kl_divergence` over `documents`:
+    identical counts, identical exact-integer ln/division arguments,
+    identical ascending-token fold (list_reduce's first-element seed
+    equals the 0.0-seeded fold since 0.0 + x == x)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+    WITH tok AS (
+      SELECT {source_expr} AS source, unnest({toks}) AS t
+      FROM documents
+    ),
+    cs AS (SELECT source, t, COUNT(*) AS c_s FROM tok GROUP BY source, t),
+    ct AS (SELECT t, SUM(c_s) AS c FROM cs GROUP BY t),
+    ns AS (SELECT source, SUM(c_s) AS n_s, COUNT(*) AS dt
+           FROM cs GROUP BY source),
+    nn AS (SELECT SUM(c_s) AS n FROM cs),
+    terms AS (
+      SELECT cs.source, ns.n_s, ns.dt, cs.t,
+             (CAST(cs.c_s AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+             * ln(CAST(cs.c_s * nn.n AS DOUBLE)
+                  / CAST(ct.c * ns.n_s AS DOUBLE)) AS term
+      FROM cs
+      JOIN ct USING (t)
+      JOIN ns USING (source)
+      CROSS JOIN nn
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_tokens,
+           CAST(dt AS BIGINT) AS distinct_tokens,
+           round(list_reduce(list(term ORDER BY t), (a, b) -> a + b), 6)
+             AS kl_divergence
+    FROM terms
+    GROUP BY source, n_s, dt
+    """

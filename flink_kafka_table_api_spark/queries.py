@@ -6110,6 +6110,13 @@ def q_nb_scores(spark: SparkSession, sf: str) -> DataFrame:
     return nb_scores(_t(spark, sf, "documents"))
 
 
+@bench_query("source_kl_divergence")
+def q_source_kl_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source unigram KL drift audit (operators/curation.py
+    `source_kl_divergence`)."""
+    return cu.source_kl_divergence(_t(spark, sf, "documents"))
+
+
 @query("pmi_collocations", tx.pmi_collocations_sql(min_count=5))
 def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining: every adjacent token pair occurring >= 5
@@ -6249,7 +6256,13 @@ _PRIORITY: list[str] = [
 # communities, min-label tie-break, unrolled-WITH oracle), and
 # `nb_scores` (operators/classify.py + nb_scores_sql — multinomial
 # Naive Bayes train+score, counting-only training, broadcast model grid,
-# ordered-fold scoring).
+# ordered-fold scoring), and `source_kl_divergence`
+# (operators/curation.py + source_kl_divergence_sql — per-source unigram
+# KL drift audit, exact-integer ln arguments, ascending-token fold).
+# All four run as BENCH_ONLY twins this round (8x scaling rows in
+# BASELINE.md); registration order of preference if fewer than four
+# slots open: dup_ngram_coverage, nb_scores, label_propagation,
+# source_kl_divergence.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

@@ -190,6 +190,18 @@ def test_label_propagation_oracle_parity(spark):
     assert got == want
 
 
+def test_label_propagation_plan_shape(spark):
+    """Per round: keyed hash shuffles only (votes + argmax), the argmax
+    as a single aggregate — never a window sort over the vote table."""
+    edges = _clique(range(6)) + _clique(range(10, 16)) + [(0, 10), (10, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = gr.label_propagation(df, iterations=2, checkpoint_every=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
 # ---------------------------------------------------------------------------
 # nb_scores
 # ---------------------------------------------------------------------------
@@ -223,3 +235,82 @@ def test_nb_scores_oracle_parity_on_testdata(spark, docs_con):
     assert got == want
     # one row per (document, observed label); 5 langs in the corpus
     assert len(got) == 500 * 5
+
+
+def test_nb_scores_broadcasts_model_grid(spark):
+    """The (label x vocab) log-prob grid must reach the scoring join as
+    a broadcast — the corpus is never shuffled on token."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        cl.nb_scores(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# source_kl_divergence
+# ---------------------------------------------------------------------------
+
+def _py_source_kl(rows):
+    cs: Counter = Counter()
+    for _, t, s in rows:
+        for w in re.split(r"\s+", t.lower().strip()):
+            if w:
+                cs[(s, w)] += 1
+    ct: Counter = Counter()
+    ns: Counter = Counter()
+    for (s, w), c in cs.items():
+        ct[w] += c
+        ns[s] += c
+    n = sum(cs.values())
+    out = {}
+    for s in ns:
+        toks = sorted(w for (s2, w) in cs if s2 == s)
+        kl = 0.0
+        for w in toks:  # ascending-token order, the operator's fold
+            kl += (cs[(s, w)] / ns[s]) * math.log(
+                (cs[(s, w)] * n) / (ct[w] * ns[s])
+            )
+        out[s] = (ns[s], len(toks), round(kl, 6))
+    return out
+
+
+def test_source_kl_matches_python_replay(spark):
+    import flink_kafka_table_api_spark.operators.curation as cu
+
+    rows = [
+        (1, "a a a b", "s1"),
+        (2, "b c d e", "s2"),
+        (3, "a b", "s1"),
+        (4, "", "s3"),          # zero-token source: NO output row
+        (5, "f f f f f", "s4"),  # disjoint vocabulary: the drift spike
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: (r.n_tokens, r.distinct_tokens, r.kl_divergence)
+        for r in cu.source_kl_divergence(df).collect()
+    }
+    assert got == _py_source_kl(rows)
+    assert "s3" not in got
+    # a fully-disjoint source maximizes drift among these
+    assert got["s4"][2] == max(v[2] for v in got.values())
+    # KL is non-negative
+    assert all(v[2] >= 0 for v in got.values())
+
+
+def test_source_kl_oracle_parity_on_testdata(spark, docs_con):
+    import flink_kafka_table_api_spark.operators.curation as cu
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r.source: (r.n_tokens, r.distinct_tokens, r.kl_divergence)
+        for r in cu.source_kl_divergence(docs).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in docs_con.execute(cu.source_kl_divergence_sql()).fetchall()
+    }
+    assert got == want and len(got) == 20
