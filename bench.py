@@ -88,6 +88,13 @@ HEADLINE = [
     "pmi_collocations",        # PMI collocation mining
     "char_entropy",            # zero-shuffle run-length entropy fold
     "zorder_write",            # Morton-layout rewrite + pruning probe
+    # round-8 staged operators (BENCH_ONLY twins this round — measured
+    # here so the round artifact carries their timings before the
+    # registry has slots for them)
+    "dup_ngram_coverage",      # Gopher dup-2-gram coverage, zero-shuffle
+    "label_propagation",       # 4 rounds of LPA vote aggregation
+    "nb_scores",               # Naive Bayes train+score, broadcast grid
+    "source_kl_divergence",    # per-source unigram KL drift fold
 ]
 
 
