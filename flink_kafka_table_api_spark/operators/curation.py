@@ -1007,7 +1007,10 @@ def source_kl_divergence(
     near 0 by construction; small off-distribution sources spike.
 
     Returns (source, n_tokens, distinct_tokens, kl_divergence) — one row
-    per source with at least one token (integer-decided membership);
+    per NON-NULL source with at least one token (integer-decided
+    membership; a NULL source's tokens still count toward the corpus
+    totals but the null-rejecting source join emits no row for them —
+    identical in both engines, pinned in tests/test_r8_prevalidated.py);
     kl rounded to 6 decimals. Every ln/division argument is a single
     operation on exact integer counts (c_s*N and c*N_s stay far under
     2^53), and the per-source sum is an ascending-TOKEN ordered fold —

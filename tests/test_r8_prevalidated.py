@@ -314,3 +314,54 @@ def test_source_kl_oracle_parity_on_testdata(spark, docs_con):
         for r in docs_con.execute(cu.source_kl_divergence_sql()).fetchall()
     }
     assert got == want and len(got) == 20
+
+
+# ---------------------------------------------------------------------------
+# NULL-edge behavior (the round-5 hardening precedent): both engines must
+# agree on NULL text / NULL label / NULL source rows
+# ---------------------------------------------------------------------------
+
+def test_staged_operators_null_edges_match_duckdb(spark):
+    import flink_kafka_table_api_spark.operators.curation as cu
+
+    rows = [
+        (1, None, "s1", "en"),    # NULL text
+        (2, "a b a b", None, None),  # NULL source AND label
+        (3, "", "s1", "en"),      # empty text
+        (4, "a b c a b", "s2", "de"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, NULL, 's1', 'en'), (2, 'a b a b', NULL, NULL), "
+        "(3, '', 's1', 'en'), (4, 'a b c a b', 's2', 'de')"
+        ") t(doc_id, text, source, lang)"
+    )
+
+    got = {r.doc_id: tuple(r)[1:]
+           for r in tx.dup_ngram_coverage(df, n=2).collect()}
+    want = {r[0]: tuple(r)[1:]
+            for r in con.execute(tx.dup_ngram_coverage_sql(n=2)).fetchall()}
+    # NULL text keeps its row (n_tokens NULL, zero coverage) — both engines
+    assert got == want and got[1][0] is None and got[1][6] == 0.0
+
+    got_nb = {(r.doc_id, r.label): (r.n_tokens, r.score)
+              for r in cl.nb_scores(df).collect()}
+    want_nb = {(r[0], r[1]): (r[2], r[3])
+               for r in con.execute(cl.nb_scores_sql()).fetchall()}
+    # NULL label is an observed class (scored like any other); NULL text
+    # scores the bare prior with n_tokens NULL
+    assert got_nb == want_nb and len(got_nb) == 12
+    assert got_nb[(1, None)][0] is None
+
+    got_kl = {r.source: (r.n_tokens, r.distinct_tokens, r.kl_divergence)
+              for r in cu.source_kl_divergence(df).collect()}
+    want_kl = {r[0]: (r[1], r[2], r[3])
+               for r in con.execute(cu.source_kl_divergence_sql()).fetchall()}
+    # NULL-source tokens count toward the corpus totals but produce no
+    # output row (null-rejecting source join) — identical in both engines;
+    # zero-token sources (s1 here: one NULL + one empty doc) also drop
+    assert got_kl == want_kl and set(got_kl) == {"s2"}
