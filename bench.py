@@ -95,6 +95,11 @@ HEADLINE = [
     "label_propagation",       # 4 rounds of LPA vote aggregation
     "nb_scores",               # Naive Bayes train+score, broadcast grid
     "source_kl_divergence",    # per-source unigram KL drift fold
+    # round-7 staged operators (pq_ann stays out: its 12.5s is offline
+    # TRAINING fixed cost — see BASELINE.md — measurable on demand via
+    # its BENCH_ONLY twin)
+    "weighted_sample",         # PPS Bernoulli sampling by token mass
+    "frequent_pairs",          # A-priori 2-itemset mining
 ]
 
 

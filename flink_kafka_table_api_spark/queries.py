@@ -6117,6 +6117,42 @@ def q_source_kl_divergence(spark: SparkSession, sf: str) -> DataFrame:
     return cu.source_kl_divergence(_t(spark, sf, "documents"))
 
 
+# Round-7 pre-validated operators as BENCH_ONLY twins (same rationale)
+
+@bench_query("weighted_sample")
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """PPS Bernoulli sampling by character mass (operators/curation.py
+    `weighted_sample`), target 1000 docs."""
+    return cu.weighted_sample(
+        _t(spark, sf, "documents"), weight_col="n_chars", target_n=1000
+    )
+
+
+@bench_query("frequent_pairs")
+def q_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """A-priori 2-itemset co-occurrence mining (operators/text.py
+    `frequent_pairs`, min_support=10)."""
+    return tx.frequent_pairs(_t(spark, sf, "documents"), min_support=10)
+
+
+@bench_query("pq_ann")
+def q_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Full PQ pipeline (operators/similarity.py): train 8x16 codebooks
+    (2 Lloyd iterations), encode the corpus to 8-byte codes, ADC top-10
+    for a fixed query — the 32x-compression ANN tier."""
+    from flink_kafka_table_api_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    vecs = _t(spark, sf, "embeddings")
+    cb = pq_train(vecs, m=8, k=16, n_iter=2)
+    enc = pq_encode(vecs, cb)
+    q = [0.1] * 64
+    return pq_search(enc, cb, q, 10)
+
+
 @query("pmi_collocations", tx.pmi_collocations_sql(min_count=5))
 def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining: every adjacent token pair occurring >= 5
