@@ -205,6 +205,27 @@ SHOWCASE = {
                        "table broadcast back; the corpus itself never "
                        "shuffles — one narrow hash+explode(sequence) "
                        "projection emits the copies",
+    "dup_ngram_coverage": "the whole Gopher coverage signal is ONE "
+                          "codegen'd projection per row (sort + "
+                          "adjacent-equality + window-union array "
+                          "algebra): no key Exchange, no Generate, no "
+                          "Python — composes with the scan at 100 TB",
+    "label_propagation": "per round one equi-join of the O(nodes) label "
+                         "vector against the persisted edge list + two "
+                         "partial-agg key Exchanges (votes, then "
+                         "min(struct) argmax) — never a window sort "
+                         "over the vote table; localCheckpoint "
+                         "truncates the iterative lineage",
+    "nb_scores": "training is two keyed counting aggregates; the "
+                 "(label x vocab) log-prob grid reaches the scoring "
+                 "join as a BroadcastHashJoin build side — the corpus "
+                 "explode is never shuffled on token, only on "
+                 "(doc, label) for the ordered fold",
+    "source_kl_divergence": "one explode feeding the (source, token) "
+                            "count aggregate; corpus token counts and "
+                            "totals DERIVE from that aggregate (no "
+                            "second corpus scan); the KL fold shuffles "
+                            "vocabulary-sized rows keyed by source",
 }
 
 
