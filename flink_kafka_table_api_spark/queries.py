@@ -6135,6 +6135,66 @@ def q_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return tx.frequent_pairs(_t(spark, sf, "documents"), min_support=10)
 
 
+def stream_windows_sql() -> str:
+    """Oracle for the staged round-8 consolidation of the three stream
+    window shapes (the ann_ivf_variants/stream_stream_joins precedent):
+    each registered oracle wrapped with its tag and projected onto the
+    unified (win_kind, window_start, window_end, group_key, n_events,
+    sum_value) schema. Composing from ORACLES keeps the merged oracle
+    bit-identical to the three it will retire."""
+    return f"""
+    SELECT 'tumbling' AS win_kind, window_start, window_end,
+           event_type AS group_key, n_events, sum_value
+    FROM ({ORACLES["stream_tumbling"]})
+    UNION ALL
+    SELECT 'session', session_start, session_end,
+           CAST(user_id AS VARCHAR), n_events, sum_value
+    FROM ({ORACLES["stream_session"]})
+    UNION ALL
+    SELECT 'sliding', window_start, window_end,
+           CAST(NULL AS VARCHAR), n_events, sum_value
+    FROM ({ORACLES["stream_sliding"]})
+    """
+
+
+@bench_query("stream_windows")
+def q_stream_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """STAGED round-8 consolidation: the tumbling / session / sliding
+    window family as ONE tagged multi-assert query — three REAL
+    Structured Streaming runs (each its own watermark + state store +
+    availableNow lifecycle, exactly the runs the three registered
+    queries make today), tagged and unioned batch-side onto a unified
+    schema. When registered it retires stream_tumbling / stream_session /
+    stream_sliding, freeing 2 registry slots with identical capability
+    coverage. Pre-validated vs stream_windows_sql() in
+    tests/test_r8_prevalidated.py."""
+    t = q_stream_tumbling(spark, sf).select(
+        F.lit("tumbling").alias("win_kind"),
+        "window_start",
+        "window_end",
+        F.col("event_type").alias("group_key"),
+        "n_events",
+        "sum_value",
+    )
+    s = q_stream_session(spark, sf).select(
+        F.lit("session").alias("win_kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        F.col("user_id").cast("string").alias("group_key"),
+        "n_events",
+        "sum_value",
+    )
+    sl = q_stream_sliding(spark, sf).select(
+        F.lit("sliding").alias("win_kind"),
+        "window_start",
+        "window_end",
+        F.lit(None).cast("string").alias("group_key"),
+        "n_events",
+        "sum_value",
+    )
+    return t.unionAll(s).unionAll(sl)
+
+
 @bench_query("pq_ann")
 def q_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Full PQ pipeline (operators/similarity.py): train 8x16 codebooks
@@ -6282,9 +6342,12 @@ _PRIORITY: list[str] = [
 # Round-8 staging (pre-validated this round, tests/test_r8_prevalidated
 # .py — registration requires freeing slots, since the cap is reached
 # once the three r7 names land; the committed levers are the same two as
-# always, displacement or family consolidation — candidate merge: the
-# three r3-green stream window shapes stream_tumbling / stream_sliding /
-# stream_session into one tagged stream_windows, worth 2 slots):
+# always, displacement or family consolidation — the consolidation is
+# PRE-BUILT this round: `q_stream_windows` + `stream_windows_sql` merge
+# stream_tumbling / stream_sliding / stream_session into one tagged
+# multi-assert query (oracle composed verbatim from the three it
+# retires; parity-tested in tests/test_r8_prevalidated.py), worth 2
+# slots on registration):
 # `dup_ngram_coverage` (operators/text.py + dup_ngram_coverage_sql — the
 # Gopher duplicate-n-gram coverage signal, zero-shuffle array algebra,
 # n=2 for a live signal on this corpus), `label_propagation`

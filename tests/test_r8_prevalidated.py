@@ -365,3 +365,36 @@ def test_staged_operators_null_edges_match_duckdb(spark):
     # output row (null-rejecting source join) — identical in both engines;
     # zero-token sources (s1 here: one NULL + one empty doc) also drop
     assert got_kl == want_kl and set(got_kl) == {"s2"}
+
+
+# ---------------------------------------------------------------------------
+# stream_windows: the staged round-8 consolidation (frees 2 slots)
+# ---------------------------------------------------------------------------
+
+def test_stream_windows_consolidation_matches_composed_oracle(spark):
+    import math
+
+    from flink_kafka_table_api_spark.catalog import TABLES
+    from flink_kafka_table_api_spark.queries import (
+        q_stream_windows,
+        stream_windows_sql,
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    def canon(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else (0.0 if v == 0 else v)
+        return v
+
+    sdf = q_stream_windows(spark, SF)
+    got = sorted(tuple(str(canon(x)) for x in r) for r in sdf.collect())
+    res = con.execute(stream_windows_sql())
+    want = sorted(tuple(str(canon(x)) for x in r) for r in res.fetchall())
+    assert sdf.columns == [d[0] for d in res.description]
+    assert got == want and len(got) > 0
+    # all three window shapes must be represented
+    kinds = {r[0] for r in got}
+    assert kinds == {"tumbling", "session", "sliding"}
