@@ -5997,7 +5997,11 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     edges = base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    return pagerank(edges, iterations=5).select(
+    # checkpoint only at the end: for a 5-round run the un-truncated plan
+    # is shallow enough, and skipping the mid-run materializations is
+    # ~20% wall (results bit-identical for any period — pinned in
+    # tests/test_graph.py); deep runs keep the default period 2
+    return pagerank(edges, iterations=5, checkpoint_every=5).select(
         F.col("node").cast("long").alias("node"), "rank"
     )
 
