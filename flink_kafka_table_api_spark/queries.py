@@ -6102,7 +6102,11 @@ def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         label_propagation,
     )
 
-    return label_propagation(_ring_chord_edges(spark, sf), iterations=4)
+    # end-only checkpoint for the shallow 4-round run (the pagerank gate
+    # query's reasoning; period-invariance pinned in the r8 tests)
+    return label_propagation(
+        _ring_chord_edges(spark, sf), iterations=4, checkpoint_every=4
+    )
 
 
 @bench_query("nb_scores")
