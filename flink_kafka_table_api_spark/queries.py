@@ -6143,6 +6143,68 @@ def q_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return tx.frequent_pairs(_t(spark, sf, "documents"), min_support=10)
 
 
+def graph_suite_sql() -> str:
+    """Oracle for the staged round-8 graph consolidation: the pagerank
+    and triangle_count oracles composed VERBATIM (so the merge is
+    bit-identical to the two it retires) plus the label_propagation
+    oracle over the same ring-with-chords relation, NULL-padded onto the
+    unified (block, node, rank, n_triangles, label) schema — the
+    heterogeneous-blocks variant of the ann_ivf_variants precedent
+    (NULL columns per block instead of casting everything to one double,
+    so each block keeps its exact type)."""
+    from flink_kafka_table_api_spark.operators.graph import (
+        label_propagation_sql,
+    )
+
+    lpa = label_propagation_sql(_triangle_edges_sql(), iterations=4)
+    return f"""
+    SELECT 'pagerank' AS block, node, rank,
+           CAST(NULL AS BIGINT) AS n_triangles, CAST(NULL AS BIGINT) AS label
+    FROM ({ORACLES["pagerank"]})
+    UNION ALL
+    SELECT 'triangles', node, CAST(NULL AS DOUBLE), n_triangles, NULL
+    FROM ({ORACLES["triangle_count"]})
+    UNION ALL
+    SELECT 'lpa', node, CAST(NULL AS DOUBLE), NULL, label
+    FROM ({lpa})
+    """
+
+
+@bench_query("graph_suite")
+def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """STAGED round-8 consolidation: the graph family (pagerank /
+    triangle_count / label_propagation) as ONE tagged multi-assert query
+    — each block runs its existing gate/bench construction unchanged and
+    the union NULL-pads the per-block value columns. When registered it
+    retires pagerank + triangle_count and absorbs label_propagation's
+    registration: with the stream_windows merge, round 8's five staged
+    names then fit the 150-name cap exactly. Pre-validated vs
+    graph_suite_sql() in tests/test_r8_prevalidated.py."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    pr = q_pagerank(spark, sf).select(
+        F.lit("pagerank").alias("block"),
+        "node",
+        "rank",
+        nul("long").alias("n_triangles"),
+        nul("long").alias("label"),
+    )
+    tr = q_triangle_count(spark, sf).select(
+        F.lit("triangles").alias("block"),
+        "node",
+        nul("double").alias("rank"),
+        "n_triangles",
+        nul("long").alias("label"),
+    )
+    lp = q_label_propagation(spark, sf).select(
+        F.lit("lpa").alias("block"),
+        "node",
+        nul("double").alias("rank"),
+        nul("long").alias("n_triangles"),
+        "label",
+    )
+    return pr.unionAll(tr).unionAll(lp)
+
+
 def stream_windows_sql() -> str:
     """Oracle for the staged round-8 consolidation of the three stream
     window shapes (the ann_ivf_variants/stream_stream_joins precedent):
@@ -6367,9 +6429,17 @@ _PRIORITY: list[str] = [
 # (operators/curation.py + source_kl_divergence_sql — per-source unigram
 # KL drift audit, exact-integer ln arguments, ascending-token fold).
 # All four run as BENCH_ONLY twins this round (8x scaling rows in
-# BASELINE.md); registration order of preference if fewer than four
-# slots open: dup_ngram_coverage, nb_scores, label_propagation,
-# source_kl_divergence.
+# BASELINE.md).
+#
+# The round-8 registry math closes EXACTLY at the 150 cap with the two
+# pre-built consolidations (both parity-tested this round):
+#   register stream_windows (+1), retire its three components (-3);
+#   register graph_suite (+1), retire pagerank + triangle_count (-2,
+#   and label_propagation registers inside it for free);
+#   register dup_ngram_coverage, nb_scores, source_kl_divergence (+3).
+# Net 0 on a 150-name registry; every new name must sit in the actual
+# r8 gate (never-green rule), and the retirees' final green evidence is
+# their r6/r7 rows.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

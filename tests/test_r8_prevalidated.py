@@ -398,3 +398,31 @@ def test_stream_windows_consolidation_matches_composed_oracle(spark):
     # all three window shapes must be represented
     kinds = {r[0] for r in got}
     assert kinds == {"tumbling", "session", "sliding"}
+
+
+def test_graph_suite_consolidation_matches_composed_oracle(spark):
+    import math
+
+    from flink_kafka_table_api_spark.queries import (
+        graph_suite_sql,
+        q_graph_suite,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'"
+    )
+
+    def canon(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else (0.0 if v == 0 else v)
+        return v
+
+    sdf = q_graph_suite(spark, SF)
+    got = sorted(tuple(str(canon(x)) for x in r) for r in sdf.collect())
+    res = con.execute(graph_suite_sql())
+    want = sorted(tuple(str(canon(x)) for x in r) for r in res.fetchall())
+    assert sdf.columns == [d[0] for d in res.description]
+    assert got == want and len(got) > 0
+    kinds = {r[0] for r in got}
+    assert kinds == {"pagerank", "triangles", "lpa"}
