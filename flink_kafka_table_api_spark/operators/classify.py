@@ -26,13 +26,13 @@ aggregate; the corpus is never shuffled on anything but its own id. At
 100 TB the model grid is the only globally-shared state and it is
 O(vocab x labels), exactly what you'd ship to executors.
 
-Training and scoring run over the SAME frame here (the in-corpus
-log-likelihood audit: "which label does each document's text actually
-support" — the disagreement rows are the mislabel/contamination
-candidates). Scoring a held-out frame is the same plumbing with a second
-DataFrame argument; tokens unseen at training time would need the grid
-outer-joined on the score side's vocabulary — deliberately NOT papered
-over here, the in-corpus contract keeps the oracle dense and exact.
+Two entry points: :func:`nb_scores` trains and scores the SAME frame
+(the in-corpus log-likelihood audit: "which label does each document's
+text actually support" — the disagreement rows are the
+mislabel/contamination candidates; the dense in-corpus contract keeps
+its DuckDB oracle exact), and :func:`nb_score_heldout` scores a second
+frame against the trained model with an explicit OOV contract (the
+production train/serve split).
 """
 
 from __future__ import annotations
@@ -186,3 +186,125 @@ def nb_scores_sql(
     FROM every e
     LEFT JOIN folded f ON e.doc_id = f.doc_id AND e.label = f.label
     """
+
+
+def nb_score_heldout(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Score a HELD-OUT frame against a model trained on ``train`` — the
+    production split :func:`nb_scores` deliberately does not paper over.
+    Returns (doc_id, label, n_tokens, oov_tokens, score) with one row
+    per score-side document per TRAINING label; score rounded to 6.
+
+    OOV contract (the part in-corpus scoring never exercises): a token
+    absent from the training vocabulary contributes the standard Laplace
+    unseen-token term ln(1 / (total_tokens(l) + V)) — exactly the
+    smoothed probability a count-0 in-vocabulary token gets, with V
+    frozen at the TRAINING vocabulary size (extending V per query
+    document would make scores incomparable across documents).
+    ``oov_tokens`` rides along so callers can threshold confidence on
+    how much of a document the model had never seen.
+
+    Scale shape: the model grid and the per-label fallback row both
+    broadcast; the score corpus is exploded once, fanned by n_labels,
+    and folded keyed by (doc, label) in ascending position order — the
+    same exchanges as in-corpus scoring, with the train side read only
+    to build the O(vocab x labels) model."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    train = ensure_parallelism(train)
+    score = ensure_parallelism(score)
+    tb = train.select(
+        F.col(label_col).alias("__y"), tokens(text_col).alias("__toks")
+    )
+    tpos = tracked_persist(
+        tb.select("__y", F.explode("__toks").alias("__t"))
+    )
+    ct = tpos.groupBy("__y", "__t").agg(F.count("*").alias("__c"))
+    tot = ct.groupBy("__y").agg(F.sum("__c").alias("__tot"))
+    vocab = ct.select("__t").distinct()
+    v_size = vocab.count()
+    n_docs = tb.count()
+    priors = (
+        tb.groupBy("__y")
+        .agg(F.count("*").alias("__nd"))
+        .select(
+            "__y",
+            F.log(
+                F.col("__nd").cast("double") / F.lit(float(n_docs))
+            ).alias("__prior"),
+        )
+    )
+    grid = (
+        vocab.crossJoin(tot)
+        .join(ct, ["__y", "__t"], "left")
+        .select(
+            "__y",
+            "__t",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1)).cast(
+                    "double"
+                )
+                / (F.col("__tot") + F.lit(v_size)).cast("double")
+            ).alias("__lp"),
+        )
+    )
+    # per-label OOV fallback: ln(1 / (tot_l + V)) as a broadcast row set
+    fallback = tot.select(
+        "__y",
+        F.log(
+            F.lit(1.0) / (F.col("__tot") + F.lit(v_size)).cast("double")
+        ).alias("__oov_lp"),
+    )
+    sb = tracked_persist(
+        score.select(F.col(id_col).alias("doc_id"),
+                     tokens(text_col).alias("__toks"))
+    )
+    spos = sb.select(
+        "doc_id", F.posexplode("__toks").alias("__p", "__t")
+    )
+    # fan by label FIRST (so an OOV token still yields one row per
+    # label), then resolve each (label, token) against the broadcast
+    # grid with the fallback as the miss value
+    fanned = spos.crossJoin(
+        F.broadcast(fallback.select(F.col("__y").alias("label"), "__oov_lp"))
+    )
+    terms = fanned.join(
+        F.broadcast(grid.withColumnsRenamed({"__y": "label"})),
+        ["label", "__t"],
+        "left",
+    ).select(
+        "doc_id",
+        "label",
+        "__p",
+        F.coalesce(F.col("__lp"), F.col("__oov_lp")).alias("__term"),
+        F.col("__lp").isNull().cast("long").alias("__oov"),
+    )
+    folded = terms.groupBy("doc_id", "label").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__p", "__term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__term"],
+        ).alias("__s"),
+        F.sum("__oov").alias("__noov"),
+    )
+    every = sb.select(
+        "doc_id", F.size("__toks").cast("long").alias("__nt")
+    ).crossJoin(
+        F.broadcast(priors.select(F.col("__y").alias("label"), "__prior"))
+    )
+    return every.join(folded, ["doc_id", "label"], "left").select(
+        "doc_id",
+        "label",
+        F.col("__nt").alias("n_tokens"),
+        F.coalesce(F.col("__noov"), F.lit(0)).cast("long").alias(
+            "oov_tokens"
+        ),
+        F.round(
+            F.col("__prior") + F.coalesce(F.col("__s"), F.lit(0.0)), 6
+        ).alias("score"),
+    )

@@ -426,3 +426,53 @@ def test_graph_suite_consolidation_matches_composed_oracle(spark):
     assert got == want and len(got) > 0
     kinds = {r[0] for r in got}
     assert kinds == {"pagerank", "triangles", "lpa"}
+
+
+def test_nb_score_heldout_matches_python_replay(spark):
+    train_rows = (
+        [(i, "alpha beta gamma", "A") for i in range(6)]
+        + [(i, "delta epsilon zeta", "B") for i in range(6, 12)]
+    )
+    score_rows = [
+        (100, "alpha beta NOVEL"),   # 1 OOV token
+        (101, "delta zeta"),          # fully in-vocab
+        (102, ""),                    # empty: bare priors
+        (103, "NOVEL OTHER WORDS"),   # fully OOV
+    ]
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string, lang string")
+    sc = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.label): (r.n_tokens, r.oov_tokens, r.score)
+        for r in cl.nb_score_heldout(tr, sc).collect()
+    }
+
+    ct: Counter = Counter()
+    tot: Counter = Counter()
+    nd: Counter = Counter()
+    for _, t, y in train_rows:
+        nd[y] += 1
+        for w in t.lower().split():
+            ct[(y, w)] += 1
+            tot[y] += 1
+    vocab = {w for (_, w) in ct}
+    v = len(vocab)
+    n = len(train_rows)
+    want = {}
+    for i, t in score_rows:
+        toks = t.lower().split()
+        for y in nd:
+            s = math.log(nd[y] / n)
+            oov = 0
+            for w in toks:
+                if w in vocab:
+                    s += math.log((ct.get((y, w), 0) + 1) / (tot[y] + v))
+                else:
+                    oov += 1
+                    s += math.log(1 / (tot[y] + v))
+            want[(i, y)] = (len(toks), oov, round(s, 6))
+    assert got == want
+    # separable classes classify correctly despite the OOV token
+    assert got[(100, "A")][2] > got[(100, "B")][2]
+    assert got[(101, "B")][2] > got[(101, "A")][2]
+    # OOV accounting: fully-OOV doc reports every token unseen
+    assert got[(103, "A")][1] == 3 and got[(103, "B")][1] == 3
