@@ -64,6 +64,11 @@ MEASURE = [
     "cdc_chunk_dedup",       # content-defined chunking + hash-keyed stats
     "bigram_lm_score",       # 2 count aggs + gram-keyed join + ordered fold
     "top_ngram_fraction",    # explode + partial-agg argmax
+    # round-6 staged-operator additions (BENCH_ONLY twins)
+    "dup_ngram_coverage",    # zero-shuffle Gopher coverage projection
+    "label_propagation",     # iterative vote join+agg rounds
+    "nb_scores",             # counting shuffles + broadcast-grid fold
+    "source_kl_divergence",  # vocab join + per-source ordered fold
 ]
 
 
