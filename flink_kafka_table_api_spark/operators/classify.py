@@ -49,13 +49,22 @@ def nb_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    *,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-(document, label) Naive Bayes log-posterior over every label
     observed in ``label_col``. Returns (doc_id, label, n_tokens, score)
     with score rounded to 6 decimals; one row per document per label
     (the row SET is integer-decided — float values never move
     membership, the pmi_collocations rule). Empty documents score the
-    bare class prior."""
+    bare class prior.
+
+    ``broadcast_model`` forces the (label x vocab) grid to the scoring
+    join's build side — right for the usual quality/language-classifier
+    vocabularies (<= a few million hashed features). At extreme
+    vocabularies (grid too big for executor memory) pass False: the
+    scoring join becomes a token-keyed shuffle join and AQE picks the
+    strategy from actual sizes. Results identical either way."""
     from flink_kafka_table_api_spark.caching import tracked_persist
 
     df = ensure_parallelism(df)
@@ -105,7 +114,9 @@ def nb_scores(
         )
     )
     # --- scoring: explode + broadcast model join + ordered fold ----------
-    terms = pos.join(F.broadcast(grid), "__t").select(
+    if broadcast_model:
+        grid = F.broadcast(grid)
+    terms = pos.join(grid, "__t").select(
         "doc_id",
         grid["__y"].alias("label"),
         "__p",
@@ -194,11 +205,14 @@ def nb_score_heldout(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    *,
+    broadcast_model: bool = True,
 ) -> DataFrame:
-    """Score a HELD-OUT frame against a model trained on ``train`` — the
-    production split :func:`nb_scores` deliberately does not paper over.
+    """Score a HELD-OUT frame against a model trained on ``train`` —
+    the production train/serve split.
     Returns (doc_id, label, n_tokens, oov_tokens, score) with one row
     per score-side document per TRAINING label; score rounded to 6.
+    ``broadcast_model``: see :func:`nb_scores`.
 
     OOV contract (the part in-corpus scoring never exercises): a token
     absent from the training vocabulary contributes the standard Laplace
@@ -273,8 +287,11 @@ def nb_score_heldout(
     fanned = spos.crossJoin(
         F.broadcast(fallback.select(F.col("__y").alias("label"), "__oov_lp"))
     )
+    resolved = grid.withColumnsRenamed({"__y": "label"})
+    if broadcast_model:
+        resolved = F.broadcast(resolved)
     terms = fanned.join(
-        F.broadcast(grid.withColumnsRenamed({"__y": "label"})),
+        resolved,
         ["label", "__t"],
         "left",
     ).select(
