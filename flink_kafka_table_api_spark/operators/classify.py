@@ -59,6 +59,15 @@ def nb_scores(
     membership, the pmi_collocations rule). Empty documents score the
     bare class prior.
 
+    NULL-label caveat: a NULL in ``label_col`` is carried as a class row
+    (its prior counts its documents), but the null-rejecting equi-joins
+    on label zero its token model in BOTH engines identically — every
+    document scores exactly the NULL class's bare prior, and NULL-labeled
+    documents' tokens train nothing. That is the engine-pinned behavior
+    (tests/test_r8_prevalidated.py), NOT a statistically meaningful
+    class; filter or impute NULL labels upstream if they should
+    participate.
+
     ``broadcast_model`` forces the (label x vocab) grid to the scoring
     join's build side — right for the usual quality/language-classifier
     vocabularies (<= a few million hashed features). At extreme
@@ -239,7 +248,6 @@ def nb_score_heldout(
         tb.select("__y", F.explode("__toks").alias("__t"))
     )
     ct = tpos.groupBy("__y", "__t").agg(F.count("*").alias("__c"))
-    tot = ct.groupBy("__y").agg(F.sum("__c").alias("__tot"))
     vocab = ct.select("__t").distinct()
     v_size = vocab.count()
     n_docs = tb.count()
@@ -253,6 +261,13 @@ def nb_score_heldout(
             ).alias("__prior"),
         )
     )
+    # label totals over the FULL label set (priors' labels), zero-token
+    # labels coalesced to 0 — deriving totals from ct alone drops a label
+    # whose every training document is empty, which would silently zero
+    # its whole token model (the review-found fallback gap)
+    tot = priors.select("__y").join(
+        ct.groupBy("__y").agg(F.sum("__c").alias("__tot")), "__y", "left"
+    ).select("__y", F.coalesce(F.col("__tot"), F.lit(0)).alias("__tot"))
     grid = (
         vocab.crossJoin(tot)
         .join(ct, ["__y", "__t"], "left")

@@ -6180,6 +6180,12 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
     registration: with the stream_windows merge, round 8's five staged
     names then fit the 150-name cap exactly. Pre-validated vs
     graph_suite_sql() in tests/test_r8_prevalidated.py."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+    from flink_kafka_table_api_spark.operators.graph import (
+        label_propagation,
+        triangle_count,
+    )
+
     nul = lambda t: F.lit(None).cast(t)  # noqa: E731
     pr = q_pagerank(spark, sf).select(
         F.lit("pagerank").alias("block"),
@@ -6188,14 +6194,18 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         nul("long").alias("n_triangles"),
         nul("long").alias("label"),
     )
-    tr = q_triangle_count(spark, sf).select(
+    # the triangle and LPA blocks share the ring-with-chords relation:
+    # build (and persist) it ONCE — the per-block wrappers would each
+    # rerun the count + distinct edge derivation (review finding)
+    edges = tracked_persist(_ring_chord_edges(spark, sf))
+    tr = triangle_count(edges).select(
         F.lit("triangles").alias("block"),
         "node",
         nul("double").alias("rank"),
         "n_triangles",
         nul("long").alias("label"),
     )
-    lp = q_label_propagation(spark, sf).select(
+    lp = label_propagation(edges, iterations=4, checkpoint_every=4).select(
         F.lit("lpa").alias("block"),
         "node",
         nul("double").alias("rank"),

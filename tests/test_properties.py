@@ -9,6 +9,7 @@ import datetime as dt
 import io
 import json
 
+import replays
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -513,31 +514,6 @@ def test_char_entropy_matches_counter_reference(spark, texts):
 # ---------------------------------------------------------------------------
 
 
-def _ref_dup_coverage(text: str, n: int):
-    import re as _re
-    from collections import Counter as _C
-
-    toks = [t for t in _re.split(r"\s+", text.lower().strip()) if t]
-    grams = (
-        [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-        if len(toks) >= n else []
-    )
-    c = _C(grams)
-    dup = {g for g, k in c.items() if k > 1}
-    flags = [g in dup for g in grams]
-    cov: set[int] = set()
-    for i, f in enumerate(flags):
-        if f:
-            cov.update(range(i, i + n))
-    cc = sum(len(toks[i]) for i in cov)
-    tc = sum(len(t) for t in toks)
-    return (
-        len(toks), len(grams), len(dup), sum(flags), len(cov),
-        round(len(cov) / len(toks), 6) if toks else 0.0,
-        round(cc / tc, 6) if tc else 0.0,
-    )
-
-
 @given(st.lists(_DOC, min_size=1, max_size=8),
        st.integers(min_value=2, max_value=4))
 @settings(max_examples=10, deadline=None)
@@ -553,31 +529,12 @@ def test_dup_ngram_coverage_matches_reference_on_random_corpora(
     got = {r.doc_id: tuple(r)[1:]
            for r in dup_ngram_coverage(df, n=n).collect()}
     for i, d in enumerate(corpus):
-        want = _ref_dup_coverage(" ".join(d), n)
+        want = replays.py_dup_coverage(" ".join(d), n)
         assert got[i] == want, (i, n, got[i], want)
         # structural invariants the replay equality implies but worth
         # naming: coverage never exceeds the token count, fractions in [0,1]
         assert got[i][4] <= got[i][0]
         assert 0.0 <= got[i][5] <= 1.0 and 0.0 <= got[i][6] <= 1.0
-
-
-def _ref_lpa(edges, iterations):
-    from collections import Counter as _C
-
-    nodes = sorted({s for s, _ in edges})
-    lab = {v: v for v in nodes}
-    adj: dict[int, list[int]] = {}
-    for s, d in edges:
-        adj.setdefault(d, []).append(s)
-    for _ in range(iterations):
-        lab = {
-            v: min(
-                lb for lb, k in _C(lab[u] for u in adj[v]).items()
-                if k == max(_C(lab[u] for u in adj[v]).values())
-            )
-            for v in nodes
-        }
-    return sorted(lab.items())
 
 
 @given(st.sets(
@@ -599,7 +556,7 @@ def test_label_propagation_matches_reference_on_random_graphs(spark, raw):
         (r.node, r.label)
         for r in label_propagation(df, iterations=3).collect()
     )
-    assert got == _ref_lpa(edges, 3)
+    assert got == replays.py_lpa(edges, 3)
 
 
 _LABEL = st.sampled_from(["en", "de"])
@@ -608,76 +565,27 @@ _LABEL = st.sampled_from(["en", "de"])
 @given(st.lists(st.tuples(_DOC, _LABEL), min_size=2, max_size=8))
 @settings(max_examples=10, deadline=None)
 def test_nb_scores_matches_reference_on_random_corpora(spark, corpus):
-    import math as _m
-    from collections import Counter as _C
-
     from flink_kafka_table_api_spark.operators.classify import nb_scores
 
-    df = spark.createDataFrame(
-        [(i, " ".join(d), y) for i, (d, y) in enumerate(corpus)],
-        "doc_id long, text string, lang string",
-    )
+    rows = [(i, " ".join(d), y) for i, (d, y) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     got = {(r.doc_id, r.label): (r.n_tokens, r.score)
            for r in nb_scores(df).collect()}
-
-    ct: _C = _C()
-    tot: _C = _C()
-    nd: _C = _C()
-    for d, y in corpus:
-        nd[y] += 1
-        for w in d:
-            ct[(y, w)] += 1
-            tot[y] += 1
-    vocab = {w for (_, w) in ct}
-    v = len(vocab)
-    n_docs = len(corpus)
-    want = {}
-    for i, (d, y0) in enumerate(corpus):
-        for y in nd:
-            s = _m.log(nd[y] / n_docs)
-            for w in d:  # position order == document order
-                s += _m.log((ct.get((y, w), 0) + 1) / (tot[y] + v))
-            want[(i, y)] = (len(d), round(s, 6))
-    assert got == want
+    assert got == replays.py_nb_scores(rows)
 
 
 @given(st.lists(st.tuples(_DOC, st.sampled_from(["s1", "s2", "s3"])),
                 min_size=1, max_size=10))
 @settings(max_examples=10, deadline=None)
 def test_source_kl_matches_reference_on_random_corpora(spark, corpus):
-    import math as _m
-    from collections import Counter as _C
-
     from flink_kafka_table_api_spark.operators.curation import (
         source_kl_divergence,
     )
 
-    df = spark.createDataFrame(
-        [(i, " ".join(d), s) for i, (d, s) in enumerate(corpus)],
-        "doc_id long, text string, source string",
-    )
+    rows = [(i, " ".join(d), src) for i, (d, src) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {r.source: (r.n_tokens, r.distinct_tokens, r.kl_divergence)
            for r in source_kl_divergence(df).collect()}
-
-    cs: _C = _C()
-    for d, s in corpus:
-        for w in d:
-            cs[(s, w)] += 1
-    ct: _C = _C()
-    ns: _C = _C()
-    for (s, w), c in cs.items():
-        ct[w] += c
-        ns[s] += c
-    n = sum(cs.values())
-    want = {}
-    for s in ns:
-        toks = sorted(w for (s2, w) in cs if s2 == s)
-        kl = 0.0
-        for w in toks:  # ascending-token order, the operator's fold
-            kl += (cs[(s, w)] / ns[s]) * _m.log(
-                (cs[(s, w)] * n) / (ct[w] * ns[s])
-            )
-        want[s] = (ns[s], len(toks), round(kl, 6))
-    assert got == want
+    assert got == replays.py_source_kl(rows)
     # KL >= 0 with equality iff the source IS the corpus distribution
     assert all(v[2] >= 0.0 for v in got.values())

@@ -16,6 +16,7 @@ from collections import Counter
 import duckdb
 import pytest
 
+import replays
 import flink_kafka_table_api_spark.operators.classify as cl
 import flink_kafka_table_api_spark.operators.graph as gr
 import flink_kafka_table_api_spark.operators.text as tx
@@ -36,28 +37,6 @@ def docs_con():
 # dup_ngram_coverage
 # ---------------------------------------------------------------------------
 
-def _py_dup_coverage(text: str, n: int):
-    toks = [t for t in re.split(r"\s+", text.lower().strip()) if t]
-    grams = (
-        [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-        if len(toks) >= n else []
-    )
-    c = Counter(grams)
-    dup = {g for g, k in c.items() if k > 1}
-    flags = [g in dup for g in grams]
-    cov: set[int] = set()
-    for i, f in enumerate(flags):
-        if f:
-            cov.update(range(i, i + n))
-    cc = sum(len(toks[i]) for i in cov)
-    tc = sum(len(t) for t in toks)
-    return (
-        len(toks), len(grams), len(dup), sum(flags), len(cov),
-        round(len(cov) / len(toks), 6) if toks else 0.0,
-        round(cc / tc, 6) if tc else 0.0,
-    )
-
-
 def test_dup_ngram_coverage_matches_python_replay(spark):
     rows = [
         (1, "a b c a b c a b c"),          # everything duplicated
@@ -74,7 +53,7 @@ def test_dup_ngram_coverage_matches_python_replay(spark):
         for r in tx.dup_ngram_coverage(df, n=5).collect()
     }
     for i, t in rows:
-        assert got[i] == _py_dup_coverage(t, 5), (i, got[i])
+        assert got[i] == replays.py_dup_coverage(t, 5), (i, got[i])
 
 
 def test_dup_ngram_coverage_oracle_parity_on_testdata(spark, docs_con):
@@ -123,22 +102,6 @@ def _clique(nodes):
     return [(a, b) for a, b in itertools.permutations(nodes, 2)]
 
 
-def _py_lpa(edges, iterations):
-    nodes = sorted({s for s, _ in edges})
-    lab = {v: v for v in nodes}
-    adj: dict[int, list[int]] = {}
-    for s, d in edges:
-        adj.setdefault(d, []).append(s)
-    for _ in range(iterations):
-        new = {}
-        for v in nodes:
-            c = Counter(lab[u] for u in adj[v])
-            m = max(c.values())
-            new[v] = min(lb for lb, k in c.items() if k == m)
-        lab = new
-    return sorted(lab.items())
-
-
 def test_label_propagation_finds_clique_communities(spark):
     # two 6-cliques joined by a single bridge: LPA must separate them,
     # CC-style min-label propagation (the dedup.py operator) would not
@@ -148,7 +111,7 @@ def test_label_propagation_finds_clique_communities(spark):
         (r.node, r.label)
         for r in gr.label_propagation(df, iterations=4).collect()
     )
-    assert got == _py_lpa(edges, 4)
+    assert got == replays.py_lpa(edges, 4)
     labs = dict(got)
     assert len({labs[v] for v in range(6)}) == 1
     assert len({labs[v] for v in range(10, 16)}) == 1
@@ -254,30 +217,6 @@ def test_nb_scores_broadcasts_model_grid(spark):
 # source_kl_divergence
 # ---------------------------------------------------------------------------
 
-def _py_source_kl(rows):
-    cs: Counter = Counter()
-    for _, t, s in rows:
-        for w in re.split(r"\s+", t.lower().strip()):
-            if w:
-                cs[(s, w)] += 1
-    ct: Counter = Counter()
-    ns: Counter = Counter()
-    for (s, w), c in cs.items():
-        ct[w] += c
-        ns[s] += c
-    n = sum(cs.values())
-    out = {}
-    for s in ns:
-        toks = sorted(w for (s2, w) in cs if s2 == s)
-        kl = 0.0
-        for w in toks:  # ascending-token order, the operator's fold
-            kl += (cs[(s, w)] / ns[s]) * math.log(
-                (cs[(s, w)] * n) / (ct[w] * ns[s])
-            )
-        out[s] = (ns[s], len(toks), round(kl, 6))
-    return out
-
-
 def test_source_kl_matches_python_replay(spark):
     import flink_kafka_table_api_spark.operators.curation as cu
 
@@ -293,7 +232,7 @@ def test_source_kl_matches_python_replay(spark):
         r.source: (r.n_tokens, r.distinct_tokens, r.kl_divergence)
         for r in cu.source_kl_divergence(df).collect()
     }
-    assert got == _py_source_kl(rows)
+    assert got == replays.py_source_kl(rows)
     assert "s3" not in got
     # a fully-disjoint source maximizes drift among these
     assert got["s4"][2] == max(v[2] for v in got.values())
@@ -352,8 +291,11 @@ def test_staged_operators_null_edges_match_duckdb(spark):
               for r in cl.nb_scores(df).collect()}
     want_nb = {(r[0], r[1]): (r[2], r[3])
                for r in con.execute(cl.nb_scores_sql()).fetchall()}
-    # NULL label is an observed class (scored like any other); NULL text
-    # scores the bare prior with n_tokens NULL
+    # NULL label is carried as a class ROW but its token model is zeroed
+    # by the null-rejecting label joins (both engines identically — see
+    # the operator docstring's NULL-label caveat): every document scores
+    # the NULL class's bare prior. NULL text scores bare priors with
+    # n_tokens NULL.
     assert got_nb == want_nb and len(got_nb) == 12
     assert got_nb[(1, None)][0] is None
 
@@ -476,3 +418,26 @@ def test_nb_score_heldout_matches_python_replay(spark):
     assert got[(101, "B")][2] > got[(101, "A")][2]
     # OOV accounting: fully-OOV doc reports every token unseen
     assert got[(103, "A")][1] == 3 and got[(103, "B")][1] == 3
+
+
+def test_nb_score_heldout_zero_token_label_keeps_oov_contract(spark):
+    """Review-found gap: a training label observed ONLY on empty
+    documents must still honor the OOV contract (fallback
+    ln(1/(0 + V)) per token, oov_tokens counted) rather than silently
+    scoring bare prior with oov_tokens=0."""
+    tr = spark.createDataFrame(
+        [(1, "x y", "A"), (2, "", "B")],
+        "doc_id long, text string, lang string",
+    )
+    sc = spark.createDataFrame([(100, "z z")], "doc_id long, text string")
+    got = {
+        (r.doc_id, r.label): (r.n_tokens, r.oov_tokens, r.score)
+        for r in cl.nb_score_heldout(tr, sc).collect()
+    }
+    v = 2  # training vocab {x, y}
+    assert got[(100, "B")] == (
+        2, 2, round(math.log(1 / 2) + 2 * math.log(1 / (0 + v)), 6)
+    )
+    assert got[(100, "A")] == (
+        2, 2, round(math.log(1 / 2) + 2 * math.log(1 / (2 + v)), 6)
+    )
