@@ -441,3 +441,29 @@ def test_nb_score_heldout_zero_token_label_keeps_oov_contract(spark):
     assert got[(100, "A")] == (
         2, 2, round(math.log(1 / 2) + 2 * math.log(1 / (2 + v)), 6)
     )
+
+
+def test_staged_operators_are_partitioning_invariant(spark):
+    """The ordered-fold recipe must make results independent of input
+    partitioning (array_sort before every fold); pin it empirically for
+    the three fold-carrying staged operators (dup_ngram_coverage is
+    per-row and trivially invariant)."""
+    import flink_kafka_table_api_spark.operators.curation as cu
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    shuffled = docs.repartition(7)
+
+    a = sorted(map(tuple, cl.nb_scores(docs).collect()))
+    b = sorted(map(tuple, cl.nb_scores(shuffled).collect()))
+    assert a == b
+
+    a = sorted(map(tuple, cu.source_kl_divergence(docs).collect()))
+    b = sorted(map(tuple, cu.source_kl_divergence(shuffled).collect()))
+    assert a == b
+
+    edges = _clique(range(6)) + _clique(range(10, 16)) + [(0, 10), (10, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, gr.label_propagation(df, iterations=3).collect()))
+    b = sorted(map(tuple, gr.label_propagation(
+        df.repartition(5), iterations=3).collect()))
+    assert a == b
