@@ -6449,7 +6449,9 @@ _PRIORITY: list[str] = [
 #   register dup_ngram_coverage, nb_scores, source_kl_divergence (+3).
 # Net 0 on a 150-name registry; every new name must sit in the actual
 # r8 gate (never-green rule), and the retirees' final green evidence is
-# their r6/r7 rows.
+# their r6/r7 rows. Both consolidations were run at the driver's gate
+# scale (sf0.01) this round: stream_windows 14,361 rows and graph_suite
+# 4,501 rows, each value-identical to its composed oracle.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",
