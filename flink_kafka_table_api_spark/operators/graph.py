@@ -290,6 +290,76 @@ def label_propagation(
     return labels
 
 
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Nodes of the k-core (Seidman 1983): the maximal subgraph where
+    every node keeps degree >= k, found by iterative peeling — drop
+    every node with degree < k, recompute degrees on the induced
+    subgraph, repeat. The density/robustness primitive (spam-farm
+    cores, community nuclei, graph-sampling retention) the other graph
+    ops don't cover. Input must be SYMMETRIC; returns (node, degree)
+    with each surviving node's degree INSIDE the core — integer-exact,
+    so the DuckDB unrolled replay matches bit-for-bit.
+
+    ``max_rounds`` is the bounded-iteration contract every iterative
+    operator here uses (the Pregel-style fixed-round form the oracle
+    can unroll); peeling converges when a round removes nothing, and
+    rounds beyond convergence are no-ops, so any ``max_rounds`` at or
+    above the convergence round gives the true k-core. Convergence
+    within the bound is asserted by the gate data's tests; genuinely
+    deeper peels (a long chain of barely-k nodes) need a larger bound.
+
+    Scale shape per round: one keyed degree aggregate + two semi-joins
+    restricting the edge list to surviving endpoints — all
+    hash-partitioned on node ids, no windows, no driver state;
+    localCheckpoint truncates the shrinking edge list's lineage."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("src").alias("node"), "degree")
+    )
+
+
+def kcore_sql(edges_sql: str, *, k: int = 3, max_rounds: int = 8) -> str:
+    """DuckDB replay of :func:`kcore` — rounds unroll as a WITH chain of
+    degree-filter/semi-join steps; pure integer arithmetic, bit-exact by
+    construction."""
+    parts = [f"e0 AS ({edges_sql})"]
+    for i in range(max_rounds):
+        parts.append(
+            f"k{i} AS (SELECT src FROM e{i} GROUP BY src "
+            f"HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS (SELECT e.src, e.dst FROM e{i} e "
+            f"WHERE e.src IN (SELECT src FROM k{i}) "
+            f"AND e.dst IN (SELECT src FROM k{i}))"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+        f"FROM e{max_rounds} GROUP BY src HAVING COUNT(*) >= {k}"
+    )
+
+
 def label_propagation_sql(edges_sql: str, *, iterations: int = 4) -> str:
     """DuckDB replay of :func:`label_propagation` — iterations unroll as
     a WITH chain, each round's argmax via row_number ordered by

@@ -6143,6 +6143,56 @@ def q_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return tx.frequent_pairs(_t(spark, sf, "documents"), min_support=10)
 
 
+def _twotier_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-tier graph on customer keys for the k-core block: a sparse
+    ring k-(k+1) over everyone plus a dense community among every-10th
+    node (each core node linked to its next 5 multiples of 10, ~10
+    symmetric core edges). The periphery (degree <= 4) peels in ONE
+    round at k=4 while the core's internal degree keeps it stable —
+    convergence is structural, not data-luck, so the bounded-round
+    contract holds at any sf."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    n = cust.count()
+    k = F.col("c_custkey").cast("long")
+    parts = [
+        cust.select(k.alias("src"), ((k + 1) % n).cast("long").alias("dst"))
+    ]
+    cores = cust.filter((k % 10) == 0)
+    for j in range(1, 6):
+        parts.append(
+            cores.select(
+                k.alias("src"),
+                ((k + 10 * j) % n).cast("long").alias("dst"),
+            )
+        )
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionAll(p)
+    base = base.filter(F.col("src") != F.col("dst"))
+    return base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _twotier_edges_sql() -> str:
+    """SQL twin of :func:`_twotier_edges`."""
+    return """
+    WITH nn0 AS (SELECT COUNT(*) AS n FROM customer),
+    ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+    b0 AS (
+      SELECT k AS src, (k + 1) % nn0.n AS dst FROM ks, nn0
+      UNION ALL
+      SELECT k, (k + 10 * j) % nn0.n
+      FROM ks, nn0, unnest([1, 2, 3, 4, 5]) AS t(j)
+      WHERE k % 10 = 0
+    ),
+    bs AS (SELECT DISTINCT src, dst FROM b0 WHERE src <> dst)
+    SELECT src, dst FROM bs
+    UNION
+    SELECT dst, src FROM bs
+    """
+
+
 def graph_suite_sql() -> str:
     """Oracle for the staged round-8 graph consolidation: the pagerank
     and triangle_count oracles composed VERBATIM (so the merge is
@@ -6153,20 +6203,26 @@ def graph_suite_sql() -> str:
     (NULL columns per block instead of casting everything to one double,
     so each block keeps its exact type)."""
     from flink_kafka_table_api_spark.operators.graph import (
+        kcore_sql,
         label_propagation_sql,
     )
 
     lpa = label_propagation_sql(_triangle_edges_sql(), iterations=4)
+    core = kcore_sql(_twotier_edges_sql(), k=4, max_rounds=4)
     return f"""
     SELECT 'pagerank' AS block, node, rank,
-           CAST(NULL AS BIGINT) AS n_triangles, CAST(NULL AS BIGINT) AS label
+           CAST(NULL AS BIGINT) AS n_triangles, CAST(NULL AS BIGINT) AS label,
+           CAST(NULL AS BIGINT) AS degree
     FROM ({ORACLES["pagerank"]})
     UNION ALL
-    SELECT 'triangles', node, CAST(NULL AS DOUBLE), n_triangles, NULL
+    SELECT 'triangles', node, CAST(NULL AS DOUBLE), n_triangles, NULL, NULL
     FROM ({ORACLES["triangle_count"]})
     UNION ALL
-    SELECT 'lpa', node, CAST(NULL AS DOUBLE), NULL, label
+    SELECT 'lpa', node, CAST(NULL AS DOUBLE), NULL, label, NULL
     FROM ({lpa})
+    UNION ALL
+    SELECT 'kcore', node, CAST(NULL AS DOUBLE), NULL, NULL, degree
+    FROM ({core})
     """
 
 
@@ -6182,6 +6238,7 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
     graph_suite_sql() in tests/test_r8_prevalidated.py."""
     from flink_kafka_table_api_spark.caching import tracked_persist
     from flink_kafka_table_api_spark.operators.graph import (
+        kcore,
         label_propagation,
         triangle_count,
     )
@@ -6193,6 +6250,7 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         "rank",
         nul("long").alias("n_triangles"),
         nul("long").alias("label"),
+        nul("long").alias("degree"),
     )
     # the triangle and LPA blocks share the ring-with-chords relation:
     # build (and persist) it ONCE — the per-block wrappers would each
@@ -6204,6 +6262,7 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         nul("double").alias("rank"),
         "n_triangles",
         nul("long").alias("label"),
+        nul("long").alias("degree"),
     )
     lp = label_propagation(edges, iterations=4, checkpoint_every=4).select(
         F.lit("lpa").alias("block"),
@@ -6211,8 +6270,19 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         nul("double").alias("rank"),
         nul("long").alias("n_triangles"),
         "label",
+        nul("long").alias("degree"),
     )
-    return pr.unionAll(tr).unionAll(lp)
+    # k-core runs on the two-tier graph where the bounded-round peel is
+    # structurally convergent (see _twotier_edges)
+    co = kcore(_twotier_edges(spark, sf), k=4, max_rounds=4).select(
+        F.lit("kcore").alias("block"),
+        "node",
+        nul("double").alias("rank"),
+        nul("long").alias("n_triangles"),
+        nul("long").alias("label"),
+        "degree",
+    )
+    return pr.unionAll(tr).unionAll(lp).unionAll(co)
 
 
 def stream_windows_sql() -> str:
@@ -6445,13 +6515,15 @@ _PRIORITY: list[str] = [
 # pre-built consolidations (both parity-tested this round):
 #   register stream_windows (+1), retire its three components (-3);
 #   register graph_suite (+1), retire pagerank + triangle_count (-2,
-#   and label_propagation registers inside it for free);
+#   and label_propagation AND kcore register inside it for free — four
+#   typed blocks);
 #   register dup_ngram_coverage, nb_scores, source_kl_divergence (+3).
 # Net 0 on a 150-name registry; every new name must sit in the actual
 # r8 gate (never-green rule), and the retirees' final green evidence is
 # their r6/r7 rows. Both consolidations were run at the driver's gate
 # scale (sf0.01) this round: stream_windows 14,361 rows and graph_suite
-# 4,501 rows, each value-identical to its composed oracle.
+# 4,651 rows (incl. the kcore block), each value-identical to its
+# composed oracle.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

@@ -367,7 +367,10 @@ def test_graph_suite_consolidation_matches_composed_oracle(spark):
     assert sdf.columns == [d[0] for d in res.description]
     assert got == want and len(got) > 0
     kinds = {r[0] for r in got}
-    assert kinds == {"pagerank", "triangles", "lpa"}
+    assert kinds == {"pagerank", "triangles", "lpa", "kcore"}
+    # the k-core block is non-trivial: the dense tier survives, the
+    # ring periphery peels (15 of 150 sf0.001 customers are core nodes)
+    assert sum(1 for r in got if r[0] == "kcore") == 15
 
 
 def test_nb_score_heldout_matches_python_replay(spark):
@@ -467,3 +470,26 @@ def test_staged_operators_are_partitioning_invariant(spark):
     b = sorted(map(tuple, gr.label_propagation(
         df.repartition(5), iterations=3).collect()))
     assert a == b
+
+
+def test_kcore_matches_reference_and_oracle(spark):
+    """kcore (operators/graph.py): peel a 4-clique-with-pendant graph —
+    the clique is the 3-core, the pendant path peels; DuckDB unrolled
+    replay bit-exact; a ring (max degree 2) has an empty 3-core."""
+    edges = _clique(range(4)) + [(3, 10), (10, 3), (10, 11), (11, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted((r.node, r.degree) for r in gr.kcore(df, k=3).collect())
+    assert got == [(0, 3), (1, 3), (2, 3), (3, 3)]
+    esql = ("SELECT * FROM (VALUES "
+            + ",".join(f"({s},{d})" for s, d in edges)
+            + ") AS t(src, dst)")
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r) for r in con.execute(gr.kcore_sql(esql, k=3)).fetchall()
+    )
+    assert got == want
+
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    ring += [(b, a) for a, b in ring]
+    df2 = spark.createDataFrame(ring, "src long, dst long")
+    assert gr.kcore(df2, k=3).count() == 0
