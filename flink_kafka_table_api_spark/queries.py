@@ -6143,6 +6143,90 @@ def q_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return tx.frequent_pairs(_t(spark, sf, "documents"), min_support=10)
 
 
+def set_ops_sql() -> str:
+    """Oracle for the staged round-9 consolidation of the two set-op
+    slots: both registered oracles (each itself a 3-variant tagged
+    merge) composed verbatim under a family tag — 6 set-operation
+    variants in ONE registry slot."""
+    return f"""
+    SELECT 'all' AS family, op, o_custkey FROM ({ORACLES["set_ops_all"]})
+    UNION ALL
+    SELECT 'distinct', op, o_custkey FROM ({ORACLES["set_ops_distinct"]})
+    """
+
+
+@bench_query("set_ops")
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """STAGED round-9 consolidation: the multiset and distinct set-op
+    slots merged under a family tag (6 variants, one slot — frees 1
+    registry slot on registration). Pre-validated vs set_ops_sql() in
+    tests/test_r8_prevalidated.py."""
+    return (
+        q_set_ops_all(spark, sf)
+        .select(F.lit("all").alias("family"), "op", "o_custkey")
+        .unionByName(
+            q_set_ops_distinct(spark, sf).select(
+                F.lit("distinct").alias("family"), "op", "o_custkey"
+            )
+        )
+    )
+
+
+def substring_dups_sql() -> str:
+    """Oracle for the staged round-9 consolidation of the ExactSubstr
+    pair: the stats and removal oracles composed verbatim, NULL-padded
+    onto one schema (the graph_suite recipe)."""
+    return f"""
+    SELECT 'stats' AS block, doc_id, n_tokens, n_windows, n_dup_windows,
+           n_dup_spans, covered_dup_tokens, dup_window_fraction,
+           CAST(NULL AS BIGINT) AS n_kept_tokens,
+           CAST(NULL AS BIGINT) AS n_removed_tokens,
+           CAST(NULL AS VARCHAR) AS clean_text
+    FROM ({ORACLES["substring_dup_stats"]})
+    UNION ALL
+    SELECT 'strip', doc_id, n_tokens, NULL, NULL, NULL, NULL,
+           CAST(NULL AS DOUBLE), n_kept_tokens, n_removed_tokens,
+           clean_text
+    FROM ({ORACLES["strip_dup_substrings"]})
+    """
+
+
+@bench_query("substring_dups")
+def q_substring_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """STAGED round-9 consolidation: ExactSubstr window-dup statistics +
+    removal as NULL-padded typed blocks (frees 1 registry slot on
+    registration). Pre-validated vs substring_dups_sql() in
+    tests/test_r8_prevalidated.py."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    st_ = q_substring_dup_stats(spark, sf).select(
+        F.lit("stats").alias("block"),
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "n_dup_windows",
+        "n_dup_spans",
+        "covered_dup_tokens",
+        "dup_window_fraction",
+        nul("long").alias("n_kept_tokens"),
+        nul("long").alias("n_removed_tokens"),
+        nul("string").alias("clean_text"),
+    )
+    sp = q_strip_dup_substrings(spark, sf).select(
+        F.lit("strip").alias("block"),
+        "doc_id",
+        "n_tokens",
+        nul("long").alias("n_windows"),
+        nul("long").alias("n_dup_windows"),
+        nul("long").alias("n_dup_spans"),
+        nul("long").alias("covered_dup_tokens"),
+        nul("double").alias("dup_window_fraction"),
+        "n_kept_tokens",
+        "n_removed_tokens",
+        "clean_text",
+    )
+    return st_.unionAll(sp)
+
+
 def _twotier_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Two-tier graph on customer keys for the k-core block: a sparse
     ring k-(k+1) over everyone plus a dense community among every-10th
@@ -6524,6 +6608,12 @@ _PRIORITY: list[str] = [
 # scale (sf0.01) this round: stream_windows 14,361 rows and graph_suite
 # 4,651 rows (incl. the kcore block), each value-identical to its
 # composed oracle.
+#
+# Round-9 fuel, also pre-built and parity-tested this round: `set_ops`
+# (merges set_ops_all + set_ops_distinct — 6 variants, one slot) and
+# `substring_dups` (merges substring_dup_stats + strip_dup_substrings as
+# NULL-padded typed blocks). Registering both frees 2 slots for round-9
+# operator additions.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

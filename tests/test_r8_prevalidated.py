@@ -493,3 +493,42 @@ def test_kcore_matches_reference_and_oracle(spark):
     ring += [(b, a) for a, b in ring]
     df2 = spark.createDataFrame(ring, "src long, dst long")
     assert gr.kcore(df2, k=3).count() == 0
+
+
+def test_round9_consolidations_match_composed_oracles(spark):
+    """The two staged round-9 slot-freeing merges (set_ops — 6 variants
+    in one slot; substring_dups — ExactSubstr stats + removal as typed
+    blocks) must be value-identical to their verbatim-composed
+    oracles."""
+    import math
+
+    from flink_kafka_table_api_spark.catalog import TABLES
+    from flink_kafka_table_api_spark.queries import (
+        q_set_ops,
+        q_substring_dups,
+        set_ops_sql,
+        substring_dups_sql,
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    def canon(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else (0.0 if v == 0 else v)
+        return v
+
+    for fn, sql, tags in (
+        (q_set_ops, set_ops_sql(), {"all", "distinct"}),
+        (q_substring_dups, substring_dups_sql(), {"stats", "strip"}),
+    ):
+        sdf = fn(spark, SF)
+        got = sorted(tuple(str(canon(x)) for x in r) for r in sdf.collect())
+        res = con.execute(sql)
+        want = sorted(
+            tuple(str(canon(x)) for x in r) for r in res.fetchall()
+        )
+        assert sdf.columns == [d[0] for d in res.description]
+        assert got == want and len(got) > 0
+        assert {r[0] for r in got} == tags
