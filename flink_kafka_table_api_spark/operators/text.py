@@ -1330,3 +1330,99 @@ def dup_ngram_coverage_sql(*, n: int = 5) -> str:
                  6) AS dup_char_frac
     FROM per_doc
     """
+
+
+def gazetteer_tag(
+    df: DataFrame,
+    terms: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary-based entity tagging (the gazetteer/NER-lite pass every
+    curation stack runs for PII routing, domain filtering, and weak
+    labeling): find every occurrence of each dictionary term — 1 to 3
+    tokens long, matched on the portable whitespace tokenization — and
+    return (doc_id, term, entity_type, n_mentions, first_pos) per
+    (document, matched term), with first_pos the 0-based TOKEN index of
+    the earliest mention. Longer-term matches do not suppress their
+    sub-terms (each dictionary entry reports independently); overlap
+    resolution is a policy layered on top, not baked in.
+
+    Integer-exact end to end (counts, positions), so the DuckDB oracle
+    matches bit-for-bit.
+
+    Scale shape: the dictionary is a plan LITERAL (inlined via
+    explode(array(...)) on the executor side — gazetteer lists are
+    small by definition; a DataFrame-sized dictionary would swap the
+    literal for a broadcast join with identical downstream shape). The
+    corpus explodes once per n-gram width present in the dictionary
+    (1..3), each a narrow pass, then ONE keyed count aggregate per
+    (doc, term) and a min() for the first position — shuffle rows are
+    match hits, never corpus text."""
+    widths = sorted({len(t.split()) for t in terms})
+    if not widths or widths[0] < 1 or widths[-1] > 3:
+        raise ValueError("gazetteer terms must be 1-3 tokens long")
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    parts = []
+    for w in widths:
+        w_terms = sorted(t for t in terms if len(t.split()) == w)
+        grams = (
+            F.when(F.size(toks) >= w, kgram_strings(toks, w))
+            .otherwise(F.array().cast("array<string>"))
+            if w > 1 else toks
+        )
+        parts.append(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(grams).alias("__p", "__g"),
+            ).filter(F.col("__g").isin(*w_terms))
+        )
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+    etype = F.create_map(
+        *[F.lit(x) for kv in sorted(terms.items()) for x in kv]
+    )
+    return (
+        hits.groupBy("doc_id", F.col("__g").alias("term"))
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.min("__p").cast("long").alias("first_pos"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            etype[F.col("term")].alias("entity_type"),
+            "n_mentions",
+            "first_pos",
+        )
+    )
+
+
+def gazetteer_tag_sql(terms: dict[str, str]) -> str:
+    """DuckDB oracle for :func:`gazetteer_tag` over `documents`: the
+    dictionary inlined as a VALUES relation, n-gram positions via the
+    same generate_series construction, pure integer arithmetic."""
+    toks = tokens_sql("text")
+    dict_rows = ", ".join(
+        f"('{t}', '{e}', {len(t.split())})"
+        for t, e in sorted(terms.items())
+    )
+    return f"""
+    WITH dict(term, entity_type, w) AS (VALUES {dict_rows}),
+    base AS (SELECT doc_id, {toks} AS toks FROM documents),
+    grams AS (
+      SELECT b.doc_id, w.w, u.i - 1 AS p,
+             array_to_string(b.toks[u.i:u.i + w.w - 1], ' ') AS g
+      FROM base b,
+           (SELECT DISTINCT w FROM dict) w,
+           unnest(generate_series(1, len(b.toks) - w.w + 1)) AS u(i)
+      WHERE len(b.toks) >= w.w
+    )
+    SELECT g.doc_id, d.term, d.entity_type,
+           CAST(COUNT(*) AS BIGINT) AS n_mentions,
+           CAST(MIN(g.p) AS BIGINT) AS first_pos
+    FROM grams g JOIN dict d ON g.g = d.term AND g.w = d.w
+    GROUP BY g.doc_id, d.term, d.entity_type
+    """

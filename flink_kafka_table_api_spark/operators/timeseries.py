@@ -106,3 +106,92 @@ def sliding_pattern_topk(
         .orderBy("dist", tie_col)
         .limit(k)
     )
+
+
+def event_paths(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    type_col: str = "event_type",
+    length: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k frequent event PATHS: the most common length-``length``
+    adjacent subsequences of each key's time-ordered event-type stream
+    (the funnel-discovery / clickstream-mining primitive — funnels test
+    a KNOWN sequence, this surfaces the dominant sequences). Returns
+    (path, n_occurrences) with path rendered "a>b>c", top-k by
+    (count DESC, path ASC) — a total order, so the cutoff is
+    deterministic and integer-exact in both engines.
+
+    Scale shape: ONE keyed shuffle building each key's ordered type
+    array (collect_list of (ts, tiebreak, type) structs, array_sort —
+    the time_decay_score recipe; state is per-key events, the
+    celebrity-user caveat and its windowed-dedup escape hatch apply),
+    then a narrow zip_with path construction, one explode into
+    (path, 1) rows that partial-aggregate map-side, and a TakeOrdered
+    top-k — the shuffle carries path counts, never event rows."""
+    seqs = (
+        events.groupBy(F.col(key_col).alias("__k"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(order_tiebreak).alias("i"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ).alias("__seq")
+        )
+        .select(
+            F.transform(F.col("__seq"), lambda s: s["e"]).alias("__types")
+        )
+    )
+    n = F.size(F.col("__types"))
+    acc = F.slice(F.col("__types"), 1, n - length + 1)
+    for j in range(1, length):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("__types"), 1 + j, n - length + 1),
+            lambda a, b: F.concat(a, F.lit(">"), b),
+        )
+    paths = seqs.select(
+        F.explode(
+            F.when(n >= length, acc).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+def event_paths_sql(*, length: int = 3, k: int = 20) -> str:
+    """DuckDB oracle for :func:`event_paths` over `events`: per-user
+    ordered type list via list(... ORDER BY ts, event_id), the same
+    adjacent-window path construction, integer counts, identical
+    (count DESC, path ASC) top-k cutoff."""
+    return f"""
+    WITH seqs AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id
+    ),
+    paths AS (
+      SELECT array_to_string(s.types[u.i:u.i + {length} - 1], '>') AS path
+      FROM seqs s,
+           unnest(generate_series(1, len(s.types) - {length} + 1)) AS u(i)
+      WHERE len(s.types) >= {length}
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM paths GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT {k}
+    """

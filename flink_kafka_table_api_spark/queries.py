@@ -6429,6 +6429,26 @@ def q_stream_windows(spark: SparkSession, sf: str) -> DataFrame:
     return t.unionAll(s).unionAll(sl)
 
 
+@bench_query("gazetteer_tag")
+def q_gazetteer_tag(spark: SparkSession, sf: str) -> DataFrame:
+    """Dictionary entity tagging (operators/text.py `gazetteer_tag`)
+    over a 5-term, mixed-width gazetteer on the documents corpus."""
+    return tx.gazetteer_tag(
+        _t(spark, sf, "documents"),
+        {"spark": "ENGINE", "join": "OP", "hash join": "OP2",
+         "table scan merge": "OP3", "customer": "ENTITY"},
+    )
+
+
+@bench_query("event_paths")
+def q_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 frequent event-type trigram paths (operators/timeseries.py
+    `event_paths`) over per-user ordered event streams."""
+    from flink_kafka_table_api_spark.operators.timeseries import event_paths
+
+    return event_paths(_t(spark, sf, "events"))
+
+
 @bench_query("pq_ann")
 def q_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Full PQ pipeline (operators/similarity.py): train 8x16 codebooks
@@ -6609,11 +6629,17 @@ _PRIORITY: list[str] = [
 # 4,651 rows (incl. the kcore block), each value-identical to its
 # composed oracle.
 #
-# Round-9 fuel, also pre-built and parity-tested this round: `set_ops`
-# (merges set_ops_all + set_ops_distinct — 6 variants, one slot) and
-# `substring_dups` (merges substring_dup_stats + strip_dup_substrings as
-# NULL-padded typed blocks). Registering both frees 2 slots for round-9
-# operator additions.
+# Round-9 plan, fully pre-built and parity-tested this round: register
+# the two slot-freeing consolidations `set_ops` (merges set_ops_all +
+# set_ops_distinct — 6 variants, one slot) and `substring_dups` (merges
+# substring_dup_stats + strip_dup_substrings as NULL-padded typed
+# blocks), then spend the 2 freed slots on the two staged round-9
+# operators: `gazetteer_tag` (operators/text.py + gazetteer_tag_sql —
+# dictionary entity tagging over 1-3-token terms, literal/broadcast
+# dictionary, integer-exact) and `event_paths`
+# (operators/timeseries.py + event_paths_sql — top-k frequent ordered
+# event-type sequences, the funnel-DISCOVERY primitive, deterministic
+# (count DESC, path ASC) cutoff).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

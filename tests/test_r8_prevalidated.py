@@ -532,3 +532,84 @@ def test_round9_consolidations_match_composed_oracles(spark):
         assert sdf.columns == [d[0] for d in res.description]
         assert got == want and len(got) > 0
         assert {r[0] for r in got} == tags
+
+
+# ---------------------------------------------------------------------------
+# round-9 staged operators (consume the 2 slots the r9 consolidations free)
+# ---------------------------------------------------------------------------
+
+GAZ = {"spark": "ENGINE", "join": "OP", "hash join": "OP2",
+       "table scan merge": "OP3", "customer": "ENTITY"}
+
+
+def test_gazetteer_tag_matches_python_replay(spark):
+    rows = [
+        (1, "alpha hash join beta hash join"),  # multi-word, repeated
+        (2, "table scan merge x"),              # 3-token term at pos 0
+        (3, ""),                                # no hits
+        (4, "spark spark"),                     # unigram repeated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.term): (r.entity_type, r.n_mentions, r.first_pos)
+           for r in tx.gazetteer_tag(df, GAZ).collect()}
+    assert got == {
+        (1, "hash join"): ("OP2", 2, 1),
+        (1, "join"): ("OP", 2, 2),   # sub-term reports independently
+        (2, "table scan merge"): ("OP3", 1, 0),
+        (4, "spark"): ("ENGINE", 2, 0),
+    }
+
+
+def test_gazetteer_tag_oracle_parity_on_testdata(spark, docs_con):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {(r.doc_id, r.term): (r.entity_type, r.n_mentions, r.first_pos)
+           for r in tx.gazetteer_tag(docs, GAZ).collect()}
+    want = {(r[0], r[1]): (r[2], r[3], r[4])
+            for r in docs_con.execute(tx.gazetteer_tag_sql(GAZ)).fetchall()}
+    assert got == want and len(got) > 500
+
+
+def test_gazetteer_tag_rejects_overlong_terms(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tx.gazetteer_tag(df, {"a b c d": "X"})
+
+
+def test_event_paths_matches_python_replay(spark):
+    from collections import Counter
+
+    from flink_kafka_table_api_spark.operators.timeseries import event_paths
+
+    raw = ([(1, i, "abcab"[i % 5]) for i in range(10)]
+           + [(2, i, "aba"[i % 3]) for i in range(6)])
+    df = spark.createDataFrame(
+        [(eid, u, float(ts), t) for eid, (u, ts, t) in enumerate(raw)],
+        "event_id long, user_id long, ts double, event_type string",
+    )
+    seqs: dict = {}
+    for eid, (u, ts, t) in enumerate(raw):
+        seqs.setdefault(u, []).append((ts, eid, t))
+    c: Counter = Counter()
+    for s in seqs.values():
+        types = [t for _, _, t in sorted(s)]
+        for i in range(len(types) - 2):
+            c[">".join(types[i:i + 3])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.path, r.n_occurrences)
+           for r in event_paths(df, ts_col="ts").collect()]
+    assert got == want
+
+
+def test_event_paths_oracle_parity_on_testdata(spark):
+    from flink_kafka_table_api_spark.catalog import read_table
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        event_paths,
+        event_paths_sql,
+    )
+
+    ev = read_table(spark, SF, "events")
+    got = [(r.path, r.n_occurrences) for r in event_paths(ev).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = [tuple(r) for r in con.execute(event_paths_sql()).fetchall()]
+    assert got == want and len(got) == 20
