@@ -1426,3 +1426,199 @@ def gazetteer_tag_sql(terms: dict[str, str]) -> str:
     FROM grams g JOIN dict d ON g.g = d.term AND g.w = d.w
     GROUP BY g.doc_id, d.term, d.entity_type
     """
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a window of ``w`` consecutive hashes, and keep
+    the minimum hash of each window (rightmost occurrence on ties — the
+    "robust winnowing" rule, §5.2 of the paper). The distinct selected
+    (position, hash) pairs are the document's fingerprints: any shared
+    substring of length >= k + w - 1 between two documents is GUARANTEED
+    to share at least one fingerprint, which makes the fingerprint set
+    the standard local-similarity blocking key (plagiarism/clone
+    detection) — it localizes WHERE documents overlap, unlike the global
+    signatures already here (:func:`with_fingerprint` is order-blind,
+    simhash/minhash are whole-document).
+
+    Normalization: lowercase, strip every non-alphanumeric character
+    (the paper's whitespace/punctuation insensitivity).
+
+    Returns one row per document:
+    (doc_id, n_kgrams, n_windows, n_fingerprints, fp_checksum,
+    fp_density) — counts are exact integers, fp_checksum is the XOR fold
+    of ``h + (pos+1) * 2654435761`` over the distinct fingerprint set
+    (order-free by XOR's commutativity, so partitioning cannot perturb
+    it), fp_density = round(n_fingerprints / n_windows, 6) — the paper
+    proves expected density 2/(w+1) for random text, so the column is a
+    live health check on the hash family. Documents shorter than ``k``
+    normalized chars report zero everywhere; documents with fewer than
+    ``w`` k-grams get one window spanning all of them.
+
+    Scale shape: ZERO shuffles, zero Python — per-row array algebra
+    (transform/aggregate/array_distinct) inside whole-stage codegen, the
+    dup_ngram_coverage posture. Window minima are an O(w) fold per
+    window via element_at lookups on the shared hash array (never a
+    per-window sub-array allocation). Hashing is the engine-portable
+    md5-60bit (`functions/portable.py`) so the DuckDB oracle replays it
+    bit-for-bit; at 100 TB swap portable_hash64 for xxhash64 inside the
+    same plan shape (one codegen'd instruction per gram, the simhash
+    precedent).
+    """
+    df = ensure_parallelism(df)
+    s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    step0 = df.select(
+        F.col(id_col).alias(id_col),
+        s.alias("__s"),
+        F.length(s).alias("__len"),
+    )
+    ng = F.when(
+        F.col("__len") >= k, F.col("__len") - F.lit(k - 1)
+    ).otherwise(F.lit(0))
+    step1 = step0.select(id_col, "__s", ng.cast("int").alias("__ng"))
+    hs = F.when(
+        F.col("__ng") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__ng")),
+            lambda i: portable_hash64(F.substring(F.col("__s"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    step2 = step1.select(id_col, "__ng", hs.alias("__hs"))
+    # one window per start position; short docs collapse to one window
+    nw = F.when(
+        F.col("__ng") > 0,
+        F.greatest(F.col("__ng") - F.lit(w - 1), F.lit(1)),
+    ).otherwise(F.lit(0))
+    step3 = step2.select(
+        id_col, "__ng", "__hs", nw.cast("int").alias("__nw")
+    )
+    wl = F.least(F.lit(w), F.col("__ng"))  # effective window length
+    max64 = F.lit(9223372036854775807).cast("long")
+    picked = F.when(
+        F.col("__nw") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nw") - 1),
+            # rightmost minimum: <= prefers the later position on ties
+            # (robust winnowing, §5.2)
+            lambda j: F.aggregate(
+                F.sequence(j, j + wl - 1),
+                F.struct(
+                    max64.alias("h"), F.lit(-1).cast("int").alias("p")
+                ),
+                lambda acc, p: F.when(
+                    F.element_at(F.col("__hs"), p.cast("int") + 1)
+                    <= acc["h"],
+                    F.struct(
+                        F.element_at(
+                            F.col("__hs"), p.cast("int") + 1
+                        ).alias("h"),
+                        p.cast("int").alias("p"),
+                    ),
+                ).otherwise(acc),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<h:bigint,p:int>>")
+    )
+    step4 = step3.select(
+        id_col, "__ng", "__nw", F.array_distinct(picked).alias("__fp")
+    )
+    chk = F.aggregate(
+        F.col("__fp"),
+        F.lit(0).cast("long"),
+        lambda acc, fp: acc.bitwiseXOR(
+            fp["h"]
+            + (fp["p"].cast("long") + F.lit(1).cast("long"))
+            * F.lit(2654435761).cast("long")
+        ),
+    )
+    return step4.select(
+        id_col,
+        F.col("__ng").cast("long").alias("n_kgrams"),
+        F.col("__nw").cast("long").alias("n_windows"),
+        F.size("__fp").cast("long").alias("n_fingerprints"),
+        chk.alias("fp_checksum"),
+        F.round(
+            F.when(
+                F.col("__nw") > 0,
+                F.size("__fp").cast("double")
+                / F.col("__nw").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("fp_density"),
+    )
+
+
+def winnowing_sql(*, k: int = 8, w: int = 4) -> str:
+    """DuckDB oracle for :func:`winnowing_fingerprints` over `documents`.
+
+    Deliberately the exploded relational form (gram rows -> window rows
+    -> per-window MIN -> rightmost-position tie-break -> DISTINCT
+    fingerprints) instead of the engine's per-row array fold, so parity
+    exercises the winnowing SEMANTICS, not a shared implementation.
+    Every value is an exact integer except the final round(x, 6)
+    density division (the standing portable-float recipe)."""
+    from flink_kafka_table_api_spark.functions.portable import (
+        portable_hash64_sql,
+    )
+
+    h = portable_hash64_sql(f"substr(s, i, {k})")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents
+    ),
+    b2 AS (SELECT doc_id, s, length(s) AS len FROM base),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, {h} AS h
+      FROM b2, unnest(generate_series(1, len - {k} + 1)) AS u(i)
+      WHERE len >= {k}
+    ),
+    ng AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY doc_id),
+    win AS (
+      SELECT n.doc_id, u.j, least({w}, n.n_g) AS wl
+      FROM ng n,
+           unnest(generate_series(0, greatest(n.n_g - {w}, 0))) AS u(j)
+    ),
+    wg AS (
+      SELECT w.doc_id, w.j, g.pos, g.h
+      FROM win w JOIN g ON g.doc_id = w.doc_id
+       AND g.pos BETWEEN w.j AND w.j + w.wl - 1
+    ),
+    sel0 AS (SELECT doc_id, j, MIN(h) AS mh FROM wg GROUP BY doc_id, j),
+    sel AS (
+      SELECT s0.doc_id, s0.mh AS h, MAX(w.pos) AS pos
+      FROM sel0 s0 JOIN wg w
+        ON w.doc_id = s0.doc_id AND w.j = s0.j AND w.h = s0.mh
+      GROUP BY s0.doc_id, s0.j, s0.mh
+    ),
+    fp AS (SELECT DISTINCT doc_id, pos, h FROM sel),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_fp,
+             bit_xor(h + (pos + 1) * 2654435761) AS chk
+      FROM fp GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(n.n_g, 0) AS BIGINT) AS n_kgrams,
+           CAST(CASE WHEN COALESCE(n.n_g, 0) > 0
+                THEN greatest(n.n_g - {w} + 1, 1) ELSE 0 END AS BIGINT)
+             AS n_windows,
+           CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fingerprints,
+           CAST(COALESCE(a.chk, 0) AS BIGINT) AS fp_checksum,
+           round(CASE WHEN COALESCE(n.n_g, 0) > 0
+                 THEN CAST(COALESCE(a.n_fp, 0) AS DOUBLE)
+                      / greatest(n.n_g - {w} + 1, 1)
+                 ELSE 0.0 END, 6) AS fp_density
+    FROM b2 b
+    LEFT JOIN ng n USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    """
