@@ -1053,3 +1053,118 @@ def strip_dup_substrings(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup detection (Broder 1997's second
+    resemblance measure: c(A,B) = |A ∩ B| / |A|): the quote/subset
+    detector Jaccard is structurally blind to. A short document fully
+    embedded in a long one has jaccard ≈ |A|/|B| (arbitrarily small —
+    `lsh_verified_pairs` at threshold 0.5 never sees it) but
+    containment_a = 1.0. The signal that catches boilerplate inclusion,
+    quotation, and partial plagiarism between documents of very
+    different lengths.
+
+    Same scale pipeline as :func:`lsh_verified_pairs` — MinHash
+    signatures -> band buckets -> candidate pairs -> semi-join-pruned
+    exact verification — with the verify stage scoring both containment
+    directions plus jaccard. Recall note, honestly stated: symmetric
+    MinHash-LSH under-recalls low-jaccard/high-containment pairs (band
+    collision probability tracks JACCARD); at production scale the
+    candidate stage for pure containment hunting should block on the
+    SHORTER side's shingles (prefix postings) — on this corpus the
+    shared band buckets surface the containment pairs that exist, and
+    the oracle replays the identical candidate set, so the gate checks
+    the verify semantics exactly.
+
+    Returns (a, b, size_a, size_b, intersection, containment_a,
+    containment_b, jaccard) for candidate pairs where
+    max(containment_a, containment_b) >= threshold; fractions are
+    round(x, 6) single divisions of exact integers (the standing
+    portable recipe), filtered on the ROUNDED values so both engines
+    make the identical keep decision."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    sigs = tracked_persist(minhash_signatures(
+        df, id_col, text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k, portable=portable,
+    ))
+    cand = tracked_persist(lsh_candidate_pairs(
+        lsh_bands(sigs, id_col, bands=bands, rows_per_band=rows_per_band),
+        id_col,
+    ))
+    ids = (
+        cand.select(F.col("a").alias(id_col))
+        .union(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sets = tracked_persist(
+        df.join(F.broadcast(ids), on=id_col, how="left_semi").select(
+            F.col(id_col), shingles(text_col, shingle_k).alias("__sh")
+        )
+    )
+    a = sets.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sa"))
+    b = sets.select(F.col(id_col).alias("b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    sz_a = F.size(F.col("__sa"))
+    sz_b = F.size(F.col("__sb"))
+    scored = (
+        cand.join(a, "a").join(b, "b")
+        .select(
+            "a",
+            "b",
+            sz_a.cast("long").alias("size_a"),
+            sz_b.cast("long").alias("size_b"),
+            inter.cast("long").alias("intersection"),
+        )
+        .withColumn(
+            "containment_a",
+            F.round(
+                F.when(
+                    F.col("size_a") > 0,
+                    F.col("intersection").cast("double")
+                    / F.col("size_a").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+        .withColumn(
+            "containment_b",
+            F.round(
+                F.when(
+                    F.col("size_b") > 0,
+                    F.col("intersection").cast("double")
+                    / F.col("size_b").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(
+                    (F.col("size_a") + F.col("size_b")
+                     - F.col("intersection")) > 0,
+                    F.col("intersection").cast("double")
+                    / (F.col("size_a") + F.col("size_b")
+                       - F.col("intersection")).cast("double"),
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+    )
+    return scored.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b"))
+        >= F.lit(threshold)
+    )

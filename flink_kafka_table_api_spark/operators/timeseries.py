@@ -195,3 +195,98 @@ def event_paths_sql(*, length: int = 3, k: int = 20) -> str:
     ORDER BY n_occurrences DESC, path ASC
     LIMIT {k}
     """
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly audit: flag events whose value deviates
+    from the MEDIAN of their (group, hour-of-day) seasonal cell by more
+    than ``k`` times that cell's MAD (median absolute deviation) — the
+    classic robust outlier rule (Hampel filter / Leys et al. 2013:
+    median/MAD survive the very outliers mean/stddev would absorb).
+    Hour-of-day is the seasonality unit: a value normal at peak hours
+    can be anomalous at 4am, which a global percentile cut cannot see.
+
+    Returns the flagged events only:
+    (event_id, group, hr, value, med, mad, absdev), deterministically
+    identified by id. med/mad/absdev are rounded to 6 decimals BEFORE
+    every downstream use — the comparison ``absdev > k * mad`` then runs
+    on identical operands in both engines (residual risk: an unrounded
+    median sitting within one ulp of a 6th-decimal boundary could round
+    differently across engines — the temperature_mix-documented class,
+    accepted; no such value exists in the testdata).
+
+    Scale shape: two keyed aggregates over a TINY key space
+    (groups x 24 cells) with map-side partial percentile state, each
+    joined back via BROADCAST (the stats table is KBs at any corpus
+    size), and a codegen'd filter. The event stream is never shuffled —
+    at 100 TB this is two scans + two broadcast joins, the cheapest
+    possible shape for a per-cell-statistic audit. Exact interpolated
+    percentile == DuckDB quantile_cont (the `percentiles` recipe); at
+    extreme group cardinality swap in percentile_approx (t-digest,
+    mergeable) in the same plan.
+    """
+    e = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(group_col).alias("grp"),
+        F.hour(F.col(ts_col)).alias("hr"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    med = e.groupBy("grp", "hr").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    d = e.join(F.broadcast(med), ["grp", "hr"]).withColumn(
+        "absdev", F.round(F.abs(F.col("value") - F.col("med")), 6)
+    )
+    mad = d.groupBy("grp", "hr").agg(
+        F.round(F.percentile("absdev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), ["grp", "hr"])
+        .where(F.col("absdev") > F.lit(k) * F.col("mad"))
+        .select(
+            "event_id",
+            F.col("grp").alias(group_col),
+            "hr",
+            "value",
+            "med",
+            "mad",
+            "absdev",
+        )
+    )
+
+
+def seasonal_anomaly_sql(*, k: float = 3.0) -> str:
+    """DuckDB oracle for :func:`seasonal_anomaly` over `events` (same
+    two-level median/MAD recipe in relational form; quantile_cont is
+    DuckDB's exact interpolated percentile, the standing portable pair
+    for Spark's percentile())."""
+    return f"""
+    WITH e AS (
+      SELECT event_id, event_type, hour(ts) AS hr, value FROM events
+    ),
+    m AS (
+      SELECT event_type, hr, round(quantile_cont(value, 0.5), 6) AS med
+      FROM e GROUP BY event_type, hr
+    ),
+    d AS (
+      SELECT e.event_id, e.event_type, e.hr, e.value, m.med,
+             round(abs(e.value - m.med), 6) AS absdev
+      FROM e JOIN m USING (event_type, hr)
+    ),
+    s AS (
+      SELECT event_type, hr, round(quantile_cont(absdev, 0.5), 6) AS mad
+      FROM d GROUP BY event_type, hr
+    )
+    SELECT d.event_id, d.event_type, d.hr, d.value, d.med, s.mad,
+           d.absdev
+    FROM d JOIN s USING (event_type, hr)
+    WHERE d.absdev > {k} * s.mad
+    """

@@ -149,3 +149,317 @@ def _py_fp_set(text: str, k: int, w: int):
                 best_h, best_p = hs[p], p
         fps.add((best_p, best_h))
     return fps
+
+
+# ---------------------------------------------------------------------------
+# seasonal_anomaly
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events_con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    return con
+
+
+def test_seasonal_anomaly_oracle_parity_on_testdata(spark, events_con):
+    from flink_kafka_table_api_spark.catalog import read_table
+    import flink_kafka_table_api_spark.operators.timeseries as ts
+
+    ev = read_table(spark, SF, "events")
+    got = sorted(tuple(r) for r in ts.seasonal_anomaly(ev).collect())
+    exp = sorted(
+        tuple(r)
+        for r in events_con.execute(ts.seasonal_anomaly_sql()).fetchall()
+    )
+    assert len(got) > 50, "threshold produced a dead signal"
+    assert got == exp
+
+
+def test_seasonal_anomaly_matches_python_replay(spark):
+    """Independent Hampel-rule replay on a fixture with known cells."""
+    import datetime as dt
+    import statistics
+
+    import flink_kafka_table_api_spark.operators.timeseries as ts
+
+    rows = []
+    eid = 0
+    for hr in (3, 14):
+        for v in [10.0, 11.0, 9.0, 10.5, 10.2, 9.8, 95.0, 10.1]:
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + eid % 5, hr, 30), "x", v)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r.event_id
+        for r in ts.seasonal_anomaly(
+            df, group_col="event_type", k=3.0
+        ).collect()
+    }
+    exp = set()
+    for hr in (3, 14):
+        cell = [(i, v) for i, (eid2, t, _, v) in enumerate(rows)
+                if t.hour == hr for i in [eid2]]
+        med = round(statistics.median(v for _, v in cell), 6)
+        devs = [(i, round(abs(v - med), 6)) for i, v in cell]
+        mad = round(statistics.median(d for _, d in devs), 6)
+        exp |= {i for i, d in devs if d > 3.0 * mad}
+    assert got == exp and got, (got, exp)
+
+
+# ---------------------------------------------------------------------------
+# common_neighbor_scores (link prediction)
+# ---------------------------------------------------------------------------
+
+EDGES_SQL = """
+    WITH nn0 AS (SELECT COUNT(*) AS n FROM customer),
+    b AS (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(1 + (c_custkey * 13) % nn0.n AS BIGINT) AS dst
+      FROM customer, nn0
+      WHERE c_custkey <> 1 + (c_custkey * 13) % nn0.n
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(1 + (c_custkey * 29) % nn0.n AS BIGINT) AS dst
+      FROM customer, nn0
+      WHERE c_custkey <> 1 + (c_custkey * 29) % nn0.n
+    )
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM b
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM b
+    )
+"""
+
+
+def _two_gen_edges(spark):
+    from pyspark.sql import functions as F
+    from flink_kafka_table_api_spark.catalog import read_table
+
+    cust = read_table(spark, SF, "customer")
+    n = cust.count()
+    base = None
+    for m in (13, 29):
+        b = cust.select(
+            F.col("c_custkey").cast("long").alias("src"),
+            (F.lit(1) + (F.col("c_custkey") * m) % F.lit(n))
+            .cast("long")
+            .alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        base = b if base is None else base.unionAll(b)
+    return (
+        base.select("src", "dst")
+        .unionAll(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+
+
+def test_link_prediction_oracle_parity_on_testdata(spark):
+    import flink_kafka_table_api_spark.operators.graph as gr
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'"
+    )
+    got = [
+        tuple(r)
+        for r in gr.common_neighbor_scores(
+            _two_gen_edges(spark), top_k=100
+        ).collect()
+    ]
+    exp = [
+        tuple(r)
+        for r in con.execute(
+            gr.common_neighbor_scores_sql(EDGES_SQL, top_k=100)
+        ).fetchall()
+    ]
+    assert len(got) == 100
+    assert got == exp
+    assert got[0][2] >= 2, "no multi-common-neighbor pairs: dead signal"
+
+
+def test_link_prediction_excludes_existing_edges_and_replay(spark):
+    """Hand-checkable replay: path graph 1-2-3-4-5 plus edge (1,3)."""
+    import itertools
+
+    import flink_kafka_table_api_spark.operators.graph as gr
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    got = {
+        (r.node_u, r.node_v): (r.common_neighbors, r.jaccard)
+        for r in gr.common_neighbor_scores(edges, top_k=10).collect()
+    }
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {}
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if v in adj[u]:
+            continue
+        cn = len(adj[u] & adj[v])
+        if cn:
+            exp[(u, v)] = (
+                cn,
+                round(cn / (len(adj[u]) + len(adj[v]) - cn), 6),
+            )
+    assert got == exp and (1, 2) not in got and (1, 4) in got
+
+
+def test_link_prediction_apex_degree_cap(spark):
+    """A star hub shared by everyone is dropped by the cap: no pairs
+    survive because the hub was their only common neighbor."""
+    import flink_kafka_table_api_spark.operators.graph as gr
+
+    und = [(100, i) for i in range(1, 9)]  # star: hub 100, leaves 1..8
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    full = gr.common_neighbor_scores(edges, top_k=1000).count()
+    capped = gr.common_neighbor_scores(
+        edges, top_k=1000, max_apex_degree=4
+    ).count()
+    assert full == 28 and capped == 0  # C(8,2) leaf pairs via the hub
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_oracle_parity_on_testdata(spark, docs_con):
+    import flink_kafka_table_api_spark.operators.dedup as dd
+    from flink_kafka_table_api_spark.catalog import read_table
+    from flink_kafka_table_api_spark.queries import _lsh_pairs_oracle
+
+    docs = read_table(spark, SF, "documents")
+    got = sorted(
+        tuple(r)
+        for r in dd.containment_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    ca = "round(CASE WHEN size_a > 0 THEN CAST(i AS DOUBLE)/size_a ELSE 0.0 END, 6)"
+    cb = "round(CASE WHEN size_b > 0 THEN CAST(i AS DOUBLE)/size_b ELSE 0.0 END, 6)"
+    oracle = f"""
+    WITH cand AS ({_lsh_pairs_oracle()}),
+    shsets AS (
+      SELECT doc_id, {dd.shingles_sql('text', 3)} AS sh FROM documents
+    ),
+    v AS (
+      SELECT cand.a, cand.b,
+             len(x.sh) AS size_a, len(y.sh) AS size_b,
+             len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS i
+      FROM cand JOIN shsets x ON cand.a = x.doc_id
+                JOIN shsets y ON cand.b = y.doc_id
+    )
+    SELECT a, b, CAST(size_a AS BIGINT) AS size_a,
+           CAST(size_b AS BIGINT) AS size_b,
+           CAST(i AS BIGINT) AS intersection,
+           {ca} AS containment_a, {cb} AS containment_b,
+           round(CASE WHEN size_a + size_b - i > 0
+                 THEN CAST(i AS DOUBLE)/(size_a + size_b - i)
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM v WHERE greatest({ca}, {cb}) >= 0.5
+    """
+    exp = sorted(tuple(r) for r in docs_con.execute(oracle).fetchall())
+    assert len(got) > 10, "no containment pairs: dead signal"
+    assert got == exp
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """The defining case: a short doc embedded verbatim in a long one —
+    high containment, jaccard far below any dedup threshold."""
+    import flink_kafka_table_api_spark.operators.dedup as dd
+
+    # 3.7:1 shingle ratio: far below any dedup threshold by jaccard,
+    # and still inside symmetric-LSH recall (the docstring's honest
+    # caveat: at extreme ratios the candidate stage itself misses —
+    # pure containment hunting should block on the shorter side)
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    rows = dd.containment_pairs(
+        df, "doc_id", "text", threshold=0.9,
+        num_hashes=8, bands=8, rows_per_band=1,  # high-recall bands
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.containment_a > 0.99 and r.jaccard < 0.3
+
+
+# ---------------------------------------------------------------------------
+# round-10 slot-freeing consolidations (join_suite / window_suite)
+# ---------------------------------------------------------------------------
+
+def _full_con():
+    con = duckdb.connect()
+    for t in ("customer", "orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return 0.0 if v == 0 else v
+    return v
+
+
+def test_join_suite_consolidation_matches_composed_oracle(spark):
+    from flink_kafka_table_api_spark.queries import (
+        join_suite_sql,
+        q_join_suite,
+    )
+
+    got = sorted(
+        tuple(_canon(v) for v in r)
+        for r in q_join_suite(spark, SF).collect()
+    )
+    exp = sorted(
+        tuple(_canon(v) for v in r)
+        for r in _full_con().execute(join_suite_sql()).fetchall()
+    )
+    blocks = {r[0] for r in got}
+    # anti is empty at sf0.001 (every customer has orders there); it has
+    # rows at the driver's sf0.01 — parity still covers the empty block
+    assert {"left", "semi", "anti_urgent", "full_outer"} <= blocks <= {
+        "left", "semi", "anti", "anti_urgent", "full_outer"
+    }
+    assert got == exp
+
+
+def test_window_suite_consolidation_matches_composed_oracle(spark):
+    from flink_kafka_table_api_spark.queries import (
+        q_window_suite,
+        window_suite_sql,
+    )
+
+    got = sorted(
+        tuple(_canon(v) for v in r)
+        for r in q_window_suite(spark, SF).collect()
+    )
+    exp = sorted(
+        tuple(_canon(v) for v in r)
+        for r in _full_con().execute(window_suite_sql()).fetchall()
+    )
+    blocks = {r[0] for r in got}
+    assert blocks == {"topk", "running", "frames", "analytic"}
+    assert got == exp
