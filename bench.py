@@ -100,6 +100,13 @@ HEADLINE = [
     # its BENCH_ONLY twin)
     "weighted_sample",         # PPS Bernoulli sampling by token mass
     "frequent_pairs",          # A-priori 2-itemset mining
+    # round-10 staged operators (BENCH_ONLY twins; the join_suite /
+    # window_suite consolidations stay out — their component queries are
+    # already measured above, the graph_suite/stream_windows precedent)
+    "winnowing",               # MOSS robust winnowing, zero-shuffle folds
+    "seasonal_anomaly",        # hour-of-day median/MAD Hampel audit
+    "link_prediction",         # common-neighbor wedge join + top-k
+    "containment_pairs",       # LSH candidates + directional verify
 ]
 
 

@@ -6467,6 +6467,322 @@ def q_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     return pq_search(enc, cb, q, 10)
 
 
+# Round-10 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale as rounds 7-9 above: measurable this round without a
+# registry slot; oracles pre-validated in tests/test_r10_prevalidated
+# .py, registration is the committed round-10 plan in the cap note
+# below).
+
+def _two_gen_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-generator bounded-degree symmetric graph from customer keys:
+    k -> 1 + (k*13 mod N) and k -> 1 + (k*29 mod N) (both multipliers
+    coprime to N at every shipped scale, so each generator is a
+    bijection and degree is bounded by 4 after symmetrization — no
+    celebrity key). Two generators instead of pagerank's one: the
+    overlap of two permutation neighborhoods is what gives link
+    prediction a LIVE multi-common-neighbor signal (cn up to 3 on this
+    family) rather than a flat cn=1 tie plateau."""
+    cust = _t(spark, sf, "customer")
+    n = cust.count()
+    base = None
+    for m in (13, 29):
+        b = cust.select(
+            F.col("c_custkey").cast("long").alias("src"),
+            (F.lit(1) + (F.col("c_custkey") * m) % F.lit(n))
+            .cast("long")
+            .alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        base = b if base is None else base.unionAll(b)
+    return (
+        base.select("src", "dst")
+        .unionAll(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+
+
+def _two_gen_edges_sql() -> str:
+    """SQL twin of :func:`_two_gen_edges` (the _pagerank_edges_sql
+    pattern: both engines derive the identical graph from customer
+    keys)."""
+    return """
+    WITH nn0 AS (SELECT COUNT(*) AS n FROM customer),
+    b AS (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(1 + (c_custkey * 13) % nn0.n AS BIGINT) AS dst
+      FROM customer, nn0
+      WHERE c_custkey <> 1 + (c_custkey * 13) % nn0.n
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(1 + (c_custkey * 29) % nn0.n AS BIGINT) AS dst
+      FROM customer, nn0
+      WHERE c_custkey <> 1 + (c_custkey * 29) % nn0.n
+    )
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM b
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM b
+    )
+    """
+
+
+def containment_pairs_sql(*, threshold: float = 0.5) -> str:
+    """Oracle for the staged `containment_pairs` gate query: the
+    registered LSH candidate replay (_lsh_pairs_oracle) verified with
+    both containment directions + jaccard, thresholded on the ROUNDED
+    max containment exactly as the operator does."""
+    ca = ("round(CASE WHEN size_a > 0 THEN CAST(i AS DOUBLE)/size_a"
+          " ELSE 0.0 END, 6)")
+    cb = ("round(CASE WHEN size_b > 0 THEN CAST(i AS DOUBLE)/size_b"
+          " ELSE 0.0 END, 6)")
+    return f"""
+    WITH cand AS ({_lsh_pairs_oracle()}),
+    shsets AS (
+      SELECT doc_id, {dd.shingles_sql('text', 3)} AS sh FROM documents
+    ),
+    v AS (
+      SELECT cand.a, cand.b,
+             len(x.sh) AS size_a, len(y.sh) AS size_b,
+             len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS i
+      FROM cand JOIN shsets x ON cand.a = x.doc_id
+                JOIN shsets y ON cand.b = y.doc_id
+    )
+    SELECT a, b, CAST(size_a AS BIGINT) AS size_a,
+           CAST(size_b AS BIGINT) AS size_b,
+           CAST(i AS BIGINT) AS intersection,
+           {ca} AS containment_a, {cb} AS containment_b,
+           round(CASE WHEN size_a + size_b - i > 0
+                 THEN CAST(i AS DOUBLE)/(size_a + size_b - i)
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM v WHERE greatest({ca}, {cb}) >= {threshold}
+    """
+
+
+def join_suite_sql() -> str:
+    """Oracle for the staged round-10 consolidation of the outer/semi/
+    anti join family: all four registered oracles composed verbatim as
+    NULL-padded typed blocks (the substring_dups recipe) — 4 join kinds
+    in ONE registry slot."""
+    return f"""
+    SELECT 'left' AS block,
+           CAST(NULL AS BIGINT) AS o_orderkey,
+           CAST(NULL AS BIGINT) AS o_custkey,
+           c_custkey,
+           CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS VARCHAR) AS c_mktsegment,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM ({ORACLES["join_left"]})
+    UNION ALL
+    SELECT 'semi', NULL, NULL, c_custkey, c_name, c_mktsegment,
+           CAST(NULL AS BIGINT)
+    FROM ({ORACLES["join_semi"]})
+    UNION ALL
+    SELECT 'anti', NULL, NULL, c_custkey, c_name, NULL, NULL
+    FROM ({ORACLES["join_anti"]})
+    UNION ALL
+    SELECT 'anti_urgent', NULL, NULL, c_custkey, c_name, NULL, NULL
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'full_outer', o_orderkey, o_custkey, c_custkey, c_name,
+           NULL, NULL
+    FROM ({ORACLES["join_full_outer"]})
+    """
+
+
+@bench_query("join_suite")
+def q_join_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """STAGED round-10 consolidation: the left / semi / anti /
+    full-outer join slots merged as NULL-padded typed blocks (frees 3
+    registry slots on registration; join_inner_agg, star_join and the
+    specialty joins keep their own slots). Pre-validated vs
+    join_suite_sql() in tests/test_r10_prevalidated.py."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    left = q_join_left(spark, sf).select(
+        F.lit("left").alias("block"),
+        nul("long").alias("o_orderkey"),
+        nul("long").alias("o_custkey"),
+        "c_custkey",
+        nul("string").alias("c_name"),
+        nul("string").alias("c_mktsegment"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+    semi = q_join_semi(spark, sf).select(
+        F.lit("semi").alias("block"),
+        nul("long").alias("o_orderkey"),
+        nul("long").alias("o_custkey"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        nul("long").alias("n_orders"),
+    )
+    anti = q_join_anti(spark, sf).select(
+        F.lit("anti").alias("block"),
+        nul("long").alias("o_orderkey"),
+        nul("long").alias("o_custkey"),
+        "c_custkey",
+        "c_name",
+        nul("string").alias("c_mktsegment"),
+        nul("long").alias("n_orders"),
+    )
+    cust = _t(spark, sf, "customer")
+    urgent = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # the retired join_anti block is 0 rows at every shipped sf (all
+    # customers have orders) — keep it verbatim for retiree equivalence
+    # AND add the LIVE anti complement of the semi block, so the suite's
+    # anti-join evidence is non-vacuous
+    anti_u = anti_join(
+        cust, urgent, cust.c_custkey == urgent.o_custkey
+    ).select(
+        F.lit("anti_urgent").alias("block"),
+        nul("long").alias("o_orderkey"),
+        nul("long").alias("o_custkey"),
+        "c_custkey",
+        "c_name",
+        nul("string").alias("c_mktsegment"),
+        nul("long").alias("n_orders"),
+    )
+    fo = q_join_full_outer(spark, sf).select(
+        F.lit("full_outer").alias("block"),
+        "o_orderkey",
+        "o_custkey",
+        "c_custkey",
+        "c_name",
+        nul("string").alias("c_mktsegment"),
+        nul("long").alias("n_orders"),
+    )
+    return (
+        left.unionAll(semi).unionAll(anti).unionAll(anti_u).unionAll(fo)
+    )
+
+
+def window_suite_sql() -> str:
+    """Oracle for the staged round-10 consolidation of the window-
+    function family: top-k, running frame, offset/range/ntile frames,
+    and distribution analytics composed verbatim as NULL-padded typed
+    blocks — the full non-streaming window surface in ONE slot."""
+    return f"""
+    SELECT 'topk' AS block,
+           o_orderkey, o_custkey,
+           CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS VARCHAR) AS o_orderpriority,
+           o_totalprice, rn,
+           CAST(NULL AS DOUBLE) AS run_sum,
+           CAST(NULL AS DOUBLE) AS prev_price,
+           CAST(NULL AS DOUBLE) AS next_price,
+           CAST(NULL AS DOUBLE) AS price_delta,
+           CAST(NULL AS DOUBLE) AS near_price_sum,
+           CAST(NULL AS BIGINT) AS price_quartile,
+           CAST(NULL AS DOUBLE) AS pct_rank,
+           CAST(NULL AS DOUBLE) AS cum_dist,
+           CAST(NULL AS DOUBLE) AS cheapest_in_priority,
+           CAST(NULL AS DOUBLE) AS dearest_in_priority
+    FROM ({ORACLES["window_topk"]})
+    UNION ALL
+    SELECT 'running', NULL, NULL, event_id, user_id, NULL, NULL, NULL,
+           run_sum, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL
+    FROM ({ORACLES["window_running"]})
+    UNION ALL
+    SELECT 'frames', o_orderkey, o_custkey, NULL, NULL, NULL,
+           o_totalprice, NULL, NULL, prev_price, next_price,
+           price_delta, near_price_sum, price_quartile, NULL, NULL,
+           NULL, NULL
+    FROM ({ORACLES["window_frames"]})
+    UNION ALL
+    SELECT 'analytic', o_orderkey, NULL, NULL, NULL, o_orderpriority,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, pct_rank,
+           cum_dist, cheapest_in_priority, dearest_in_priority
+    FROM ({ORACLES["window_analytic"]})
+    """
+
+
+@bench_query("window_suite")
+def q_window_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """STAGED round-10 consolidation: the four window-function slots
+    (topk / running / frames / analytic) merged as NULL-padded typed
+    blocks (frees 3 registry slots on registration; stream_window_topk
+    stays its own streaming slot). Pre-validated vs window_suite_sql()
+    in tests/test_r10_prevalidated.py."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    pad = {
+        "o_orderkey": "long", "o_custkey": "long", "event_id": "long",
+        "user_id": "long", "o_orderpriority": "string",
+        "o_totalprice": "double", "rn": "long", "run_sum": "double",
+        "prev_price": "double", "next_price": "double",
+        "price_delta": "double", "near_price_sum": "double",
+        "price_quartile": "long", "pct_rank": "double",
+        "cum_dist": "double", "cheapest_in_priority": "double",
+        "dearest_in_priority": "double",
+    }
+
+    def block(tag: str, df: DataFrame) -> DataFrame:
+        cols = [F.lit(tag).alias("block")] + [
+            (F.col(c) if c in df.columns else nul(t)).alias(c)
+            for c, t in pad.items()
+        ]
+        return df.select(*cols)
+
+    return (
+        block("topk", q_window_topk(spark, sf))
+        .unionAll(block("running", q_window_running(spark, sf)))
+        .unionAll(block("frames", q_window_frames(spark, sf)))
+        .unionAll(block("analytic", q_window_analytic(spark, sf)))
+    )
+
+
+@bench_query("winnowing")
+def q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (operators/text.py
+    `winnowing_fingerprints`, Schleimer '03 robust winnowing, k=8 w=4):
+    zero-shuffle per-row array algebra."""
+    return tx.winnowing_fingerprints(
+        _t(spark, sf, "documents"), k=8, w=4
+    )
+
+
+@bench_query("seasonal_anomaly")
+def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day median/MAD Hampel outlier audit over events
+    (operators/timeseries.py `seasonal_anomaly`, k=3): two tiny-key
+    aggregates + two broadcast joins, event stream never shuffled."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        seasonal_anomaly,
+    )
+
+    return seasonal_anomaly(_t(spark, sf, "events"))
+
+
+@bench_query("link_prediction")
+def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbor/Jaccard link prediction (operators/graph.py
+    `common_neighbor_scores`, top-100) over the two-generator
+    bounded-degree customer graph."""
+    from flink_kafka_table_api_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    return common_neighbor_scores(_two_gen_edges(spark, sf), top_k=100)
+
+
+@bench_query("containment_pairs")
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment near-dup detection (operators/dedup.py
+    `containment_pairs`, threshold 0.5): the LSH pipeline with a
+    directional verify."""
+    return dd.containment_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
 @query("pmi_collocations", tx.pmi_collocations_sql(min_count=5))
 def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining: every adjacent token pair occurring >= 5
@@ -6640,6 +6956,25 @@ _PRIORITY: list[str] = [
 # (operators/timeseries.py + event_paths_sql — top-k frequent ordered
 # event-type sequences, the funnel-DISCOVERY primitive, deterministic
 # (count DESC, path ASC) cutoff).
+#
+# Round-10 plan, fully pre-built and parity-tested this round
+# (tests/test_r10_prevalidated.py + BENCH_ONLY twins above): free slots
+# with the two pre-built family consolidations `join_suite` (merges
+# join_left / join_semi / join_anti / join_full_outer as typed blocks —
+# 4 slots -> 1) and `window_suite` (merges window_topk / window_running
+# / window_frames / window_analytic — 4 -> 1), then spend the 6 freed
+# slots on the four staged round-10 operators — `winnowing`
+# (operators/text.py winnowing_fingerprints + winnowing_sql — Schleimer
+# '03 robust winnowing, XOR-checksum contract), `seasonal_anomaly`
+# (operators/timeseries.py + seasonal_anomaly_sql — hour-of-day
+# median/MAD Hampel audit), `link_prediction` (operators/graph.py
+# common_neighbor_scores + common_neighbor_scores_sql over
+# _two_gen_edges — Liben-Nowell/Kleinberg common-neighbor + Jaccard),
+# and `containment_pairs` (operators/dedup.py + containment_pairs_sql —
+# Broder containment, the asymmetric quote/subset detector) — with 2
+# slots of headroom left under the cap. Every new name must sit in the
+# actual r10 gate (never-green rule); the consolidation retirees' final
+# green evidence is their r8/r9 rows.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

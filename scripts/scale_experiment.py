@@ -69,6 +69,11 @@ MEASURE = [
     "label_propagation",     # iterative vote join+agg rounds
     "nb_scores",             # counting shuffles + broadcast-grid fold
     "source_kl_divergence",  # vocab join + per-source ordered fold
+    # round-10 staged-operator additions (BENCH_ONLY twins)
+    "winnowing",             # zero-shuffle per-row window-min folds
+    "seasonal_anomaly",      # tiny-key aggs + broadcast joins
+    "link_prediction",       # adjacency wedge self-join + top-k
+    "containment_pairs",     # LSH bucket join + directional verify
 ]
 
 
