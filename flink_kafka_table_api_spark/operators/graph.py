@@ -459,7 +459,8 @@ def common_neighbor_scores(
 
     Scale shape: wedge enumeration from each node's adjacency list —
     one self-join of the adjacency on the apex node, one keyed count on
-    the (u, v) pair, one broadcast-degree join, one anti-join against
+    the (u, v) pair, two degree joins (AQE-sized: the degree table is
+    O(nodes), broadcast only when it fits), one anti-join against
     the existing edge set, and a TakeOrdered top-k (never a global
     sort). The wedge fan-out is sum(deg^2) over apex nodes — the skew
     bomb every production link predictor defuses by dropping celebrity
@@ -477,9 +478,14 @@ def common_neighbor_scores(
     deg = tracked_persist(e.groupBy("a").agg(F.count("*").alias("d")))
     adj = e  # symmetric: (a, b) rows double as apex->neighbor lists
     if max_apex_degree is not None:
+        # semi-join, not broadcast: the under-cap degree set is O(nodes)
+        # in the common case (most nodes are NOT celebrities), so it
+        # must be allowed to shuffle; AQE broadcasts it when it fits
         adj = adj.join(
-            F.broadcast(deg.where(F.col("d") <= max_apex_degree)), "a"
-        ).select("a", "b")
+            deg.where(F.col("d") <= max_apex_degree).select("a"),
+            "a",
+            "left_semi",
+        )
     lo = adj.select("a", F.col("b").alias("u"))
     hi = adj.select("a", F.col("b").alias("v"))
     pairs = (
@@ -497,9 +503,12 @@ def common_neighbor_scores(
     )
     du = deg.select(F.col("a").alias("u"), F.col("d").alias("deg_u"))
     dv = deg.select(F.col("a").alias("v"), F.col("d").alias("deg_v"))
+    # degree joins: NOT force-broadcast — the degree table is O(nodes),
+    # which a billion-node graph cannot ship to every executor; AQE
+    # broadcasts it when it actually fits and shuffles otherwise
     scored = (
-        candidates.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        candidates.join(du, "u")
+        .join(dv, "v")
         .select(
             F.col("u").alias("node_u"),
             F.col("v").alias("node_v"),
