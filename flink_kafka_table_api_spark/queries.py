@@ -6972,7 +6972,11 @@ _PRIORITY: list[str] = [
 # _two_gen_edges — Liben-Nowell/Kleinberg common-neighbor + Jaccard),
 # and `containment_pairs` (operators/dedup.py + containment_pairs_sql —
 # Broder containment, the asymmetric quote/subset detector) — with 2
-# slots of headroom left under the cap. Every new name must sit in the
+# slots of headroom left under the cap. Both consolidations were run at
+# the driver's gate scale (sf0.01) this round: join_suite 5,993 rows
+# (incl. the live anti_urgent block) and window_suite 44,492 rows, each
+# value-identical to its composed oracle under the driver's
+# string-canonicalized compare. Every new name must sit in the
 # actual r10 gate (never-green rule); the consolidation retirees' final
 # green evidence is their r8/r9 rows.
 _NEXT_GATE_SCHEDULE: list[str] = [

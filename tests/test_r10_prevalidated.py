@@ -418,9 +418,12 @@ def _full_con():
 
 
 def _canon(v):
+    # the driver's compare canonicalizes values to STRINGS before
+    # sorting — required here too: NULL-padded blocks make raw tuple
+    # sorts compare None against int, which Python refuses
     if isinstance(v, float):
-        return 0.0 if v == 0 else v
-    return v
+        v = 0.0 if v == 0 else v
+    return str(v)
 
 
 def test_join_suite_consolidation_matches_composed_oracle(spark):
