@@ -226,6 +226,27 @@ SHOWCASE = {
                             "totals DERIVE from that aggregate (no "
                             "second corpus scan); the KL fold shuffles "
                             "vocabulary-sized rows keyed by source",
+    "winnowing": "no key Exchange: one narrow projection chain — gram "
+                 "hashing, per-window argmin folds, distinct and "
+                 "checksum all evaluate per row inside codegen (the "
+                 "single RoundRobin Exchange is ensure_parallelism's "
+                 "small-file spread at tiny sf, absent on a real "
+                 "multi-split scan)",
+    "seasonal_anomaly": "the event scan is never shuffled: two "
+                        "(group, hour)-keyed aggregates with map-side "
+                        "partial percentile state, each joined back "
+                        "as a BroadcastHashJoin build side (the stats "
+                        "table is KBs at any corpus size)",
+    "link_prediction": "wedge self-join keyed on the apex node; the "
+                       "(u, v) pair aggregate carries counts, not "
+                       "adjacency; degree joins are AQE-sized (no "
+                       "forced broadcast of the O(nodes) table); "
+                       "top-k is TakeOrderedAndProject",
+    "containment_pairs": "the LSH family shape: band-bucket "
+                         "self-join over signatures, semi-join-pruned "
+                         "shingle verify — the directional fractions "
+                         "add only codegen'd projections to the "
+                         "verified-pairs plan",
 }
 
 
