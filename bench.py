@@ -107,6 +107,12 @@ HEADLINE = [
     "seasonal_anomaly",        # hour-of-day median/MAD Hampel audit
     "link_prediction",         # common-neighbor wedge join + top-k
     "containment_pairs",       # LSH candidates + directional verify
+    # round-11 staged operators (BENCH_ONLY twins; lsh_recall_audit
+    # stays out — its ground-truth side IS simjoin_prefix, already
+    # measured above, and its contract is sample-scale auditing)
+    "winnow_matches",          # capped fingerprint self-join + spans
+    "adamic_adar",             # degree-weighted wedge fold + top-k
+    "equi_depth_bins",         # 1 percentile agg + broadcast-cut fold
 ]
 
 

@@ -1168,3 +1168,68 @@ def containment_pairs(
         F.greatest(F.col("containment_a"), F.col("containment_b"))
         >= F.lit(threshold)
     )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """Measured LSH recall, per similarity band: join the MinHash-LSH
+    pipeline's verified pairs (:func:`lsh_verified_pairs`) against the
+    EXACT similarity self-join (:func:`prefix_filter_pairs` — ground
+    truth with no probabilistic misses) at the same threshold, and
+    report per 0.1-wide jaccard band how many true pairs the LSH path
+    found. The "measure, don't guess" primitive for tuning
+    bands/rows_per_band in production: the S-curve P(candidate) =
+    1-(1-j^r)^b is a model; this operator is the measurement. LSH
+    precision is 1.0 by construction (its verify stage computes exact
+    jaccard), so recall is the only free metric.
+
+    Returns (band_lo, n_true_pairs, n_lsh_found, recall) — one row per
+    occupied band, band_lo = floor(jaccard*10)/10 computed from the
+    ROUNDED jaccard both engines share; counts exact, recall one
+    round(x, 6) division.
+
+    Scale shape: both inputs are the scalable pipelines (prefix-posting
+    join for truth, band-bucket join for LSH); the audit itself adds one
+    broadcast-sized join of two pair tables and a tiny banded aggregate.
+    Run it on a SAMPLE of the corpus at 100 TB — recall is a property of
+    the hash family and the similarity distribution, not of corpus
+    size."""
+    truth = prefix_filter_pairs(
+        df, id_col, text_col,
+        threshold=threshold, shingle_k=shingle_k,
+    ).select("a", "b", "jaccard")
+    found = lsh_verified_pairs(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, shingle_k=shingle_k,
+        threshold=threshold, portable=portable,
+    ).select("a", "b", F.lit(1).alias("__hit"))
+    joined = truth.join(found, ["a", "b"], "left")
+    band = (F.floor(F.col("jaccard") * 10) / 10).alias("band_lo")
+    return (
+        joined.groupBy(band)
+        .agg(
+            F.count("*").cast("long").alias("n_true_pairs"),
+            F.count("__hit").cast("long").alias("n_lsh_found"),
+        )
+        .select(
+            "band_lo",
+            "n_true_pairs",
+            "n_lsh_found",
+            F.round(
+                F.col("n_lsh_found").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

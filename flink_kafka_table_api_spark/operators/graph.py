@@ -562,3 +562,126 @@ def common_neighbor_scores_sql(edges_sql: str, *, top_k: int = 100) -> str:
     ORDER BY jaccard DESC, common_neighbors DESC, node_u, node_v
     LIMIT {top_k}
     """
+
+
+def adamic_adar_scores(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 100,
+    max_apex_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over a SYMMETRIC edge relation
+    (Adamic & Adar 2003, the degree-weighted refinement of
+    :func:`common_neighbor_scores`): score every non-edge pair by
+    sum over common neighbors z of 1/ln(deg(z)) — a shared RARE
+    neighbor is strong evidence, a shared hub is weak evidence, which
+    plain common-neighbor counting cannot distinguish.
+
+    Returns (node_u, node_v, common_neighbors, aa_score) for the top_k
+    candidates ordered (aa_score DESC, common_neighbors DESC, node_u,
+    node_v). Cross-engine exactness: each 1/ln(d) term is computed from
+    an exact integer degree, and the per-pair sum is an APEX-ORDERED
+    left fold over the collect_list'ed terms (the pagerank recipe:
+    Spark F.aggregate and DuckDB list_reduce over the same ascending
+    apex list perform the identical IEEE add sequence), rounded once at
+    the end. A degree-1 apex cannot close a wedge, so ln(d) >= ln(2)
+    and the division is always defined.
+
+    Scale shape: identical to common_neighbor_scores — apex wedge
+    self-join with the apex's degree riding along, per-pair
+    ObjectHashAggregate (collect_list bounded by the pair's common-
+    neighbor count), TakeOrdered top-k. Same celebrity-apex defusal
+    (``max_apex_degree`` semi-join cap); same AQE-sized joins."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    e = tracked_persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    deg = tracked_persist(e.groupBy("a").agg(F.count("*").alias("d")))
+    adj = e.join(deg, "a")  # apex degree rides the adjacency row
+    if max_apex_degree is not None:
+        adj = adj.where(F.col("d") <= max_apex_degree)
+    lo = adj.select(
+        F.col("a").alias("z"), F.col("b").alias("u"), "d"
+    )
+    hi = adj.select(F.col("a").alias("z"), F.col("b").alias("v"))
+    pairs = (
+        lo.join(hi, "z")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("z", "d"))),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.lit(1.0) / F.log(x["d"].cast("double")),
+            ).alias("__aa"),
+        )
+    )
+    candidates = pairs.join(
+        e.where(F.col("a") < F.col("b")).select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        candidates.select(
+            F.col("u").alias("node_u"),
+            F.col("v").alias("node_v"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(F.col("__aa"), 6).alias("aa_score"),
+        )
+        .orderBy(
+            F.desc("aa_score"),
+            F.desc("common_neighbors"),
+            "node_u",
+            "node_v",
+        )
+        .limit(top_k)
+    )
+
+
+def adamic_adar_scores_sql(edges_sql: str, *, top_k: int = 100) -> str:
+    """DuckDB replay of :func:`adamic_adar_scores` (no apex cap): same
+    wedge enumeration, apex-ascending list_reduce fold for the IEEE-
+    identical 1/ln(d) sum."""
+    return f"""
+    WITH e AS ({edges_sql}),
+    dg AS (SELECT src AS n, COUNT(*) AS d FROM e GROUP BY src),
+    w AS (
+      SELECT a1.src AS z, dg.d, a1.dst AS u, a2.dst AS v
+      FROM e a1
+      JOIN e a2 ON a1.src = a2.src AND a1.dst < a2.dst
+      JOIN dg ON dg.n = a1.src
+    ),
+    p AS (
+      SELECT u, v, COUNT(*) AS cn,
+             list_reduce(
+               list_prepend(
+                 0.0,
+                 list_transform(
+                   list(d ORDER BY z),
+                   dd -> 1.0 / ln(CAST(dd AS DOUBLE))
+                 )
+               ),
+               (acc, x) -> acc + x
+             ) AS aa
+      FROM w GROUP BY u, v
+    ),
+    cand AS (
+      SELECT p.* FROM p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.src = p.u AND e.dst = p.v
+      )
+    )
+    SELECT u AS node_u, v AS node_v,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           round(aa, 6) AS aa_score
+    FROM cand
+    ORDER BY aa_score DESC, common_neighbors DESC, node_u, node_v
+    LIMIT {top_k}
+    """

@@ -501,3 +501,108 @@ def hierarchy_levels(
         F.col("__anc").alias("root"),
         F.col("__d").alias("depth"),
     )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH (quantile) binning with per-bin statistics — the
+    feature-engineering/histogram primitive `value_histogram`'s
+    equi-WIDTH bins can't provide on skewed distributions (where one
+    wide bin swallows most rows and the rest sit empty): cut points are
+    the exact interpolated (i/n)-quantiles, so every bin holds ~1/n of
+    the rows by construction.
+
+    Returns (bin_id, lo_cut, hi_cut, n_rows, bin_min, bin_max) with
+    bin_id 1..n_bins; lo/hi cuts rounded to 6 decimals (NULL at the
+    open ends), assignment by ``value > cut`` on the ROUNDED cuts so
+    both engines place boundary values identically (the
+    seasonal_anomaly recipe).
+
+    Scale shape: ONE percentile aggregate producing n_bins-1 scalars
+    (never a global sort — the ntile() formulation would shuffle every
+    row to sort within one giant frame), the cut array applied as a
+    codegen'd fold per row, and one tiny keyed aggregate. At extreme
+    scale swap the exact percentile for percentile_approx (t-digest,
+    mergeable) in the same plan; the cut COUNT stays n_bins-1 either
+    way, so the downstream shape is scale-invariant."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts_row = df.agg(
+        F.array(
+            *[
+                F.round(F.percentile(value_col, F.lit(q)), 6)
+                for q in qs
+            ]
+        ).alias("__cuts")
+    )
+    with_cuts = df.crossJoin(F.broadcast(cuts_row))  # 1-row build side
+    bin_id = F.aggregate(
+        F.col("__cuts"),
+        F.lit(1),
+        lambda acc, c: acc
+        + F.when(F.col(value_col) > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    binned = with_cuts.select(
+        F.col(value_col).alias("__v"),
+        "__cuts",
+        bin_id.cast("long").alias("bin_id"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.first(
+                F.when(
+                    F.col("bin_id") > 1,
+                    F.element_at(
+                        F.col("__cuts"), F.col("bin_id").cast("int") - 1
+                    ),
+                )
+            ).alias("lo_cut"),
+            F.first(
+                F.when(
+                    F.col("bin_id") < n_bins,
+                    F.element_at(
+                        F.col("__cuts"), F.col("bin_id").cast("int")
+                    ),
+                )
+            ).alias("hi_cut"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("__v").alias("bin_min"),
+            F.max("__v").alias("bin_max"),
+        )
+    )
+
+
+def equi_depth_bins_sql(
+    table: str, value_col: str, *, n_bins: int = 10
+) -> str:
+    """DuckDB oracle for :func:`equi_depth_bins`: quantile_cont is the
+    exact interpolated percentile (the `percentiles` portable pair);
+    same rounded cuts, same strict-> assignment."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cut_list = ", ".join(
+        f"round(quantile_cont({value_col}, {q}), 6)" for q in qs
+    )
+    return f"""
+    WITH cuts AS (SELECT [{cut_list}] AS c FROM {table}),
+    b AS (
+      SELECT t.{value_col} AS v,
+             1 + len(list_filter(cuts.c, x -> t.{value_col} > x))
+               AS bin_id,
+             cuts.c AS c
+      FROM {table} t, cuts
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CASE WHEN bin_id > 1 THEN c[CAST(bin_id AS INT) - 1] END
+             AS lo_cut,
+           CASE WHEN bin_id < {n_bins} THEN c[CAST(bin_id AS INT)] END
+             AS hi_cut,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS bin_min,
+           MAX(v) AS bin_max
+    FROM b
+    GROUP BY bin_id, c
+    """

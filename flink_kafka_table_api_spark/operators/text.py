@@ -1428,51 +1428,13 @@ def gazetteer_tag_sql(terms: dict[str, str]) -> str:
     """
 
 
-def winnowing_fingerprints(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    *,
-    k: int = 8,
-    w: int = 4,
+def _winnow_fp(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of the
-    normalized text, slide a window of ``w`` consecutive hashes, and keep
-    the minimum hash of each window (rightmost occurrence on ties — the
-    "robust winnowing" rule, §5.2 of the paper). The distinct selected
-    (position, hash) pairs are the document's fingerprints: any shared
-    substring of length >= k + w - 1 between two documents is GUARANTEED
-    to share at least one fingerprint, which makes the fingerprint set
-    the standard local-similarity blocking key (plagiarism/clone
-    detection) — it localizes WHERE documents overlap, unlike the global
-    signatures already here (:func:`with_fingerprint` is order-blind,
-    simhash/minhash are whole-document).
-
-    Normalization: lowercase, strip every non-alphanumeric character
-    (the paper's whitespace/punctuation insensitivity).
-
-    Returns one row per document:
-    (doc_id, n_kgrams, n_windows, n_fingerprints, fp_checksum,
-    fp_density) — counts are exact integers, fp_checksum is the XOR fold
-    of ``h + (pos+1) * 2654435761`` over the distinct fingerprint set
-    (order-free by XOR's commutativity, so partitioning cannot perturb
-    it), fp_density = round(n_fingerprints / n_windows, 6) — the paper
-    proves expected density 2/(w+1) for random text, so the column is a
-    live health check on the hash family. Documents shorter than ``k``
-    normalized chars report zero everywhere; documents with fewer than
-    ``w`` k-grams get one window spanning all of them.
-
-    Scale shape: ZERO shuffles, zero Python — per-row array algebra
-    (transform/aggregate/array_distinct) inside whole-stage codegen, the
-    dup_ngram_coverage posture. Window minima are an O(w) fold per
-    window via element_at lookups on the shared hash array (never a
-    per-window sub-array allocation). Hashing is the engine-portable
-    md5-60bit (`functions/portable.py`) so the DuckDB oracle replays it
-    bit-for-bit; at 100 TB swap portable_hash64 for xxhash64 inside the
-    same plan shape (one codegen'd instruction per gram, the simhash
-    precedent).
-    """
+    """Shared winnowing pipeline: one row per document with the distinct
+    fingerprint struct array ``__fp`` (h, p) plus the gram/window counts
+    — consumed by both the per-doc summary (:func:`winnowing_fingerprints`)
+    and the pair matcher (:func:`winnow_matches`)."""
     df = ensure_parallelism(df)
     s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     step0 = df.select(
@@ -1528,9 +1490,57 @@ def winnowing_fingerprints(
     ).otherwise(
         F.array().cast("array<struct<h:bigint,p:int>>")
     )
-    step4 = step3.select(
+    return step3.select(
         id_col, "__ng", "__nw", F.array_distinct(picked).alias("__fp")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a window of ``w`` consecutive hashes, and keep
+    the minimum hash of each window (rightmost occurrence on ties — the
+    "robust winnowing" rule, §5.2 of the paper). The distinct selected
+    (position, hash) pairs are the document's fingerprints: any shared
+    substring of length >= k + w - 1 between two documents is GUARANTEED
+    to share at least one fingerprint, which makes the fingerprint set
+    the standard local-similarity blocking key (plagiarism/clone
+    detection) — it localizes WHERE documents overlap, unlike the global
+    signatures already here (:func:`with_fingerprint` is order-blind,
+    simhash/minhash are whole-document).
+
+    Normalization: lowercase, strip every non-alphanumeric character
+    (the paper's whitespace/punctuation insensitivity).
+
+    Returns one row per document:
+    (doc_id, n_kgrams, n_windows, n_fingerprints, fp_checksum,
+    fp_density) — counts are exact integers, fp_checksum is the XOR fold
+    of ``h + (pos+1) * 2654435761`` over the distinct fingerprint set
+    (order-free by XOR's commutativity, so partitioning cannot perturb
+    it), fp_density = round(n_fingerprints / n_windows, 6) — the paper
+    proves expected density 2/(w+1) for random text, so the column is a
+    live health check on the hash family. Documents shorter than ``k``
+    normalized chars report zero everywhere; documents with fewer than
+    ``w`` k-grams get one window spanning all of them.
+
+    Scale shape: ZERO shuffles, zero Python — per-row array algebra
+    (transform/aggregate/array_distinct) inside whole-stage codegen, the
+    dup_ngram_coverage posture. Window minima are an O(w) fold per
+    window via element_at lookups on the shared hash array (never a
+    per-window sub-array allocation). Hashing is the engine-portable
+    md5-60bit (`functions/portable.py`) so the DuckDB oracle replays it
+    bit-for-bit; at 100 TB swap portable_hash64 for xxhash64 inside the
+    same plan shape (one codegen'd instruction per gram, the simhash
+    precedent).
+    """
+    step4 = _winnow_fp(df, id_col, text_col, k, w)
     chk = F.aggregate(
         F.col("__fp"),
         F.lit(0).cast("long"),
@@ -1557,22 +1567,17 @@ def winnowing_fingerprints(
     )
 
 
-def winnowing_sql(*, k: int = 8, w: int = 4) -> str:
-    """DuckDB oracle for :func:`winnowing_fingerprints` over `documents`.
-
-    Deliberately the exploded relational form (gram rows -> window rows
-    -> per-window MIN -> rightmost-position tie-break -> DISTINCT
-    fingerprints) instead of the engine's per-row array fold, so parity
-    exercises the winnowing SEMANTICS, not a shared implementation.
-    Every value is an exact integer except the final round(x, 6)
-    density division (the standing portable-float recipe)."""
+def _winnow_fp_cte(k: int, w: int) -> str:
+    """The shared DuckDB winnowing CTE chain ending in
+    ``fp(doc_id, pos, h)`` — composed by both the per-doc summary oracle
+    (:func:`winnowing_sql`) and the pair-match oracle
+    (:func:`winnow_matches_sql`)."""
     from flink_kafka_table_api_spark.functions.portable import (
         portable_hash64_sql,
     )
 
     h = portable_hash64_sql(f"substr(s, i, {k})")
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT doc_id,
              regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
       FROM documents
@@ -1601,7 +1606,20 @@ def winnowing_sql(*, k: int = 8, w: int = 4) -> str:
         ON w.doc_id = s0.doc_id AND w.j = s0.j AND w.h = s0.mh
       GROUP BY s0.doc_id, s0.j, s0.mh
     ),
-    fp AS (SELECT DISTINCT doc_id, pos, h FROM sel),
+    fp AS (SELECT DISTINCT doc_id, pos, h FROM sel)"""
+
+
+def winnowing_sql(*, k: int = 8, w: int = 4) -> str:
+    """DuckDB oracle for :func:`winnowing_fingerprints` over `documents`.
+
+    Deliberately the exploded relational form (gram rows -> window rows
+    -> per-window MIN -> rightmost-position tie-break -> DISTINCT
+    fingerprints) instead of the engine's per-row array fold, so parity
+    exercises the winnowing SEMANTICS, not a shared implementation.
+    Every value is an exact integer except the final round(x, 6)
+    density division (the standing portable-float recipe)."""
+    return f"""
+    WITH {_winnow_fp_cte(k, w)},
     agg AS (
       SELECT doc_id, COUNT(*) AS n_fp,
              bit_xor(h + (pos + 1) * 2654435761) AS chk
@@ -1621,4 +1639,124 @@ def winnowing_sql(*, k: int = 8, w: int = 4) -> str:
     FROM b2 b
     LEFT JOIN ng n USING (doc_id)
     LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def winnow_matches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_hash_df: int | None = None,
+) -> DataFrame:
+    """The MOSS matching step over winnowing fingerprints (Schleimer '03
+    §4: report document pairs sharing selected fingerprints, and WHERE
+    they overlap): explode each document's fingerprint set, self-join on
+    the fingerprint HASH, and aggregate per (a, b) pair. This localizes
+    overlap — each shared hash pins a concrete k-gram position in both
+    documents — which neither the global signatures (simhash/minhash)
+    nor the per-doc summary (:func:`winnowing_fingerprints`) can do.
+
+    Returns (a, b, n_shared, a_min_pos, a_max_pos, b_min_pos, b_max_pos)
+    for pairs sharing >= ``min_shared`` fingerprint hashes, a < b; the
+    position spans bracket the matched region in each document.
+    All-integer, so the oracle matches bit-for-bit.
+
+    Scale shape: the LSH-bucket shape — fingerprints shuffle on hash
+    (each doc contributes ~2/(w+1) of its gram count, the winnowing
+    guarantee's whole point), pairs aggregate on (a, b). The skew bomb
+    is a fingerprint shared by MANY documents (ubiquitous boilerplate
+    k-grams fan out |docs|^2 per hash): ``max_hash_df`` drops hashes
+    appearing in more than that many documents before pairing — the
+    stop-fingerprint rule MOSS itself applies (common idioms carry no
+    plagiarism signal), bounding the per-hash fan-out exactly like
+    link prediction's apex-degree cap. AQE skew-join covers the
+    moderate cases when the cap is off."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    # Persist BEFORE the explode: the cache boundary stops Catalyst's
+    # CollapseProject from substituting the __fp window-min fold (and,
+    # transitively, the per-gram md5 transform it element_at's into)
+    # straight into the Generate — without it the hash transform
+    # re-evaluates per window element and the pipeline goes quadratic
+    # per document (measured: >10 min for the sf0.001 corpus vs ~2 s
+    # with the boundary; the cdc_chunk_dedup lesson, round 4). The
+    # per-doc summary (:func:`winnowing_fingerprints`) doesn't need it:
+    # its consuming projection references __fp three times, which
+    # already fails CollapseProject's single-reference/isCheap test.
+    base = tracked_persist(_winnow_fp(df, id_col, text_col, k, w))
+    fp = base.select(
+        F.col(id_col).alias("__id"),
+        F.explode("__fp").alias("__f"),
+    ).select(
+        "__id",
+        F.col("__f.h").alias("h"),
+        F.col("__f.p").alias("pos"),
+    )
+    if max_hash_df is not None:
+        keep = (
+            fp.groupBy("h")
+            .agg(F.countDistinct("__id").alias("__df"))
+            .where(F.col("__df") <= max_hash_df)
+            .select("h")
+        )
+        fp = fp.join(keep, "h", "left_semi")
+    a = fp.select(
+        F.col("__id").alias("a"), "h", F.col("pos").alias("pa")
+    )
+    b = fp.select(
+        F.col("__id").alias("b"), "h", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "h")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.countDistinct("h").cast("long").alias("n_shared"),
+            F.min("pa").cast("long").alias("a_min_pos"),
+            F.max("pa").cast("long").alias("a_max_pos"),
+            F.min("pb").cast("long").alias("b_min_pos"),
+            F.max("pb").cast("long").alias("b_max_pos"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_matches_sql(
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_hash_df: int | None = None,
+) -> str:
+    """DuckDB oracle for :func:`winnow_matches`: the shared winnowing
+    CTE chain, self-joined on hash and aggregated per pair.
+    Integer-exact throughout. ``max_hash_df`` replays the operator's
+    stop-fingerprint cap (drop hashes appearing in more than that many
+    documents before pairing) so the capped configuration — the one a
+    gate/bench query must use, since boilerplate fan-out is quadratic
+    uncapped — is oracle-checkable too."""
+    cap = ""
+    if max_hash_df is not None:
+        cap = f""",
+    fpk AS (
+      SELECT h FROM fp GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) <= {max_hash_df}
+    ),
+    fpc AS (SELECT fp.* FROM fp JOIN fpk USING (h))"""
+    src = "fpc" if max_hash_df is not None else "fp"
+    return f"""
+    WITH {_winnow_fp_cte(k, w)}{cap}
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(COUNT(DISTINCT x.h) AS BIGINT) AS n_shared,
+           CAST(MIN(x.pos) AS BIGINT) AS a_min_pos,
+           CAST(MAX(x.pos) AS BIGINT) AS a_max_pos,
+           CAST(MIN(y.pos) AS BIGINT) AS b_min_pos,
+           CAST(MAX(y.pos) AS BIGINT) AS b_max_pos
+    FROM {src} x JOIN {src} y ON x.h = y.h AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING COUNT(DISTINCT x.h) >= {min_shared}
     """

@@ -6783,6 +6783,70 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Round-11 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale as rounds 7-10 above: measurable this round without a
+# registry slot; oracles pre-validated in tests/test_r11_prevalidated
+# .py, registration is the committed round-11 plan in the cap note
+# below).
+
+@bench_query("winnow_matches")
+def q_winnow_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """The MOSS pair-matching step over winnowing fingerprints
+    (operators/text.py `winnow_matches`, Schleimer '03 §4): fingerprint
+    explode -> hash self-join -> per-pair span aggregate. Runs CAPPED
+    (max_hash_df=20, the stop-fingerprint boilerplate-skew defusal) —
+    this corpus's shared boilerplate makes the uncapped pair set ~40%
+    of the full pair space, i.e. quadratic at scale; the oracle replays
+    the cap so the capped form stays gate-registrable."""
+    return tx.winnow_matches(
+        _t(spark, sf, "documents"), k=8, w=4, min_shared=3,
+        max_hash_df=20,
+    )
+
+
+@bench_query("adamic_adar")
+def q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar degree-weighted link prediction (operators/graph.py
+    `adamic_adar_scores`, top-100) over the two-generator bounded-degree
+    customer graph: the wedge join with the apex degree riding along,
+    apex-ordered 1/ln(d) fold per pair."""
+    from flink_kafka_table_api_spark.operators.graph import (
+        adamic_adar_scores,
+    )
+
+    return adamic_adar_scores(_two_gen_edges(spark, sf), top_k=100)
+
+
+@bench_query("lsh_recall_audit")
+def q_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured per-band LSH recall vs the exact prefix-filter self-join
+    (operators/dedup.py `lsh_recall_audit`): the 'measure, don't guess'
+    primitive for tuning bands/rows — both inputs are the scalable
+    pipelines; the audit adds one pair-table join + a tiny banded
+    aggregate."""
+    return dd.lsh_recall_audit(
+        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+@bench_query("equi_depth_bins")
+def q_equi_depth_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (quantile) binning with per-bin stats
+    (operators/relational.py `equi_depth_bins`, 10 bins over
+    o_totalprice): ONE percentile aggregate -> broadcast cut array ->
+    codegen'd fold per row -> tiny keyed aggregate; never a global
+    sort."""
+    from flink_kafka_table_api_spark.operators.relational import (
+        equi_depth_bins,
+    )
+
+    return equi_depth_bins(
+        _t(spark, sf, "orders").select("o_totalprice"),
+        "o_totalprice",
+        n_bins=10,
+    )
+
+
 @query("pmi_collocations", tx.pmi_collocations_sql(min_count=5))
 def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining: every adjacent token pair occurring >= 5
@@ -6979,6 +7043,31 @@ _PRIORITY: list[str] = [
 # string-canonicalized compare. Every new name must sit in the
 # actual r10 gate (never-green rule); the consolidation retirees' final
 # green evidence is their r8/r9 rows.
+#
+# Round-11 plan, fully pre-built and parity-tested this round
+# (tests/test_r11_prevalidated.py + BENCH_ONLY twins above): the
+# round-10 plan leaves 2 slots of cap headroom, and the dedup family
+# still holds separable slots if more are needed (dedup_minhash /
+# lsh_candidate_pairs / neardup_verified are stages of ONE pipeline —
+# the graph_suite-style consolidation is the committed lever). Spend
+# the headroom on the four staged round-11 operators: `winnow_matches`
+# (operators/text.py winnow_matches + winnow_matches_sql — the MOSS §4
+# pair-matching step over the shared `_winnow_fp` pipeline: fingerprint
+# hash self-join with per-pair overlap spans, all-integer oracle;
+# the gate form runs CAPPED — max_hash_df=20, oracle-replayed — since
+# this corpus's boilerplate makes the uncapped pair set quadratic),
+# `adamic_adar` (operators/graph.py adamic_adar_scores +
+# adamic_adar_scores_sql — degree-weighted link prediction, apex-ordered
+# 1/ln(d) fold makes the DuckDB list_reduce oracle IEEE-identical),
+# `lsh_recall_audit` (operators/dedup.py lsh_recall_audit — measured
+# per-jaccard-band LSH recall vs the exact prefix-filter ground truth;
+# oracle composed from the registered _lsh_pairs_oracle + the exact
+# all-pairs truth, pre-validated in the test), and `equi_depth_bins`
+# (operators/relational.py equi_depth_bins + equi_depth_bins_sql —
+# quantile binning with per-bin stats: one percentile aggregate, never
+# a global sort, rounded-cut assignment so both engines bin boundary
+# values identically). Every new name must sit in the actual r11 gate
+# (never-green rule).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

@@ -247,6 +247,32 @@ SHOWCASE = {
                          "shingle verify — the directional fractions "
                          "add only codegen'd projections to the "
                          "verified-pairs plan",
+    "winnow_matches": "fingerprint hash self-join over the PERSISTED "
+                      "_winnow_fp build (the cache boundary is "
+                      "load-bearing: without it CollapseProject "
+                      "inlines the per-gram md5 transform into the "
+                      "Generate and the fold re-evaluates it per "
+                      "window element — measured >10 min vs ~2 s at "
+                      "sf0.001); the stop-fingerprint df cap is a "
+                      "semi-join; the pair aggregate carries spans, "
+                      "never text",
+    "adamic_adar": "link_prediction's wedge shape with the apex "
+                   "degree riding the adjacency row (no per-wedge "
+                   "degree join); per-pair ObjectHashAggregate folds "
+                   "the apex-ordered 1/ln(d) terms; anti-join "
+                   "removes existing edges; top-k is "
+                   "TakeOrderedAndProject",
+    "lsh_recall_audit": "both inputs are the scalable pipelines "
+                        "(rare-first prefix postings for ground "
+                        "truth, band buckets for LSH); the audit "
+                        "itself adds ONE left join of two pair "
+                        "tables + a tiny 10-key banded aggregate",
+    "equi_depth_bins": "ONE exact-percentile aggregate collapses the "
+                       "column to an (n_bins-1)-element scalar cut "
+                       "array broadcast back as a 1-row build side; "
+                       "bin assignment is a codegen'd fold over the "
+                       "cut array — never a global sort, never an "
+                       "ntile window",
 }
 
 

@@ -74,6 +74,13 @@ MEASURE = [
     "seasonal_anomaly",      # tiny-key aggs + broadcast joins
     "link_prediction",       # adjacency wedge self-join + top-k
     "containment_pairs",     # LSH bucket join + directional verify
+    # round-11 staged-operator additions (BENCH_ONLY twins)
+    "winnow_matches",        # fingerprint hash self-join + pair spans
+    "adamic_adar",           # wedge join + apex-ordered 1/ln(d) folds
+    "equi_depth_bins",       # 1 percentile agg + broadcast-cut fold
+    # lsh_recall_audit is deliberately absent: its ground-truth side IS
+    # prefix_filter_pairs (already measured via simjoin_prefix), and the
+    # operator's contract is sample-scale auditing, not corpus-scale.
 ]
 
 
