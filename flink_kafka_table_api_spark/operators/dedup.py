@@ -1233,3 +1233,217 @@ def lsh_recall_audit(
             ).alias("recall"),
         )
     )
+
+
+def edit_similarity_join(
+    df: DataFrame,
+    *,
+    name_col: str,
+    k: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance similarity self-join at threshold ``k`` (entity
+    resolution / catalog dedup beyond :func:`fuzzy_pairs_dist1`'s k=1):
+    all DISTINCT string pairs within Levenshtein distance <= k, found by
+    the q-gram count filter of Gravano et al. (VLDB '01, "Approximate
+    String Joins in a Database (Almost) for Free") / Ed-Join (Xiao et
+    al., VLDB '08): one edit destroys at most ``q`` q-grams, so strings
+    within distance k share at least ``max(len_a, len_b) - q + 1 - k*q``
+    q-grams — an equi-join on q-grams + a count threshold is a complete
+    candidate generator, and the exact ``levenshtein()`` verify runs
+    only on candidates. Multiset q-gram intersection is computed
+    EXACTLY by joining on (gram, occurrence#) so repeated grams count
+    min(m_a, m_b) times, never m_a*m_b.
+
+    Strings too short for a positive threshold (len < q*(k+1)) cannot be
+    pruned by the filter, so they route through a SHORT block: a
+    broadcast join of the (bounded: every string < q*(k+1) chars drawn
+    from a finite alphabet) short-name set against all names within the
+    +-k length window. short-short and short-long pairs come from that
+    block, long-long pairs from the q-gram block; the two blocks
+    partition the pair space, so no pair is found twice.
+
+    Returns (a_name, b_name, dist, n_a, n_b) with a_name < b_name, where
+    n_* are the input's per-name row counts (the dedup merge weight).
+    All columns integer/string exact — no float anywhere.
+
+    Scale shape: one groupBy shuffle corpus -> distinct names; one
+    window shuffle of the positional-gram table (sum-of-name-lengths
+    sized, NOT corpus sized); one equi-join on (gram, occ) whose output
+    is bounded by shared-gram pairs (the count filter prunes before the
+    O(len^2) levenshtein); one broadcast of the constant-bounded short
+    set. No all-pairs execution path at any size."""
+    min_long = q * (k + 1)
+    names = ensure_parallelism(df).groupBy(
+        F.col(name_col).alias("name")
+    ).agg(F.count("*").cast("long").alias("n"))
+    names = names.withColumn("len", F.length("name")).persist()
+
+    long_names = names.filter(F.col("len") >= min_long)
+    short_names = names.filter(F.col("len") < min_long)
+
+    # -- LONG x LONG: positional q-grams with per-gram occurrence index
+    grams = long_names.select(
+        "name", "len", "n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("len") - q + 1),
+                lambda i: F.substring(F.col("name"), i, q),
+            )
+        ).alias("pos", "gram"),
+    )
+    occ_w = Window.partitionBy("name", "gram").orderBy("pos")
+    grams = grams.withColumn("occ", F.row_number().over(occ_w))
+    ga = grams.select(
+        F.col("name").alias("a_name"), F.col("len").alias("a_len"),
+        F.col("n").alias("n_a"), "gram", "occ",
+    )
+    gb = grams.select(
+        F.col("name").alias("b_name"), F.col("len").alias("b_len"),
+        F.col("n").alias("n_b"), "gram", "occ",
+    )
+    long_pairs = (
+        ga.join(gb, ["gram", "occ"])
+        .filter(
+            (F.col("a_name") < F.col("b_name"))
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= k)
+        )
+        .groupBy("a_name", "b_name", "a_len", "b_len", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(
+            F.col("shared")
+            >= F.greatest("a_len", "b_len") - q + 1 - k * q
+        )
+        .withColumn("dist", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("dist") <= k)
+        .select("a_name", "b_name", "dist", "n_a", "n_b")
+    )
+
+    # -- SHORT x ALL: at least one side shorter than q*(k+1)
+    s = short_names.select(
+        F.col("name").alias("s_name"), F.col("len").alias("s_len"),
+        F.col("n").alias("s_n"),
+    )
+    t = names.select(
+        F.col("name").alias("t_name"), F.col("len").alias("t_len"),
+        F.col("n").alias("t_n"),
+    )
+    short_pairs = (
+        F.broadcast(s)
+        .join(
+            t,
+            (F.col("s_name") != F.col("t_name"))
+            & (F.abs(F.col("s_len") - F.col("t_len")) <= k),
+        )
+        .withColumn("dist", F.levenshtein("s_name", "t_name"))
+        .filter(F.col("dist") <= k)
+        .select(
+            F.least("s_name", "t_name").alias("a_name"),
+            F.greatest("s_name", "t_name").alias("b_name"),
+            "dist",
+            F.when(F.col("s_name") < F.col("t_name"), F.col("s_n"))
+            .otherwise(F.col("t_n")).alias("n_a"),
+            F.when(F.col("s_name") < F.col("t_name"), F.col("t_n"))
+            .otherwise(F.col("s_n")).alias("n_b"),
+        )
+        .distinct()  # short-short pairs arrive once from each side
+    )
+    return long_pairs.unionByName(short_pairs)
+
+
+def edit_similarity_join_sql(
+    src: str, name_expr: str, *, k: int = 2
+) -> str:
+    """DuckDB oracle for :func:`edit_similarity_join`: the brute-force
+    distinct-name self-join (quadratic — oracle only, the operator never
+    executes this shape) with the same length filter and exact
+    levenshtein threshold."""
+    return f"""
+    WITH names AS (
+      SELECT {name_expr} AS name, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {src} GROUP BY {name_expr}
+    )
+    SELECT x.name AS a_name, y.name AS b_name,
+           CAST(levenshtein(x.name, y.name) AS INTEGER) AS dist,
+           x.n AS n_a, y.n AS n_b
+    FROM names x JOIN names y
+      ON x.name < y.name
+     AND abs(length(x.name) - length(y.name)) <= {k}
+    WHERE levenshtein(x.name, y.name) <= {k}
+    """
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct k-token shingles whose corpus-FIRST occurrence (minimum
+    ``id_col``, i.e. ingestion order) is this document. The
+    memorization / boilerplate-attribution audit: a crawl snapshot full
+    of templated pages shows novelty collapsing toward 0 for late
+    near-copies while the originals keep it high — the per-document
+    complement of the corpus-level dup_ngram_coverage stat, and the
+    signal curation stacks use to keep the FIRST copy rather than a
+    random one.
+
+    Returns (doc_id, n_ngrams, n_novel, novelty) — counts exact,
+    novelty = round(n_novel / n_ngrams, 6). Every document yields >= 1
+    shingle (short docs collapse to one whole-doc gram, empty docs to
+    one '' gram — the :func:`shingles` contract), so the ratio is total.
+
+    Scale shape: three keyed shuffles, all corpus-shingle sized, no
+    pair space anywhere: explode distinct shingles -> min-doc aggregate
+    per gram (map-side partial min) -> gram-keyed join back (AQE reuses
+    the aggregate's partitioning) -> doc-keyed count aggregate. The
+    min-attribution makes it deterministic under any execution order."""
+    ex = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("gram")
+    )
+    first = ex.groupBy("gram").agg(F.min(id_col).alias("__first_doc"))
+    return (
+        ex.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.count(
+                F.when(F.col("__first_doc") == F.col(id_col), F.lit(1))
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_ngrams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def ngram_novelty_sql(*, k: int = 3) -> str:
+    """DuckDB replay of :func:`ngram_novelty` over the documents table
+    (same shingle construction via :func:`shingles_sql`, same
+    min-doc_id attribution)."""
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({shingles_sql('text', k)}) AS gram
+      FROM documents
+    ),
+    firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM ex GROUP BY gram
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = e.doc_id)
+                AS BIGINT) AS n_novel,
+           round(CAST(COUNT(*) FILTER (WHERE f.first_doc = e.doc_id)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM ex e JOIN firsts f ON e.gram = f.gram
+    GROUP BY e.doc_id
+    """

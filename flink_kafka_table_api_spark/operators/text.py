@@ -9,7 +9,7 @@ in the DuckDB oracles: lowercase, split on whitespace runs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import portable_hash64
@@ -1759,4 +1759,194 @@ def winnow_matches_sql(
     FROM {src} x JOIN {src} y ON x.h = y.h AND x.doc_id < y.doc_id
     GROUP BY x.doc_id, y.doc_id
     HAVING COUNT(DISTINCT x.h) >= {min_shared}
+    """
+
+
+def zipf_gini_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_rank: int = 1000,
+) -> DataFrame:
+    """Corpus token-distribution health audit in ONE row: total tokens,
+    vocabulary size, top-1 token share, the Gini coefficient of the
+    token-frequency distribution, and the fitted Zipf exponent. The
+    drift/degeneracy tripwire for training corpora: crawl dups and
+    boilerplate push Gini and top-1 share up, tokenizer bugs and
+    mojibake flatten the Zipf slope away from the ~-1 natural-language
+    law (Zipf 1949; Piantadosi 2014 review).
+
+    - ``gini`` uses the exact rank formula over frequencies ascending:
+      G = 2*sum(i*f_i)/(n*T) - (n+1)/n — but NO vocabulary-sized rank
+      sort ever runs: tokens sharing a frequency occupy consecutive
+      ranks, so each group of the frequency HISTOGRAM (distinct-f
+      sized, O(sqrt(n_tokens)) in practice — the ties-cannot-move-the-
+      sum observation made constructive) contributes the closed form
+      f * (m*s + m*(m-1)/2) with s its cumulative start rank. All
+      INTEGER arithmetic: exact, order-free, distributed.
+    - ``zipf_slope`` is the OLS slope of ln(freq) on ln(rank) over the
+      TOP ``max_rank`` frequencies (rank ties broken by token for a
+      deterministic cutoff) — the standard head-fit: the tail's
+      hapax-legomena staircase is not Zipfian and at 100 TB the
+      capped-rank contract is what bounds the ordered float fold. The
+      head is pre-pruned via the histogram's cumulative counts
+      (broadcast semi-join), so the only row_number window runs over
+      <= max_rank + one tie group rows. The four OLS sums accumulate
+      in ascending-rank order via sorted-array folds, which the DuckDB
+      oracle replays as ORDER BY r list_reduce (the char_entropy
+      recipe).
+
+    Returns (n_tokens, vocab, top1_share, gini, zipf_slope); floats
+    round(6), counts BIGINT.
+
+    Scale shape: one corpus-sized explode->count shuffle (map-side
+    partials); everything downstream is HISTOGRAM-sized (the global
+    windows run over the distinct-frequency frame and the capped head —
+    kilobytes at any corpus size) and the float fold is capped at
+    ``max_rank`` elements. No driver loop, no Python, no global sort
+    of the vocabulary."""
+    freqs = (
+        ensure_parallelism(df)
+        .select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("f"))
+    ).persist()
+    hist = freqs.groupBy("f").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    # ascending start rank s(f) = 1 + #tokens with smaller f; the group
+    # of m tied tokens at frequency f holds ranks s .. s+m-1, so its
+    # exact rank-weighted sum is f * (m*s + m*(m-1)/2)
+    asc_prev = (
+        Window.orderBy(F.col("f").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    desc_prev = (
+        Window.orderBy(F.col("f").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        "f", "m",
+        (F.lit(1) + F.coalesce(F.sum("m").over(asc_prev), F.lit(0)))
+        .cast("long").alias("s_asc"),
+        (F.lit(1) + F.coalesce(F.sum("m").over(desc_prev), F.lit(0)))
+        .cast("long").alias("s_desc"),
+    )
+    # Zipf head: only frequency groups whose first descending rank is
+    # inside the cap can contribute head tokens
+    head_fs = hist.filter(F.col("s_desc") <= max_rank).select("f")
+    head_w = Window.orderBy(F.col("f").desc(), F.col("token").asc())
+    head = (
+        freqs.join(F.broadcast(head_fs), "f")
+        .select("token", "f", F.row_number().over(head_w)
+                .cast("long").alias("r"))
+        .filter(F.col("r") <= max_rank)
+        .select(
+            "r",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    # ascending-rank ordered folds for the four OLS sums
+    def _fold(val: Column) -> Column:
+        arr = F.array_sort(F.collect_list(F.struct(F.col("r"), val.alias("v"))))
+        return F.aggregate(
+            F.transform(arr, lambda s: s["v"]),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    ols = head.agg(
+        F.count("*").cast("double").alias("m"),
+        _fold(F.col("x")).alias("sx"),
+        _fold(F.col("y")).alias("sy"),
+        _fold(F.col("x") * F.col("y")).alias("sxy"),
+        _fold(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        F.when(
+            F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") > 0,
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        ).otherwise(F.lit(0.0)).alias("slope")
+    )
+    base = hist.agg(
+        F.sum(F.col("f") * F.col("m")).alias("t"),
+        F.sum("m").alias("n"),
+        F.max("f").alias("f1"),
+        F.sum(
+            F.col("f")
+            * (
+                F.col("m") * F.col("s_asc")
+                + F.expr("m * (m - 1) DIV 2")
+            )
+        ).alias("s1"),
+    )
+    return base.crossJoin(F.broadcast(ols)).select(
+        F.col("t").cast("long").alias("n_tokens"),
+        F.col("n").cast("long").alias("vocab"),
+        F.round(
+            F.col("f1").cast("double") / F.col("t").cast("double"), 6
+        ).alias("top1_share"),
+        F.round(
+            F.lit(2.0) * F.col("s1").cast("double")
+            / (F.col("n").cast("double") * F.col("t").cast("double"))
+            - (F.col("n").cast("double") + 1.0)
+            / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("slope"), 6).alias("zipf_slope"),
+    )
+
+
+def zipf_gini_audit_sql(*, max_rank: int = 1000) -> str:
+    """DuckDB oracle for :func:`zipf_gini_audit` over `documents`,
+    written with EXPLICIT vocabulary ranks (the clear quadratic-free
+    brute form — oracle only): sum(i*f_i) over explicit ranks equals
+    the operator's histogram closed form exactly (consecutive tied
+    ranks, integer arithmetic), and the operator's pruned head is a
+    prefix of this total order, so the capped OLS folds see identical
+    element sequences."""
+    toks = tokens_sql("text")
+    return f"""
+    WITH freqs AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest({toks}) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, f,
+             ROW_NUMBER() OVER (ORDER BY f ASC, token ASC) AS i,
+             ROW_NUMBER() OVER (ORDER BY f DESC, token ASC) AS r
+      FROM freqs
+    ),
+    head AS (
+      SELECT r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM ranked WHERE r <= {max_rank}
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+             list_reduce(list(x ORDER BY r), (a, b) -> a + b) AS sx,
+             list_reduce(list(y ORDER BY r), (a, b) -> a + b) AS sy,
+             list_reduce(list(x * y ORDER BY r), (a, b) -> a + b) AS sxy,
+             list_reduce(list(x * x ORDER BY r), (a, b) -> a + b) AS sxx
+      FROM head
+    ),
+    base AS (
+      SELECT SUM(f) AS t, COUNT(*) AS n, MAX(f) AS f1,
+             SUM(i * f) AS s1
+      FROM ranked
+    )
+    SELECT CAST(b.t AS BIGINT) AS n_tokens,
+           CAST(b.n AS BIGINT) AS vocab,
+           round(CAST(b.f1 AS DOUBLE) / CAST(b.t AS DOUBLE), 6)
+             AS top1_share,
+           round(2.0 * CAST(b.s1 AS DOUBLE)
+                 / (CAST(b.n AS DOUBLE) * CAST(b.t AS DOUBLE))
+                 - (CAST(b.n AS DOUBLE) + 1.0) / CAST(b.n AS DOUBLE), 6)
+             AS gini,
+           round(CASE WHEN o.m * o.sxx - o.sx * o.sx > 0
+                      THEN (o.m * o.sxy - o.sx * o.sy)
+                           / (o.m * o.sxx - o.sx * o.sx)
+                      ELSE 0.0 END, 6) AS zipf_slope
+    FROM base b, ols o
     """

@@ -290,3 +290,191 @@ def seasonal_anomaly_sql(*, k: float = 3.0) -> str:
     FROM d JOIN s USING (event_type, hr)
     WHERE d.absdev > {k} * s.mad
     """
+
+
+def cusum_drift(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    slack: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Per-group CUSUM mean-shift drift audit over the DAILY event-count
+    series (Page 1954's cumulative-sum control chart — the standard
+    sequential drift detector: a sustained small shift accumulates past
+    the threshold even when no single day is an outlier, exactly the
+    failure mode the per-cell Hampel audit (:func:`seasonal_anomaly`)
+    cannot see). Missing days count as 0 events: the calendar is the
+    global [min_day, max_day] span, so a source going quiet IS drift.
+
+    Two-sided standardized CUSUM with slack ``slack`` and threshold
+    ``threshold`` (both in stddev units):
+    ``sp_t = max(0, sp_{t-1} + z_t - slack)`` and symmetrically ``sn``
+    for downward shifts; a day flags when either side exceeds the
+    threshold.
+
+    Cross-engine determinism: per-group mean/std come from INTEGER sums
+    (S1, S2 over daily counts — var = S2/n - mean^2 on exact operands),
+    z is quantized ONCE to integer micro-units
+    (round(z*1e6) -> BIGINT), and the recursion is then evaluated via
+    the max-drawdown identity ``sp_t = P_t - min(0, min_{j<=t} P_j)``
+    with ``P_t = sum_{i<=t}(z_i - slack)`` — INTEGER running sums and
+    running mins, bit-identical under any window implementation, no
+    float fold anywhere.
+
+    Returns (group, day, n_events, z, cusum_pos, cusum_neg, drift):
+    z/cusum_* are the micro-unit integers divided by 1e6 (exact
+    multiples), drift is the boolean threshold test on the integers.
+
+    Scale shape: ONE corpus-sized keyed aggregate (group x day count
+    with map-side partials); everything after runs on the tiny
+    groups-x-days calendar frame (a broadcast 1-row span, a
+    sequence-explode, two integer window scans). At 100 TB: one scan +
+    one shuffle of daily partial counts, then kilobytes."""
+    kappa6 = int(round(slack * 1_000_000))
+    h6 = int(round(threshold * 1_000_000))
+    e = events.select(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    )
+    daily = e.groupBy("grp", "day").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    span = daily.agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    calendar = (
+        daily.select("grp").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    full = (
+        calendar.join(daily, ["grp", "day"], "left")
+        .select(
+            "grp", "day", F.coalesce("n_events", F.lit(0)).alias("c")
+        )
+    )
+    stats = full.groupBy("grp").agg(
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.count("*").alias("nd"),
+    ).select(
+        "grp",
+        (F.col("s1").cast("double") / F.col("nd")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2").cast("double") / F.col("nd")
+                - (F.col("s1").cast("double") / F.col("nd"))
+                * (F.col("s1").cast("double") / F.col("nd")),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    z6 = F.when(
+        F.col("sd") > 0,
+        F.round(
+            (F.col("c").cast("double") - F.col("mean"))
+            / F.col("sd") * F.lit(1_000_000.0),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        full.join(F.broadcast(stats), "grp")
+        .withColumn("z6", z6)
+        .withColumn("p", F.sum(F.col("z6") - F.lit(kappa6)).over(w))
+        .withColumn("q", F.sum(-F.col("z6") - F.lit(kappa6)).over(w))
+    )
+    sp = F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    sn = F.col("q") - F.least(F.lit(0).cast("long"), F.min("q").over(w))
+    return scored.select(
+        F.col("grp").alias(group_col),
+        "day",
+        F.col("c").alias("n_events"),
+        (F.col("z6").cast("double") / 1e6).alias("z"),
+        (sp.cast("double") / 1e6).alias("cusum_pos"),
+        (sn.cast("double") / 1e6).alias("cusum_neg"),
+        ((sp > h6) | (sn > h6)).alias("drift"),
+    )
+
+
+def cusum_drift_sql(*, slack: float = 0.5, threshold: float = 4.0) -> str:
+    """DuckDB oracle for :func:`cusum_drift` over `events`: identical
+    calendar construction, integer quantization, and drawdown-identity
+    windows (integer running sums/mins are order-free, so engine window
+    internals cannot drift)."""
+    kappa6 = int(round(slack * 1_000_000))
+    h6 = int(round(threshold * 1_000_000))
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    calendar AS (
+      SELECT g.grp, CAST(u.day AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) g,
+           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span) u
+    ),
+    filled AS (
+      SELECT c.grp, c.day, COALESCE(d.n_events, 0) AS c
+      FROM calendar c LEFT JOIN daily d
+        ON c.grp = d.grp AND c.day = d.day
+    ),
+    stats AS (
+      SELECT grp,
+             CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean,
+             sqrt(greatest(
+               CAST(SUM(c * c) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(c) AS DOUBLE) / COUNT(*)),
+               0.0)) AS sd
+      FROM filled GROUP BY grp
+    ),
+    scored AS (
+      SELECT f.grp, f.day, f.c,
+             CASE WHEN s.sd > 0
+                  THEN CAST(round((CAST(f.c AS DOUBLE) - s.mean) / s.sd
+                                  * 1000000.0, 0) AS BIGINT)
+                  ELSE 0 END AS z6
+      FROM filled f JOIN stats s ON f.grp = s.grp
+    ),
+    pq AS (
+      SELECT grp, day, c, z6,
+             SUM(z6 - {kappa6}) OVER
+               (PARTITION BY grp ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS p,
+             SUM(-z6 - {kappa6}) OVER
+               (PARTITION BY grp ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS q
+      FROM scored
+    ),
+    dd AS (
+      SELECT grp, day, c, z6,
+             p - least(0, MIN(p) OVER
+               (PARTITION BY grp ORDER BY day
+                ROWS UNBOUNDED PRECEDING)) AS sp,
+             q - least(0, MIN(q) OVER
+               (PARTITION BY grp ORDER BY day
+                ROWS UNBOUNDED PRECEDING)) AS sn
+      FROM pq
+    )
+    SELECT grp AS event_type, day, c AS n_events,
+           CAST(z6 AS DOUBLE) / 1e6 AS z,
+           CAST(sp AS DOUBLE) / 1e6 AS cusum_pos,
+           CAST(sn AS DOUBLE) / 1e6 AS cusum_neg,
+           (sp > {h6} OR sn > {h6}) AS drift
+    FROM dd
+    """
