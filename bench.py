@@ -113,6 +113,13 @@ HEADLINE = [
     "winnow_matches",          # capped fingerprint self-join + spans
     "adamic_adar",             # degree-weighted wedge fold + top-k
     "equi_depth_bins",         # 1 percentile agg + broadcast-cut fold
+    # round-12 staged operators (BENCH_ONLY twins; dedup_suite stays
+    # out — its three component stages are already measured above, the
+    # join_suite/window_suite precedent)
+    "edit_similarity_join",    # q-gram-filtered Levenshtein self-join
+    "ngram_novelty",           # corpus-first shingle attribution
+    "cusum_drift",             # integer CUSUM over daily counts
+    "zipf_gini_audit",         # histogram Gini + capped Zipf OLS
 ]
 
 

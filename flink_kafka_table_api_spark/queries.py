@@ -6872,6 +6872,149 @@ def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return tx.char_entropy(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+# Round-12 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale as rounds 7-11 above: measurable this round without a
+# registry slot; oracles pre-validated in tests/test_r12_prevalidated
+# .py, registration is the committed round-12 plan in the cap note
+# below).
+
+@bench_query("edit_similarity_join")
+def q_edit_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Ed-Join-style edit-distance self-join over part names
+    (operators/dedup.py `edit_similarity_join`, k=2, q=2): distinct
+    names -> positional q-gram postings with per-gram occurrence index
+    -> (gram, occ) equi-join + count/length filters -> exact
+    levenshtein verify; short names through a bounded broadcast block.
+    The entity-resolution primitive beyond fuzzy_pairs_dist1's k=1."""
+    return dd.edit_similarity_join(
+        _t(spark, sf, "part"), name_col="p_name", k=2, q=2
+    )
+
+
+@bench_query("ngram_novelty")
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty (operators/dedup.py
+    `ngram_novelty`): fraction of each doc's distinct shingles whose
+    corpus-first occurrence (min doc_id) is this doc — the
+    keep-the-first-copy curation signal; three keyed corpus-shingle
+    shuffles, no pair space."""
+    return dd.ngram_novelty(_t(spark, sf, "documents"))
+
+
+@bench_query("cusum_drift")
+def q_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Page's CUSUM mean-shift audit over daily event counts
+    (operators/timeseries.py `cusum_drift`): one corpus-sized daily
+    aggregate, then integer micro-unit z-scores folded through the
+    prefix-sum/drawdown identity on the tiny groups-x-days calendar —
+    the sustained-drift complement to seasonal_anomaly's point
+    outliers."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        cusum_drift,
+    )
+
+    return cusum_drift(_t(spark, sf, "events"))
+
+
+@bench_query("zipf_gini_audit")
+def q_zipf_gini_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token-distribution health in one row
+    (operators/text.py `zipf_gini_audit`): Gini via the
+    frequency-histogram closed form (integer-exact, no vocabulary
+    sort), Zipf slope via capped ascending-rank OLS folds."""
+    return tx.zipf_gini_audit(_t(spark, sf, "documents"))
+
+
+def dedup_suite_sql() -> str:
+    """Oracle for the staged round-12 consolidation of the MinHash-LSH
+    pipeline stages: the three registered oracles composed verbatim as
+    NULL-padded typed blocks (the join_suite/graph_suite recipe) —
+    signatures + candidate pairs + verified near-dups in ONE registry
+    slot."""
+    nul8 = ",\n           ".join(
+        f"CAST(NULL AS BIGINT) AS mh_{j}" for j in range(8)
+    )
+    mh8 = ", ".join(f"mh_{j}" for j in range(8))
+    return f"""
+    SELECT 'signatures' AS block, doc_id, {mh8},
+           CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM ({_minhash_oracle()})
+    UNION ALL
+    SELECT 'candidates', CAST(NULL AS BIGINT),
+           {nul8},
+           a, b, CAST(NULL AS DOUBLE)
+    FROM ({_lsh_pairs_oracle()})
+    UNION ALL
+    SELECT 'verified', CAST(NULL AS BIGINT),
+           {nul8},
+           a, b, jaccard
+    FROM ({_neardup_verified_oracle()})
+    """
+
+
+@bench_query("dedup_suite")
+def q_dedup_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """STAGED round-12 consolidation: the dedup_minhash /
+    lsh_candidate_pairs / neardup_verified slots merged as NULL-padded
+    typed blocks (frees 2 registry slots on registration). The suite is
+    CHEAPER than its three components run separately: the signature
+    table is computed once and persisted, the candidate table once, and
+    the verify stage shingles only candidate suspects — the sharing the
+    three standalone queries cannot express. Pre-validated vs
+    dedup_suite_sql() in tests/test_r12_prevalidated.py."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    docs = _t(spark, sf, "documents")
+    sigs = tracked_persist(dd.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_k=3, portable=True,
+    ))
+    cand = tracked_persist(dd.lsh_candidate_pairs(
+        dd.lsh_bands(sigs, "doc_id", bands=4, rows_per_band=2), "doc_id"
+    ))
+    ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sets = tracked_persist(
+        docs.join(F.broadcast(ids), "doc_id", "left_semi").select(
+            "doc_id", dd.shingles("text", 3).alias("__sh")
+        )
+    )
+    verified = (
+        cand
+        .join(sets.select(F.col("doc_id").alias("a"),
+                          F.col("__sh").alias("__sa")), "a")
+        .join(sets.select(F.col("doc_id").alias("b"),
+                          F.col("__sh").alias("__sb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(dd.jaccard(F.col("__sa"), F.col("__sb")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+    )
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    mh_cols = [f"mh_{j}" for j in range(8)]
+    sig_block = sigs.select(
+        F.lit("signatures").alias("block"), "doc_id", *mh_cols,
+        nul("long").alias("a"), nul("long").alias("b"),
+        nul("double").alias("jaccard"),
+    )
+    cand_block = cand.select(
+        F.lit("candidates").alias("block"), nul("long").alias("doc_id"),
+        *[nul("long").alias(c) for c in mh_cols],
+        "a", "b", nul("double").alias("jaccard"),
+    )
+    ver_block = verified.select(
+        F.lit("verified").alias("block"), nul("long").alias("doc_id"),
+        *[nul("long").alias(c) for c in mh_cols],
+        "a", "b", "jaccard",
+    )
+    return sig_block.unionByName(cand_block).unionByName(ver_block)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
@@ -7068,6 +7211,31 @@ _PRIORITY: list[str] = [
 # a global sort, rounded-cut assignment so both engines bin boundary
 # values identically). Every new name must sit in the actual r11 gate
 # (never-green rule).
+#
+# Round-12 plan, fully pre-built and parity-tested this round
+# (tests/test_r12_prevalidated.py + BENCH_ONLY twins above): pull the
+# committed dedup-family lever — register `dedup_suite` (the
+# dedup_minhash / lsh_candidate_pairs / neardup_verified pipeline
+# stages as NULL-padded typed blocks sharing ONE signature/candidate
+# computation; value-identical to the composed oracles at the driver's
+# gate scale sf0.01 this round: 554 rows = 500 signatures + 29
+# candidates + 25 verified) and retire its three components (3 -> 1,
+# +2 slots, plus the 2 r10/r11 headroom slots). Spend them on the four
+# staged round-12 operators: `edit_similarity_join`
+# (operators/dedup.py + edit_similarity_join_sql — Ed-Join/Gravano
+# q-gram-count-filtered Levenshtein self-join at k=2 over part names,
+# multiset grams via (gram, occurrence) equi-join, short strings
+# through a bounded broadcast block; integer-exact), `ngram_novelty`
+# (operators/dedup.py + ngram_novelty_sql — per-doc corpus-first
+# shingle attribution, the keep-the-first-copy signal), `cusum_drift`
+# (operators/timeseries.py + cusum_drift_sql — Page's CUSUM over daily
+# event counts; integer micro-unit z quantization + the
+# prefix-sum/drawdown identity make the recursion window-function-only
+# and bit-exact), and `zipf_gini_audit` (operators/text.py +
+# zipf_gini_audit_sql — corpus distribution health: histogram
+# closed-form Gini, capped ordered-fold Zipf OLS slope; no vocabulary
+# sort). Every new name must sit in the actual r12 gate (never-green
+# rule); the three retirees' final green evidence is their r6/r7 rows.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

@@ -81,6 +81,15 @@ MEASURE = [
     # lsh_recall_audit is deliberately absent: its ground-truth side IS
     # prefix_filter_pairs (already measured via simjoin_prefix), and the
     # operator's contract is sample-scale auditing, not corpus-scale.
+    # round-12 staged-operator additions (BENCH_ONLY twins)
+    "ngram_novelty",         # 3 corpus-shingle keyed shuffles
+    "cusum_drift",           # 1 daily-count agg + calendar windows
+    "zipf_gini_audit",       # 1 token-count agg + histogram folds
+    # edit_similarity_join is deliberately absent: its input is the
+    # DISTINCT-name set of a dimension table (part stays symlinked, not
+    # replicated — the harness's 8x leaves it bit-identical), and its
+    # corpus-facing stage is the same groupBy-count shape dedup_exact
+    # already measures.
 ]
 
 
