@@ -120,6 +120,10 @@ HEADLINE = [
     "ngram_novelty",           # corpus-first shingle attribution
     "cusum_drift",             # integer CUSUM over daily counts
     "zipf_gini_audit",         # histogram Gini + capped Zipf OLS
+    # round-13 staged operators (BENCH_ONLY twins)
+    "readability",             # zero-shuffle Flesch/FK projection
+    "er_clusters",             # edit-join pair graph + CC + canonical
+    "rake_keywords",           # RAKE segmentation + keyed stats + top-k
 ]
 
 

@@ -545,8 +545,12 @@ def connected_components(
                 parent[hi] = lo
         rows = [(x, find(x), x == find(x)) for x in parent]
         edges.unpersist()
+        # id type follows the edge columns: doc-dedup passes longs, the
+        # ER path (er_clusters) passes name strings — min-label/union-by-
+        # smaller semantics are identical under any ordered type
+        id_t = edges.schema["a"].dataType.simpleString()
         return spark.createDataFrame(
-            rows, "id long, cluster long, is_canonical boolean"
+            rows, f"id {id_t}, cluster {id_t}, is_canonical boolean"
         )
     # localCheckpoint (eager) rather than persist: an iterative algorithm's
     # lineage otherwise COMPOUNDS — by iteration N the logical plan embeds N
@@ -1277,7 +1281,9 @@ def edit_similarity_join(
     names = ensure_parallelism(df).groupBy(
         F.col(name_col).alias("name")
     ).agg(F.count("*").cast("long").alias("n"))
-    names = names.withColumn("len", F.length("name")).persist()
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    names = tracked_persist(names.withColumn("len", F.length("name")))
 
     long_names = names.filter(F.col("len") >= min_long)
     short_names = names.filter(F.col("len") < min_long)
@@ -1446,4 +1452,101 @@ def ngram_novelty_sql(*, k: int = 3) -> str:
                       AS DOUBLE) / COUNT(*), 6) AS novelty
     FROM ex e JOIN firsts f ON e.gram = f.gram
     GROUP BY e.doc_id
+    """
+
+
+def er_clusters(
+    df: DataFrame,
+    *,
+    name_col: str,
+    k: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Entity-resolution clustering: connected components over the
+    :func:`edit_similarity_join` pair graph, with the cluster's
+    CANONICAL spelling chosen by attestation (the member with the most
+    input rows, ties to the lexicographically smallest) — the policy a
+    catalog/author-name cleanup actually applies, vs the arbitrary
+    min-id the doc-dedup path uses. Transitivity is deliberate ER
+    semantics: 'jon smith' ~ 'john smith' ~ 'john smyth' merge even
+    though the endpoints sit at distance 2k.
+
+    Returns (name, n, cluster, canonical_name) — cluster is the
+    component's minimum name (the CC label), canonical_name the
+    attestation winner; singleton names cluster as themselves. All
+    string/integer exact.
+
+    Scale shape: the pair graph is vocabulary-sized (distinct names),
+    orders of magnitude smaller than the corpus; CC takes the
+    driver union-find path under 2M edges and distributed min-label
+    propagation above (:func:`connected_components`). The canonical
+    pick is one keyed min(struct) aggregate + a broadcast-sized
+    join back."""
+    names = ensure_parallelism(df).groupBy(
+        F.col(name_col).alias("name")
+    ).agg(F.count("*").cast("long").alias("n"))
+    pairs = edit_similarity_join(df, name_col=name_col, k=k, q=q)
+    cc = connected_components(
+        pairs.select(F.col("a_name").alias("a"), F.col("b_name").alias("b"))
+    ).select(F.col("id").alias("name"), F.col("cluster"))
+    labeled = names.join(cc, "name", "left").select(
+        "name", "n", F.coalesce("cluster", "name").alias("cluster")
+    )
+    canon = (
+        labeled.groupBy("cluster")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("negn"), F.col("name").alias("name")
+                )
+            ).alias("__c")
+        )
+        .select("cluster", F.col("__c.name").alias("canonical_name"))
+    )
+    return labeled.join(canon, "cluster").select(
+        "name", "n", "cluster", "canonical_name"
+    )
+
+
+def er_clusters_sql(src: str, name_expr: str, *, k: int = 2) -> str:
+    """DuckDB oracle for :func:`er_clusters`: recursive-CTE transitive
+    closure over the brute-force pair graph (the dedup_clusters recipe)
+    + window-ranked attestation winner."""
+    return f"""
+    WITH RECURSIVE names AS (
+      SELECT {name_expr} AS name, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {src} GROUP BY {name_expr}
+    ),
+    pairs AS (
+      SELECT x.name AS a, y.name AS b
+      FROM names x JOIN names y
+        ON x.name < y.name
+       AND abs(length(x.name) - length(y.name)) <= {k}
+      WHERE levenshtein(x.name, y.name) <= {k}
+    ),
+    bidir(a, b) AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    verts(id) AS (SELECT DISTINCT a FROM bidir),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN bidir e ON e.a = reach.id
+    ),
+    cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    labeled AS (
+      SELECT nm.name, nm.n, COALESCE(cc.cluster, nm.name) AS cluster
+      FROM names nm LEFT JOIN cc ON nm.name = cc.id
+    ),
+    canon AS (
+      SELECT cluster, name AS canonical_name
+      FROM (
+        SELECT cluster, name,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY n DESC, name ASC) AS rn
+        FROM labeled
+      ) WHERE rn = 1
+    )
+    SELECT l.name, l.n, l.cluster, c.canonical_name
+    FROM labeled l JOIN canon c ON l.cluster = c.cluster
     """

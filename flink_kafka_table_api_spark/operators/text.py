@@ -1810,7 +1810,10 @@ def zipf_gini_audit(
         .select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("f"))
-    ).persist()
+    )
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    freqs = tracked_persist(freqs)
     hist = freqs.groupBy("f").agg(
         F.count("*").cast("long").alias("m")
     )
@@ -1949,4 +1952,300 @@ def zipf_gini_audit_sql(*, max_rank: int = 1000) -> str:
                            / (o.m * o.sxx - o.sx * o.sx)
                       ELSE 0.0 END, 6) AS zipf_slope
     FROM base b, ols o
+    """
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document readability: Flesch Reading Ease and Flesch-Kincaid
+    Grade Level (Flesch 1948 / Kincaid 1975) from three integer counts —
+    words (the shared :func:`tokens` contract), sentences (segments
+    split on ``[.!?]+`` containing at least one alphanumeric), and
+    syllables (vowel-group runs ``[aeiouy]+`` per word, min 1 — the
+    standard heuristic). The classic text-difficulty band signal for
+    curriculum/mixing decisions; degenerate boilerplate and OCR noise
+    land far outside the natural-prose band.
+
+    Returns (doc_id, n_words, n_sentences, n_syllables,
+    flesch_reading_ease, fk_grade) — formulas on exact integer operands,
+    round(6); documents with zero words report 0.0 for both scores and
+    n_sentences as counted.
+
+    Scale shape: ZERO shuffles, zero Python — one codegen'd projection
+    per row (split / filter / transform / integer aggregate), the
+    char_entropy posture. Both engines evaluate the identical float
+    formula on identical integers, so no ordered-fold machinery is
+    needed."""
+    toks = tokens(text_col)
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            ),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    sents = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[.!?]+"),
+            lambda s: s.rlike("[a-z0-9]"),
+        )
+    )
+    out = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.greatest(F.lit(1).cast("long"), F.col("n_sentences")).cast(
+        "double"
+    )
+    y = F.col("n_syllables").cast("double")
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(206.835) - F.lit(1.015) * (w / s)
+                - F.lit(84.6) * (y / w),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("flesch_reading_ease"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w)
+                - F.lit(15.59),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("fk_grade"),
+    )
+
+
+def readability_scores_sql() -> str:
+    """DuckDB replay of :func:`readability_scores` over `documents`:
+    identical integer counts, identical float formula."""
+    toks = tokens_sql("text")
+    return f"""
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(len({toks}) AS BIGINT) AS n_words,
+             CAST(len(list_filter(
+               regexp_split_to_array(lower(text), '[.!?]+'),
+               s -> regexp_matches(s, '[a-z0-9]')
+             )) AS BIGINT) AS n_sentences,
+             CAST(COALESCE(list_sum(list_transform({toks},
+               w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
+             )), 0) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(CASE WHEN n_words > 0 THEN
+             206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / CAST(greatest(1, n_sentences) AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE))
+           ELSE 0.0 END, 6) AS flesch_reading_ease,
+           round(CASE WHEN n_words > 0 THEN
+             0.39 * (CAST(n_words AS DOUBLE)
+                     / CAST(greatest(1, n_sentences) AS DOUBLE))
+             + 11.8 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE))
+             - 15.59
+           ELSE 0.0 END, 6) AS fk_grade
+    FROM counts
+    """
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_phrase_len: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal stopword-free token runs (length <= ``max_phrase_len``),
+    each word scores deg(w)/freq(w) over ALL candidate occurrences
+    (deg counts the word plus its phrase co-members, so words that
+    travel in long phrases outrank loners at equal frequency), and a
+    phrase scores the sum of its member word scores. Returns the
+    corpus-wide top ``top_k`` distinct phrases — the cheap unsupervised
+    keyphrase signal for corpus browsing / topic drift eyeballing.
+
+    Returns (phrase, n_words, n_occurrences, score): counts exact;
+    score accumulates the per-member deg/freq ratios in POSITION order
+    (phrases are <= max_phrase_len members, so the ordered fold is a
+    bounded-length array fold the DuckDB oracle replays via ORDER BY
+    pos list_reduce), rounded to 6 decimals BEFORE the deterministic
+    (score DESC, phrase ASC) top-k cutoff.
+
+    Scale shape: every stage is keyed and corpus-token sized — one
+    posexplode + per-doc window for phrase segmentation, one word-keyed
+    stats aggregate, one word-keyed join of scores onto members, one
+    phrase-keyed fold, then TakeOrdered for the top-k (never a global
+    sort). Stopword membership is a codegen'd literal IN over the
+    broadcast-free ~50-word English list."""
+    stop = list(ENGLISH_STOPWORDS)
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(tokens(text_col)).alias("pos", "token"),
+        )
+        .withColumn(
+            "__stop",
+            F.col("token").isin(*stop)
+            | ~F.col("token").rlike("[a-z0-9]"),
+        )
+    )
+    seg_w = (
+        Window.partitionBy("__doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    members = (
+        toks.withColumn(
+            "phrase_id", F.sum(F.col("__stop").cast("int")).over(seg_w)
+        )
+        .filter(~F.col("__stop"))
+        .select("__doc", "phrase_id", "pos", "token")
+    )
+    phrases = (
+        members.groupBy("__doc", "phrase_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("pos").alias("pos"),
+                             F.col("token").alias("token"))
+                )
+            ).alias("__m")
+        )
+        .filter(F.size("__m") <= max_phrase_len)
+    )
+    occ = phrases.select(
+        "__doc", "phrase_id",
+        F.array_join(
+            F.transform(F.col("__m"), lambda s: s["token"]), " "
+        ).alias("phrase"),
+        F.size("__m").alias("plen"),
+        F.posexplode(
+            F.transform(F.col("__m"), lambda s: s["token"])
+        ).alias("mpos", "word"),
+    )
+    stats = occ.groupBy("word").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    scored = occ.join(stats, "word").select(
+        "__doc", "phrase_id", "phrase", "plen", "mpos",
+        (F.col("deg").cast("double") / F.col("freq").cast("double"))
+        .alias("wscore"),
+    )
+    per_phrase = (
+        scored.groupBy("__doc", "phrase_id", "phrase", "plen")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("mpos").alias("mpos"),
+                                     F.col("wscore").alias("w"))
+                        )
+                    ),
+                    lambda s: s["w"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("pscore")
+        )
+    )
+    # identical phrase text => identical member words => identical score;
+    # MIN is a determinism-stating no-op the oracle mirrors
+    return (
+        per_phrase.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.round(F.min("pscore"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(top_k)
+    )
+
+
+def rake_keywords_sql(*, max_phrase_len: int = 4, top_k: int = 20) -> str:
+    """DuckDB replay of :func:`rake_keywords` over `documents`: same
+    segmentation windows, same integer deg/freq stats, ORDER BY pos
+    list_reduce for the bounded phrase fold, same rounded top-k
+    cutoff."""
+    toks = tokens_sql("text")
+    stops = ", ".join(f"'{s}'" for s in sorted(ENGLISH_STOPWORDS))
+    return f"""
+    WITH tk AS (
+      SELECT b.d, u.i - 1 AS pos, b.tt[u.i] AS token,
+             (b.tt[u.i] IN ({stops})
+              OR NOT regexp_matches(b.tt[u.i], '[a-z0-9]')) AS stop
+      FROM (SELECT doc_id AS d, {toks} AS tt FROM documents) b,
+           unnest(generate_series(1, len(b.tt))) AS u(i)
+    ),
+    seg AS (
+      SELECT d, pos, token,
+             SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY d ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS phrase_id,
+             stop
+      FROM tk
+    ),
+    members AS (
+      SELECT d, phrase_id, pos, token FROM seg WHERE NOT stop
+    ),
+    phrases AS (
+      SELECT d, phrase_id,
+             array_to_string(list(token ORDER BY pos), ' ') AS phrase,
+             COUNT(*) AS plen
+      FROM members GROUP BY d, phrase_id
+      HAVING COUNT(*) <= {max_phrase_len}
+    ),
+    occ AS (
+      SELECT p.d, p.phrase_id, p.phrase, p.plen, m.pos, m.token AS word
+      FROM phrases p JOIN members m
+        ON p.d = m.d AND p.phrase_id = m.phrase_id
+    ),
+    stats AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM occ GROUP BY word
+    ),
+    per_phrase AS (
+      SELECT o.d, o.phrase_id, o.phrase, o.plen,
+             list_reduce(
+               list(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE)
+                    ORDER BY o.pos),
+               (a, b) -> a + b
+             ) AS pscore
+      FROM occ o JOIN stats s ON o.word = s.word
+      GROUP BY o.d, o.phrase_id, o.phrase, o.plen
+    )
+    SELECT phrase,
+           CAST(MAX(plen) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           round(MIN(pscore), 6) AS score
+    FROM per_phrase
+    GROUP BY phrase
+    ORDER BY score DESC, phrase ASC
+    LIMIT {top_k}
     """

@@ -7015,6 +7015,37 @@ def q_dedup_suite(spark: SparkSession, sf: str) -> DataFrame:
     return sig_block.unionByName(cand_block).unionByName(ver_block)
 
 
+# Round-13 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale; oracles pre-validated in tests/test_r13_prevalidated.py,
+# registration is the committed round-13 plan in the cap note below).
+
+@bench_query("readability")
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document
+    (operators/text.py `readability_scores`): three integer counts
+    (words / sentences / vowel-group syllables) in ONE zero-shuffle
+    codegen'd projection, identical float formula both engines."""
+    return tx.readability_scores(_t(spark, sf, "documents"))
+
+
+@bench_query("er_clusters")
+def q_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution clusters over part names
+    (operators/dedup.py `er_clusters`): connected components on the
+    edit_similarity_join pair graph (vocabulary-sized), canonical
+    spelling by attestation count — the catalog-cleanup policy."""
+    return dd.er_clusters(_t(spark, sf, "part"), name_col="p_name")
+
+
+@bench_query("rake_keywords")
+def q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE corpus keyphrases (operators/text.py `rake_keywords`,
+    top-20): stopword-run segmentation via per-doc windows, integer
+    deg/freq word stats, bounded ordered phrase folds, TakeOrdered
+    cutoff."""
+    return tx.rake_keywords(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
@@ -7236,6 +7267,28 @@ _PRIORITY: list[str] = [
 # closed-form Gini, capped ordered-fold Zipf OLS slope; no vocabulary
 # sort). Every new name must sit in the actual r12 gate (never-green
 # rule); the three retirees' final green evidence is their r6/r7 rows.
+#
+# Round-13 plan, fully pre-built and parity-tested this round
+# (tests/test_r13_prevalidated.py + BENCH_ONLY twins above): free slots
+# with the next committed family consolidation — the ANN family still
+# holds 5 separable slots (ann_ivf_variants consolidated 3 in r6;
+# ann_bruteforce / ann_lsh / ann_quantized / ann_ivf_trained /
+# semantic_dedup remain candidates for a typed-block `ann_suite`) — or
+# the TPC-H singletons (22 slots, the largest family) if ANN evidence
+# diversity should be preserved. Spend 3 slots on the staged round-13
+# operators: `readability` (operators/text.py readability_scores +
+# readability_scores_sql — Flesch/FK bands from integer
+# word/sentence/vowel-group counts, zero-shuffle projection, identical
+# float formula both engines), `er_clusters` (operators/dedup.py
+# er_clusters + er_clusters_sql — connected components over the
+# edit_similarity_join pair graph with attestation-canonical spelling;
+# rides the r12 CC id-type generalization, string-id CC pinned for both
+# driver and distributed paths), and `rake_keywords`
+# (operators/text.py rake_keywords + rake_keywords_sql — RAKE keyphrase
+# extraction: stopword-run segmentation, integer deg/freq stats,
+# bounded ordered phrase folds, rounded-then-cutoff deterministic
+# top-k). Every new name must sit in the actual r13 gate (never-green
+# rule).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

@@ -89,7 +89,10 @@ MEASURE = [
     # DISTINCT-name set of a dimension table (part stays symlinked, not
     # replicated — the harness's 8x leaves it bit-identical), and its
     # corpus-facing stage is the same groupBy-count shape dedup_exact
-    # already measures.
+    # already measures. er_clusters shares the exemption (same input).
+    # round-13 staged-operator additions (BENCH_ONLY twins)
+    "readability",           # zero-shuffle integer-count projection
+    "rake_keywords",         # doc-window segmentation + keyed stats
 ]
 
 
