@@ -124,6 +124,11 @@ HEADLINE = [
     "readability",             # zero-shuffle Flesch/FK projection
     "er_clusters",             # edit-join pair graph + CC + canonical
     "rake_keywords",           # RAKE segmentation + keyed stats + top-k
+    # round-14 staged operators (BENCH_ONLY twins)
+    "burst_detection",         # integer Viterbi burst intervals
+    "cluster_silhouette",      # O(n*k) centroid silhouette audit
+    "source_lang_mi",          # contingency-cell MI/NMI folds
+    "tokenizer_fertility",     # BPE pieces-per-word by language
 ]
 
 

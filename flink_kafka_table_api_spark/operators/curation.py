@@ -1117,3 +1117,161 @@ def source_kl_divergence_sql(
     FROM terms
     GROUP BY source, n_s, dt
     """
+
+
+def source_lang_mi(
+    df: DataFrame,
+    a_col: str = "source",
+    b_col: str = "lang",
+) -> DataFrame:
+    """Corpus-composition dependence audit: the mutual information
+    between two categorical document attributes (by default source x
+    language), with both marginal entropies and the normalized MI
+    (Strehl & Ghosh 2002's NMI = MI / sqrt(H_a * H_b)). The drift
+    tripwire for mixture pipelines: if language distribution is (near-)
+    independent of source, NMI ~ 0 and per-source language balancing is
+    redundant; a rising NMI means some source started contributing a
+    skewed language mix and temperature_mix-style rebalancing by ONE
+    attribute silently reshapes the other.
+
+    Returns ONE row: (n_docs, n_a, n_b, mi, h_a, h_b, nmi) — counts
+    exact; mi/h terms computed from exact integer cell counts and
+    accumulated in ascending (a, b) cell order (ordered folds, the
+    char_entropy recipe), round(6); entropies in nats.
+
+    Scale shape: ONE corpus-sized keyed aggregate (the (a, b)
+    contingency cells, map-side partials); marginals, folds, and the
+    final row all run on the tiny cells table (|a| x |b| rows). No
+    driver loop, no Python."""
+    cells = (
+        ensure_parallelism(df)
+        .groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    am = cells.groupBy("a").agg(F.sum("c").alias("ca"))
+    bm = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    joined = cells.join(F.broadcast(am), "a").join(F.broadcast(bm), "b")
+
+    def fold(order_cols, val):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(*order_cols, val.alias("v")))
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda x, y: x + y,
+        )
+
+    n = F.col("n").cast("double")
+    c = F.col("c").cast("double")
+    ca = F.col("ca").cast("double")
+    cb = F.col("cb").cast("double")
+    mi_term = (c / n) * F.log(c * n / (ca * cb))
+    agg = (
+        joined.crossJoin(
+            F.broadcast(cells.agg(F.sum("c").alias("n")))
+        )
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count_distinct("a").cast("long").alias("n_a"),
+            F.count_distinct("b").cast("long").alias("n_b"),
+            fold(
+                [F.col("a").alias("oa"), F.col("b").alias("ob")], mi_term
+            ).alias("mi_raw"),
+        )
+    )
+    ha_f = am.crossJoin(
+        F.broadcast(cells.agg(F.sum("c").alias("n")))
+    ).agg(
+        fold(
+            [F.col("a").alias("oa")],
+            -(F.col("ca").cast("double") / F.col("n").cast("double"))
+            * F.log(
+                F.col("ca").cast("double") / F.col("n").cast("double")
+            ),
+        ).alias("h_a_raw")
+    )
+    hb_f = bm.crossJoin(
+        F.broadcast(cells.agg(F.sum("c").alias("n")))
+    ).agg(
+        fold(
+            [F.col("b").alias("ob")],
+            -(F.col("cb").cast("double") / F.col("n").cast("double"))
+            * F.log(
+                F.col("cb").cast("double") / F.col("n").cast("double")
+            ),
+        ).alias("h_b_raw")
+    )
+    return (
+        agg.crossJoin(F.broadcast(ha_f))
+        .crossJoin(F.broadcast(hb_f))
+        .select(
+            "n_docs", "n_a", "n_b",
+            F.round("mi_raw", 6).alias("mi"),
+            F.round("h_a_raw", 6).alias("h_a"),
+            F.round("h_b_raw", 6).alias("h_b"),
+            F.round(
+                F.when(
+                    F.col("h_a_raw") * F.col("h_b_raw") > 0,
+                    F.col("mi_raw")
+                    / F.sqrt(F.col("h_a_raw") * F.col("h_b_raw")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+def source_lang_mi_sql(
+    a_expr: str = "source", b_expr: str = "lang"
+) -> str:
+    """DuckDB oracle for :func:`source_lang_mi` over `documents`: same
+    contingency cells, same (a, b)-ordered list_reduce folds."""
+    return f"""
+    WITH cells AS (
+      SELECT {a_expr} AS a, {b_expr} AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    am AS (SELECT a, SUM(c) AS ca FROM cells GROUP BY a),
+    bm AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY b),
+    nn AS (SELECT SUM(c) AS n FROM cells),
+    mi AS (
+      SELECT list_reduce(
+               list((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                         / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+                    ORDER BY cells.a, cells.b),
+               (x, y) -> x + y) AS mi_raw,
+             CAST(MAX(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT cells.a) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT cells.b) AS BIGINT) AS n_b
+      FROM cells JOIN am USING (a) JOIN bm USING (b), nn
+    ),
+    ha AS (
+      SELECT list_reduce(
+               list(-(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE))
+                    ORDER BY a),
+               (x, y) -> x + y) AS h_a_raw
+      FROM am, nn
+    ),
+    hb AS (
+      SELECT list_reduce(
+               list(-(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                    ORDER BY b),
+               (x, y) -> x + y) AS h_b_raw
+      FROM bm, nn
+    )
+    SELECT mi.n_docs, mi.n_a, mi.n_b,
+           round(mi.mi_raw, 6) AS mi,
+           round(ha.h_a_raw, 6) AS h_a,
+           round(hb.h_b_raw, 6) AS h_b,
+           round(CASE WHEN ha.h_a_raw * hb.h_b_raw > 0
+                      THEN mi.mi_raw / sqrt(ha.h_a_raw * hb.h_b_raw)
+                      ELSE 0.0 END, 6) AS nmi
+    FROM mi, ha, hb
+    """

@@ -1021,3 +1021,99 @@ def ivf_pq_topk(
     return out.orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def cluster_silhouette(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "c_id",
+    centroid_vec: str = "c_embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette audit of a coarse
+    clustering (Rousseeuw 1987's silhouette with the medoid distances
+    replaced by centroid distances — the O(n*k) variant large-scale
+    clustering evaluation uses, e.g. Hruschka et al.'s simplified
+    silhouette; the O(n^2) pairwise original is exactly what cannot run
+    at corpus scale): per vector, a = cosine distance to its assigned
+    (nearest) centroid, b = distance to the second-nearest, and
+    s = (b - a) / max(a, b) in [-1, 1]. Near-0 or negative means the
+    vector sits between clusters — the IVF-quality / nprobe-tuning
+    signal that tells you whether partition-pruned ANN search will lose
+    recall.
+
+    Returns one row per cluster: (cluster, n_vectors, mean_silhouette,
+    min_silhouette, max_silhouette). Distances round(6) BEFORE the
+    (dist, centroid_id)-ordered nearest-two selection so both engines
+    pick identical neighbors; the per-cluster mean accumulates in
+    vec_id order (ordered fold, the char_entropy recipe), min/max are
+    order-free.
+
+    Scale shape: one broadcast crossJoin against the k-row centroid
+    table (k is small by construction — the ann_ivf coarse level), one
+    vec_id-keyed aggregate to pick the nearest two, one cluster-keyed
+    aggregate. O(n*k) work, no pair space, no Python."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(centroid_id).alias("__cid"),
+        F.round(
+            F.lit(1.0)
+            - cosine(
+                as_double_array(vec_col), as_double_array(centroid_vec)
+            ),
+            6,
+        ).alias("__dist"),
+    )
+    two = scored.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__dist").alias("dist"),
+                        F.col("__cid").alias("cid"),
+                    )
+                )
+            ),
+            1,
+            2,
+        ).alias("__nn")
+    )
+    per_vec = two.select(
+        F.col(id_col),
+        F.col("__nn")[0]["cid"].alias("cluster"),
+        F.col("__nn")[0]["dist"].alias("__a"),
+        F.col("__nn")[1]["dist"].alias("__b"),
+    ).select(
+        F.col(id_col),
+        "cluster",
+        F.round(
+            F.when(
+                F.greatest("__a", "__b") > 0,
+                (F.col("__b") - F.col("__a"))
+                / F.greatest("__a", "__b"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("__s"),
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"), F.col("__s").alias("s")
+                    )
+                )
+            ),
+            lambda st: st["s"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return per_vec.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(ordered_sum / F.count("*"), 6).alias("mean_silhouette"),
+        F.min("__s").alias("min_silhouette"),
+        F.max("__s").alias("max_silhouette"),
+    )

@@ -735,29 +735,21 @@ def bpe_train(
     )
 
 
-def bpe_piece_counts(
+def _bpe_encoded_words(
     df: DataFrame,
     text_col: str = "text",
     *,
     n_merges: int = 12,
     alnum_only: bool = True,
 ) -> DataFrame:
-    """BPE ENCODE, aggregated: learn ``n_merges`` merge rules
-    (:func:`bpe_train`), apply them to the corpus, and return the
-    resulting piece vocabulary with corpus-wide occurrence counts
-    (piece, n_occurrences) — the token-frequency table a tokenizer
-    hands to the training pipeline (vocabulary coverage, OOV-rate, and
-    tokens-per-doc budgeting all read from it).
-
-    Scale shape: training is bpe_train (corpus agg + vocabulary-sized
-    iterations); encoding re-aggregates the corpus word table ONCE and
-    applies all learned merges as a chain of ``n_merges`` literal
-    F.aggregate folds inside a single narrow projection (each fold
-    consumes the previous symbols array exactly once — linear, no
-    CollapseProject re-expansion), then explodes the final symbols
-    weighted by word frequency into one partial-agg count shuffle.
-    Word-frequency weighting means the explode is vocabulary-sized, not
-    corpus-sized."""
+    """Shared BPE ENCODE core: learn ``n_merges`` merge rules
+    (:func:`bpe_train`) and apply them to the corpus word-frequency
+    table, returning (w, syms, freq) — one row per distinct word with
+    its encoded symbol array. Both :func:`bpe_piece_counts` (corpus
+    piece counts) and :func:`tokenizer_fertility` (per-language
+    pieces-per-word audit) consume this; the merge chain runs as
+    ``n_merges`` literal F.aggregate folds in one narrow projection
+    over the VOCABULARY-sized table (the CollapseProject-safe shape)."""
     merges = [
         (r.left, r.right, r.merged)
         for r in bpe_train(
@@ -770,7 +762,7 @@ def bpe_piece_counts(
         w = w.filter(F.col("w").rlike("^[a-z0-9]+$"))
     words = (
         w.groupBy("w").agg(F.count("*").alias("freq"))
-        .select(F.split("w", "").alias("syms"), "freq")
+        .select("w", F.split("w", "").alias("syms"), "freq")
     )
     def merge_step(left: str, right: str, merged: str):
         # closure factory: PySpark counts a HOF lambda's FULL parameter
@@ -795,8 +787,37 @@ def bpe_piece_counts(
             F.expr("CAST(array() AS array<string>)"),
             merge_step(left, right, merged),
         )
+    return words.select("w", syms.alias("syms"), "freq")
+
+
+def bpe_piece_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 12,
+    alnum_only: bool = True,
+) -> DataFrame:
+    """BPE ENCODE, aggregated: learn ``n_merges`` merge rules
+    (:func:`bpe_train`), apply them to the corpus, and return the
+    resulting piece vocabulary with corpus-wide occurrence counts
+    (piece, n_occurrences) — the token-frequency table a tokenizer
+    hands to the training pipeline (vocabulary coverage, OOV-rate, and
+    tokens-per-doc budgeting all read from it).
+
+    Scale shape: training is bpe_train (corpus agg + vocabulary-sized
+    iterations); encoding re-aggregates the corpus word table ONCE and
+    applies all learned merges as a chain of ``n_merges`` literal
+    F.aggregate folds inside a single narrow projection (each fold
+    consumes the previous symbols array exactly once — linear, no
+    CollapseProject re-expansion; see :func:`_bpe_encoded_words`), then
+    explodes the final symbols weighted by word frequency into one
+    partial-agg count shuffle. Word-frequency weighting means the
+    explode is vocabulary-sized, not corpus-sized."""
+    words = _bpe_encoded_words(
+        df, text_col, n_merges=n_merges, alnum_only=alnum_only
+    )
     return (
-        words.select(F.explode(syms).alias("piece"), "freq")
+        words.select(F.explode("syms").alias("piece"), "freq")
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("n_occurrences"))
     )
@@ -2249,3 +2270,77 @@ def rake_keywords_sql(*, max_phrase_len: int = 4, top_k: int = 20) -> str:
     ORDER BY score DESC, phrase ASC
     LIMIT {top_k}
     """
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    *,
+    n_merges: int = 12,
+    alnum_only: bool = True,
+) -> DataFrame:
+    """Per-language tokenizer fertility audit: pieces-per-word and
+    chars-per-piece under the corpus-trained BPE merges — THE tokenizer
+    equity metric (a tokenizer trained on a skewed mix over-segments
+    under-represented languages; fertility is how that bias is
+    measured, cf. the multilingual-tokenizer literature's
+    tokens-per-word comparisons). Languages whose fertility is far
+    above the corpus mean pay more sequence length for the same text —
+    the signal that drives vocab re-training or per-language token
+    budgets (source_token_cap / temperature_mix consume exactly this).
+
+    Returns one row per language: (lang, n_words, n_pieces, n_chars,
+    fertility, chars_per_piece) — ALL ratios are exact-integer
+    divisions rounded to 6 (sum of per-word piece counts and char
+    lengths weighted by per-language word frequencies; no float folds
+    anywhere).
+
+    Scale shape: the merge chain runs once on the vocabulary-sized
+    word table (:func:`_bpe_encoded_words`); the per-language word
+    frequencies are one corpus explode -> (lang, word) partial-count
+    aggregate; the fertility join ships (word, n_pieces) — vocabulary
+    rows — AQE-sized onto the per-language table (broadcast when it
+    fits, never forced). Nothing corpus-sized ever joins or folds."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    pieces = _bpe_encoded_words(
+        df, text_col, n_merges=n_merges, alnum_only=alnum_only
+    ).select(
+        "w",
+        F.size("syms").cast("long").alias("np"),
+        F.length("w").cast("long").alias("nc"),
+    )
+    toks = tokens(text_col)
+    lw = df.select(F.col(lang_col).alias("lang"), F.explode(toks).alias("w"))
+    if alnum_only:
+        lw = lw.filter(F.col("w").rlike("^[a-z0-9]+$"))
+    lang_words = lw.groupBy("lang", "w").agg(
+        F.count("*").cast("long").alias("f")
+    )
+    # no forced broadcast: the pieces table is VOCABULARY-sized, which
+    # usually fits but is unbounded at extreme corpus diversity — AQE
+    # picks broadcast when the actual size allows (the link_prediction
+    # degree-join precedent)
+    joined = lang_words.join(tracked_persist(pieces), "w")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("f").cast("long").alias("n_words"),
+            F.sum(F.col("f") * F.col("np")).cast("long").alias("n_pieces"),
+            F.sum(F.col("f") * F.col("nc")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_words", "n_pieces", "n_chars",
+            F.round(
+                F.col("n_pieces").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_pieces").cast("double"),
+                6,
+            ).alias("chars_per_piece"),
+        )
+    )

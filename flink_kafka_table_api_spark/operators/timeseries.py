@@ -478,3 +478,283 @@ def cusum_drift_sql(*, slack: float = 0.5, threshold: float = 4.0) -> str:
            (sp > {h6} OR sn > {h6}) AS drift
     FROM dd
     """
+
+
+def burst_detection(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    burst_mult: float = 2.0,
+    gamma_scale: float = 30.0,
+) -> DataFrame:
+    """Kleinberg two-state burst detection (Kleinberg KDD'02, "Bursty
+    and Hierarchical Structure in Streams", batch two-state variant)
+    over each group's DAILY share of the corpus event stream: state q0
+    emits at the group's base rate p0 = its overall share of daily
+    totals, state q1 at p1 = min(burst_mult * p0, 1-1e-6); a day costs
+    the binomial negative log-likelihood -(c ln p + (n-c) ln(1-p)) in
+    its state and entering q1 costs gamma = ln(gamma_scale); the
+    minimum-cost state sequence (Viterbi) marks burst days. Unlike a
+    per-day threshold (seasonal_anomaly) or drift accumulation
+    (cusum_drift), this yields coherent burst INTERVALS: brief dips
+    inside a burst stay marked because switching back costs more than
+    the dip saves.
+
+    Cross-engine determinism: p0/p1 derive from exact integer sums, the
+    per-day per-state costs quantize ONCE to integer micro-units, and
+    both the forward Viterbi (costs + parent pointers) and the backward
+    path trace are folds over INTEGER arithmetic with pinned tie-breaks
+    (ties prefer q0 on entry, q1 on stay, q0 at the final day) — the
+    DuckDB oracle replays both folds bit-for-bit via list_reduce (a
+    bare-list accumulator whose LAST element carries the running costs;
+    nested lists inside struct accumulators do not accumulate in
+    DuckDB 1.0, which pins this oracle shape).
+
+    Returns (group, day, n_events, day_total, burst). Missing days
+    count 0 against that day's total (the cusum_drift calendar rule).
+
+    Scale shape: ONE corpus-sized aggregate (group x day partial
+    counts); the calendar join, stats, and both folds run on the tiny
+    groups-x-days frame. The folds are O(days^2) array copies per group
+    (bounded: one element per day) — at 100 TB this is still kilobytes
+    per group after the single shuffle."""
+    e = events.select(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    )
+    daily = e.groupBy("grp", "day").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = daily.groupBy("day").agg(F.sum("c").alias("n"))
+    span = daily.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    calendar = (
+        daily.select("grp").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    filled = (
+        calendar.join(daily, ["grp", "day"], "left")
+        .join(F.broadcast(tot), "day", "left")
+        .select(
+            "grp", "day",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    p0 = F.col("sc").cast("double") / F.col("sn").cast("double")
+    stats = (
+        filled.groupBy("grp")
+        .agg(F.sum("c").alias("sc"), F.sum("n").alias("sn"))
+        .select(
+            "grp",
+            p0.alias("p0"),
+            F.least(F.lit(1.0 - 1e-6), F.lit(burst_mult) * p0).alias("p1"),
+        )
+    )
+
+    def nll(p: Column) -> Column:
+        return F.when(
+            F.col("n") > 0,
+            F.round(
+                -(
+                    F.col("c").cast("double") * F.log(p)
+                    + (F.col("n") - F.col("c")).cast("double")
+                    * F.log(F.lit(1.0) - p)
+                )
+                * 1e6,
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    import math
+
+    g6 = int(round(math.log(gamma_scale) * 1_000_000))
+    scored = filled.join(F.broadcast(stats), "grp").select(
+        "grp", "day", "c", "n",
+        nll(F.col("p0")).alias("e0"),
+        nll(F.col("p1")).alias("e1"),
+    )
+    ser = scored.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("day").alias("day"), F.col("c").alias("c"),
+                    F.col("n").alias("n"), F.col("e0").alias("e0"),
+                    F.col("e1").alias("e1"),
+                )
+            )
+        ).alias("xs")
+    )
+    # forward Viterbi: integer costs + parent pointers
+    init = F.struct(
+        F.lit(None).cast("long").alias("c0"),
+        F.lit(None).cast("long").alias("c1"),
+        F.expr("array()").cast("array<struct<p0:int,p1:int>>").alias("ptrs"),
+    )
+
+    def step(acc, x):
+        first = acc["c0"].isNull()
+        nc0 = F.when(first, x["e0"]).otherwise(
+            x["e0"] + F.least(acc["c0"], acc["c1"])
+        )
+        nc1 = F.when(first, x["e1"] + F.lit(g6)).otherwise(
+            x["e1"] + F.least(acc["c0"] + F.lit(g6), acc["c1"])
+        )
+        p0c = F.when(first, F.lit(0)).otherwise(
+            F.when(acc["c0"] <= acc["c1"], F.lit(0)).otherwise(F.lit(1))
+        ).cast("int")
+        p1c = F.when(first, F.lit(1)).otherwise(
+            F.when(acc["c0"] + F.lit(g6) < acc["c1"], F.lit(0))
+            .otherwise(F.lit(1))
+        ).cast("int")
+        return F.struct(
+            nc0.alias("c0"),
+            nc1.alias("c1"),
+            F.concat(
+                acc["ptrs"],
+                F.array(F.struct(p0c.alias("p0"), p1c.alias("p1"))),
+            ).alias("ptrs"),
+        )
+
+    folded = ser.select("grp", "xs", F.aggregate("xs", init, step).alias("f"))
+    # backward trace: final argmin (tie -> q0), then follow parents
+    final_s = (
+        F.when(F.col("f.c1") < F.col("f.c0"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    states = F.reverse(
+        F.aggregate(
+            F.reverse(
+                F.slice(
+                    F.col("f.ptrs"), 2,
+                    F.greatest(F.size("f.ptrs") - 1, F.lit(0)),
+                )
+            ),
+            F.struct(
+                final_s.alias("s"), F.array(final_s).alias("states")
+            ),
+            lambda acc, pt: F.struct(
+                F.when(acc["s"] == 1, pt["p1"]).otherwise(pt["p0"])
+                .cast("int").alias("s"),
+                F.concat(
+                    acc["states"],
+                    F.array(
+                        F.when(acc["s"] == 1, pt["p1"])
+                        .otherwise(pt["p0"]).cast("int")
+                    ),
+                ).alias("states"),
+            ),
+            lambda acc: acc["states"],
+        )
+    )
+    return (
+        folded.select("grp", F.arrays_zip("xs", states.alias("st")).alias("z"))
+        .select("grp", F.explode("z").alias("e"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("e.xs.day").alias("day"),
+            F.col("e.xs.c").alias("n_events"),
+            F.col("e.xs.n").alias("day_total"),
+            (F.col("e.st") == 1).alias("burst"),
+        )
+    )
+
+
+def burst_detection_sql(
+    *, burst_mult: float = 2.0, gamma_scale: float = 30.0
+) -> str:
+    """DuckDB oracle for :func:`burst_detection` over `events`: same
+    calendar, same integer quantization, and both Viterbi folds as
+    list_reduce — the forward fold uses a BARE-LIST accumulator whose
+    last element carries the running (c0, c1) (DuckDB 1.0 does not
+    accumulate a list nested inside a struct accumulator; every
+    element seeds itself as if first, the merge subtracts the gamma
+    it would have added)."""
+    import math
+
+    g6 = int(round(math.log(gamma_scale) * 1_000_000))
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, SUM(c) AS n FROM daily GROUP BY day),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    cal AS (
+      SELECT g.grp, CAST(u.day AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) g,
+           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span) u
+    ),
+    filled AS (
+      SELECT cal.grp, cal.day, COALESCE(d.c, 0) AS c, COALESCE(t.n, 0) AS n
+      FROM cal LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
+               LEFT JOIN tot t ON cal.day = t.day
+    ),
+    stats AS (
+      SELECT grp,
+             CAST(SUM(c) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p0,
+             least(1.0 - 1e-6, {burst_mult} * CAST(SUM(c) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE)) AS p1
+      FROM filled GROUP BY grp
+    ),
+    scored AS (
+      SELECT f.grp, f.day, f.c, f.n,
+             CASE WHEN f.n > 0 THEN CAST(round(
+               -(CAST(f.c AS DOUBLE) * ln(s.p0)
+                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p0)) * 1e6, 0)
+               AS BIGINT) ELSE 0 END AS e0,
+             CASE WHEN f.n > 0 THEN CAST(round(
+               -(CAST(f.c AS DOUBLE) * ln(s.p1)
+                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p1)) * 1e6, 0)
+               AS BIGINT) ELSE 0 END AS e1
+      FROM filled f JOIN stats s ON f.grp = s.grp
+    ),
+    ser AS (
+      SELECT grp,
+             list({{'day': day, 'c': c, 'n': n, 'e0': e0, 'e1': e1}}
+                  ORDER BY day) AS xs
+      FROM scored GROUP BY grp
+    ),
+    fwd AS (
+      SELECT grp, xs,
+        list_reduce(
+          list_transform(xs, x ->
+            [{{'c0': x.e0, 'c1': x.e1 + {g6}, 'p0': 0, 'p1': 1}}]),
+          (a, b) -> list_concat(a, [{{
+            'c0': b[1].c0 + least(a[len(a)].c0, a[len(a)].c1),
+            'c1': (b[1].c1 - {g6})
+                  + least(a[len(a)].c0 + {g6}, a[len(a)].c1),
+            'p0': CASE WHEN a[len(a)].c0 <= a[len(a)].c1
+                       THEN 0 ELSE 1 END,
+            'p1': CASE WHEN a[len(a)].c0 + {g6} < a[len(a)].c1
+                       THEN 0 ELSE 1 END}}])
+        ) AS f
+      FROM ser
+    ),
+    states AS (
+      SELECT grp, xs,
+        list_reverse(
+          list_reduce(
+            list_concat(
+              [[CASE WHEN f[len(f)].c1 < f[len(f)].c0
+                     THEN 1 ELSE 0 END]],
+              list_transform(list_reverse(f[2:]), pt -> [pt.p0, pt.p1])
+            ),
+            (acc, pr) -> list_concat(acc, [pr[acc[len(acc)] + 1]])
+          )
+        ) AS st
+      FROM fwd
+    )
+    SELECT grp AS event_type, xs[i].day AS day,
+           xs[i].c AS n_events, xs[i].n AS day_total, st[i] = 1 AS burst
+    FROM states, unnest(generate_series(1, len(xs))) AS u(i)
+    """

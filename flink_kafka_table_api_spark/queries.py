@@ -7046,6 +7046,57 @@ def q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
     return tx.rake_keywords(_t(spark, sf, "documents"))
 
 
+# Round-14 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale; oracles pre-validated in tests/test_r14_prevalidated.py,
+# registration is the committed round-14 plan in the cap note below).
+
+@bench_query("burst_detection")
+def q_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Kleinberg two-state burst intervals over daily event shares
+    (operators/timeseries.py `burst_detection`): one corpus-sized daily
+    aggregate, then integer-quantized Viterbi folds (forward costs +
+    parent pointers, backward trace) on the tiny groups-x-days
+    calendar."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        burst_detection,
+    )
+
+    return burst_detection(_t(spark, sf, "events"))
+
+
+@bench_query("cluster_silhouette")
+def q_cluster_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid-based simplified silhouette of the IVF coarse
+    clustering (operators/similarity.py `cluster_silhouette`, the 8
+    deterministic ann_ivf centroids): one broadcast crossJoin + two
+    keyed aggregates, O(n*k), the partition-pruned-ANN recall
+    diagnostic."""
+    emb = _t(spark, sf, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    return sim.cluster_silhouette(emb, cent)
+
+
+@bench_query("source_lang_mi")
+def q_source_lang_mi(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information / NMI between source and language
+    (operators/curation.py `source_lang_mi`): one contingency-cell
+    aggregate, then cell-ordered folds on the tiny table — the
+    mixture-dependence drift tripwire."""
+    return cu.source_lang_mi(_t(spark, sf, "documents"))
+
+
+@bench_query("tokenizer_fertility")
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language BPE fertility audit (operators/text.py
+    `tokenizer_fertility`, 12 corpus-trained merges): vocabulary-sized
+    merge chain + one (lang, word) count aggregate + a broadcast
+    pieces join; all ratios exact-integer divisions."""
+    return tx.tokenizer_fertility(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
@@ -7289,6 +7340,28 @@ _PRIORITY: list[str] = [
 # bounded ordered phrase folds, rounded-then-cutoff deterministic
 # top-k). Every new name must sit in the actual r13 gate (never-green
 # rule).
+#
+# Round-14 plan, fully pre-built and parity-tested this round
+# (tests/test_r14_prevalidated.py + BENCH_ONLY twins above): continue
+# the consolidation levers from the r13 note (ann_suite or TPC-H
+# family blocks) to free 4 slots for the staged round-14 operators:
+# `burst_detection` (operators/timeseries.py + burst_detection_sql —
+# Kleinberg KDD'02 two-state burst intervals over daily event shares;
+# integer micro-unit cost quantization makes BOTH Viterbi folds
+# (forward costs + parent pointers, backward path trace) bit-exact
+# window/fold algebra, and the oracle pins the DuckDB 1.0 bare-list-
+# accumulator shape since lists nested in struct accumulators do not
+# accumulate there), `cluster_silhouette` (operators/similarity.py —
+# Rousseeuw's silhouette in the centroid-based simplified O(n*k) form,
+# over the deterministic ann_ivf centroids; rounded-then-ordered
+# nearest-two selection), `source_lang_mi` (operators/curation.py +
+# source_lang_mi_sql — MI/NMI between document attributes from exact
+# integer contingency cells, cell-ordered folds), and
+# `tokenizer_fertility` (operators/text.py — per-language
+# pieces-per-word under the corpus BPE merges via the extracted
+# _bpe_encoded_words core, oracle composed from _bpe_oracle with a
+# per-language final select; all ratios exact-integer divisions).
+# Every new name must sit in the actual r14 gate (never-green rule).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

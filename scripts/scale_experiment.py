@@ -93,6 +93,14 @@ MEASURE = [
     # round-13 staged-operator additions (BENCH_ONLY twins)
     "readability",           # zero-shuffle integer-count projection
     "rake_keywords",         # doc-window segmentation + keyed stats
+    # round-14 staged-operator additions (BENCH_ONLY twins)
+    "burst_detection",       # 1 daily agg + calendar Viterbi folds
+    "source_lang_mi",        # 1 contingency agg + tiny-table folds
+    "tokenizer_fertility",   # vocab merge chain + (lang, word) agg
+    "cluster_silhouette",    # O(n*k) crossJoin + two keyed aggs
+    # (replicated embeddings keep vec_id < 8 selecting the ORIGINAL 8
+    # centroids — replicas' ids are shifted up — so the 8x run audits
+    # 8x vectors against the same coarse clustering: the honest shape)
 ]
 
 
