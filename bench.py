@@ -129,6 +129,10 @@ HEADLINE = [
     "cluster_silhouette",      # O(n*k) centroid silhouette audit
     "source_lang_mi",          # contingency-cell MI/NMI folds
     "tokenizer_fertility",     # BPE pieces-per-word by language
+    # round-15 staged operators (BENCH_ONLY twins)
+    "ks_source_drift",         # exact per-source KS vs rest
+    "chi2_independence",       # full-grid chi2 + Cramer's V
+    "shingle_overlap_matrix",  # top-shingle source Jaccard matrix
 ]
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import (
@@ -1274,4 +1274,268 @@ def source_lang_mi_sql(
                       THEN mi.mi_raw / sqrt(ha.h_a_raw * hb.h_b_raw)
                       ELSE 0.0 END, 6) AS nmi
     FROM mi, ha, hb
+    """
+
+
+def ks_source_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    *,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Per-source two-sample Kolmogorov-Smirnov drift test: each
+    source's ``value_col`` distribution (document length by default)
+    against the REST of the corpus — the exact D = max |ECDF_s -
+    ECDF_rest| with the large-sample rejection bound
+    ``alpha_c * sqrt((n_s + n_r) / (n_s * n_r))`` (1.358 = alpha 0.05;
+    Smirnov's asymptotic table). The distribution-shape drift detector
+    that mean/stddev monitors miss: a source whose lengths bifurcate
+    keeps its mean while its ECDF walks away.
+
+    Returns (source, n_s, n_r, ks_stat, drift) — ks_stat exact-integer
+    ECDF differences rounded to 6 BEFORE the boolean, counts exact.
+
+    Scale shape: one corpus-sized (group, value) count aggregate; the
+    ECDF grid is |groups| x |distinct values| (tiny for bounded metrics
+    like document length), cumulative sums are per-group keyed windows
+    plus ONE unpartitioned window over the distinct-VALUE frame
+    (histogram-sized, the zipf_gini_audit posture). No sort or join
+    ever touches corpus rows."""
+    vals = ensure_parallelism(df).select(
+        F.col(group_col).alias("s"), F.col(value_col).alias("x")
+    )
+    pv = vals.groupBy("s", "x").agg(F.count("*").cast("long").alias("c"))
+    gv = pv.groupBy("x").agg(F.sum("c").alias("cg"))
+    ns = pv.groupBy("s").agg(F.sum("c").alias("n_s"))
+    nn = pv.agg(F.sum("c").alias("n"))
+    grid = ns.crossJoin(gv.select("x"))
+    cum_w = (
+        Window.partitionBy("s").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gcum_w = (
+        Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(pv, ["s", "x"], "left")
+        .select("s", "x", "n_s", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("cs", F.sum("c").over(cum_w))
+    )
+    gcum = gv.withColumn("cgs", F.sum("cg").over(gcum_w)).select("x", "cgs")
+    d = (
+        cum.join(gcum, "x")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "s", "n_s",
+            (F.col("n") - F.col("n_s")).alias("n_r"),
+            # a lone source has an empty "rest": the statistic is
+            # undefined — NULL, never a fabricated 0 (ANSI division
+            # guard doubles as the contract)
+            F.when(
+                F.col("n") - F.col("n_s") > 0,
+                F.abs(
+                    F.col("cs").cast("double")
+                    / F.col("n_s").cast("double")
+                    - (F.col("cgs") - F.col("cs")).cast("double")
+                    / (F.col("n") - F.col("n_s")).cast("double")
+                ),
+            ).alias("dd"),
+        )
+    )
+    return (
+        d.groupBy("s", "n_s", "n_r")
+        .agg(F.round(F.max("dd"), 6).alias("ks_stat"))
+        .select(
+            F.col("s").alias(group_col),
+            F.col("n_s").cast("long").alias("n_s"),
+            F.col("n_r").cast("long").alias("n_r"),
+            "ks_stat",
+            F.when(
+                F.col("n_r") > 0,
+                F.col("ks_stat")
+                > F.lit(alpha_c)
+                * F.sqrt(
+                    (F.col("n_s") + F.col("n_r")).cast("double")
+                    / (F.col("n_s") * F.col("n_r")).cast("double")
+                ),
+            ).alias("drift"),
+        )
+    )
+
+
+def ks_source_drift_sql(
+    group_expr: str = "source",
+    value_expr: str = "n_chars",
+    *,
+    alpha_c: float = 1.358,
+) -> str:
+    """DuckDB oracle for :func:`ks_source_drift` over `documents`:
+    identical grid/window construction on the counts."""
+    return f"""
+    WITH pv AS (
+      SELECT {group_expr} AS s, {value_expr} AS x,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    gv AS (SELECT x, SUM(c) AS cg FROM pv GROUP BY x),
+    ns AS (SELECT s, SUM(c) AS n_s FROM pv GROUP BY s),
+    nt AS (SELECT SUM(c) AS n FROM pv),
+    grid AS (SELECT ns.s, ns.n_s, gv.x FROM ns, gv),
+    j AS (
+      SELECT g.s, g.n_s, g.x, COALESCE(pv.c, 0) AS c
+      FROM grid g LEFT JOIN pv ON g.s = pv.s AND g.x = pv.x
+    ),
+    cum AS (
+      SELECT s, n_s, x,
+             SUM(c) OVER (PARTITION BY s ORDER BY x
+                          ROWS UNBOUNDED PRECEDING) AS cs
+      FROM j
+    ),
+    gcum AS (
+      SELECT x, SUM(cg) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cgs
+      FROM gv
+    ),
+    d AS (
+      SELECT cum.s, cum.n_s, nt.n - cum.n_s AS n_r,
+             CASE WHEN nt.n - cum.n_s > 0 THEN
+               abs(CAST(cum.cs AS DOUBLE) / CAST(cum.n_s AS DOUBLE)
+                   - CAST(gcum.cgs - cum.cs AS DOUBLE)
+                   / CAST(nt.n - cum.n_s AS DOUBLE)) END AS dd
+      FROM cum JOIN gcum ON cum.x = gcum.x, nt
+    )
+    SELECT s AS {group_expr}, CAST(n_s AS BIGINT) AS n_s,
+           CAST(n_r AS BIGINT) AS n_r,
+           round(MAX(dd), 6) AS ks_stat,
+           CASE WHEN n_r > 0 THEN
+             round(MAX(dd), 6) > {alpha_c} * sqrt(
+               CAST(n_s + n_r AS DOUBLE) / CAST(n_s * n_r AS DOUBLE))
+           END AS drift
+    FROM d GROUP BY s, n_s, n_r
+    """
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str = "source",
+    b_col: str = "lang",
+) -> DataFrame:
+    """Pearson chi-square independence test + Cramer's V between two
+    categorical document attributes — the frequentist companion to
+    :func:`source_lang_mi`: chi2 = sum over the FULL a x b grid of
+    (o - e)^2 / e with e = row*col/n (absent cells contribute their
+    full expectation), dof = (|a|-1)(|b|-1), and Cramer's V =
+    sqrt(chi2 / (n * min(|a|-1, |b|-1))) as the [0, 1] effect size
+    that, unlike raw chi2, does not grow with corpus size.
+
+    Returns ONE row (n_docs, dof, chi2, cramers_v); the chi2 terms
+    accumulate in ascending (a, b) grid order (ordered fold), round(6).
+
+    Scale shape: one corpus-sized contingency aggregate; the full grid
+    is |a| x |b| (built from the marginals, not the corpus), and the
+    fold runs over it. The cells-vs-grid distinction matters: a sparse
+    contingency from groupBy alone would silently drop the o=0
+    expectation terms and understate chi2."""
+    cells = (
+        ensure_parallelism(df)
+        .groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    am = cells.groupBy("a").agg(F.sum("c").alias("ca"))
+    bm = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    nn = cells.agg(F.sum("c").alias("n"))
+    grid = am.crossJoin(bm).crossJoin(F.broadcast(nn))
+    jo = grid.join(cells, ["a", "b"], "left").select(
+        "a", "b", "ca", "cb", "n", F.coalesce("c", F.lit(0)).alias("o")
+    )
+    e = (F.col("ca") * F.col("cb")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    term = (
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+    )
+    folded = jo.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count_distinct("a").alias("na"),
+        F.count_distinct("b").alias("nb"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("a").alias("oa"),
+                            F.col("b").alias("ob"),
+                            term.alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda x, y: x + y,
+        ).alias("chi2_raw"),
+    )
+    return folded.select(
+        "n_docs",
+        ((F.col("na") - 1) * (F.col("nb") - 1)).cast("long").alias("dof"),
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.round(
+            F.when(
+                F.least(F.col("na") - 1, F.col("nb") - 1) > 0,
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (
+                        F.col("n_docs")
+                        * F.least(F.col("na") - 1, F.col("nb") - 1)
+                    )
+                ),
+            ).otherwise(F.lit(0.0)),  # one-level attribute: no
+            # association is measurable — 0, not a divide-by-zero
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def chi2_independence_sql(
+    a_expr: str = "source", b_expr: str = "lang"
+) -> str:
+    """DuckDB oracle for :func:`chi2_independence` over `documents`:
+    same full-grid expectation terms, same (a, b)-ordered fold."""
+    return f"""
+    WITH cells AS (
+      SELECT {a_expr} AS a, {b_expr} AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    am AS (SELECT a, SUM(c) AS ca FROM cells GROUP BY a),
+    bm AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY b),
+    nn AS (SELECT SUM(c) AS n FROM cells),
+    grid AS (SELECT am.a, am.ca, bm.b, bm.cb, nn.n FROM am, bm, nn),
+    j AS (
+      SELECT g.a, g.b, g.ca, g.cb, g.n, COALESCE(cells.c, 0) AS o
+      FROM grid g LEFT JOIN cells ON g.a = cells.a AND g.b = cells.b
+    ),
+    f AS (
+      SELECT MAX(n) AS n_docs, COUNT(DISTINCT a) AS na,
+             COUNT(DISTINCT b) AS nb,
+             list_reduce(list(
+               (CAST(o AS DOUBLE) - CAST(ca * cb AS DOUBLE)
+                / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(ca * cb AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / (CAST(ca * cb AS DOUBLE) / CAST(n AS DOUBLE))
+               ORDER BY a, b),
+               (x, y) -> x + y) AS chi2_raw
+      FROM j
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+           round(chi2_raw, 6) AS chi2,
+           round(CASE WHEN least(na - 1, nb - 1) > 0
+                      THEN sqrt(chi2_raw
+                                / (n_docs * least(na - 1, nb - 1)))
+                      ELSE 0.0 END, 6) AS cramers_v
+    FROM f
     """

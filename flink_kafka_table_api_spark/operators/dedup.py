@@ -1550,3 +1550,126 @@ def er_clusters_sql(src: str, name_expr: str, *, k: int = 2) -> str:
     SELECT l.name, l.n, l.cluster, c.canonical_name
     FROM labeled l JOIN canon c ON l.cluster = c.cluster
     """
+
+
+def shingle_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    top_n: int = 100,
+) -> DataFrame:
+    """Pairwise source-to-source content overlap: Jaccard similarity of
+    each group's TOP-``top_n`` k-token shingles (by occurrence count,
+    ties to the lexicographically smaller shingle). The corpus
+    provenance audit — two "different" crawls sharing most of their
+    frequent shingles are the same upstream content wearing two names,
+    which per-document dedup only discovers pair by painful pair.
+    Top-N head sets (not full vocabularies) keep the comparison
+    boilerplate-weighted and the join bounded.
+
+    Returns (group_a, group_b, n_a, n_b, n_common, jaccard) for every
+    unordered group pair (group_a < group_b) sharing at least one head
+    shingle — fully disjoint pairs are ABSENT rather than zero rows
+    (at registry scale the matrix is sparse and the absence is the
+    signal); sizes are actual head-set sizes (< top_n when a group's
+    shingle vocabulary is smaller), all counts exact,
+    jaccard = round(common / (n_a + n_b - common), 6).
+
+    Scale shape: one corpus-shingle-sized (group, shingle) count
+    aggregate; the per-group top-N is a keyed window over that
+    aggregate; the intersection join ships |groups| * top_n rows.
+    Output is |groups|^2 pairs — the operator is for source REGISTRIES
+    (tens to thousands of groups), never document-level grouping."""
+    tk = ensure_parallelism(df).select(
+        F.col(group_col).alias("s"),
+        F.explode(shingles(text_col, k)).alias("t"),
+    )
+    cnt = tk.groupBy("s", "t").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("s").orderBy(
+        F.col("c").desc(), F.col("t").asc()
+    )
+    top = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top_n)
+        .select("s", "t")
+    )
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    top = tracked_persist(top)
+    sizes = top.groupBy("s").agg(F.count("*").cast("long").alias("sz"))
+    inter = (
+        top.select(F.col("s").alias("sa"), "t")
+        .join(top.select(F.col("s").alias("sb"), "t"), "t")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("s").alias("sa"), F.col("sz").alias("n_a"))
+            ),
+            "sa",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("s").alias("sb"), F.col("sz").alias("n_b"))
+            ),
+            "sb",
+        )
+        .select(
+            F.col("sa").alias("group_a"),
+            F.col("sb").alias("group_b"),
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def shingle_overlap_matrix_sql(
+    group_expr: str = "source",
+    *,
+    k: int = 3,
+    top_n: int = 100,
+) -> str:
+    """DuckDB oracle for :func:`shingle_overlap_matrix` over
+    `documents` (same shingle construction via :func:`shingles_sql`,
+    same ranked head sets)."""
+    return f"""
+    WITH tk AS (
+      SELECT {group_expr} AS s, unnest({shingles_sql('text', k)}) AS t
+      FROM documents
+    ),
+    cnt AS (SELECT s, t, COUNT(*) AS c FROM tk GROUP BY s, t),
+    top AS (
+      SELECT s, t FROM (
+        SELECT s, t,
+               ROW_NUMBER() OVER (PARTITION BY s
+                                  ORDER BY c DESC, t ASC) AS r
+        FROM cnt
+      ) WHERE r <= {top_n}
+    ),
+    sizes AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM top GROUP BY s),
+    inter AS (
+      SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM top a JOIN top b ON a.t = b.t AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT i.sa AS group_a, i.sb AS group_b, x.sz AS n_a, y.sz AS n_b,
+           i.n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / CAST(x.sz + y.sz - i.n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter i JOIN sizes x ON i.sa = x.s JOIN sizes y ON i.sb = y.s
+    """

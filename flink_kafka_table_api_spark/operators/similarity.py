@@ -1080,11 +1080,14 @@ def cluster_silhouette(
             2,
         ).alias("__nn")
     )
+    # F.get (not []) so a single-centroid table yields NULL for the
+    # second-nearest instead of an ANSI array-index error; the NULL
+    # propagates to a NULL silhouette — surfaced, never fabricated
     per_vec = two.select(
         F.col(id_col),
-        F.col("__nn")[0]["cid"].alias("cluster"),
-        F.col("__nn")[0]["dist"].alias("__a"),
-        F.col("__nn")[1]["dist"].alias("__b"),
+        F.get("__nn", 0)["cid"].alias("cluster"),
+        F.get("__nn", 0)["dist"].alias("__a"),
+        F.get("__nn", 1)["dist"].alias("__b"),
     ).select(
         F.col(id_col),
         "cluster",

@@ -7097,6 +7097,38 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     return tx.tokenizer_fertility(_t(spark, sf, "documents"))
 
 
+# Round-15 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale; oracles pre-validated in tests/test_r15_prevalidated.py,
+# registration is the committed round-15 plan in the cap note below).
+
+@bench_query("ks_source_drift")
+def q_ks_source_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov per source vs rest over the
+    document-length distribution (operators/curation.py
+    `ks_source_drift`): one corpus-sized (source, value) count
+    aggregate, then ECDF grids on the tiny groups-x-values frame with
+    the Smirnov rejection bound."""
+    return cu.ks_source_drift(_t(spark, sf, "documents"))
+
+
+@bench_query("chi2_independence")
+def q_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square + Cramer's V over the FULL source x lang
+    grid (operators/curation.py `chi2_independence`): absent cells
+    contribute their expectation terms — the sparse-contingency trap
+    the full-grid construction exists to avoid."""
+    return cu.chi2_independence(_t(spark, sf, "documents"))
+
+
+@bench_query("shingle_overlap_matrix")
+def q_shingle_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source content overlap via top-100 shingle Jaccard
+    (operators/dedup.py `shingle_overlap_matrix`): the shared-upstream
+    provenance audit; per-group ranked heads + one bounded
+    intersection join."""
+    return dd.shingle_overlap_matrix(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
@@ -7362,6 +7394,25 @@ _PRIORITY: list[str] = [
 # _bpe_encoded_words core, oracle composed from _bpe_oracle with a
 # per-language final select; all ratios exact-integer divisions).
 # Every new name must sit in the actual r14 gate (never-green rule).
+#
+# Round-15 plan, fully pre-built and parity-tested this round
+# (tests/test_r15_prevalidated.py + BENCH_ONLY twins above): the
+# statistical drift-audit trio — `ks_source_drift`
+# (operators/curation.py + ks_source_drift_sql — EXACT two-sample
+# Kolmogorov-Smirnov per source vs rest on the document-length
+# distribution: integer-count ECDF grids evaluated at every global
+# value (the step-function trap), Smirnov alpha-0.05 rejection bound;
+# a mean-preserving shape drift detector), `chi2_independence`
+# (operators/curation.py + chi2_independence_sql — Pearson chi-square
+# + Cramer's V over the FULL a x b grid so absent cells contribute
+# their expectation terms, (a, b)-ordered fold; the frequentist
+# companion to source_lang_mi), and `shingle_overlap_matrix`
+# (operators/dedup.py + shingle_overlap_matrix_sql — pairwise source
+# top-100-shingle Jaccard, the shared-upstream provenance audit;
+# ranked head sets keep the comparison boilerplate-weighted and the
+# join bounded; disjoint pairs absent by design). Slots come from the
+# standing consolidation levers (r13 note). Every new name must sit
+# in the actual r15 gate (never-green rule).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

@@ -101,6 +101,10 @@ MEASURE = [
     # (replicated embeddings keep vec_id < 8 selecting the ORIGINAL 8
     # centroids — replicas' ids are shifted up — so the 8x run audits
     # 8x vectors against the same coarse clustering: the honest shape)
+    # round-15 staged-operator additions (BENCH_ONLY twins)
+    "ks_source_drift",       # 1 (group, value) agg + tiny ECDF grids
+    "chi2_independence",     # 1 contingency agg + full-grid fold
+    "shingle_overlap_matrix",  # corpus-shingle agg + ranked heads
 ]
 
 
