@@ -7129,6 +7129,79 @@ def q_shingle_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return dd.shingle_overlap_matrix(_t(spark, sf, "documents"))
 
 
+def tpch_scalar_suite_sql() -> str:
+    """Oracle for the staged consolidation of the three scalar-shaped
+    TPC-H slots (q6 / q14 / q19 — each a one-row answer): the
+    registered oracles composed verbatim as NULL-padded typed blocks
+    (the join_suite recipe). Frees 2 slots on registration — the
+    round-13 funding lever alongside dedup_suite."""
+    return f"""
+    SELECT 'q6' AS block, revenue, n_lines,
+           CAST(NULL AS DOUBLE) AS promo_revenue_pct
+    FROM ({ORACLES["tpch_q6_forecast"]})
+    UNION ALL
+    SELECT 'q14', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           promo_revenue_pct
+    FROM ({ORACLES["tpch_q14_promo"]})
+    UNION ALL
+    SELECT 'q19', revenue, n_lines, CAST(NULL AS DOUBLE)
+    FROM ({ORACLES["tpch_q19_disjunctive"]})
+    """
+
+
+@bench_query("tpch_scalar_suite")
+def q_tpch_scalar_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """STAGED consolidation: the three scalar-shaped TPC-H slots
+    (q6 forecast / q14 promo ratio / q19 disjunctive revenue) merged
+    as NULL-padded typed blocks — each block keeps its registered
+    query verbatim (scan-pruned q6, decimal-exact q14 ratio, the
+    q19 disjunction-factored join). Pre-validated vs
+    tpch_scalar_suite_sql() in tests/test_r13_prevalidated.py."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    b6 = q_tpch_q6(spark, sf).select(
+        F.lit("q6").alias("block"), "revenue", "n_lines",
+        nul("double").alias("promo_revenue_pct"),
+    )
+    b14 = q_tpch_q14(spark, sf).select(
+        F.lit("q14").alias("block"), nul("double").alias("revenue"),
+        nul("long").alias("n_lines"), "promo_revenue_pct",
+    )
+    b19 = q_tpch_q19(spark, sf).select(
+        F.lit("q19").alias("block"), "revenue", "n_lines",
+        nul("double").alias("promo_revenue_pct"),
+    )
+    return b6.unionByName(b14).unionByName(b19)
+
+
+def ann_basic_suite_sql() -> str:
+    """Oracle for the staged consolidation of the two flat-scan ANN
+    slots (identical (vec_id, cosine_sim) shapes): brute-force exact
+    top-10 and the hyperplane-LSH bucketed top-10 as typed blocks.
+    Frees 1 slot on registration (the ann_ivf_variants precedent,
+    applied to the non-IVF family members)."""
+    return f"""
+    SELECT 'bruteforce' AS block, vec_id, cosine_sim
+    FROM ({ORACLES["ann_bruteforce"]})
+    UNION ALL
+    SELECT 'lsh', vec_id, cosine_sim
+    FROM ({ORACLES["ann_lsh"]})
+    """
+
+
+@bench_query("ann_basic_suite")
+def q_ann_basic_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """STAGED consolidation: ann_bruteforce + ann_lsh as typed blocks
+    (same output schema, one registry slot). Pre-validated vs
+    ann_basic_suite_sql() in tests/test_r13_prevalidated.py."""
+    b = q_ann_bruteforce(spark, sf).select(
+        F.lit("bruteforce").alias("block"), "vec_id", "cosine_sim"
+    )
+    l = q_ann_lsh(spark, sf).select(
+        F.lit("lsh").alias("block"), "vec_id", "cosine_sim"
+    )
+    return b.unionByName(l)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
@@ -7352,14 +7425,15 @@ _PRIORITY: list[str] = [
 # rule); the three retirees' final green evidence is their r6/r7 rows.
 #
 # Round-13 plan, fully pre-built and parity-tested this round
-# (tests/test_r13_prevalidated.py + BENCH_ONLY twins above): free slots
-# with the next committed family consolidation — the ANN family still
-# holds 5 separable slots (ann_ivf_variants consolidated 3 in r6;
-# ann_bruteforce / ann_lsh / ann_quantized / ann_ivf_trained /
-# semantic_dedup remain candidates for a typed-block `ann_suite`) — or
-# the TPC-H singletons (22 slots, the largest family) if ANN evidence
-# diversity should be preserved. Spend 3 slots on the staged round-13
-# operators: `readability` (operators/text.py readability_scores +
+# (tests/test_r13_prevalidated.py + BENCH_ONLY twins above): the slot
+# funding is PRE-BUILT, not hypothetical — `tpch_scalar_suite` merges
+# the three scalar-shaped TPC-H slots (q6/q14/q19 as typed blocks,
+# 3 -> 1, +2 slots) and `ann_basic_suite` merges ann_bruteforce +
+# ann_lsh (identical shapes, 2 -> 1, +1 slot); both value-identical to
+# their composed oracles at sf0.001 AND the driver's gate scale sf0.01
+# this round. Together with dedup_suite's +2 (r12 note) that funds the
+# committed r13-r15 registrations below. Spend 3 slots on the staged
+# round-13 operators: `readability` (operators/text.py readability_scores +
 # readability_scores_sql — Flesch/FK bands from integer
 # word/sentence/vowel-group counts, zero-shuffle projection, identical
 # float formula both engines), `er_clusters` (operators/dedup.py
