@@ -133,6 +133,10 @@ HEADLINE = [
     "ks_source_drift",         # exact per-source KS vs rest
     "chi2_independence",       # full-grid chi2 + Cramer's V
     "shingle_overlap_matrix",  # top-shingle source Jaccard matrix
+    # round-16 staged operators (BENCH_ONLY twins)
+    "holt_forecast",           # sequential smoothing fold + backtest
+    "acf_audit",               # lag-1..7 day-ordered ACF folds
+    "snapshot_diff",           # fingerprint full-outer corpus CDC
 ]
 
 

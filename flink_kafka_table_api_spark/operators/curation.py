@@ -1539,3 +1539,66 @@ def chi2_independence_sql(
                       ELSE 0.0 END, 6) AS cramers_v
     FROM f
     """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus version CDC: classify every document across two corpus
+    snapshots as added / removed / changed / unchanged by comparing
+    portable content fingerprints under a FULL OUTER id join — the
+    dataset-release diff (what changed between crawl v3.1 and v3.2)
+    that downstream training-cache invalidation and incremental dedup
+    both read. Fingerprints ride the join instead of text, so the
+    shuffle carries two longs per doc regardless of document size.
+
+    Returns (doc_id, status, old_fp, new_fp) with NULL fps on the
+    absent side; fingerprints are the md5-based portable hash
+    (functions/portable.py), so the DuckDB oracle reproduces them
+    bit-for-bit.
+
+    Scale shape: two narrow scans projecting (id, fingerprint), one
+    keyed full-outer shuffle join on the id, a codegen'd CASE. At
+    100 TB this is the minimal possible diff plan; bucketed snapshot
+    layouts would co-locate it to zero shuffle."""
+    o = ensure_parallelism(old).select(
+        F.col(id_col), portable_hash64(F.col(text_col)).alias("old_fp")
+    )
+    n = ensure_parallelism(new).select(
+        F.col(id_col), portable_hash64(F.col(text_col)).alias("new_fp")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_fp",
+        "new_fp",
+    )
+
+
+def snapshot_diff_sql(old_src: str, new_src: str) -> str:
+    """DuckDB oracle for :func:`snapshot_diff`: same portable
+    fingerprints, same full-outer classification. ``old_src`` /
+    ``new_src`` are subqueries yielding (doc_id, text)."""
+    from flink_kafka_table_api_spark.functions.portable import (
+        portable_hash64_sql,
+    )
+
+    h = portable_hash64_sql("text")
+    return f"""
+    WITH o AS (SELECT doc_id, {h} AS old_fp FROM ({old_src})),
+    n AS (SELECT doc_id, {h} AS new_fp FROM ({new_src}))
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp != n.new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_fp, n.new_fp
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """

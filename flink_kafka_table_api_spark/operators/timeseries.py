@@ -758,3 +758,324 @@ def burst_detection_sql(
            xs[i].c AS n_events, xs[i].n AS day_total, st[i] = 1 AS burst
     FROM states, unnest(generate_series(1, len(xs))) AS u(i)
     """
+
+
+def holt_forecast(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957)
+    over per-group DAILY event counts, with the one-step-ahead
+    backtest that makes it auditable: for every day the model's
+    prediction from the PREVIOUS day's state is recorded next to the
+    actual, so mean |error| is measurable per group — the capacity-
+    planning / trend-drift primitive (a rising trend component is
+    drift even while CUSUM's mean-model still tolerates the level).
+
+    l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1});
+    b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}; init l_1 = x_1,
+    b_1 = 0 (the state-free init, documented — avoids the x_2-x_1
+    variant whose seed would need lookahead in a fold).
+
+    Returns (group, day, n_events, level, trend, forecast, abs_err):
+    forecast is the pre-update prediction l_{t-1}+b_{t-1} (NULL on the
+    first day), values round(6). The smoothing recursion is a
+    SEQUENTIAL float fold evaluated in identical IEEE op order by both
+    engines (the bigram_lm ordered-fold recipe); the DuckDB oracle
+    replays it with the bare-list accumulator whose last element
+    carries (l, b) (the burst_detection shape).
+
+    Scale shape: one corpus-sized daily count aggregate (calendar-
+    filled, the cusum_drift rule); the fold runs on the tiny
+    groups-x-days frame."""
+    e = events.select(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    )
+    daily = e.groupBy("grp", "day").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    span = daily.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    calendar = (
+        daily.select("grp").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    filled = (
+        calendar.join(daily, ["grp", "day"], "left")
+        .select("grp", "day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    ser = filled.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("day").alias("day"), F.col("c").alias("c"))
+            )
+        ).alias("xs")
+    )
+    a, b_ = float(alpha), float(beta)
+    init = F.expr(
+        "CAST(array() AS array<struct<day:date,c:bigint,l:double,"
+        "b:double,f:double>>)"
+    )
+
+    def step(acc, x):
+        first = F.size(acc) == 0
+        prev = F.element_at(acc, -1)
+        xd = x["c"].cast("double")
+        fc = prev["l"] + prev["b"]
+        nl = F.when(first, xd).otherwise(
+            F.lit(a) * xd + F.lit(1.0 - a) * fc
+        )
+        nb = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(b_) * (nl - prev["l"]) + F.lit(1.0 - b_) * prev["b"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"), x["c"].alias("c"),
+                    nl.alias("l"), nb.alias("b"),
+                    F.when(first, F.lit(None).cast("double"))
+                    .otherwise(fc).alias("f"),
+                )
+            ),
+        )
+
+    folded = ser.select(
+        "grp", F.aggregate("xs", init, step).alias("out")
+    )
+    return (
+        folded.select("grp", F.explode("out").alias("e"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("e.day").alias("day"),
+            F.col("e.c").alias("n_events"),
+            F.round("e.l", 6).alias("level"),
+            F.round("e.b", 6).alias("trend"),
+            F.round("e.f", 6).alias("forecast"),
+            F.round(
+                F.abs(F.col("e.c").cast("double") - F.col("e.f")), 6
+            ).alias("abs_err"),
+        )
+    )
+
+
+def holt_forecast_sql(*, alpha: float = 0.5, beta: float = 0.3) -> str:
+    """DuckDB oracle for :func:`holt_forecast` over `events`: the same
+    sequential recursion via a bare-list list_reduce (every element
+    seeds itself as-if-first; the merge recomputes from the last
+    carried state — the burst_detection accumulator shape)."""
+    a, b_ = float(alpha), float(beta)
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    cal AS (
+      SELECT g.grp, CAST(u.day AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) g,
+           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span) u
+    ),
+    filled AS (
+      SELECT cal.grp, cal.day, COALESCE(d.c, 0) AS c
+      FROM cal LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
+    ),
+    ser AS (
+      SELECT grp, list({{'day': day, 'c': c}} ORDER BY day) AS xs
+      FROM filled GROUP BY grp
+    ),
+    folded AS (
+      SELECT grp,
+        list_reduce(
+          list_transform(xs, x -> [{{
+            'day': x.day, 'c': x.c,
+            'l': CAST(x.c AS DOUBLE), 'b': CAST(0.0 AS DOUBLE),
+            'f': CAST(NULL AS DOUBLE)}}]),
+          -- every float literal CAST to DOUBLE: DuckDB parses 0.3 as
+          -- DECIMAL(2,1), which would silently type the accumulator
+          -- fields decimal and round the recursion (the documented
+          -- decimal-literal float trap)
+          (acc, e) -> list_concat(acc, [{{
+            'day': e[1].day, 'c': e[1].c,
+            'l': CAST({a} AS DOUBLE) * CAST(e[1].c AS DOUBLE)
+                 + CAST({1.0 - a} AS DOUBLE)
+                   * (acc[len(acc)].l + acc[len(acc)].b),
+            'b': CAST({b_} AS DOUBLE)
+                 * ((CAST({a} AS DOUBLE) * CAST(e[1].c AS DOUBLE)
+                     + CAST({1.0 - a} AS DOUBLE)
+                       * (acc[len(acc)].l + acc[len(acc)].b))
+                    - acc[len(acc)].l)
+                 + CAST({1.0 - b_} AS DOUBLE) * acc[len(acc)].b,
+            'f': acc[len(acc)].l + acc[len(acc)].b}}])
+        ) AS out
+      FROM ser
+    )
+    SELECT grp AS event_type, out[i].day AS day, out[i].c AS n_events,
+           round(out[i].l, 6) AS level, round(out[i].b, 6) AS trend,
+           round(out[i].f, 6) AS forecast,
+           round(abs(CAST(out[i].c AS DOUBLE) - out[i].f), 6) AS abs_err
+    FROM folded, unnest(generate_series(1, len(out))) AS u(i)
+    """
+
+
+def acf_audit(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-group autocorrelation function over daily event counts at
+    lags 1..``max_lag`` (Box-Jenkins sample ACF: r_k =
+    sum (x_t - mu)(x_{t+k} - mu) / sum (x_t - mu)^2), with the
+    +-1.96/sqrt(n) white-noise band as a significance boolean — the
+    seasonality / serial-dependence diagnostic that tells you whether
+    the Hampel/CUSUM/Holt family's independence-ish assumptions hold
+    (a strong lag-7 says weekly cycle: audit per weekday instead).
+
+    Returns (group, lag, n_days, acf, significant): acf round(6), NULL
+    for a constant series (zero variance — undefined, surfaced);
+    lags >= n_days yield no row. mu derives from the exact integer sum;
+    numerator/denominator accumulate in day order via array folds the
+    DuckDB oracle replays ordered (the char_entropy recipe).
+
+    Scale shape: one corpus-sized daily count aggregate; the per-group
+    ACF is pure array algebra over the tiny groups-x-days frame (7
+    slices of a <=days-long array per group)."""
+    e = events.select(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    )
+    daily = e.groupBy("grp", "day").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    span = daily.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    calendar = (
+        daily.select("grp").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    filled = (
+        calendar.join(daily, ["grp", "day"], "left")
+        .select("grp", "day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    ser = filled.groupBy("grp").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("day").alias("day"), F.col("c").alias("c"))
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("xs")
+    )
+    n = F.size("xs")
+    lagged = ser.select(
+        "grp", "xs", n.alias("n"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    ).filter(F.col("lag") < F.col("n"))
+    mu = (
+        F.aggregate(
+            F.col("xs"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).cast("double")
+        / F.col("n").cast("double")
+    )
+    den = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda acc, x: acc + (x.cast("double") - mu)
+        * (x.cast("double") - mu),
+    )
+    num = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("xs"), F.lit(1), F.col("n") - F.col("lag")),
+            F.slice(
+                F.col("xs"), F.col("lag") + 1, F.col("n") - F.col("lag")
+            ),
+            lambda p, q: (p.cast("double") - mu)
+            * (q.cast("double") - mu),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    acf = F.when(den > 0, F.round(num / den, 6))
+    return lagged.select(
+        F.col("grp").alias(group_col),
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        acf.alias("acf"),
+        F.when(
+            den > 0,
+            F.abs(F.round(num / den, 6))
+            > F.lit(1.96) / F.sqrt(F.col("n").cast("double")),
+        ).alias("significant"),
+    )
+
+
+def acf_audit_sql(*, max_lag: int = 7) -> str:
+    """DuckDB oracle for :func:`acf_audit` over `events`: identical
+    day-ordered list folds and float expression shapes (all literals
+    CAST to DOUBLE — the decimal-literal trap)."""
+    mu = ("CAST(list_reduce(list_transform(xs, v -> CAST(v AS DOUBLE)),"
+          " (p, q) -> p + q) AS DOUBLE) / CAST(len(xs) AS DOUBLE)")
+    den = (f"list_reduce(list_transform(xs, v -> "
+           f"(CAST(v AS DOUBLE) - {mu}) * (CAST(v AS DOUBLE) - {mu})), "
+           f"(p, q) -> p + q)")
+    num = (f"list_reduce(list_transform("
+           f"list_zip(list_slice(xs, 1, len(xs) - lag), "
+           f"list_slice(xs, lag + 1, len(xs))), z -> "
+           f"(CAST(z[1] AS DOUBLE) - {mu})"
+           f" * (CAST(z[2] AS DOUBLE) - {mu})), (p, q) -> p + q)")
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    cal AS (
+      SELECT g.grp, CAST(u.day AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) g,
+           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span) u
+    ),
+    filled AS (
+      SELECT cal.grp, cal.day, COALESCE(d.c, 0) AS c
+      FROM cal LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
+    ),
+    ser AS (
+      SELECT grp, list(c ORDER BY day) AS xs
+      FROM filled GROUP BY grp
+    ),
+    lagged AS (
+      SELECT grp, xs, len(xs) AS n, u.lag
+      FROM ser, unnest(generate_series(1, {max_lag})) AS u(lag)
+      WHERE u.lag < len(xs)
+    )
+    SELECT grp AS event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN {den} > CAST(0.0 AS DOUBLE)
+                THEN round({num} / {den}, 6) END AS acf,
+           CASE WHEN {den} > CAST(0.0 AS DOUBLE)
+                THEN abs(round({num} / {den}, 6))
+                     > CAST(1.96 AS DOUBLE)
+                       / sqrt(CAST(n AS DOUBLE)) END AS significant
+    FROM lagged
+    """

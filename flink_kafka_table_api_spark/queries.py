@@ -7202,6 +7202,54 @@ def q_ann_basic_suite(spark: SparkSession, sf: str) -> DataFrame:
     return b.unionByName(l)
 
 
+# Round-16 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale; oracles pre-validated in tests/test_r16_prevalidated.py,
+# registration is the committed round-16 plan in the cap note below).
+
+@bench_query("holt_forecast")
+def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt linear-trend smoothing + one-step backtest over daily
+    event counts (operators/timeseries.py `holt_forecast`): sequential
+    float fold in identical IEEE order both engines; one corpus-sized
+    daily aggregate, then groups-x-days algebra."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        holt_forecast,
+    )
+
+    return holt_forecast(_t(spark, sf, "events"))
+
+
+@bench_query("acf_audit")
+def q_acf_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample autocorrelation at lags 1-7 with the white-noise band
+    (operators/timeseries.py `acf_audit`): the seasonality diagnostic
+    for the whole per-day audit family; day-ordered array folds."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        acf_audit,
+    )
+
+    return acf_audit(_t(spark, sf, "events"))
+
+
+@bench_query("snapshot_diff")
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus version CDC (operators/curation.py `snapshot_diff`):
+    two deterministically derived snapshots of the documents table
+    (drop doc_id%10==7 from old, drop %10==5 from new, append ' v2'
+    to %10==3's text) full-outer joined on portable fingerprints —
+    350/50/50/50 unchanged/changed/removed/added at sf0.001."""
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return cu.snapshot_diff(old, new)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
@@ -7487,6 +7535,25 @@ _PRIORITY: list[str] = [
 # join bounded; disjoint pairs absent by design). Slots come from the
 # standing consolidation levers (r13 note). Every new name must sit
 # in the actual r15 gate (never-green rule).
+#
+# Round-16 plan, fully pre-built and parity-tested this round
+# (tests/test_r16_prevalidated.py + BENCH_ONLY twins above): the
+# forecasting/diagnostic completion of the time-series family —
+# `holt_forecast` (operators/timeseries.py + holt_forecast_sql —
+# Holt 1957 linear-trend smoothing with the one-step-ahead backtest
+# recorded per day; SEQUENTIAL float fold in identical IEEE op order
+# both engines, DuckDB bare-list accumulator, every SQL float literal
+# CAST to DOUBLE — the decimal-literal trap bit during pre-validation
+# and is pinned in the oracle comment), `acf_audit`
+# (operators/timeseries.py + acf_audit_sql — Box-Jenkins sample ACF at
+# lags 1..7 with the 1.96/sqrt(n) white-noise band; day-ordered folds,
+# NULL on zero-variance series), and `snapshot_diff`
+# (operators/curation.py + snapshot_diff_sql — corpus version CDC:
+# portable-fingerprint full-outer join classifying
+# added/removed/changed/unchanged; the gate form derives two snapshots
+# deterministically from the documents table). Funding: the pre-built
+# suites (r13 note) plus the next family lever. Every new name must
+# sit in the actual r16 gate (never-green rule).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

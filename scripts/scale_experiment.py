@@ -105,6 +105,10 @@ MEASURE = [
     "ks_source_drift",       # 1 (group, value) agg + tiny ECDF grids
     "chi2_independence",     # 1 contingency agg + full-grid fold
     "shingle_overlap_matrix",  # corpus-shingle agg + ranked heads
+    # round-16 staged-operator additions (BENCH_ONLY twins)
+    "holt_forecast",         # 1 daily agg + sequential fold
+    "acf_audit",             # 1 daily agg + lag-slice folds
+    "snapshot_diff",         # 2 narrow scans + keyed full-outer join
 ]
 
 
