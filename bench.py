@@ -137,6 +137,10 @@ HEADLINE = [
     "holt_forecast",           # sequential smoothing fold + backtest
     "acf_audit",               # lag-1..7 day-ordered ACF folds
     "snapshot_diff",           # fingerprint full-outer corpus CDC
+    # round-17 staged operators (BENCH_ONLY twins)
+    "hits_scores",             # 4 integer I/O rounds, 2 joins each
+    "markov_transitions",      # user-keyed lag + |types|^2 agg
+    "benford_audit",           # 1 narrow pass into 9-cell agg
 ]
 
 

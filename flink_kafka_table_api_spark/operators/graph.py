@@ -685,3 +685,124 @@ def adamic_adar_scores_sql(edges_sql: str, *, top_k: int = 100) -> str:
     ORDER BY aa_score DESC, common_neighbors DESC, node_u, node_v
     LIMIT {top_k}
     """
+
+
+def hits_scores(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Kleinberg HITS (J.ACM '99) hub/authority scores over a DIRECTED
+    edge relation, in the exact-integer path-count form: with h_0 = 1
+    everywhere, each round applies the unnormalized I/O operations
+
+        a_k(v) = sum over u->v of h_{k-1}(u)
+        h_k(u) = sum over u->v of a_k(v)
+
+    so after k rounds a_k(v) counts the alternating out/in paths of
+    length 2k-1 ending at v and h_k(u) those of length 2k starting at
+    u — Kleinberg's power iteration on E^T E without the norm step.
+    Dropping the normalization keeps every score an exact BIGINT
+    (integer sums are order-free and engine-exact; the RANKING is
+    identical to normalized HITS because the norm is a positive
+    per-round scalar), which is what makes the operator bit-exact
+    cross-engine with no ordered-fold machinery. Callers needing unit
+    norms divide by the round's sum afterwards.
+
+    Bounded growth contract: scores grow like (max_indeg *
+    max_outdeg)^k, so the caller must keep iterations small on
+    high-degree graphs (on a degree<=2 generator graph, 4 rounds stay
+    under 2^8). This is deliberate: at 100 TB the alternative —
+    float normalization each round — costs a full extra agg + broadcast
+    per round and reintroduces cross-engine float drift.
+
+    Scale shape: the edge relation is persisted TWICE, pre-partitioned
+    by each join side (src for the hub->auth push, dst for the pull
+    back), so per round only the node-sized score vector shuffles —
+    the edges never re-exchange. Inside the loop, nodes whose score is
+    0 are simply ABSENT from the vector (a 0 contributes nothing to an
+    integer sum, so dropping them is semantics-preserving and skips
+    the per-round spine join entirely); the full node spine is joined
+    back exactly once at the end with COALESCE(. , 0).
+    ``checkpoint_every`` bounds lineage exactly as pagerank does.
+    Returns (node, hub_score, auth_score) for every node in src union
+    dst."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ep_src = e.repartition("src").persist()
+    ep_dst = e.repartition("dst").persist()
+    hubs = ep_src.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1).cast("long").alias("h")
+    )
+    auths = None
+    for i in range(iterations):
+        auths = (
+            ep_src.join(hubs, ep_src["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        hubs = (
+            ep_dst.join(auths, ep_dst["dst"] == auths["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            hubs = hubs.localCheckpoint()
+            auths = auths.localCheckpoint()
+    out = (
+        nodes.join(hubs, "node", "left")
+        .join(auths.withColumnRenamed("a", "__a"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub_score"),
+            F.coalesce("__a", F.lit(0)).cast("long").alias("auth_score"),
+        )
+    )
+    ep_src.unpersist()
+    ep_dst.unpersist()
+    return out
+
+
+def hits_scores_sql(edges_sql: str, *, iterations: int = 4) -> str:
+    """DuckDB replay of :func:`hits_scores`: the same unrolled integer
+    I/O rounds as left-join + COALESCE(SUM, 0) CTE pairs — pure integer
+    algebra, so parity is exact with no float recipe at all."""
+    rounds = []
+    prev_h = "h0"
+    for k in range(1, iterations + 1):
+        rounds.append(f"""
+    a{k} AS (
+      SELECT n.node, COALESCE(SUM(hp.h), 0) AS a
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN {prev_h} hp ON hp.node = e.src
+      GROUP BY n.node
+    ),
+    h{k} AS (
+      SELECT n.node, COALESCE(SUM(ap.a), 0) AS h
+      FROM nodes n
+      LEFT JOIN e ON e.src = n.node
+      LEFT JOIN a{k} ap ON ap.node = e.dst
+      GROUP BY n.node
+    )""")
+        prev_h = f"h{k}"
+    k = iterations
+    return f"""
+    WITH e AS ({edges_sql}),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),{",".join(rounds)}
+    SELECT h{k}.node, CAST(h{k}.h AS BIGINT) AS hub_score,
+           CAST(a{k}.a AS BIGINT) AS auth_score
+    FROM h{k} JOIN a{k} ON a{k}.node = h{k}.node
+    """

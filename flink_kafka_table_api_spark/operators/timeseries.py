@@ -1079,3 +1079,90 @@ def acf_audit_sql(*, max_lag: int = 7) -> str:
                        / sqrt(CAST(n AS DOUBLE)) END AS significant
     FROM lagged
     """
+
+
+def markov_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition structure of per-user event
+    sequences: for every observed (from_type, to_type) pair, the exact
+    transition count, the from-state total, the maximum-likelihood
+    transition probability, and the rank of the transition within its
+    from-state. The structural complement to :func:`event_paths` —
+    that operator mines frequent literal paths; this one estimates the
+    chain that GENERATES them (the standard sequence-model audit:
+    self-loop mass, absorbing states, dominant next-step per state).
+
+    Scale shape: ONE shuffle keying events by user for the lag window
+    (the same key every sessionization op in the repo uses), then a
+    states-x-states sized aggregate with map-side partial combine —
+    the output is |event_type|^2 rows no matter how large the corpus.
+    Cross-engine: counts and totals are exact integers; the MLE
+    probability is a single integer/integer double division rounded to
+    9 (the repo's float-boundary recipe); ordering inside a from-state
+    ties on (count DESC, to_type ASC), both deterministic.
+
+    Sequence order is (ts, id) — the id tie-break pins the lag result
+    when two events of one user share a timestamp."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    trans = (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wf = Window.partitionBy("from_type")
+    wr = Window.partitionBy("from_type").orderBy(
+        F.desc("n_transitions"), F.asc("to_type")
+    )
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wf).alias("from_total"),
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wf),
+            9,
+        ).alias("p_mle"),
+        F.row_number().over(wr).cast("long").alias("rank_in_state"),
+    )
+
+
+def markov_transitions_sql() -> str:
+    """DuckDB replay of :func:`markov_transitions` over the events
+    view (same (ts, event_id) lag order, same round-9 MLE)."""
+    return """
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+             AS from_total,
+           round(CAST(n_transitions AS DOUBLE) /
+                 SUM(n_transitions) OVER (PARTITION BY from_type), 9)
+             AS p_mle,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY from_type
+             ORDER BY n_transitions DESC, to_type ASC
+           ) AS BIGINT) AS rank_in_state
+    FROM t
+    """

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,3 +49,140 @@ def require_not_null(
             )
         return df
     raise ValueError(f"unknown mode {mode!r}")
+
+
+# Benford first-digit probabilities log10(1 + 1/d), computed ONCE in
+# Python and embedded as rounded literals in BOTH engines — the recipe
+# that removes libm log10 divergence from the parity surface entirely.
+_BENFORD_P = {d: round(__import__("math").log10(1.0 + 1.0 / d), 6)
+              for d in range(1, 10)}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit: int = 100,
+    tolerance: float = 0.02,
+) -> DataFrame:
+    """Benford's-law first-significant-digit conformance audit over a
+    positive numeric column (Benford '38 / Hill '95 — the standard
+    fabricated-data / corrupted-feed screen for multiplicative
+    quantities like prices and transaction amounts). Returns one row
+    per digit 1-9: observed count and share, the Benford expectation,
+    the Pearson chi-square term, and a per-digit tolerance verdict.
+
+    Determinism contract: values are quantized to integer ``unit``-ths
+    first (cents by default) and the leading digit is taken from the
+    INTEGER's decimal string — multiplying by a power of 10 preserves
+    the leading significant digit, integer formatting is engine-exact,
+    and no float log10/pow touches data (rounding at the quantization
+    boundary may carry, e.g. 0.0999 -> 10 cents -> digit 1; that edge
+    is part of the contract). Quantization is a TRY_CAST in both
+    engines: values whose unit-quantization exceeds BIGINT (or is
+    NaN/inf) are excluded like non-positives rather than crashing the
+    audit under ANSI mode — a data-quality screen must survive the
+    one corrupt outlier it exists to find. Expected shares are driver-computed
+    literals (_BENFORD_P), so the only floats are divisions of exact
+    integers and arithmetic on those literals — identical IEEE ops in
+    both engines, rounded at the repo's standard boundaries.
+
+    Scale shape: one narrow codegen pass (quantize + substring) into a
+    9-cell hash aggregate with map-side combine; the digit spine join
+    is a 9-row broadcast. Nothing downstream of the scan exceeds 9
+    rows, so the audit costs one corpus read at any scale."""
+    spark = df.sparkSession
+    v = F.round(F.col(value_col) * unit).try_cast("long")
+    obs = (
+        df.select(v.alias("__v"))
+        .where(F.col("__v") > 0)
+        .select(
+            F.substring(F.col("__v").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p_ben = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d in range(1, 10) for x in (d, _BENFORD_P[d])]
+        ),
+        F.col("digit"),
+    )
+    w = Window.partitionBy()
+    return (
+        spine.join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            p_ben.alias("p_benford"),
+        )
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.sum("n_obs").over(w), 6)
+            .alias("p_obs"),
+            "p_benford",
+            F.round(
+                F.pow(
+                    F.col("n_obs")
+                    - F.sum("n_obs").over(w) * F.col("p_benford"),
+                    F.lit(2.0),
+                )
+                / (F.sum("n_obs").over(w) * F.col("p_benford")),
+                6,
+            ).alias("chi2_term"),
+            (
+                F.abs(
+                    F.round(F.col("n_obs") / F.sum("n_obs").over(w), 6)
+                    - F.col("p_benford")
+                )
+                <= F.lit(tolerance)
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+def benford_audit_sql(
+    table: str,
+    value_col: str,
+    *,
+    unit: int = 100,
+    tolerance: float = 0.02,
+) -> str:
+    """DuckDB replay of :func:`benford_audit` (same quantization, the
+    same driver-computed Benford literals, same rounding boundaries).
+    DuckDB round() on DOUBLE is multiply-round-divide like Spark's —
+    and every input here is an exact integer or a 6-rounded literal,
+    inside the range where that recipe is engine-identical."""
+    cases = " ".join(
+        f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+    WITH q AS (
+      SELECT CAST(substr(CAST(TRY_CAST(round({value_col} * {unit}) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM {table}
+      WHERE TRY_CAST(round({value_col} * {unit}) AS BIGINT) > 0
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n_obs FROM q GROUP BY digit),
+    spine AS (
+      SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit
+    ),
+    j AS (
+      SELECT spine.digit,
+             CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+             CAST(CASE spine.digit {cases} END AS DOUBLE) AS p_benford
+      FROM spine LEFT JOIN obs ON obs.digit = spine.digit
+    )
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER (), 6) AS p_obs,
+           p_benford,
+           round(pow(n_obs - SUM(n_obs) OVER () * p_benford, 2.0)
+                 / (SUM(n_obs) OVER () * p_benford), 6) AS chi2_term,
+           abs(round(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER (), 6)
+               - p_benford) <= {tolerance} AS within_tolerance
+    FROM j
+    """

@@ -7250,6 +7250,87 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     return cu.snapshot_diff(old, new)
 
 
+# Round-17 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale; oracles pre-validated in tests/test_r17_prevalidated.py,
+# registration is the committed round-17 plan in the cap note below).
+
+def _hits_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed quadratic+linear generator graph on customer keys:
+    k -> 1 + (k^2 mod N) and k -> 1 + (13k mod N). Unlike the
+    symmetrized _two_gen_edges, this stays DIRECTED (HITS is about
+    directed structure) and the quadratic map is many-to-one (<= 16
+    preimages at every shipped N by CRT square-root counting), which
+    gives authorities a live in-degree signal while out-degree stays
+    <= 2 — so 4 unnormalized integer HITS rounds stay far from BIGINT
+    overflow ((16*2)^4 ~ 2^20 worst case)."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    n = cust.count()
+    base = None
+    for expr in (
+        (F.col("c_custkey") * F.col("c_custkey")) % F.lit(n),
+        (F.col("c_custkey") * 13) % F.lit(n),
+    ):
+        b = cust.select(
+            F.col("c_custkey").cast("long").alias("src"),
+            (F.lit(1) + expr).cast("long").alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        base = b if base is None else base.unionAll(b)
+    return base.distinct()
+
+
+_HITS_EDGES_SQL = """
+    SELECT DISTINCT src, dst FROM (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(1 + (c_custkey * c_custkey) % nn0.n AS BIGINT) AS dst
+      FROM customer, (SELECT COUNT(*) AS n FROM customer) nn0
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(1 + (c_custkey * 13) % nn0.n AS BIGINT) AS dst
+      FROM customer, (SELECT COUNT(*) AS n FROM customer) nn0
+    ) WHERE src <> dst
+"""
+
+
+@bench_query("hits_scores")
+def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Kleinberg HITS hub/authority scores (operators/graph.py
+    `hits_scores`) over the directed quadratic-generator graph —
+    4 unnormalized integer I/O rounds, each two co-partitioned joins +
+    two integer hash aggregates; scores are exact BIGINTs so the
+    DuckDB unrolled-CTE oracle needs no float recipe at all."""
+    from flink_kafka_table_api_spark.operators.graph import hits_scores
+
+    return hits_scores(_hits_edges(spark, sf))
+
+
+@bench_query("markov_transitions")
+def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event
+    sequences (operators/timeseries.py `markov_transitions`): one
+    user-keyed lag window then a |types|^2-cell hash aggregate; counts
+    exact integers, MLE probability one round-9 division."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    return markov_transitions(_t(spark, sf, "events"))
+
+
+@bench_query("benford_audit")
+def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit conformance audit over lineitem extended
+    prices (operators/validate.py `benford_audit`): one narrow
+    quantize+substring pass into a 9-cell aggregate; expectations are
+    driver-computed literals, so nothing float-fragile crosses
+    engines. TPC-H's uniform prices are famously NOT Benford — the
+    audit's verdict column proves it has a live signal."""
+    from flink_kafka_table_api_spark.operators.validate import (
+        benford_audit,
+    )
+
+    return benford_audit(_t(spark, sf, "lineitem"), "l_extendedprice")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
@@ -7554,6 +7635,27 @@ _PRIORITY: list[str] = [
 # deterministically from the documents table). Funding: the pre-built
 # suites (r13 note) plus the next family lever. Every new name must
 # sit in the actual r16 gate (never-green rule).
+#
+# Round-17 plan, fully pre-built and parity-tested this round
+# (tests/test_r17_prevalidated.py + BENCH_ONLY twins above): the
+# graph/sequence/data-quality trio — `hits_scores`
+# (operators/graph.py + hits_scores_sql — Kleinberg HITS hub/authority
+# in the unnormalized exact-integer path-count form over the directed
+# quadratic-generator graph (_hits_edges): dropping the per-round norm
+# keeps every score a BIGINT so the unrolled-CTE oracle is pure integer
+# algebra with NO float recipe; ranking identical to normalized HITS,
+# bounded-degree growth contract documented), `markov_transitions`
+# (operators/timeseries.py + markov_transitions_sql — first-order
+# event-type transition matrix with exact counts, round-9 MLE
+# probabilities and deterministic (count DESC, to_type) in-state ranks;
+# (ts, event_id)-ordered lag pins timestamp ties), and `benford_audit`
+# (operators/validate.py + benford_audit_sql — Benford first-digit
+# conformance with chi-square terms; integer-cent quantization via
+# TRY_CAST both engines so corrupt/non-finite outliers are excluded
+# not fatal, Benford expectations embedded as driver-computed
+# literals). Slots come from the standing consolidation levers (r13
+# note). Every new name must sit in the actual r17 gate (never-green
+# rule).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

@@ -109,6 +109,10 @@ MEASURE = [
     "holt_forecast",         # 1 daily agg + sequential fold
     "acf_audit",             # 1 daily agg + lag-slice folds
     "snapshot_diff",         # 2 narrow scans + keyed full-outer join
+    # round-17 staged-operator additions (BENCH_ONLY twins)
+    "hits_scores",           # 8 co-partitioned joins + integer aggs
+    "markov_transitions",    # 1 user-keyed lag window + tiny agg
+    "benford_audit",         # 1 corpus pass + 9-row broadcast spine
 ]
 
 
