@@ -141,6 +141,10 @@ HEADLINE = [
     "hits_scores",             # 4 integer I/O rounds, 2 joins each
     "markov_transitions",      # user-keyed lag + |types|^2 agg
     "benford_audit",           # 1 narrow pass into 9-cell agg
+    # round-18 staged operators (BENCH_ONLY twins)
+    "k_anonymity",             # 1 QI-keyed agg + threshold spine
+    "kaplan_meier",            # subject agg + death-time fold
+    "psi_drift",               # 1 percentile agg + 2 bin counts
 ]
 
 

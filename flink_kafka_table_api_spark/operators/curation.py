@@ -1602,3 +1602,193 @@ def snapshot_diff_sql(old_src: str, new_src: str) -> str:
            o.old_fp, n.new_fp
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — THE industry model/feature-monitoring drift number
+    (banking scorecard practice; see Yurdakul '18 for its asymptotic
+    distribution): bin the OLD snapshot into equi-depth ``n_bins``
+    quantile bins, score how the NEW snapshot's mass moved,
+
+        PSI = sum over bins of (p_new - p_old) * ln(p_new / p_old)
+
+    with the conventional reading <0.1 stable / 0.1-0.25 shifting /
+    >0.25 drifted. The frequentist complement to `ks_source_drift`
+    (max ECDF deviation, a TEST) and `chi2_independence`: PSI is the
+    monitoring INDEX practitioners threshold on, symmetric in the two
+    snapshots and additive over bins, so the per-bin terms localize
+    WHERE the distribution moved.
+
+    Determinism contract: cut points are exact interpolated quantiles
+    of the old snapshot rounded to 6 (bin membership by ``value >
+    cut`` on rounded cuts — the equi_depth_bins recipe, identical
+    boundary decisions both engines); shares are add-one smoothed,
+    p = (n_i + 1) / (N + n_bins), so empty bins are finite and every
+    share/ln argument is a ratio of exact integers (the
+    source_kl_divergence recipe — products stay far under 2^53); the
+    PSI total is an ascending-bin ordered fold of the unrounded terms
+    (0.0-seeded, = DuckDB's first-element-seeded list_reduce).
+
+    Scale shape: ONE percentile aggregate over old (n_bins-1 scalars,
+    never a global sort; percentile_approx swap-in documented at
+    extreme scale), cut array broadcast as a 1-row build side to both
+    snapshots, one n_bins-cell count aggregate per snapshot with
+    map-side combine, then pure algebra on the 2 x n_bins-row frame.
+    Returns one row per bin: (bin_id, n_old, n_new, p_old, p_new,
+    psi_term, psi_total) — psi_total repeated per row, round 6."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    spark = old.sparkSession
+    cuts_row = old.agg(
+        F.transform(
+            F.percentile(
+                value_col, F.array(*[F.lit(q) for q in qs])
+            ),
+            lambda c: F.round(c, 6),
+        ).alias("__cuts")
+    )
+
+    def binned_counts(df: DataFrame, out: str) -> DataFrame:
+        bin_id = F.aggregate(
+            F.col("__cuts"),
+            F.lit(1),
+            lambda acc, c: acc
+            + F.when(F.col(value_col) > c, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return (
+            df.crossJoin(F.broadcast(cuts_row))
+            .select(bin_id.cast("long").alias("bin_id"))
+            .groupBy("bin_id")
+            .agg(F.count("*").alias(out))
+        )
+
+    spine = spark.range(1, n_bins + 1).select(
+        F.col("id").cast("long").alias("bin_id")
+    )
+    counts = (
+        spine.join(binned_counts(old, "__no"), "bin_id", "left")
+        .join(binned_counts(new, "__nn"), "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("__no", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("__nn", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    w = Window.partitionBy()  # 10-row frame; integer sums are order-free
+    b = F.lit(int(n_bins))
+    smoothed = counts.select(
+        "bin_id", "n_old", "n_new",
+        (F.sum("n_old").over(w) + b).alias("__do"),
+        (F.sum("n_new").over(w) + b).alias("__dn"),
+    ).select(
+        "bin_id", "n_old", "n_new", "__do", "__dn",
+        ((F.col("n_old") + 1) / F.col("__do")).alias("__po"),
+        ((F.col("n_new") + 1) / F.col("__dn")).alias("__pn"),
+        # ln argument as ONE ratio of exact integer products
+        F.log(
+            ((F.col("n_new") + 1) * F.col("__do")).cast("double")
+            / ((F.col("n_old") + 1) * F.col("__dn")).cast("double")
+        ).alias("__ln"),
+    ).select(
+        "bin_id", "n_old", "n_new", "__po", "__pn",
+        ((F.col("__pn") - F.col("__po")) * F.col("__ln")).alias("__term"),
+    )
+    total_row = (
+        smoothed.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bin_id", "__term"))
+            ).alias("xs")
+        )
+        .select(
+            F.aggregate(
+                "xs",
+                F.lit(0.0),
+                lambda acc, x: acc + x["__term"],
+            ).alias("__total")
+        )
+    )
+    return smoothed.crossJoin(F.broadcast(total_row)).select(
+        "bin_id", "n_old", "n_new",
+        F.round("__po", 6).alias("p_old"),
+        F.round("__pn", 6).alias("p_new"),
+        F.round("__term", 6).alias("psi_term"),
+        F.round("__total", 6).alias("psi_total"),
+    )
+
+
+def psi_drift_sql(
+    old_sql: str,
+    new_sql: str,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB replay of :func:`psi_drift` (quantile_cont cuts rounded
+    to 6, same strict-> binning, same add-one-smoothed exact-integer
+    shares and single-ratio ln arguments, same ascending-bin
+    list_reduce fold for the total)."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cut_list = ", ".join(
+        f"round(quantile_cont({value_col}, {q}), 6)" for q in qs
+    )
+    return f"""
+    WITH old_t AS ({old_sql}),
+    new_t AS ({new_sql}),
+    cuts AS (SELECT [{cut_list}] AS c FROM old_t),
+    ob AS (
+      SELECT 1 + len(list_filter(cuts.c, x -> t.{value_col} > x))
+               AS bin_id, COUNT(*) AS n
+      FROM old_t t, cuts GROUP BY 1
+    ),
+    nb AS (
+      SELECT 1 + len(list_filter(cuts.c, x -> t.{value_col} > x))
+               AS bin_id, COUNT(*) AS n
+      FROM new_t t, cuts GROUP BY 1
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(1, {n_bins})) AS BIGINT)
+        AS bin_id
+    ),
+    counts AS (
+      SELECT spine.bin_id,
+             CAST(COALESCE(ob.n, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_new
+      FROM spine
+      LEFT JOIN ob ON ob.bin_id = spine.bin_id
+      LEFT JOIN nb ON nb.bin_id = spine.bin_id
+    ),
+    terms AS (
+      SELECT bin_id, n_old, n_new,
+             CAST(n_old + 1 AS DOUBLE)
+               / (SUM(n_old) OVER () + {n_bins}) AS po,
+             CAST(n_new + 1 AS DOUBLE)
+               / (SUM(n_new) OVER () + {n_bins}) AS pn,
+             (CAST(n_new + 1 AS DOUBLE)
+                / (SUM(n_new) OVER () + {n_bins})
+              - CAST(n_old + 1 AS DOUBLE)
+                / (SUM(n_old) OVER () + {n_bins}))
+             * ln(CAST((n_new + 1) * (SUM(n_old) OVER () + {n_bins})
+                       AS DOUBLE)
+                  / CAST((n_old + 1) * (SUM(n_new) OVER () + {n_bins})
+                         AS DOUBLE)) AS term
+      FROM counts
+    ),
+    total AS (
+      SELECT list_reduce(
+        list(term ORDER BY bin_id), (a, b) -> a + b
+      ) AS t
+      FROM terms
+    )
+    SELECT bin_id, n_old, n_new,
+           round(po, 6) AS p_old, round(pn, 6) AS p_new,
+           round(term, 6) AS psi_term,
+           round(total.t, 6) AS psi_total
+    FROM terms, total
+    """

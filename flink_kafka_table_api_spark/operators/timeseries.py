@@ -23,6 +23,8 @@ extends the engine for the analytics scope.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1165,4 +1167,203 @@ def markov_transitions_sql() -> str:
              ORDER BY n_transitions DESC, to_type ASC
            ) AS BIGINT) AS rank_in_state
     FROM t
+    """
+
+
+def kaplan_meier(
+    events: DataFrame,
+    *,
+    subject_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    censor_window_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate (Kaplan & Meier
+    '58) of subject LIFETIME — days between a subject's first and last
+    event, where a subject is one combination of ``subject_cols``
+    (plain users, or (user, event_type) for per-behavior engagement
+    lifetimes) — with right-censoring: a subject whose last event
+    falls within ``censor_window_days`` of the corpus's maximum event
+    day may still be active, so their lifetime is a lower bound
+    (censored), not a death. This is the churn/retention primitive
+    naive averages get wrong: dropping censored subjects biases
+    lifetime down, counting them as dead biases it further; KM uses
+    each censored subject exactly as long as they were observed.
+
+    Returns one row per distinct DEATH time t (days): n_at_risk
+    (subjects with lifetime >= t, censored or not —
+    deaths-before-censorings at equal t, the standard convention),
+    n_deaths, n_censored (censored exactly at t), and survival =
+    prod_{t_i <= t} (1 - d_i / n_i) rounded to 9.
+
+    Determinism: lifetimes/counters are exact integers (datediff of
+    DATEs); each survival factor is one integer/integer double
+    division and the running product is an ascending-t ordered fold —
+    identical IEEE multiply sequence in both engines (the holt_forecast
+    recipe; DuckDB replays it as a bare-list list_reduce).
+
+    Scale shape: ONE corpus-sized aggregate keyed by user (min/max ts,
+    map-side combine), one |distinct-lifetimes|-sized aggregate, then
+    window sums and ONE fold over that tiny frame (bounded by the
+    calendar span in days, never by users). The global max-day rides
+    along as a 1-row broadcast — no driver collect."""
+    users = (
+        events.groupBy(*[F.col(c) for c in subject_cols])
+        .agg(
+            F.min(F.to_date(F.col(ts_col))).alias("__first"),
+            F.max(F.to_date(F.col(ts_col))).alias("__last"),
+        )
+    )
+    maxday = events.agg(
+        F.max(F.to_date(F.col(ts_col))).alias("__dmax")
+    )
+    lt = (
+        users.join(F.broadcast(maxday))
+        .select(
+            F.datediff("__last", "__first").cast("long").alias("t"),
+            (
+                F.datediff("__dmax", "__last")
+                < F.lit(int(censor_window_days))
+            ).alias("__cens"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(~F.col("__cens"), 1).otherwise(0))
+            .cast("long").alias("n_deaths"),
+            F.sum(F.when(F.col("__cens"), 1).otherwise(0))
+            .cast("long").alias("n_censored"),
+        )
+    )
+    w_risk = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = lt.select(
+        "t", "n_deaths", "n_censored",
+        F.sum(F.col("n_deaths") + F.col("n_censored"))
+        .over(w_risk).cast("long").alias("n_at_risk"),
+    )
+    # ordered product fold over the tiny death-time frame: factor
+    # (n_i - d_i) / n_i at each death time, ascending t
+    folded = (
+        at_risk.where(F.col("n_deaths") > 0)
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("t", "n_deaths", "n_censored", "n_at_risk")
+                )
+            ).alias("xs")
+        )
+        .select(
+            F.aggregate(
+                "xs",
+                F.expr(
+                    "CAST(array() AS array<struct<t:bigint,"
+                    "n_deaths:bigint,n_censored:bigint,"
+                    "n_at_risk:bigint,s:double>>)"
+                ),
+                lambda acc, x: F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            x["t"].alias("t"),
+                            x["n_deaths"].alias("n_deaths"),
+                            x["n_censored"].alias("n_censored"),
+                            x["n_at_risk"].alias("n_at_risk"),
+                            (
+                                F.when(
+                                    F.size(acc) == 0, F.lit(1.0)
+                                ).otherwise(F.element_at(acc, -1)["s"])
+                                * (
+                                    (
+                                        x["n_at_risk"] - x["n_deaths"]
+                                    ).cast("double")
+                                    / x["n_at_risk"].cast("double")
+                                )
+                            ).alias("s"),
+                        )
+                    ),
+                ),
+            ).alias("out")
+        )
+    )
+    return folded.select(F.explode("out").alias("e")).select(
+        F.col("e.t").alias("t_days"),
+        F.col("e.n_at_risk").alias("n_at_risk"),
+        F.col("e.n_deaths").alias("n_deaths"),
+        F.col("e.n_censored").alias("n_censored"),
+        F.round("e.s", 9).alias("survival"),
+    )
+
+
+def kaplan_meier_sql(
+    *,
+    subject_cols: Sequence[str] = ("user_id",),
+    censor_window_days: int = 7,
+) -> str:
+    """DuckDB replay of :func:`kaplan_meier` over the events view:
+    identical integer lifetimes/counters, identical ascending-t
+    bare-list list_reduce product (first element seeds itself with
+    factor * 1.0 — equal to the Spark fold's empty-accumulator
+    seed)."""
+    subj = ", ".join(subject_cols)
+    return f"""
+    WITH users AS (
+      SELECT {subj},
+             MIN(CAST(ts AS DATE)) AS first_d,
+             MAX(CAST(ts AS DATE)) AS last_d
+      FROM events GROUP BY {subj}
+    ),
+    mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+    lt AS (
+      SELECT datediff('day', first_d, last_d) AS t,
+             datediff('day', last_d, mx.dmax)
+               < {int(censor_window_days)} AS cens
+      FROM users, mx
+    ),
+    grp AS (
+      SELECT t,
+             SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS n_deaths,
+             SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS n_censored
+      FROM lt GROUP BY t
+    ),
+    risk AS (
+      SELECT t, n_deaths, n_censored,
+             SUM(n_deaths + n_censored) OVER (
+               ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS n_at_risk
+      FROM grp
+    ),
+    deaths AS (
+      SELECT * FROM risk WHERE n_deaths > 0
+    ),
+    ser AS (
+      SELECT list(
+        {{'t': t, 'nd': n_deaths, 'nc': n_censored, 'nr': n_at_risk,
+          'f': CAST(n_at_risk - n_deaths AS DOUBLE)
+               / CAST(n_at_risk AS DOUBLE)}}
+        ORDER BY t
+      ) AS xs
+      FROM deaths
+    ),
+    folded AS (
+      -- bare-list accumulator (the holt_forecast shape): every element
+      -- seeds itself as-if-first (s = 1.0 * factor = factor), the merge
+      -- carries the running product from the last appended state
+      SELECT list_reduce(
+        list_transform(xs, x -> [{{
+          't': x.t, 'nd': x.nd, 'nc': x.nc, 'nr': x.nr, 's': x.f}}]),
+        (acc, e) -> list_concat(acc, [{{
+          't': e[1].t, 'nd': e[1].nd, 'nc': e[1].nc, 'nr': e[1].nr,
+          's': acc[len(acc)].s * e[1].s}}])
+      ) AS out
+      FROM ser
+    )
+    SELECT CAST(out[i].t AS BIGINT) AS t_days,
+           CAST(out[i].nr AS BIGINT) AS n_at_risk,
+           CAST(out[i].nd AS BIGINT) AS n_deaths,
+           CAST(out[i].nc AS BIGINT) AS n_censored,
+           round(out[i].s, 9) AS survival
+    FROM folded, unnest(generate_series(1, len(out))) AS u(i)
     """

@@ -186,3 +186,106 @@ def benford_audit_sql(
                - p_benford) <= {tolerance} AS within_tolerance
     FROM j
     """
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    *,
+    thresholds: Sequence[int] = (2, 5, 10, 25),
+) -> DataFrame:
+    """k-anonymity / l-diversity re-identification audit (Sweeney '02;
+    Machanavajjhala '07) over a quasi-identifier (QI) column set: rows
+    sharing one QI combination form an equivalence class, and a class
+    of size < k means its members are re-identifiable among fewer than
+    k candidates. Returns ONE row per requested threshold k:
+
+        k, n_classes_below (classes with size < k), rows_below,
+        pct_rows_below, plus the threshold-independent corpus facts
+        (n_classes, n_rows, min_class_size — the dataset's actual
+        k-anonymity — and min_l_diversity — the smallest number of
+        distinct sensitive values inside any class; 1 means an
+        attacker who locates the class learns the sensitive value
+        outright even at large k).
+
+    The audit is the release gate a training-data pipeline runs before
+    shipping user-derived tables: it quantifies how much generalization
+    (coarser QI buckets) or suppression (dropping small classes) the
+    release still needs. NULL QI values form their own class (groupBy
+    semantics, identical in both engines).
+
+    Determinism: every output is an exact integer except
+    pct_rows_below, a single integer/integer division rounded to 9.
+
+    Scale shape: ONE corpus-sized aggregate keyed by the QI columns
+    (map-side partial combine; class count + exact sensitive-distinct
+    per class), then everything downstream operates on the
+    |QI-cardinality|-sized class table: a broadcast join against the
+    literal threshold spine and a |thresholds|-cell aggregate. No
+    second corpus scan, no window over the corpus."""
+    spark = df.sparkSession
+    classes = (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(
+            F.count("*").alias("__sz"),
+            F.countDistinct(F.col(sensitive_col)).alias("__ldiv"),
+        )
+    )
+    ks = spark.createDataFrame(
+        [(int(k),) for k in sorted(thresholds)], "k long"
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("__sz") < F.col("k"), 1).otherwise(0))
+            .cast("long").alias("n_classes_below"),
+            F.sum(F.when(F.col("__sz") < F.col("k"), F.col("__sz"))
+                  .otherwise(0)).cast("long").alias("rows_below"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("__sz").cast("long").alias("n_rows"),
+            F.min("__sz").cast("long").alias("min_class_size"),
+            F.min("__ldiv").cast("long").alias("min_l_diversity"),
+        )
+        .select(
+            "k", "n_classes_below", "rows_below",
+            F.round(
+                F.col("rows_below") / F.col("n_rows"), 9
+            ).alias("pct_rows_below"),
+            "n_classes", "n_rows", "min_class_size", "min_l_diversity",
+        )
+    )
+
+
+def k_anonymity_audit_sql(
+    table: str,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    *,
+    thresholds: Sequence[int] = (2, 5, 10, 25),
+) -> str:
+    """DuckDB replay of :func:`k_anonymity_audit` (same class
+    aggregate, same threshold spine, same round-9 share)."""
+    qi = ", ".join(qi_cols)
+    ks = ", ".join(f"({int(k)})" for k in sorted(thresholds))
+    return f"""
+    WITH classes AS (
+      SELECT COUNT(*) AS sz, COUNT(DISTINCT {sensitive_col}) AS ldiv
+      FROM {table} GROUP BY {qi}
+    ),
+    ks(k) AS (VALUES {ks})
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below,
+           CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_below,
+           round(CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 9) AS pct_rows_below,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(MIN(ldiv) AS BIGINT) AS min_l_diversity
+    FROM classes CROSS JOIN ks
+    GROUP BY k
+    """

@@ -7331,6 +7331,66 @@ def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     return benford_audit(_t(spark, sf, "lineitem"), "l_extendedprice")
 
 
+# Round-18 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale; oracles pre-validated in tests/test_r18_prevalidated.py,
+# registration is the committed round-18 plan in the cap note below).
+
+@bench_query("k_anonymity")
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit over customer
+    quasi-identifiers (nation, market segment) with account balance as
+    the sensitive attribute (operators/validate.py
+    `k_anonymity_audit`): ONE QI-keyed aggregate, then
+    |QI-cardinality|-sized algebra against a broadcast threshold
+    spine."""
+    from flink_kafka_table_api_spark.operators.validate import (
+        k_anonymity_audit,
+    )
+
+    return k_anonymity_audit(
+        _t(spark, sf, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        "c_acctbal",
+    )
+
+
+@bench_query("kaplan_meier")
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival of (user, event_type) engagement
+    lifetimes with 7-day right-censoring (operators/timeseries.py
+    `kaplan_meier`): one subject-keyed aggregate, then windows + ONE
+    ordered product fold over the tiny death-time frame."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    return kaplan_meier(
+        _t(spark, sf, "events"),
+        subject_cols=("user_id", "event_type"),
+    )
+
+
+@bench_query("psi_drift")
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index between two deterministically
+    derived snapshots of the documents length distribution
+    (operators/curation.py `psi_drift`): old = even doc_ids, new = odd
+    doc_ids with +300 chars on the %4==1 quarter — a REAL shift, so
+    the index reads drifted (>0.25) rather than trivially stable.
+    One percentile aggregate + two 10-cell count aggregates."""
+    from flink_kafka_table_api_spark.operators.curation import psi_drift
+
+    docs = _t(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0).select("n_chars")
+    new = docs.where(F.col("doc_id") % 2 == 1).select(
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 4 == 1, 300).otherwise(0)
+        ).alias("n_chars")
+    )
+    return psi_drift(old, new, "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
@@ -7656,6 +7716,26 @@ _PRIORITY: list[str] = [
 # literals). Slots come from the standing consolidation levers (r13
 # note). Every new name must sit in the actual r17 gate (never-green
 # rule).
+#
+# Round-18 plan, fully pre-built and parity-tested this round
+# (tests/test_r18_prevalidated.py + BENCH_ONLY twins above): the
+# release-governance trio — `k_anonymity` (operators/validate.py
+# k_anonymity_audit + k_anonymity_audit_sql — Sweeney '02 k-anonymity
+# / Machanavajjhala '07 l-diversity re-identification audit over a
+# quasi-identifier class aggregate; one corpus-keyed aggregate then
+# class-table algebra vs a broadcast threshold spine; all-integer but
+# one round-9 share), `kaplan_meier` (operators/timeseries.py +
+# kaplan_meier_sql — Kaplan-Meier '58 product-limit survival of
+# (user, event_type) engagement lifetimes with right-censoring at the
+# corpus edge; integer lifetimes/risk-set counters, survival as an
+# ascending-t ordered product fold, DuckDB bare-list list_reduce), and
+# `psi_drift` (operators/curation.py + psi_drift_sql — Population
+# Stability Index between snapshots over old-snapshot equi-depth bins;
+# add-one-smoothed exact-integer shares, single-ratio ln arguments
+# (the source_kl recipe), ascending-bin fold for the total; the
+# monitoring INDEX complement to ks_source_drift's test statistic).
+# Slots come from the standing consolidation levers (r13 note). Every
+# new name must sit in the actual r18 gate (never-green rule).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",
     "approved_transactions", "approx_distinct", "approx_percentiles",

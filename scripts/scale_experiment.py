@@ -113,6 +113,10 @@ MEASURE = [
     "hits_scores",           # 8 co-partitioned joins + integer aggs
     "markov_transitions",    # 1 user-keyed lag window + tiny agg
     "benford_audit",         # 1 corpus pass + 9-row broadcast spine
+    # round-18 staged-operator additions (BENCH_ONLY twins)
+    "k_anonymity",           # 1 QI-keyed agg + tiny-class algebra
+    "kaplan_meier",          # 1 subject agg + death-frame folds
+    "psi_drift",             # 1 percentile agg + 2 bin-count aggs
 ]
 
 
