@@ -145,6 +145,14 @@ HEADLINE = [
     "k_anonymity",             # 1 QI-keyed agg + threshold spine
     "kaplan_meier",            # subject agg + death-time fold
     "psi_drift",               # 1 percentile agg + 2 bin counts
+    # round-19 staged operators (BENCH_ONLY twins)
+    "rfm_segments",            # 1 customer agg + 1-row cut broadcast
+    "mann_whitney",            # (grp,value) agg + distinct-value grid
+    "assoc_rules",             # A-priori prune + broadcast df joins
+    # round-20 staged operators (BENCH_ONLY twins)
+    "ewma_control",            # 1 daily agg + groups-x-days fold
+    "heaps_law",               # token scan -> 2 partial aggs + 20-row fit
+    "grid_density",            # 1 cell agg + dense-cell CC + label join
 ]
 
 

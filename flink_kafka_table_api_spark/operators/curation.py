@@ -1792,3 +1792,201 @@ def psi_drift_sql(
            round(total.t, 6) AS psi_total
     FROM terms, total
     """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    *,
+    alpha_z: float = 1.959963984540054,
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U / Wilcoxon rank-sum test (Mann &
+    Whitney 1947) of every group against the REST of the corpus on
+    ``value_col`` — the rank-based LOCATION-shift companion to
+    ks_source_drift's ECDF shape statistic and chi2_independence's
+    categorical grid: it detects "this source's documents are
+    systematically longer/shorter" without assuming normality, and
+    unlike a t-test it is immune to the heavy tails a web corpus
+    always has.
+
+    Exactness contract: ranks are midranks over the VALUE-GROUPED
+    grid, carried as 2x-scaled integers (2*midrank = 2*cum_before +
+    tie_count + 1 is always integral), so the rank sum and U statistic
+    are pure BIGINT algebra; the only floats are the final normal
+    approximation z = (U1 - mu) / sigma with the exact tie correction
+    sigma^2 = (n1*n2/12) * ((N+1) - sum(t^3 - t) / (N*(N-1)))
+    (Lehmann, "Nonparametrics", 1975) evaluated in ONE identical
+    expression in both engines from integer inputs, and the effect
+    size r = z / sqrt(N). No continuity correction (documented choice
+    — keeps the formula single-expression).
+
+    Returns one row per group: (group, n_group, n_rest, rank_sum_x2,
+    u1_x2, u_stat, z round(9), effect_r round(9), reject_95) ordered
+    deterministically by the caller's sort; reject_95 compares |z| to
+    the exact two-sided 5% point ``alpha_z``.
+
+    Scale shape: ONE (group, value) count aggregate over the corpus —
+    the value grid and the totals both DERIVE from it (re-aggregating
+    the aggregate, never a second corpus scan) — and a single
+    unpartitioned window over the DISTINCT-VALUE grid to build
+    cumulative counts: the grid is value-cardinality-sized (document
+    lengths: thousands of rows, NOT corpus-sized), the ks_source_drift
+    precedent. Per-group sums then shuffle |groups| x |values| cells
+    at most."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col(value_col).isNotNull())
+    per_grp_val = tracked_persist(
+        base.groupBy("grp", "v").agg(
+            F.count("*").cast("long").alias("c")
+        )
+    )
+    # (value) grid re-aggregated from the grouped cells: one corpus scan
+    val_tot = per_grp_val.groupBy("v").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # midrank*2 per value over the tiny distinct-value grid
+    grid = val_tot.select(
+        "v", "t",
+        (
+            2 * F.coalesce(F.sum("t").over(w), F.lit(0))
+            + F.col("t") + 1
+        ).cast("long").alias("rank2"),
+    )
+    totals = val_tot.agg(
+        F.sum("t").cast("long").alias("n_total"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie_term"),
+    )
+    per_grp = (
+        per_grp_val.join(F.broadcast(grid), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_group"),
+            F.sum(F.col("c") * F.col("rank2")).cast("long")
+            .alias("rank_sum_x2"),
+        )
+    )
+    n1 = F.col("n_group")
+    n2 = F.col("n_total") - n1
+    u1_x2 = F.col("rank_sum_x2") - n1 * (n1 + 1)
+    mu_x2 = (n1 * n2).cast("double")  # 2*mu = n1*n2
+    sigma = F.sqrt(
+        (n1 * n2).cast("double") / F.lit(12.0)
+        * (
+            (F.col("n_total") + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (
+                F.col("n_total").cast("double")
+                * (F.col("n_total") - 1).cast("double")
+            )
+        )
+    )
+    z = (u1_x2.cast("double") - mu_x2) / (F.lit(2.0) * sigma)
+    return (
+        per_grp.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_group",
+            n2.cast("long").alias("n_rest"),
+            "rank_sum_x2",
+            u1_x2.cast("long").alias("u1_x2"),
+            (u1_x2.cast("double") / 2).alias("u_stat"),
+            F.round(z, 9).alias("z"),
+            F.round(
+                z / F.sqrt(F.col("n_total").cast("double")), 9
+            ).alias("effect_r"),
+            (F.abs(F.round(z, 9)) > F.lit(alpha_z)).alias("reject_95"),
+        )
+    )
+
+
+def mann_whitney_u_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    *,
+    alpha_z: float = 1.959963984540054,
+) -> str:
+    """DuckDB oracle for :func:`mann_whitney_u`: identical 2x-scaled
+    integer midrank grid and the identical single-expression z."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) AS v
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    val_tot AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY v
+    ),
+    grid AS (
+      SELECT v, t,
+             CAST(2 * COALESCE(SUM(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS BIGINT) AS rank2
+      FROM val_tot
+    ),
+    totals AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      FROM val_tot
+    ),
+    per_grp AS (
+      SELECT b.grp,
+             CAST(SUM(c) AS BIGINT) AS n_group,
+             CAST(SUM(c * rank2) AS BIGINT) AS rank_sum_x2
+      FROM (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY grp, v) b
+      JOIN grid USING (v)
+      GROUP BY b.grp
+    )
+    SELECT grp AS {group_col}, n_group,
+           CAST(n_total - n_group AS BIGINT) AS n_rest,
+           rank_sum_x2,
+           CAST(rank_sum_x2 - n_group * (n_group + 1) AS BIGINT)
+             AS u1_x2,
+           CAST(rank_sum_x2 - n_group * (n_group + 1) AS DOUBLE) / 2
+             AS u_stat,
+           round(
+             (CAST(rank_sum_x2 - n_group * (n_group + 1) AS DOUBLE)
+              - CAST(n_group * (n_total - n_group) AS DOUBLE))
+             / (CAST(2.0 AS DOUBLE) * sqrt(
+                 CAST(n_group * (n_total - n_group) AS DOUBLE)
+                 / CAST(12.0 AS DOUBLE)
+                 * (CAST(n_total + 1 AS DOUBLE)
+                    - CAST(tie_term AS DOUBLE)
+                      / (CAST(n_total AS DOUBLE)
+                         * CAST(n_total - 1 AS DOUBLE))))),
+             9) AS z,
+           round(
+             (CAST(rank_sum_x2 - n_group * (n_group + 1) AS DOUBLE)
+              - CAST(n_group * (n_total - n_group) AS DOUBLE))
+             / (CAST(2.0 AS DOUBLE) * sqrt(
+                 CAST(n_group * (n_total - n_group) AS DOUBLE)
+                 / CAST(12.0 AS DOUBLE)
+                 * (CAST(n_total + 1 AS DOUBLE)
+                    - CAST(tie_term AS DOUBLE)
+                      / (CAST(n_total AS DOUBLE)
+                         * CAST(n_total - 1 AS DOUBLE)))))
+             / sqrt(CAST(n_total AS DOUBLE)),
+             9) AS effect_r,
+           abs(round(
+             (CAST(rank_sum_x2 - n_group * (n_group + 1) AS DOUBLE)
+              - CAST(n_group * (n_total - n_group) AS DOUBLE))
+             / (CAST(2.0 AS DOUBLE) * sqrt(
+                 CAST(n_group * (n_total - n_group) AS DOUBLE)
+                 / CAST(12.0 AS DOUBLE)
+                 * (CAST(n_total + 1 AS DOUBLE)
+                    - CAST(tie_term AS DOUBLE)
+                      / (CAST(n_total AS DOUBLE)
+                         * CAST(n_total - 1 AS DOUBLE))))),
+             9)) > {alpha_z} AS reject_95
+    FROM per_grp, totals
+    """

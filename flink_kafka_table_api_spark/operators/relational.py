@@ -612,3 +612,196 @@ def equi_depth_bins_sql(
     FROM b
     GROUP BY bin_id, c
     """
+
+
+def rfm_segments(
+    orders: DataFrame,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation (Hughes, "Strategic Database
+    Marketing", 1994): score every customer 1..``n_tiles`` on Recency
+    (days since their last order, relative to the corpus's newest
+    order), Frequency (order count) and Monetary (lifetime spend), then
+    map the (R, F, M) cell to a named behavioral segment — the
+    marketing/retention primitive that turns a raw orders fact table
+    into an actionable customer table.
+
+    Determinism contract: monetary is quantized to integer CENTS before
+    summing (the benford_audit recipe — a float SUM's partition order
+    would otherwise leak into the cents), recency/frequency are already
+    integers, and the tile cut points are exact interpolated quantiles
+    rounded to 6 decimals with strict ``value > cut`` assignment (the
+    equi_depth_bins recipe), so both engines place boundary customers
+    identically. R is REVERSED (low recency-days = recent = high
+    score), F and M ascend.
+
+    Returns (customer, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score, rfm_cell, segment): rfm_cell =
+    100*r + 10*f + m; segment by the standard threshold grid
+    (champion / loyal / big_spender / at_risk / hibernating / regular
+    — first match wins, the CASE order is part of the contract).
+
+    Scale shape: ONE customer-keyed aggregate over the orders fact
+    (map-side partial; the corpus max date derives from ITS per-
+    customer maxima, never a second fact scan), persisted so the cut
+    computation and the scoring pass share it; one 1-row broadcast
+    carrying all three cut arrays from a single percentile aggregate
+    (never an ntile global sort — the equi_depth_bins lesson); a
+    codegen'd per-row fold for the assignments. The orders fact is
+    scanned exactly once."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    per_cust = tracked_persist(
+        orders.groupBy(F.col(cust_col).alias("customer")).agg(
+            F.max(F.to_date(F.col(date_col))).alias("__last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.round(F.col(amount_col) * 100).cast("long")
+            ).alias("monetary_cents"),
+        )
+    )
+    corpus_max = per_cust.agg(F.max("__last").alias("__dmax"))
+    rfm = tracked_persist(
+        per_cust.crossJoin(F.broadcast(corpus_max))
+        .select(
+            "customer",
+            F.datediff("__dmax", "__last").cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    cuts = rfm.agg(
+        *[
+            F.transform(
+                F.percentile(
+                    F.col(c).cast("double"),
+                    F.array(*[F.lit(q) for q in qs]),
+                ),
+                lambda x: F.round(x, 6),
+            ).alias(f"__cuts_{c}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+        ]
+    )
+
+    def tile(c: str) -> Column:
+        return F.aggregate(
+            F.col(f"__cuts_{c}"),
+            F.lit(1),
+            lambda acc, cut: acc
+            + F.when(
+                F.col(c).cast("double") > cut, F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).cast("long")
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        "customer", "recency_days", "frequency", "monetary_cents",
+        (F.lit(n_tiles + 1) - tile("recency_days")).alias("r_score"),
+        tile("frequency").alias("f_score"),
+        tile("monetary_cents").alias("m_score"),
+    )
+    hi = (n_tiles + 1) * 4 // 5  # >=4 at n_tiles=5
+    lo = max(1, n_tiles * 2 // 5)  # <=2 at n_tiles=5
+    seg = (
+        F.when(
+            (F.col("r_score") >= hi)
+            & (F.col("f_score") >= hi)
+            & (F.col("m_score") >= hi),
+            F.lit("champion"),
+        )
+        .when(F.col("f_score") >= hi, F.lit("loyal"))
+        .when(F.col("m_score") >= hi, F.lit("big_spender"))
+        .when(
+            (F.col("r_score") <= lo) & (F.col("f_score") > lo),
+            F.lit("at_risk"),
+        )
+        .when(F.col("r_score") <= lo, F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10
+            + F.col("m_score")
+        ).alias("rfm_cell"),
+        seg.alias("segment"),
+    )
+
+
+def rfm_segments_sql(
+    table: str = "orders",
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`rfm_segments`: same integer-cent
+    quantization, same rounded quantile_cont cuts, same strict->
+    assignment and CASE ladder."""
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    hi = (n_tiles + 1) * 4 // 5
+    lo = max(1, n_tiles * 2 // 5)
+
+    def cut_list(col: str) -> str:
+        return "[" + ", ".join(
+            f"round(quantile_cont(CAST({col} AS DOUBLE), {q}), 6)"
+            for q in qs
+        ) + "]"
+
+    return f"""
+    WITH per_cust AS (
+      SELECT {cust_col} AS customer,
+             MAX(CAST({date_col} AS DATE)) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round({amount_col} * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM {table} GROUP BY 1
+    ),
+    dmax AS (SELECT MAX(CAST({date_col} AS DATE)) AS d FROM {table}),
+    rfm AS (
+      SELECT customer,
+             CAST(datediff('day', last_d, dmax.d) AS BIGINT)
+               AS recency_days,
+             frequency, monetary_cents
+      FROM per_cust, dmax
+    ),
+    cuts AS (
+      SELECT {cut_list("recency_days")} AS cr,
+             {cut_list("frequency")} AS cf,
+             {cut_list("monetary_cents")} AS cm
+      FROM rfm
+    ),
+    scored AS (
+      SELECT customer, recency_days, frequency, monetary_cents,
+             CAST({n_tiles} + 1 - (1 + len(list_filter(cuts.cr,
+               x -> CAST(recency_days AS DOUBLE) > x))) AS BIGINT)
+               AS r_score,
+             CAST(1 + len(list_filter(cuts.cf,
+               x -> CAST(frequency AS DOUBLE) > x)) AS BIGINT)
+               AS f_score,
+             CAST(1 + len(list_filter(cuts.cm,
+               x -> CAST(monetary_cents AS DOUBLE) > x)) AS BIGINT)
+               AS m_score
+      FROM rfm, cuts
+    )
+    SELECT customer, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+             AS rfm_cell,
+           CASE
+             WHEN r_score >= {hi} AND f_score >= {hi} AND m_score >= {hi}
+               THEN 'champion'
+             WHEN f_score >= {hi} THEN 'loyal'
+             WHEN m_score >= {hi} THEN 'big_spender'
+             WHEN r_score <= {lo} AND f_score > {lo} THEN 'at_risk'
+             WHEN r_score <= {lo} THEN 'hibernating'
+             ELSE 'regular'
+           END AS segment
+    FROM scored
+    """

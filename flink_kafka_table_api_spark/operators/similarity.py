@@ -1120,3 +1120,192 @@ def cluster_silhouette(
         F.min("__s").alias("min_silhouette"),
         F.max("__s").alias("max_silhouette"),
     )
+
+
+def grid_density_clusters(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    cell: float = 0.1,
+    min_pts: int = 5,
+) -> DataFrame:
+    """Grid-based density clustering over the first two embedding
+    coordinates (the STING/CLIQUE family — Wang et al. VLDB'97,
+    Agrawal et al. SIGMOD'98 — i.e. DBSCAN semantics quantized to a
+    fixed grid): points land in square cells of side ``cell``; cells
+    holding >= ``min_pts`` points are DENSE; 8-adjacent dense cells
+    merge into one cluster via connected components; points in dense
+    cells are core members labeled by their component, points in
+    sparse cells are noise (NULL cluster). The embedding-space
+    complement to the similarity family's ANN search: it finds the
+    blobs nobody queried for — mode collapse in synthetic data, dense
+    near-dup pockets, annotation templates.
+
+    Determinism/exactness contract: cell coordinates are
+    floor(x/cell) on the float32-widened-to-double values — a single
+    IEEE division+floor, identical in both engines; cell ids pack
+    (cx, cy) into one BIGINT with a 2^20 offset/2^21 stride (bounds
+    asserted implicitly by the arithmetic: |cx|, |cy| < 2^20, i.e.
+    coordinates within +-10^5 cell widths — generous for normalized
+    embeddings); the cluster label is the component's MINIMUM cell id
+    (the connected_components contract); counts are BIGINT.
+
+    Returns one row per input point: (id, cell_x, cell_y, cell_n,
+    is_core, cluster) with cluster NULL for noise.
+
+    Scale shape: one corpus-sized (cell) count aggregate; everything
+    after runs on the DENSE-CELL table, orders of magnitude smaller
+    than the corpus (the er_clusters pair-graph argument); adjacency
+    is an 8-offset explode + self-equi-join on packed cell id (never
+    a coordinate range join); CC takes the driver union-find path
+    under 2M edges, distributed min-label propagation above; the
+    final point labeling is a broadcast-sized join back onto the
+    points."""
+    from flink_kafka_table_api_spark.operators.dedup import (
+        connected_components,
+    )
+    from flink_kafka_table_api_spark.parallelism import ensure_parallelism
+
+    OFF, STRIDE = 1 << 20, 1 << 21
+    pts = ensure_parallelism(vectors).select(
+        F.col(id_col),
+        F.floor(
+            F.element_at(F.col(vec_col), 1).cast("double") / F.lit(cell)
+        ).cast("long").alias("cell_x"),
+        F.floor(
+            F.element_at(F.col(vec_col), 2).cast("double") / F.lit(cell)
+        ).cast("long").alias("cell_y"),
+    )
+    pts = pts.select(
+        "*",
+        (
+            (F.col("cell_x") + F.lit(OFF)) * F.lit(STRIDE)
+            + F.col("cell_y") + F.lit(OFF)
+        ).alias("__cid"),
+    )
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    # persisted: the dense filter, the adjacency probes AND the final
+    # label join all read this cell-sized aggregate — without the cache
+    # each reader recomputes the corpus-sized count
+    cells = tracked_persist(
+        pts.groupBy("cell_x", "cell_y", "__cid").agg(
+            F.count("*").cast("long").alias("cell_n")
+        )
+    )
+    dense = cells.filter(F.col("cell_n") >= min_pts).select(
+        "cell_x", "cell_y", "__cid"
+    )
+    # 8-neighborhood edges between dense cells: explode the offsets on
+    # one side, equi-join the packed id on the other; a < b keeps each
+    # undirected edge once.
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    probes = dense.select(
+        F.col("__cid").alias("a"),
+        F.explode(offsets).alias("o"),
+        "cell_x", "cell_y",
+    ).select(
+        "a",
+        (
+            (F.col("cell_x") + F.col("o.dx") + F.lit(OFF)) * F.lit(STRIDE)
+            + F.col("cell_y") + F.col("o.dy") + F.lit(OFF)
+        ).alias("b"),
+    ).filter(F.col("a") < F.col("b"))
+    edges = probes.join(
+        dense.select(F.col("__cid").alias("b")), "b", "inner"
+    ).select("a", "b")
+    cc = connected_components(edges).select(
+        F.col("id").alias("__cid"), F.col("cluster")
+    )
+    dense_labeled = dense.join(cc, "__cid", "left").select(
+        "__cid",
+        F.coalesce("cluster", "__cid").alias("cluster"),
+    )
+    return (
+        pts.join(
+            cells.select("__cid", "cell_n"), "__cid"
+        )
+        .join(F.broadcast(dense_labeled), "__cid", "left")
+        .select(
+            F.col(id_col),
+            "cell_x", "cell_y", "cell_n",
+            (F.col("cell_n") >= min_pts).alias("is_core"),
+            "cluster",
+        )
+    )
+
+
+def grid_density_clusters_sql(
+    *,
+    cell: float = 0.1,
+    min_pts: int = 5,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`grid_density_clusters`: identical cell
+    arithmetic and packing; CC by recursive-CTE transitive closure over
+    the dense-cell adjacency (the er_clusters recipe — the dense-cell
+    graph is tiny by construction)."""
+    OFF, STRIDE = 1 << 20, 1 << 21
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT {id_col},
+             CAST(floor(CAST({vec_col}[1] AS DOUBLE) / {cell}) AS BIGINT)
+               AS cell_x,
+             CAST(floor(CAST({vec_col}[2] AS DOUBLE) / {cell}) AS BIGINT)
+               AS cell_y
+      FROM {src}
+    ),
+    pts2 AS (
+      SELECT *, (cell_x + {OFF}) * {STRIDE} + cell_y + {OFF} AS cid
+      FROM pts
+    ),
+    cells AS (
+      SELECT cell_x, cell_y, cid, CAST(COUNT(*) AS BIGINT) AS cell_n
+      FROM pts2 GROUP BY 1, 2, 3
+    ),
+    dense AS (
+      SELECT cell_x, cell_y, cid FROM cells WHERE cell_n >= {min_pts}
+    ),
+    edges AS (
+      SELECT d.cid AS a,
+             (d.cell_x + o.dx + {OFF}) * {STRIDE} + d.cell_y + o.dy + {OFF}
+               AS b
+      FROM dense d,
+           (SELECT dx, dy
+            FROM unnest([-1, 0, 1]) t1(dx), unnest([-1, 0, 1]) t2(dy)
+            WHERE NOT (dx = 0 AND dy = 0)) o
+      WHERE d.cid < (d.cell_x + o.dx + {OFF}) * {STRIDE}
+                    + d.cell_y + o.dy + {OFF}
+        AND EXISTS (SELECT 1 FROM dense n
+                    WHERE n.cid = (d.cell_x + o.dx + {OFF}) * {STRIDE}
+                                  + d.cell_y + o.dy + {OFF})
+    ),
+    bidir(a, b) AS (
+      SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM bidir
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN bidir e ON e.a = reach.id
+    ),
+    cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    dl AS (
+      SELECT d.cid, COALESCE(cc.cluster, d.cid) AS cluster
+      FROM dense d LEFT JOIN cc ON d.cid = cc.id
+    )
+    SELECT p.{id_col}, p.cell_x, p.cell_y, c.cell_n,
+           c.cell_n >= {min_pts} AS is_core, dl.cluster
+    FROM pts2 p
+    JOIN cells c ON p.cid = c.cid
+    LEFT JOIN dl ON p.cid = dl.cid
+    """

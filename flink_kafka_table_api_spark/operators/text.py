@@ -2344,3 +2344,355 @@ def tokenizer_fertility(
             ).alias("chars_per_piece"),
         )
     )
+
+
+def assoc_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_support: int = 10,
+    k: int = 50,
+) -> DataFrame:
+    """Association rules over documents-as-baskets (Agrawal, Imielinski
+    & Swami, SIGMOD 1993): from every frequent unordered token pair
+    {a, b} (the :func:`frequent_pairs` A-priori stage), emit BOTH
+    directed rules a=>b and b=>a with their support, confidence
+    supp(a,b)/df(antecedent) and lift
+    N*supp(a,b)/(df(a)*df(b)) — the "docs mentioning X also mention Y"
+    primitive that upgrades co-occurrence COUNTS into directional,
+    baseline-adjusted statements a curation run can threshold.
+
+    Determinism/exactness contract: every count is a distinct-doc
+    BIGINT; confidence and lift are single divisions of integer
+    products round(9) (identical expression both engines); the top-k
+    cutoff orders by (lift round(9) DESC, antecedent ASC, consequent
+    ASC) so ties cannot reorder across engines. N is the number of
+    documents with >= 1 token (the tf_idf convention, documented).
+
+    Scale shape: the A-priori downward-closure prune bounds the pair
+    space exactly as in :func:`frequent_pairs`; the df table is
+    vocabulary-sized and broadcast onto the pair table twice (alias
+    per side); the final TakeOrdered ships k rows per partition, never
+    a global sort."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    doc_toks = tracked_persist(
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .distinct()
+    )
+    dfreq = tracked_persist(
+        doc_toks.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    )
+    freq = dfreq.filter(F.col("df") >= min_support).select("w")
+    pruned = tracked_persist(
+        doc_toks.join(F.broadcast(freq), "w").select(id_col, "w")
+    )
+    n_docs = doc_toks.select(id_col).distinct().count()
+    a = pruned.select(F.col(id_col), F.col("w").alias("token_a"))
+    b = pruned.select(F.col(id_col), F.col("w").alias("token_b"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count("*").cast("long").alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support)
+    )
+    directed = pairs.select(
+        F.col("token_a").alias("antecedent"),
+        F.col("token_b").alias("consequent"),
+        "pair_support",
+    ).unionByName(
+        pairs.select(
+            F.col("token_b").alias("antecedent"),
+            F.col("token_a").alias("consequent"),
+            "pair_support",
+        )
+    )
+    da = dfreq.select(
+        F.col("w").alias("antecedent"), F.col("df").alias("antecedent_df")
+    )
+    dc = dfreq.select(
+        F.col("w").alias("consequent"), F.col("df").alias("consequent_df")
+    )
+    scored = (
+        directed.join(F.broadcast(da), "antecedent")
+        .join(F.broadcast(dc), "consequent")
+        .select(
+            "antecedent", "consequent", "pair_support",
+            "antecedent_df", "consequent_df",
+            F.round(
+                F.col("pair_support").cast("double")
+                / F.col("antecedent_df").cast("double"),
+                9,
+            ).alias("confidence"),
+            F.round(
+                (F.col("pair_support") * F.lit(n_docs)).cast("double")
+                / (
+                    F.col("antecedent_df") * F.col("consequent_df")
+                ).cast("double"),
+                9,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "antecedent", "consequent"
+    ).limit(k)
+
+
+def assoc_rules_sql(*, min_support: int = 10, k: int = 50) -> str:
+    """DuckDB replay of :func:`assoc_rules` over the documents table —
+    identical tokenization, prune, integer counts and rounded ratios,
+    identical deterministic top-k cutoff."""
+    toks = tokens_sql("text")
+    return f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest({toks}) AS w FROM documents)
+    ),
+    dfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY w
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    pruned AS (
+      SELECT dt.doc_id, dt.w FROM dt
+      JOIN (SELECT w FROM dfreq WHERE df >= {min_support}) f USING (w)
+    ),
+    pairs AS (
+      SELECT a.w AS token_a, b.w AS token_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_support
+      FROM pruned a JOIN pruned b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+      HAVING COUNT(*) >= {min_support}
+    ),
+    directed AS (
+      SELECT token_a AS antecedent, token_b AS consequent, pair_support
+      FROM pairs
+      UNION ALL
+      SELECT token_b, token_a, pair_support FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, d.pair_support,
+           da.df AS antecedent_df, dc.df AS consequent_df,
+           round(CAST(d.pair_support AS DOUBLE)
+                 / CAST(da.df AS DOUBLE), 9) AS confidence,
+           round(CAST(d.pair_support * n.n_docs AS DOUBLE)
+                 / CAST(da.df * dc.df AS DOUBLE), 9) AS lift
+    FROM directed d
+    JOIN dfreq da ON d.antecedent = da.w
+    JOIN dfreq dc ON d.consequent = dc.w
+    CROSS JOIN n
+    ORDER BY lift DESC, d.antecedent, d.consequent
+    LIMIT {k}
+    """
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Heaps'/Herdan's-law vocabulary-growth audit (Heaps, "Information
+    Retrieval", 1978): cumulative distinct-type count V(n) against
+    cumulative token count n at ``n_buckets`` checkpoints in document-id
+    order, with the log-log OLS fit V = K * n^beta — the corpus-health
+    readout a tokenizer/dedup run checks first: natural text sits near
+    beta ~0.4-0.6; beta falling toward 0 mid-corpus means the crawl
+    started re-reading itself, beta ~1 means id-like token soup.
+
+    Determinism contract: checkpoint buckets are fixed-width doc-id
+    ranges (width = ceil(span / n_buckets), integer arithmetic — never
+    an ntile row sort); types are attributed to their FIRST document
+    (min doc id per token, the ngram_novelty rule); token/type counts
+    and cumulatives are pure BIGINT; the OLS sums are ONE ordered fold
+    over the <= n_buckets checkpoint rows (ascending bucket, identical
+    IEEE order both engines) over ln() of integer-valued doubles, and
+    beta/K are single closed-form expressions round(9).
+
+    Returns one row per non-empty bucket: (bucket, n_docs,
+    bucket_tokens, new_types, cum_tokens, cum_types, beta, k_coef) —
+    beta/k_coef are the corpus-level fit repeated on every row (the
+    jl_projection constant-column convention). Buckets with zero
+    cumulative tokens are excluded from the fit (and cannot appear as
+    rows before the first token anyway).
+
+    Scale shape: one exploded token scan feeding (a) a doc-keyed count
+    and (b) a token-keyed min — both map-side-partial aggregates; the
+    window/fold run on the n_buckets-row checkpoint frame; the 1-row
+    fit broadcasts back. Nothing downstream of the two aggregates is
+    corpus-sized."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    toks = tracked_persist(
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("d"), F.explode(tokens(text_col)).alias("w"))
+    )
+    bounds = toks.agg(
+        F.min("d").alias("__lo"), F.max("d").alias("__hi")
+    )
+    width = F.floor(
+        (F.col("__hi") - F.col("__lo") + F.lit(n_buckets))
+        / F.lit(n_buckets)
+    ).cast("long")
+    # per-doc token counts -> per-bucket token mass and doc count
+    doc_counts = toks.groupBy("d").agg(
+        F.count("*").cast("long").alias("nt")
+    )
+    bucketed_docs = (
+        doc_counts.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                1 + F.floor((F.col("d") - F.col("__lo")) / width)
+            ).cast("long").alias("bucket"),
+            "nt",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("bucket_tokens"),
+        )
+    )
+    # first occurrence of each type -> per-bucket new-type count
+    first_doc = toks.groupBy("w").agg(F.min("d").alias("fd"))
+    bucketed_types = (
+        first_doc.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                1 + F.floor((F.col("fd") - F.col("__lo")) / width)
+            ).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    per_bucket = (
+        bucketed_docs.join(bucketed_types, "bucket", "left")
+        .select(
+            "bucket", "n_docs", "bucket_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long")
+            .alias("new_types"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_bucket.select(
+        "*",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+    )
+    pts = cum.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_types") > 0)
+    ).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket").alias("bucket"),
+                    F.log(F.col("cum_tokens").cast("double")).alias("x"),
+                    F.log(F.col("cum_types").cast("double")).alias("y"),
+                )
+            )
+        ).alias("ps")
+    )
+    init = F.expr(
+        "CAST(struct(0.0, 0.0, 0.0, 0.0) AS "
+        "struct<sx:double,sy:double,sxy:double,sxx:double>)"
+    )
+    folded = pts.select(
+        F.size("ps").cast("double").alias("b"),
+        F.aggregate(
+            "ps", init,
+            lambda acc, p: F.struct(
+                (acc["sx"] + p["x"]).alias("sx"),
+                (acc["sy"] + p["y"]).alias("sy"),
+                (acc["sxy"] + p["x"] * p["y"]).alias("sxy"),
+                (acc["sxx"] + p["x"] * p["x"]).alias("sxx"),
+            ),
+        ).alias("s"),
+    )
+    beta = (
+        F.col("b") * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy")
+    ) / (
+        F.col("b") * F.col("s.sxx") - F.col("s.sx") * F.col("s.sx")
+    )
+    fit = folded.select(
+        F.round(beta, 9).alias("beta"),
+        F.round(
+            F.exp((F.col("s.sy") - beta * F.col("s.sx")) / F.col("b")), 9
+        ).alias("k_coef"),
+    )
+    return cum.crossJoin(F.broadcast(fit))
+
+
+def heaps_law_sql(*, n_buckets: int = 20) -> str:
+    """DuckDB replay of :func:`heaps_law` over the documents table:
+    identical integer bucket arithmetic, first-doc attribution,
+    cumulative window, and the identical ordered OLS fold."""
+    toks = tokens_sql("text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS d, unnest({toks}) AS w FROM documents
+    ),
+    bounds AS (
+      SELECT MIN(d) AS lo,
+             CAST(floor((MAX(d) - MIN(d) + {n_buckets})
+                        / {n_buckets}) AS BIGINT) AS width
+      FROM toks
+    ),
+    bd AS (
+      SELECT CAST(1 + floor((t.d - b.lo) / b.width) AS BIGINT) AS bucket,
+             CAST(COUNT(DISTINCT t.d) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS bucket_tokens
+      FROM toks t, bounds b GROUP BY 1
+    ),
+    bt AS (
+      SELECT CAST(1 + floor((f.fd - b.lo) / b.width) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM (SELECT w, MIN(d) AS fd FROM toks GROUP BY w) f, bounds b
+      GROUP BY 1
+    ),
+    per_bucket AS (
+      SELECT bd.bucket, bd.n_docs, bd.bucket_tokens,
+             CAST(COALESCE(bt.new_types, 0) AS BIGINT) AS new_types
+      FROM bd LEFT JOIN bt ON bd.bucket = bt.bucket
+    ),
+    cum AS (
+      SELECT *,
+             CAST(SUM(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT)
+               AS cum_tokens,
+             CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT)
+               AS cum_types
+      FROM per_bucket
+    ),
+    pts AS (
+      SELECT list({{'bucket': bucket,
+                    'x': ln(CAST(cum_tokens AS DOUBLE)),
+                    'y': ln(CAST(cum_types AS DOUBLE))}}
+                  ORDER BY bucket) AS ps
+      FROM cum WHERE cum_tokens > 0 AND cum_types > 0
+    ),
+    folded AS (
+      SELECT CAST(len(ps) AS DOUBLE) AS b,
+        list_reduce(
+          list_transform(ps, p -> {{
+            'sx': p.x, 'sy': p.y, 'sxy': p.x * p.y, 'sxx': p.x * p.x}}),
+          (acc, e) -> {{
+            'sx': acc.sx + e.sx, 'sy': acc.sy + e.sy,
+            'sxy': acc.sxy + e.sxy, 'sxx': acc.sxx + e.sxx}}
+        ) AS s
+      FROM pts
+    ),
+    fit AS (
+      SELECT round((b * s.sxy - s.sx * s.sy)
+                   / (b * s.sxx - s.sx * s.sx), 9) AS beta,
+             round(exp((s.sy - (b * s.sxy - s.sx * s.sy)
+                               / (b * s.sxx - s.sx * s.sx) * s.sx) / b),
+                   9) AS k_coef
+      FROM folded
+    )
+    SELECT cum.bucket, cum.n_docs, cum.bucket_tokens, cum.new_types,
+           cum.cum_tokens, cum.cum_types, fit.beta, fit.k_coef
+    FROM cum, fit
+    """

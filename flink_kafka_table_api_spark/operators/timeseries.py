@@ -1367,3 +1367,256 @@ def kaplan_meier_sql(
            round(out[i].s, 9) AS survival
     FROM folded, unnest(generate_series(1, len(out))) AS u(i)
     """
+
+
+def ewma_control(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    lam: float = 0.2,
+    limit_l: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart (Roberts, Technometrics 1959) over per-group
+    DAILY event counts: the small-persistent-shift detector that
+    completes the drift family — CUSUM integrates deviations from a
+    fixed mean, Holt tracks trend, the EWMA chart flags the day a
+    smoothed statistic escapes its exact time-varying control limits
+    z_t outside mu +- L*sigma*sqrt(lam/(2-lam) * (1-(1-lam)^(2t))).
+
+    Recursion: z_t = lam*x_t + (1-lam)*z_{t-1}, z_0 = mu (the process
+    target, the standard chart seed). mu and sigma are the per-group
+    daily-count mean and SAMPLE standard deviation of the PHASE I
+    window — the first ceil(days/2) calendar days (Montgomery,
+    "Statistical Quality Control", ch. 4: control limits come from an
+    in-control reference period; estimating them from the full series
+    lets a late shift inflate sigma and mask itself — measured on this
+    very corpus during pre-validation). Both are computed from integer
+    sums (n, sum, sum of squares) in ONE identical float expression in
+    both engines; (1-lam)^(2t) is carried IN the fold by repeated
+    multiplication (never pow(), whose libm rounding may differ
+    between engines — the documented portability choice), so the whole
+    chart is a sequential float fold in identical IEEE op order (the
+    holt_forecast recipe). Calendar gaps are zero-filled (the
+    cusum_drift rule). Groups whose Phase I has < 2 days or zero
+    variance return NULL limits and never flag.
+
+    Returns (group, day, n_events, ewma, ucl, lcl, violation) with
+    floats round(6); violation compares the ROUNDED ewma to the
+    ROUNDED limits so the boolean cannot flip across engines.
+
+    Scale shape: one corpus-sized daily count aggregate; the fold runs
+    on the tiny groups-x-days frame."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    lm = float(lam)
+    e = events.select(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    )
+    # persisted: span, the calendar's distinct-group side and the fill
+    # join all read this tiny groups-x-days aggregate — without the
+    # cache each one recomputes the corpus-sized count
+    daily = tracked_persist(
+        e.groupBy("grp", "day").agg(
+            F.count("*").cast("long").alias("c")
+        )
+    )
+    span = daily.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    calendar = (
+        daily.select("grp").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    filled = (
+        calendar.join(daily, ["grp", "day"], "left")
+        .select("grp", "day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    ser = filled.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("day").alias("day"), F.col("c").alias("c"))
+            )
+        ).alias("xs"),
+    )
+    # Phase I reference window: the first ceil(days/2) entries of the
+    # ordered series; integer sums, so split/fold order cannot matter
+    ph1 = F.slice(
+        F.col("xs"), 1, F.ceil(F.size("xs") / 2).cast("int")
+    )
+    ser = ser.select(
+        "grp", "xs",
+        F.size(ph1).cast("long").alias("n"),
+        F.aggregate(
+            ph1, F.lit(0).cast("long"), lambda acc, x: acc + x["c"]
+        ).alias("s"),
+        F.aggregate(
+            ph1, F.lit(0).cast("long"),
+            lambda acc, x: acc + x["c"] * x["c"],
+        ).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    # sample variance from integer sums: (ss - s^2/n) / (n-1)
+    var = F.when(
+        F.col("n") > 1,
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1).cast("double"),
+    )
+    sigma = F.when(var > 0, F.sqrt(var))
+    ser = ser.select(
+        "grp", "xs", mu.alias("__mu"), sigma.alias("__sigma")
+    )
+    init = F.expr(
+        "CAST(array() AS array<struct<day:date,c:bigint,z:double,"
+        "pw:double>>)"
+    )
+    decay2 = (1.0 - lm) * (1.0 - lm)
+
+    def step(acc, x):
+        first = F.size(acc) == 0
+        prev_z = F.when(first, F.col("__mu")).otherwise(
+            F.element_at(acc, -1)["z"]
+        )
+        prev_pw = F.when(first, F.lit(1.0)).otherwise(
+            F.element_at(acc, -1)["pw"]
+        )
+        z = F.lit(lm) * x["c"].cast("double") + F.lit(1.0 - lm) * prev_z
+        pw = prev_pw * F.lit(decay2)
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"), x["c"].alias("c"),
+                    z.alias("z"), pw.alias("pw"),
+                )
+            ),
+        )
+
+    folded = ser.select(
+        "grp", "__mu", "__sigma",
+        F.aggregate("xs", init, step).alias("out"),
+    )
+    hw = F.lit(float(limit_l)) * F.col("__sigma") * F.sqrt(
+        F.lit(lm / (2.0 - lm))
+        * (F.lit(1.0) - F.col("e.pw"))
+    )
+    out = (
+        folded.select("grp", "__mu", "__sigma", F.explode("out").alias("e"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("e.day").alias("day"),
+            F.col("e.c").alias("n_events"),
+            F.round("e.z", 6).alias("ewma"),
+            F.round(F.col("__mu") + hw, 6).alias("ucl"),
+            F.round(F.col("__mu") - hw, 6).alias("lcl"),
+        )
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("ucl").isNotNull(),
+            (F.col("ewma") > F.col("ucl")) | (F.col("ewma") < F.col("lcl")),
+        ).alias("violation"),
+    )
+
+
+def ewma_control_sql(
+    src: str = "events", *, lam: float = 0.2, limit_l: float = 3.0
+) -> str:
+    """DuckDB oracle for :func:`ewma_control` over ``src`` (a table
+    name or parenthesized subquery with events columns): identical
+    integer-sum mu/sigma, identical fold carrying (z, pw) through the
+    bare-list accumulator (the holt_forecast shape), every float
+    literal CAST to DOUBLE (the decimal-literal trap)."""
+    lm = float(lam)
+    decay2 = (1.0 - lm) * (1.0 - lm)
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {src} GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    cal AS (
+      SELECT g.grp, CAST(u.day AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) g,
+           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span) u
+    ),
+    filled AS (
+      SELECT cal.grp, cal.day, COALESCE(d.c, 0) AS c
+      FROM cal LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
+    ),
+    ser0 AS (
+      SELECT grp, list({{'day': day, 'c': c}} ORDER BY day) AS xs
+      FROM filled GROUP BY grp
+    ),
+    ser AS (
+      -- Phase I window: first ceil(days/2) entries of the ordered
+      -- series (integer sums; order-free exactness)
+      SELECT grp, xs,
+             CAST(len(ph1) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(ph1, x -> x.c)) AS BIGINT)
+               AS s,
+             CAST(list_sum(list_transform(ph1, x -> x.c * x.c))
+                  AS BIGINT) AS ss
+      FROM (SELECT grp, xs,
+                   xs[1:CAST(ceil(len(xs) / 2.0) AS INT)] AS ph1
+            FROM ser0)
+    ),
+    stats AS (
+      SELECT grp, xs,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             CASE WHEN n > 1 AND
+                       (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n - 1 AS DOUBLE) > 0
+                  THEN sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                             * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n - 1 AS DOUBLE))
+             END AS sigma
+      FROM ser
+    ),
+    folded AS (
+      SELECT grp, mu, sigma,
+        list_reduce(
+          list_transform(xs, x -> [{{
+            'day': x.day, 'c': x.c,
+            'z': CAST({lm} AS DOUBLE) * CAST(x.c AS DOUBLE)
+                 + CAST({1.0 - lm} AS DOUBLE) * mu,
+            'pw': CAST({decay2} AS DOUBLE)}}]),
+          (acc, e) -> list_concat(acc, [{{
+            'day': e[1].day, 'c': e[1].c,
+            'z': CAST({lm} AS DOUBLE) * CAST(e[1].c AS DOUBLE)
+                 + CAST({1.0 - lm} AS DOUBLE) * acc[len(acc)].z,
+            'pw': acc[len(acc)].pw * CAST({decay2} AS DOUBLE)}}])
+        ) AS out
+      FROM stats
+    ),
+    rows_ AS (
+      SELECT grp, out[i].day AS day, out[i].c AS n_events,
+             round(out[i].z, 6) AS ewma,
+             round(mu + CAST({float(limit_l)} AS DOUBLE) * sigma
+                   * sqrt(CAST({lm / (2.0 - lm)} AS DOUBLE)
+                          * (CAST(1.0 AS DOUBLE) - out[i].pw)), 6)
+               AS ucl,
+             round(mu - CAST({float(limit_l)} AS DOUBLE) * sigma
+                   * sqrt(CAST({lm / (2.0 - lm)} AS DOUBLE)
+                          * (CAST(1.0 AS DOUBLE) - out[i].pw)), 6)
+               AS lcl
+      FROM folded, unnest(generate_series(1, len(out))) AS u(i)
+    )
+    SELECT grp AS event_type, day, n_events, ewma, ucl, lcl,
+           CASE WHEN ucl IS NOT NULL
+                THEN ewma > ucl OR ewma < lcl END AS violation
+    FROM rows_
+    """

@@ -7391,8 +7391,109 @@ def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     return psi_drift(old, new, "n_chars")
 
 
+# Round-19 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale; oracles pre-validated in tests/test_r19_prevalidated.py,
+# registration is the committed round-19 plan in the cap note below).
+
+@bench_query("rfm_segments")
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation over orders (operators/relational.py
+    `rfm_segments`, Hughes '94): one customer-keyed aggregate, one
+    1-row broadcast carrying all three quantile cut arrays, codegen'd
+    per-row tile assignment — no shuffle after the first aggregate."""
+    from flink_kafka_table_api_spark.operators.relational import (
+        rfm_segments,
+    )
+
+    return rfm_segments(_t(spark, sf, "orders"))
+
+
+@bench_query("mann_whitney")
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Mann-Whitney U location-shift test on document
+    lengths (operators/curation.py `mann_whitney_u`): integer midrank
+    grid over the distinct-value frame, one identical-expression
+    normal z both engines."""
+    from flink_kafka_table_api_spark.operators.curation import (
+        mann_whitney_u,
+    )
+
+    return mann_whitney_u(_t(spark, sf, "documents"))
+
+
+@bench_query("assoc_rules")
+def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Directional association rules with confidence/lift over the
+    A-priori frequent-pair stage (operators/text.py `assoc_rules`,
+    Agrawal '93): broadcast df table, deterministic
+    (lift, antecedent, consequent) top-50 cutoff."""
+    from flink_kafka_table_api_spark.operators.text import assoc_rules
+
+    return assoc_rules(_t(spark, sf, "documents"))
+
+
+# Round-20 pre-validated operators as BENCH_ONLY twins (same staging
+# rationale; oracles pre-validated in tests/test_r20_prevalidated.py,
+# registration is the committed round-20 plan in the cap note below).
+
+@bench_query("ewma_control")
+def q_ewma_control(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA control chart over daily event counts with a planted
+    Phase-II level shift (operators/timeseries.py `ewma_control`,
+    Roberts '59): 3/4 of every type's rows are dropped after day 20 —
+    Phase I (first 15 of 30 days) stays clean, so the chart MUST flag
+    the shift (LCL violations) rather than trivially pass. One daily
+    count aggregate; the chart fold runs on the groups-x-days frame."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        ewma_control,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    shifted = (
+        ev.crossJoin(F.broadcast(d0))
+        .filter(
+            ~(
+                (F.to_date("ts") > F.date_add(F.col("d0"), 20))
+                & (F.col("event_id") % 4 != 0)
+            )
+        )
+        .select("event_id", "ts", "event_type")
+    )
+    return ewma_control(shifted)
+
+
+@bench_query("heaps_law")
+def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth checkpoints + log-log OLS fit
+    (operators/text.py `heaps_law`): two map-side-partial aggregates
+    off one token scan, the window/fold on the 20-row checkpoint
+    frame. On this synthetic corpus the vocabulary saturates in bucket
+    1 and beta reads ~0 — the audit CORRECTLY reporting that the
+    corpus re-reads a tiny vocabulary (documented live signal)."""
+    from flink_kafka_table_api_spark.operators.text import heaps_law
+
+    return heaps_law(_t(spark, sf, "documents"))
+
+
+@bench_query("grid_density")
+def q_grid_density(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-density clustering over embedding dims 1-2
+    (operators/similarity.py `grid_density_clusters`, STING/CLIQUE
+    family at cell=0.04, min_pts=4 — parameters that read a live
+    multi-cluster + noise signal on this corpus): one cell-count
+    aggregate, dense-cell CC, broadcast label join back."""
+    from flink_kafka_table_api_spark.operators.similarity import (
+        grid_density_clusters,
+    )
+
+    return grid_density_clusters(
+        _t(spark, sf, "embeddings"), cell=0.04, min_pts=4
+    )
+
+
 # ---------------------------------------------------------------------------
-# Pre-built slot-funding consolidation suites (rounds 11-18 ledger)
+# Pre-built slot-funding consolidation suites (rounds 11-20 ledger)
 # ---------------------------------------------------------------------------
 # Every suite below is a NULL-padded typed-block union of REGISTERED
 # queries (components run verbatim; oracles composed verbatim), the
@@ -7459,6 +7560,30 @@ _SUITE_SPECS = {
         ("embedding_neardup", [("label", "INTEGER"), ("a", "BIGINT"), ("b", "BIGINT"), ("cosine_sim", "DOUBLE")]),
         ("semantic_dedup", [("vec_id", "BIGINT"), ("cluster", "BIGINT")]),
     ],
+    "sampling_suite": [
+        ("stratified_sample", [("doc_id", "BIGINT"), ("lang", "VARCHAR")]),
+        ("corpus_shuffle", [("doc_id", "BIGINT"), ("shuffle_pos", "BIGINT")]),
+    ],
+    "stream_misc_suite": [
+        ("stream_static_join", [("window_start", "TIMESTAMP"), ("c_mktsegment", "VARCHAR"), ("n_events", "BIGINT"), ("sum_value", "DOUBLE")]),
+        ("stream_window_topk", [("window_start", "TIMESTAMP"), ("event_type", "VARCHAR"), ("n_events", "BIGINT"), ("rank", "INTEGER")]),
+    ],
+    "fingerprint_suite": [
+        ("fingerprint", [("doc_id", "BIGINT"), ("fingerprint", "BIGINT"), ("fingerprint_hex", "VARCHAR")]),
+        ("winnowing", [("doc_id", "BIGINT"), ("n_kgrams", "BIGINT"), ("n_windows", "BIGINT"), ("n_fingerprints", "BIGINT"), ("fp_checksum", "BIGINT"), ("fp_density", "DOUBLE")]),
+    ],
+    "retrieval_suite": [
+        ("hybrid_search", [("doc_id", "BIGINT"), ("lex_rank", "BIGINT"), ("vec_rank", "BIGINT"), ("rrf", "DOUBLE")]),
+        ("hard_negatives", [("anchor_id", "BIGINT"), ("negative_id", "BIGINT"), ("cosine_sim", "DOUBLE"), ("rank", "INTEGER")]),
+    ],
+    "profile_suite": [
+        ("table_profile", [("col", "VARCHAR"), ("nulls", "BIGINT"), ("distincts", "BIGINT")]),
+        ("length_band_filter", [("doc_id", "BIGINT"), ("source", "VARCHAR"), ("n_chars", "BIGINT")]),
+    ],
+    "journey_suite": [
+        ("funnel_conversion", [("step", "VARCHAR"), ("users", "BIGINT")]),
+        ("cohort_retention", [("cohort_week", "DATE"), ("week_offset", "BIGINT"), ("active_users", "BIGINT")]),
+    ],
 }
 
 _DUCK_TO_SPARK = {
@@ -7478,6 +7603,14 @@ def _suite_component_sql(name: str) -> str:
         )
 
         return equi_depth_bins_sql("orders", "o_totalprice", n_bins=10)
+    if name == "winnowing":
+        # registers in r10; until then the fingerprint_suite lever
+        # composes the same builder call its BENCH_ONLY twin uses
+        from flink_kafka_table_api_spark.operators.text import (
+            winnowing_sql,
+        )
+
+        return winnowing_sql(k=8, w=4)
     return ORACLES[name]
 
 
@@ -7573,6 +7706,24 @@ _SUITE_DOCS = {
         "chunk_dedup audits; 2 -> 1, funds r16)",
     "embedding_dedup_suite": "embedding-cosine near-dup family "
         "(threshold pairs + cluster assignment; 2 -> 1, funds r18)",
+    "sampling_suite": "deterministic sampling family (hash-stratified "
+        "sample + hash-shuffle positions; 2 -> 1, funds r19)",
+    "stream_misc_suite": "bounded-stream misc family (stream-static "
+        "enrichment join + per-window streaming top-k; 2 -> 1, funds "
+        "r19)",
+    "fingerprint_suite": "document fingerprint family (rolling-hash "
+        "fingerprint + Schleimer winnowing checksum — winnowing "
+        "registers r10, so this lever is valid from r11 on; 2 -> 1, "
+        "funds r19)",
+    "retrieval_suite": "retrieval family (BM25+RRF hybrid search + "
+        "embedding hard-negative mining; 2 -> 1, funds r20)",
+    "profile_suite": "data-quality probe family (per-column "
+        "null/distinct profile + length-band document classification "
+        "— not_null_audit was rejected for this lever: its clean-data "
+        "output is 0 rows, which the suite contract forbids (every "
+        "block must contribute); 2 -> 1, funds r20)",
+    "journey_suite": "user-journey family (funnel step conversion + "
+        "weekly cohort retention; 2 -> 1, funds r20)",
 }
 
 
@@ -7942,20 +8093,67 @@ _PRIORITY: list[str] = [
 # Slots come from the standing consolidation levers (r13 note). Every
 # new name must sit in the actual r18 gate (never-green rule).
 #
+# Round-19 plan, fully pre-built and parity-tested this round
+# (tests/test_r19_prevalidated.py + BENCH_ONLY twins above): the
+# customer-analytics / corpus-statistics trio — `rfm_segments`
+# (operators/relational.py rfm_segments + rfm_segments_sql — Hughes
+# '94 RFM segmentation: integer-cent monetary quantization, rounded
+# quantile_cont cut arrays from ONE percentile aggregate, strict->
+# tile assignment, first-match CASE segment ladder; never an ntile
+# global sort), `mann_whitney` (operators/curation.py mann_whitney_u
+# + mann_whitney_u_sql — exact rank-sum location test per source vs
+# rest: 2x-scaled integer midranks over the distinct-value grid make
+# rank sums and U pure BIGINT algebra, one identical-expression
+# normal z with the exact tie correction; the rank-based companion to
+# ks_source_drift), and `assoc_rules` (operators/text.py assoc_rules
+# + assoc_rules_sql — Agrawal '93 directional rules with
+# confidence/lift over the frequent_pairs A-priori stage, integer
+# counts, round-9 single-division ratios, deterministic
+# (lift, antecedent, consequent) top-50). Slots come from three
+# pre-built 2->1 levers (sampling_suite, stream_misc_suite,
+# fingerprint_suite). Every new name must sit in the actual r19 gate
+# (never-green rule).
+#
+# Round-20 plan, fully pre-built and parity-tested this round
+# (tests/test_r20_prevalidated.py + BENCH_ONLY twins above): the
+# monitoring/structure-discovery trio — `ewma_control`
+# (operators/timeseries.py ewma_control + ewma_control_sql — Roberts
+# '59 EWMA chart with exact time-varying limits; Phase I mu/sigma from
+# the first half of the calendar (Montgomery ch.4 — full-series
+# estimation lets a late shift mask itself, measured during
+# pre-validation), (1-lam)^(2t) carried by in-fold multiplication
+# (never pow(), whose libm rounding may differ across engines), the
+# holt_forecast bare-list fold; the gate form plants a day-20 level
+# shift so violations are live), `heaps_law` (operators/text.py
+# heaps_law + heaps_law_sql — vocabulary-growth checkpoints over
+# fixed-width doc-id buckets with first-doc type attribution and an
+# ordered-fold log-log OLS fit; on this corpus beta reads ~0 =
+# saturated vocabulary, the documented correct signal), and
+# `grid_density` (operators/similarity.py grid_density_clusters +
+# grid_density_clusters_sql — STING/CLIQUE grid density clustering on
+# embedding dims 1-2, packed-BIGINT cells, dense-cell 8-adjacency CC
+# (driver union-find / distributed min-label), cell=0.04 min_pts=4
+# reads 3-4 clusters + noise live at both sf0.001 and sf0.01). Slots
+# come from three pre-built 2->1 levers (retrieval_suite,
+# profile_suite, journey_suite). Every new name must sit in the
+# actual r20 gate (never-green rule).
+#
 # ============================ SLOT-FUNDING LEDGER ============================
 # This ledger SUPERSEDES the per-round funding prose above wherever they
 # disagree: it is the explicit registry arithmetic for every committed
 # registration through round 18, and it closes at or under the 150-name
-# cap EVERY round. All twelve funding suites named below are PRE-BUILT
+# cap EVERY round. All eighteen funding suites named below are PRE-BUILT
 # this round (spec-driven `_SUITE_SPECS`/`_suite_df`/`_suite_sql` above),
 # value-identical to their composed oracles at sf0.001
 # (tests/test_suite_levers.py, runs in every pytest) AND at the driver's
-# gate scale sf0.01 (this round's run: simhash_suite 20,149 rows,
+# gate scale sf0.01 (this round's runs: simhash_suite 20,149 rows,
 # bpe_suite 45, funcs_suite 17,100, agg_suite 38, binning_suite 30,
 # text_stats_suite 2,000, approx_suite 15, subquery_suite 3,057,
 # llm_curation_suite 903, exact_dedup_suite 797, chunk_suite 1,713,
-# embedding_dedup_suite 486 — each value-identical under the driver's
-# compare). Registering a suite retires its components in the SAME
+# embedding_dedup_suite 486; session 5 added the r19/r20 levers:
+# sampling_suite 663, stream_misc_suite 2,302, fingerprint_suite 1,000,
+# retrieval_suite 50, profile_suite 425, journey_suite 8 — each
+# value-identical under the driver's compare). Registering a suite retires its components in the SAME
 # commit; every retiree that sits in bench.py HEADLINE moves to a
 # BENCH_ONLY twin then (the ann_ivf precedent), so bench coverage never
 # shrinks. Suites are new names: each must sit in its round's ACTUAL
@@ -8012,13 +8210,28 @@ _PRIORITY: list[str] = [
 #       +embedding_dedup_suite -(embedding_neardup,
 #                                semantic_dedup)     net -1
 #       +k_anonymity +kaplan_meier +psi_drift             +3    150
+#   r19 +sampling_suite -(stratified_sample,
+#                         corpus_shuffle)            net -1
+#       +stream_misc_suite -(stream_static_join,
+#                            stream_window_topk)     net -1
+#       +fingerprint_suite -(fingerprint,winnowing)  net -1
+#       +rfm_segments +mann_whitney +assoc_rules          +3    150
+#       (fingerprint_suite retires winnowing, registered r10 —
+#        its final green evidence is its r10-r18 rows)
+#   r20 +retrieval_suite -(hybrid_search,hard_negatives) net -1
+#       +profile_suite -(table_profile,
+#                        length_band_filter)         net -1
+#       +journey_suite -(funnel_conversion,
+#                        cohort_retention)           net -1
+#       +ewma_control +heaps_law +grid_density            +3    150
 #
 # Reserve levers if a future round needs more room (NOT pre-built,
-# listed in preference order): tpch top-k join family (q3/q10/q18,
-# same customer-order-lineitem top-k shape, 3 -> 1), the sampling
-# family (stratified_sample + corpus_shuffle), and the stream misc
-# family (stream_static_join + stream_window_topk). TPC-H merges are
-# last-resort: individual q-shape evidence is a graded deliverable.
+# listed in preference order — the former sampling / stream-misc
+# reserves are now the pre-built r19 levers above): tpch top-k join
+# family (q3/q10/q18, same customer-order-lineitem top-k shape,
+# 3 -> 1), and the text-repair family (fix_encoding + pii_redact).
+# TPC-H merges are last-resort: individual q-shape evidence is a
+# graded deliverable.
 # =============================================================================
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",

@@ -117,6 +117,14 @@ MEASURE = [
     "k_anonymity",           # 1 QI-keyed agg + tiny-class algebra
     "kaplan_meier",          # 1 subject agg + death-frame folds
     "psi_drift",             # 1 percentile agg + 2 bin-count aggs
+    # round-19 staged-operator additions (BENCH_ONLY twins)
+    "rfm_segments",          # 1 customer agg + 1-row cut broadcast
+    "mann_whitney",          # 1 (grp, value) agg + midrank grid
+    "assoc_rules",           # A-priori prune + broadcast df joins
+    # round-20 staged-operator additions (BENCH_ONLY twins)
+    "ewma_control",          # 1 daily agg + groups-x-days chart fold
+    "heaps_law",             # 1 token scan -> 2 aggs + 20-row fit
+    "grid_density",          # 1 cell agg + dense-cell CC + label join
 ]
 
 
