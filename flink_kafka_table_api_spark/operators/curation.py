@@ -1879,18 +1879,22 @@ def mann_whitney_u(
     n2 = F.col("n_total") - n1
     u1_x2 = F.col("rank_sum_x2") - n1 * (n1 + 1)
     mu_x2 = (n1 * n2).cast("double")  # 2*mu = n1*n2
-    sigma = F.sqrt(
-        (n1 * n2).cast("double") / F.lit(12.0)
-        * (
-            (F.col("n_total") + 1).cast("double")
-            - F.col("tie_term").cast("double")
-            / (
-                F.col("n_total").cast("double")
-                * (F.col("n_total") - 1).cast("double")
-            )
+    sigma2 = (n1 * n2).cast("double") / F.lit(12.0) * (
+        (F.col("n_total") + 1).cast("double")
+        - F.col("tie_term").cast("double")
+        / (
+            F.col("n_total").cast("double")
+            * (F.col("n_total") - 1).cast("double")
         )
     )
-    z = (u1_x2.cast("double") - mu_x2) / (F.lit(2.0) * sigma)
+    # sigma degenerates to 0 when every value in the corpus is tied
+    # (one giant tie group) or a side is empty — NULL z, never a
+    # divide-by-zero (ANSI mode throws)
+    z = F.when(
+        sigma2 > 0,
+        (u1_x2.cast("double") - mu_x2)
+        / (F.lit(2.0) * F.sqrt(sigma2)),
+    )
     return (
         per_grp.crossJoin(F.broadcast(totals))
         .select(
@@ -1946,47 +1950,37 @@ def mann_whitney_u_sql(
             FROM base GROUP BY grp, v) b
       JOIN grid USING (v)
       GROUP BY b.grp
+    ),
+    calc AS (
+      SELECT grp, n_group,
+             CAST(n_total - n_group AS BIGINT) AS n_rest,
+             rank_sum_x2,
+             CAST(rank_sum_x2 - n_group * (n_group + 1) AS BIGINT)
+               AS u1_x2,
+             CAST(n_group * (n_total - n_group) AS DOUBLE) AS mu_x2,
+             CAST(n_group * (n_total - n_group) AS DOUBLE)
+               / CAST(12.0 AS DOUBLE)
+               * (CAST(n_total + 1 AS DOUBLE)
+                  - CAST(tie_term AS DOUBLE)
+                    / (CAST(n_total AS DOUBLE)
+                       * CAST(n_total - 1 AS DOUBLE))) AS sigma2,
+             n_total
+      FROM per_grp, totals
     )
-    SELECT grp AS {group_col}, n_group,
-           CAST(n_total - n_group AS BIGINT) AS n_rest,
-           rank_sum_x2,
-           CAST(rank_sum_x2 - n_group * (n_group + 1) AS BIGINT)
-             AS u1_x2,
-           CAST(rank_sum_x2 - n_group * (n_group + 1) AS DOUBLE) / 2
-             AS u_stat,
-           round(
-             (CAST(rank_sum_x2 - n_group * (n_group + 1) AS DOUBLE)
-              - CAST(n_group * (n_total - n_group) AS DOUBLE))
-             / (CAST(2.0 AS DOUBLE) * sqrt(
-                 CAST(n_group * (n_total - n_group) AS DOUBLE)
-                 / CAST(12.0 AS DOUBLE)
-                 * (CAST(n_total + 1 AS DOUBLE)
-                    - CAST(tie_term AS DOUBLE)
-                      / (CAST(n_total AS DOUBLE)
-                         * CAST(n_total - 1 AS DOUBLE))))),
+    SELECT grp AS {group_col}, n_group, n_rest, rank_sum_x2, u1_x2,
+           CAST(u1_x2 AS DOUBLE) / 2 AS u_stat,
+           round(CASE WHEN sigma2 > 0 THEN
+               (CAST(u1_x2 AS DOUBLE) - mu_x2)
+               / (CAST(2.0 AS DOUBLE) * sqrt(sigma2)) END,
              9) AS z,
-           round(
-             (CAST(rank_sum_x2 - n_group * (n_group + 1) AS DOUBLE)
-              - CAST(n_group * (n_total - n_group) AS DOUBLE))
-             / (CAST(2.0 AS DOUBLE) * sqrt(
-                 CAST(n_group * (n_total - n_group) AS DOUBLE)
-                 / CAST(12.0 AS DOUBLE)
-                 * (CAST(n_total + 1 AS DOUBLE)
-                    - CAST(tie_term AS DOUBLE)
-                      / (CAST(n_total AS DOUBLE)
-                         * CAST(n_total - 1 AS DOUBLE)))))
+           round(CASE WHEN sigma2 > 0 THEN
+               (CAST(u1_x2 AS DOUBLE) - mu_x2)
+               / (CAST(2.0 AS DOUBLE) * sqrt(sigma2)) END
              / sqrt(CAST(n_total AS DOUBLE)),
              9) AS effect_r,
-           abs(round(
-             (CAST(rank_sum_x2 - n_group * (n_group + 1) AS DOUBLE)
-              - CAST(n_group * (n_total - n_group) AS DOUBLE))
-             / (CAST(2.0 AS DOUBLE) * sqrt(
-                 CAST(n_group * (n_total - n_group) AS DOUBLE)
-                 / CAST(12.0 AS DOUBLE)
-                 * (CAST(n_total + 1 AS DOUBLE)
-                    - CAST(tie_term AS DOUBLE)
-                      / (CAST(n_total AS DOUBLE)
-                         * CAST(n_total - 1 AS DOUBLE))))),
+           abs(round(CASE WHEN sigma2 > 0 THEN
+               (CAST(u1_x2 AS DOUBLE) - mu_x2)
+               / (CAST(2.0 AS DOUBLE) * sqrt(sigma2)) END,
              9)) > {alpha_z} AS reject_95
-    FROM per_grp, totals
+    FROM calc
     """

@@ -2612,10 +2612,16 @@ def heaps_law(
             ),
         ).alias("s"),
     )
-    beta = (
-        F.col("b") * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy")
-    ) / (
+    # denominator degenerates to 0 with a single checkpoint (B=1) or
+    # when every checkpoint has identical cumulative tokens — NULL fit,
+    # never a divide-by-zero (ANSI mode throws; DuckDB would emit inf)
+    denom = (
         F.col("b") * F.col("s.sxx") - F.col("s.sx") * F.col("s.sx")
+    )
+    beta = F.when(
+        denom != 0,
+        (F.col("b") * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy"))
+        / denom,
     )
     fit = folded.select(
         F.round(beta, 9).alias("beta"),
@@ -2685,10 +2691,15 @@ def heaps_law_sql(*, n_buckets: int = 20) -> str:
       FROM pts
     ),
     fit AS (
-      SELECT round((b * s.sxy - s.sx * s.sy)
-                   / (b * s.sxx - s.sx * s.sx), 9) AS beta,
-             round(exp((s.sy - (b * s.sxy - s.sx * s.sy)
-                               / (b * s.sxx - s.sx * s.sx) * s.sx) / b),
+      -- CASE-guarded like the Spark side: B=1 or constant-x checkpoints
+      -- make the denominator 0 (DuckDB would emit inf, Spark ANSI throws)
+      SELECT round(CASE WHEN b * s.sxx - s.sx * s.sx <> 0 THEN
+                     (b * s.sxy - s.sx * s.sy)
+                     / (b * s.sxx - s.sx * s.sx) END, 9) AS beta,
+             round(exp((s.sy - CASE WHEN b * s.sxx - s.sx * s.sx <> 0
+                               THEN (b * s.sxy - s.sx * s.sy)
+                                    / (b * s.sxx - s.sx * s.sx) END
+                               * s.sx) / b),
                    9) AS k_coef
       FROM folded
     )

@@ -139,6 +139,20 @@ def test_mwu_detects_planted_location_shift(spark):
     assert out["shifted"].u_stat == 40 * 160
 
 
+def test_mwu_degenerate_all_tied_corpus_yields_null_z(spark):
+    """Every value identical -> one giant tie group -> sigma = 0: z,
+    effect_r and reject_95 must be NULL, never an ANSI divide-by-zero
+    (hypothesis-found class during pre-validation); the integer rank
+    algebra still holds."""
+    rows = [("a", 7)] * 4 + [("b", 7)] * 3
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r.source: r for r in mann_whitney_u(df).collect()}
+    # midrank of the single value: (2*0 + 7 + 1)/2 = 4 -> rank2 = 8
+    assert out["a"].rank_sum_x2 == 4 * 8
+    assert out["a"].z is None and out["a"].reject_95 is None
+    assert out["b"].effect_r is None
+
+
 def test_mwu_tie_term_zero_without_ties(spark):
     rows = [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(10)]
     df = spark.createDataFrame(rows, "source string, n_chars long")

@@ -173,6 +173,17 @@ def test_heaps_counts_and_fit_on_growing_vocab_fixture(spark):
     assert out[0][6] == pytest.approx(1.0, abs=1e-9)
 
 
+def test_heaps_degenerate_single_bucket_yields_null_fit(spark):
+    """One document = one checkpoint: the OLS denominator is 0; the fit
+    must be NULL, never an ANSI divide-by-zero (hypothesis-found class
+    during pre-validation)."""
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    rows = heaps_law(df, n_buckets=4).collect()
+    assert len(rows) == 1
+    assert rows[0].beta is None and rows[0].k_coef is None
+    assert rows[0].cum_tokens == 3 and rows[0].cum_types == 3
+
+
 def test_heaps_buckets_partition_every_doc(spark, con):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = heaps_law(docs).collect()
