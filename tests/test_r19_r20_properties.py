@@ -274,3 +274,82 @@ def test_grid_density_matches_union_find_replay(spark, cells_of_points):
             assert got[i].cluster == expect
         else:
             assert got[i].cluster is None
+
+
+# ---------------------------------------------------------------------------
+# Partitioning invariance + empty-input hardening (the r8/r12-15 bar)
+# ---------------------------------------------------------------------------
+
+def test_staged_operators_are_partitioning_invariant(spark):
+    """The ordered-fold / integer-algebra recipes must make results
+    independent of input partitioning; pin it empirically for every
+    fold- or quantile-carrying r19/r20 operator."""
+    from flink_kafka_table_api_spark.operators.text import (
+        assoc_rules as ar,
+        heaps_law as hl,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs7 = docs.repartition(7)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    a = sorted(map(tuple, rfm_segments(orders).collect()))
+    b = sorted(map(tuple, rfm_segments(orders.repartition(7)).collect()))
+    assert a == b
+
+    a = sorted(map(tuple, mann_whitney_u(docs).collect()))
+    b = sorted(map(tuple, mann_whitney_u(docs7).collect()))
+    assert a == b
+
+    a = [tuple(r) for r in ar(docs).collect()]
+    b = [tuple(r) for r in ar(docs7).collect()]
+    assert a == b  # ordered: the top-k cutoff itself must not move
+
+    a = sorted(map(tuple, hl(docs).collect()))
+    b = sorted(map(tuple, hl(docs7).collect()))
+    assert a == b
+
+    from flink_kafka_table_api_spark.catalog import read_table
+
+    ev = read_table(spark, SF, "events")
+    a = sorted(map(tuple, ewma_control(ev).collect()))
+    b = sorted(map(tuple, ewma_control(ev.repartition(7)).collect()))
+    assert a == b
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(map(tuple, grid_density_clusters(
+        emb, cell=0.04, min_pts=4).collect()))
+    b = sorted(map(tuple, grid_density_clusters(
+        emb.repartition(7), cell=0.04, min_pts=4).collect()))
+    assert a == b
+
+
+def test_staged_operators_tolerate_empty_input(spark):
+    """Empty frames must yield empty results, never throw (the
+    hardening bar the r12-15 pass set)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_table_api_spark.operators.text import (
+        assoc_rules as ar,
+        heaps_law as hl,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    orders = spark.createDataFrame(
+        [], "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, event_type string"
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    assert rfm_segments(orders).count() == 0
+    assert mann_whitney_u(
+        docs.select(F.col("text").alias("source"),
+                    F.col("doc_id").alias("n_chars"))
+    ).count() == 0
+    assert ar(docs).count() == 0
+    assert hl(docs).count() == 0
+    assert ewma_control(events).count() == 0
+    assert grid_density_clusters(emb).count() == 0
