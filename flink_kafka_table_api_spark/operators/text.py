@@ -2389,7 +2389,11 @@ def assoc_rules(
     pruned = tracked_persist(
         doc_toks.join(F.broadcast(freq), "w").select(id_col, "w")
     )
-    n_docs = doc_toks.select(id_col).distinct().count()
+    # N as a broadcast 1-row aggregate, not a driver .count() action —
+    # the action would be a separate blocking job over the cache
+    n_row = doc_toks.agg(
+        F.countDistinct(id_col).cast("long").alias("__n")
+    )
     a = pruned.select(F.col(id_col), F.col("w").alias("token_a"))
     b = pruned.select(F.col(id_col), F.col("w").alias("token_b"))
     pairs = (
@@ -2419,6 +2423,7 @@ def assoc_rules(
     scored = (
         directed.join(F.broadcast(da), "antecedent")
         .join(F.broadcast(dc), "consequent")
+        .crossJoin(F.broadcast(n_row))
         .select(
             "antecedent", "consequent", "pair_support",
             "antecedent_df", "consequent_df",
@@ -2428,7 +2433,7 @@ def assoc_rules(
                 9,
             ).alias("confidence"),
             F.round(
-                (F.col("pair_support") * F.lit(n_docs)).cast("double")
+                (F.col("pair_support") * F.col("__n")).cast("double")
                 / (
                     F.col("antecedent_df") * F.col("consequent_df")
                 ).cast("double"),
