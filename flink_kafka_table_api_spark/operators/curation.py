@@ -1810,10 +1810,17 @@ def mann_whitney_u(
     unlike a t-test it is immune to the heavy tails a web corpus
     always has.
 
-    Exactness contract: ranks are midranks over the VALUE-GROUPED
-    grid, carried as 2x-scaled integers (2*midrank = 2*cum_before +
-    tie_count + 1 is always integral), so the rank sum and U statistic
-    are pure BIGINT algebra; the only floats are the final normal
+    Exactness contract: ``value_col`` is cast to BIGINT first (the
+    test is rank-based, so any order-preserving integer quantization —
+    lengths, counts, cents — leaves the statistic meaningful; pass
+    continuous data pre-quantized); ranks are midranks over the
+    VALUE-GROUPED grid, carried as 2x-scaled integers (2*midrank =
+    2*cum_before + tie_count + 1 is always integral), so the rank sum
+    and U statistic are pure BIGINT algebra (rank2 ~ 2N bounds the
+    c*rank2 products: exact to N ~ 2e9 rows per test — run per-source
+    tests, not one corpus-wide row count, beyond that); the tie term
+    t^3 is summed in DECIMAL(38,0)/HUGEINT because a BIGINT cube
+    overflows at 2^21 rows sharing one value; the only floats are the final normal
     approximation z = (U1 - mu) / sigma with the exact tie correction
     sigma^2 = (n1*n2/12) * ((N+1) - sum(t^3 - t) / (N*(N-1)))
     (Lehmann, "Nonparametrics", 1975) evaluated in ONE identical
@@ -1860,11 +1867,17 @@ def mann_whitney_u(
             + F.col("t") + 1
         ).cast("long").alias("rank2"),
     )
+    # t^3 in DECIMAL(38,0): a BIGINT product overflows (ANSI abort)
+    # once one value is shared by >= 2^21 rows — exactly the per-value
+    # concentration capped/empty document lengths have at corpus
+    # scale. Decimal sums stay exact and order-free (the DuckDB twin
+    # is HUGEINT); the value is only ever consumed as a double.
     totals = val_tot.agg(
         F.sum("t").cast("long").alias("n_total"),
         F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
-        ).cast("long").alias("tie_term"),
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie_term"),
     )
     per_grp = (
         per_grp_val.join(F.broadcast(grid), "v")
@@ -1938,8 +1951,10 @@ def mann_whitney_u_sql(
       FROM val_tot
     ),
     totals AS (
+      -- HUGEINT t^3 mirrors the Spark side's DECIMAL(38,0): exact and
+      -- order-free where a BIGINT product would overflow at t >= 2^21
       SELECT CAST(SUM(t) AS BIGINT) AS n_total,
-             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+             SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
       FROM val_tot
     ),
     per_grp AS (

@@ -1079,6 +1079,19 @@ def frequent_pairs(
     doc)^2 — raising min_support shrinks the candidate space, exactly
     the knob a 100 TB run turns. The final aggregate shuffles (pair,
     partial count) rows only."""
+    _, _, pairs = _apriori_stage(df, id_col, text_col, min_support)
+    return pairs.withColumnRenamed("pair_docs", "n_docs")
+
+
+def _apriori_stage(
+    df: DataFrame, id_col: str, text_col: str, min_support: int
+):
+    """The shared A-priori stage behind :func:`frequent_pairs` and
+    :func:`assoc_rules`: returns (doc_toks, dfreq, pairs) where
+    doc_toks is the persisted distinct (doc, token) relation, dfreq the
+    persisted per-token document frequencies, and pairs the frequent
+    unordered pairs (token_a < token_b, pair_docs >= min_support).
+    Pruning and pair-join shape documented on frequent_pairs."""
     from flink_kafka_table_api_spark.caching import tracked_persist
 
     doc_toks = tracked_persist(
@@ -1086,24 +1099,23 @@ def frequent_pairs(
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
         .distinct()
     )
-    freq = (
-        doc_toks.groupBy("w")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") >= min_support)
-        .select("w")
+    dfreq = tracked_persist(
+        doc_toks.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     )
+    freq = dfreq.filter(F.col("df") >= min_support).select("w")
     pruned = tracked_persist(
         doc_toks.join(F.broadcast(freq), "w").select(id_col, "w")
     )
     a = pruned.select(F.col(id_col), F.col("w").alias("token_a"))
     b = pruned.select(F.col(id_col), F.col("w").alias("token_b"))
-    return (
+    pairs = (
         a.join(b, id_col)
         .filter(F.col("token_a") < F.col("token_b"))
         .groupBy("token_a", "token_b")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_support)
+        .agg(F.count("*").cast("long").alias("pair_docs"))
+        .filter(F.col("pair_docs") >= min_support)
     )
+    return doc_toks, dfreq, pairs
 
 
 def frequent_pairs_sql(min_support: int = 10) -> str:
@@ -2375,33 +2387,14 @@ def assoc_rules(
     vocabulary-sized and broadcast onto the pair table twice (alias
     per side); the final TakeOrdered ships k rows per partition, never
     a global sort."""
-    from flink_kafka_table_api_spark.caching import tracked_persist
-
-    doc_toks = tracked_persist(
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
-        .distinct()
+    doc_toks, dfreq, pairs = _apriori_stage(
+        df, id_col, text_col, min_support
     )
-    dfreq = tracked_persist(
-        doc_toks.groupBy("w").agg(F.count("*").cast("long").alias("df"))
-    )
-    freq = dfreq.filter(F.col("df") >= min_support).select("w")
-    pruned = tracked_persist(
-        doc_toks.join(F.broadcast(freq), "w").select(id_col, "w")
-    )
+    pairs = pairs.withColumnRenamed("pair_docs", "pair_support")
     # N as a broadcast 1-row aggregate, not a driver .count() action —
     # the action would be a separate blocking job over the cache
     n_row = doc_toks.agg(
         F.countDistinct(id_col).cast("long").alias("__n")
-    )
-    a = pruned.select(F.col(id_col), F.col("w").alias("token_a"))
-    b = pruned.select(F.col(id_col), F.col("w").alias("token_b"))
-    pairs = (
-        a.join(b, id_col)
-        .filter(F.col("token_a") < F.col("token_b"))
-        .groupBy("token_a", "token_b")
-        .agg(F.count("*").cast("long").alias("pair_support"))
-        .filter(F.col("pair_support") >= min_support)
     )
     directed = pairs.select(
         F.col("token_a").alias("antecedent"),

@@ -153,6 +153,23 @@ def test_mwu_degenerate_all_tied_corpus_yields_null_z(spark):
     assert out["b"].effect_r is None
 
 
+def test_mwu_tie_cube_survives_bigint_overflow_scale(spark):
+    """2.2M rows sharing one value: t^3 ~ 1.06e19 > 2^63-1, which a
+    BIGINT tie-term sum would abort on under ANSI — the DECIMAL(38,0)
+    path must complete (review finding, fixed); with a second distinct
+    value sigma is positive and z finite."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(2_200_000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+        F.when(F.col("id") < 100, F.col("id") + 100)
+        .otherwise(F.lit(7)).cast("long").alias("n_chars"),
+    )
+    out = {r.source: r for r in mann_whitney_u(df).collect()}
+    assert out["a"].n_group + out["b"].n_group == 2_200_000
+    assert out["a"].z is not None and math.isfinite(out["a"].z)
+
+
 def test_mwu_tie_term_zero_without_ties(spark):
     rows = [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(10)]
     df = spark.createDataFrame(rows, "source string, n_chars long")
