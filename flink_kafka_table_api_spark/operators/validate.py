@@ -112,6 +112,11 @@ def benford_audit(
         F.col("digit"),
     )
     w = Window.partitionBy()
+    # an EMPTY (or all-filtered) input leaves the 9-row spine with
+    # total 0 — shares are NULL then, never a divide-by-zero (ANSI
+    # mode throws; found by the empty-input hardening pass)
+    total = F.sum("n_obs").over(w)
+    share = F.when(total > 0, F.col("n_obs") / total)
     return (
         spine.join(obs, "digit", "left")
         .select(
@@ -122,23 +127,21 @@ def benford_audit(
         .select(
             "digit",
             "n_obs",
-            F.round(F.col("n_obs") / F.sum("n_obs").over(w), 6)
-            .alias("p_obs"),
+            F.round(share, 6).alias("p_obs"),
             "p_benford",
             F.round(
-                F.pow(
-                    F.col("n_obs")
-                    - F.sum("n_obs").over(w) * F.col("p_benford"),
-                    F.lit(2.0),
-                )
-                / (F.sum("n_obs").over(w) * F.col("p_benford")),
+                F.when(
+                    total > 0,
+                    F.pow(
+                        F.col("n_obs") - total * F.col("p_benford"),
+                        F.lit(2.0),
+                    )
+                    / (total * F.col("p_benford")),
+                ),
                 6,
             ).alias("chi2_term"),
             (
-                F.abs(
-                    F.round(F.col("n_obs") / F.sum("n_obs").over(w), 6)
-                    - F.col("p_benford")
-                )
+                F.abs(F.round(share, 6) - F.col("p_benford"))
                 <= F.lit(tolerance)
             ).alias("within_tolerance"),
         )
@@ -178,11 +181,14 @@ def benford_audit_sql(
       FROM spine LEFT JOIN obs ON obs.digit = spine.digit
     )
     SELECT digit, n_obs,
-           round(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER (), 6) AS p_obs,
+           round(CASE WHEN SUM(n_obs) OVER () > 0 THEN
+             CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER () END, 6) AS p_obs,
            p_benford,
-           round(pow(n_obs - SUM(n_obs) OVER () * p_benford, 2.0)
-                 / (SUM(n_obs) OVER () * p_benford), 6) AS chi2_term,
-           abs(round(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER (), 6)
+           round(CASE WHEN SUM(n_obs) OVER () > 0 THEN
+             pow(n_obs - SUM(n_obs) OVER () * p_benford, 2.0)
+             / (SUM(n_obs) OVER () * p_benford) END, 6) AS chi2_term,
+           abs(round(CASE WHEN SUM(n_obs) OVER () > 0 THEN
+             CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER () END, 6)
                - p_benford) <= {tolerance} AS within_tolerance
     FROM j
     """

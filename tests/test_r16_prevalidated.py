@@ -172,3 +172,36 @@ def test_snapshot_diff_fingerprint_semantics(spark):
     assert out[2].status == "changed" and out[2].old_fp != out[2].new_fp
     assert out[3].status == "removed" and out[3].new_fp is None
     assert out[4].status == "added" and out[4].old_fp is None
+
+
+def test_r16_operators_empty_input_and_partitioning_invariance(spark):
+    """Empty frames yield empty results, never throw; fold-carrying
+    operators are invariant to input partitioning (the r8/r19-20
+    hardening bar)."""
+    from flink_kafka_table_api_spark.catalog import read_table
+    from flink_kafka_table_api_spark.operators.curation import (
+        snapshot_diff,
+    )
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, event_type string"
+    )
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert tsops.holt_forecast(empty_ev).count() == 0
+    assert tsops.acf_audit(empty_ev).count() == 0
+    assert snapshot_diff(empty_docs, empty_docs).count() == 0
+
+    ev = read_table(spark, SF, "events")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, tsops.holt_forecast(ev).collect()))
+    b = sorted(map(tuple, tsops.holt_forecast(ev.repartition(7)).collect()))
+    assert a == b
+    a = sorted(map(tuple, tsops.acf_audit(ev).collect()))
+    b = sorted(map(tuple, tsops.acf_audit(ev.repartition(7)).collect()))
+    assert a == b
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 3 != 1")
+    a = sorted(map(tuple, snapshot_diff(old, new).collect()))
+    b = sorted(map(tuple, snapshot_diff(
+        old.repartition(5), new.repartition(7)).collect()))
+    assert a == b

@@ -215,3 +215,30 @@ def test_benford_conformant_series_passes(spark):
     out = benford_audit(df, "amount", unit=10000).collect()
     assert sum(r.n_obs for r in out) == 700
     assert all(r.within_tolerance for r in out)
+
+
+def test_r17_operators_empty_input_and_partitioning_invariance(spark):
+    """Empty frames yield empty results (benford: 9 all-zero digit
+    rows — its spine is constant by design), never throw; results are
+    invariant to input partitioning (the r8/r19-20 hardening bar)."""
+    from flink_kafka_table_api_spark.catalog import read_table
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    empty_li = spark.createDataFrame([], "l_extendedprice double")
+    assert hits_scores(empty_edges).count() == 0
+    assert markov_transitions(empty_ev).count() == 0
+    bf = benford_audit(empty_li, "l_extendedprice").collect()
+    assert len(bf) == 9 and all(r.n_obs == 0 for r in bf)
+    assert all(r.p_obs is None and r.chi2_term is None for r in bf)
+
+    ev = read_table(spark, SF, "events")
+    edges = _hits_edges(spark)
+    a = sorted(map(tuple, hits_scores(edges).collect()))
+    b = sorted(map(tuple, hits_scores(edges.repartition(7)).collect()))
+    assert a == b
+    a = sorted(map(tuple, markov_transitions(ev).collect()))
+    b = sorted(map(tuple, markov_transitions(ev.repartition(7)).collect()))
+    assert a == b
