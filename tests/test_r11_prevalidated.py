@@ -224,3 +224,26 @@ def test_equi_depth_bins_oracle_parity_on_testdata(spark):
     # equi-depth contract: no bin holds more than ~2x its fair share
     counts = [r[3] for r in got]
     assert max(counts) <= 2 * (sum(counts) / len(counts))
+
+
+def test_r11_operators_tolerate_empty_input(spark):
+    """Empty frames must yield empty results, never throw (the
+    hardening bar the later rounds set, applied backward)."""
+    from flink_kafka_table_api_spark.operators.dedup import (
+        lsh_recall_audit,
+    )
+    from flink_kafka_table_api_spark.operators.graph import (
+        adamic_adar_scores,
+    )
+    from flink_kafka_table_api_spark.operators.relational import (
+        equi_depth_bins,
+    )
+    from flink_kafka_table_api_spark.operators.text import winnow_matches
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    edges = spark.createDataFrame([], "src long, dst long")
+    vals = spark.createDataFrame([], "o_totalprice double")
+    assert winnow_matches(docs).count() == 0
+    assert adamic_adar_scores(edges).count() == 0
+    assert lsh_recall_audit(docs, "doc_id", "text").count() == 0
+    assert equi_depth_bins(vals, "o_totalprice").count() == 0

@@ -613,3 +613,18 @@ def test_event_paths_oracle_parity_on_testdata(spark):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
     want = [tuple(r) for r in con.execute(event_paths_sql()).fetchall()]
     assert got == want and len(got) == 20
+
+
+def test_r9_operators_tolerate_empty_input(spark):
+    """Empty frames yield empty results, never throw (the hardening
+    bar applied backward to the round-9 staged operators)."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        event_paths,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert tx.gazetteer_tag(docs, {"acme corp": "ORG"}).count() == 0
+    assert event_paths(ev).count() == 0
