@@ -806,3 +806,87 @@ def hits_scores_sql(edges_sql: str, *, iterations: int = 4) -> str:
            CAST(a{k}.a AS BIGINT) AS auth_score
     FROM h{k} JOIN a{k} ON a{k}.node = h{k}.node
     """
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Multi-source BFS hop distances: the minimum number of edges from
+    ANY seed node to every reachable node, following edge direction
+    (pre-symmetrize for undirected distance — the family contract).
+    The reachability primitive the family's other operators don't
+    cover: crawl-frontier distance, influence radius, contamination
+    blast-radius ("everything within k hops of these flagged docs" over
+    a near-dup graph). ``seeds`` is a DataFrame with a ``node`` column.
+
+    Classic Pregel-style frontier expansion (Malewicz et al. SIGMOD'10):
+    per round one equi-join of the CURRENT frontier against the edge
+    list + one anti-join against the settled set, so each round's
+    shuffle carries the frontier, not the graph. All-integer (node ids
+    and hop counts) — the DuckDB unrolled replay is bit-exact. Nodes
+    beyond ``max_hops`` (the bounded-round contract every iterative
+    operator here uses) are absent; unreachable nodes are absent by
+    definition.
+
+    Returns (node, hop) with hop 0 for the seeds themselves.
+
+    Scale shape per round: frontier-edge equi-join hash-partitioned on
+    the node id (the edge list is the invariant big side — persist and
+    pre-partition it once in production), one distinct on the new
+    frontier, one anti-join against the settled label table;
+    localCheckpoint truncates the growing label table's lineage."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dist = seeds.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("hop"),
+    ).distinct().localCheckpoint()
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hop"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist
+
+
+def bfs_hops_sql(
+    edges_sql: str, seeds_sql: str, *, max_hops: int = 8
+) -> str:
+    """DuckDB replay of :func:`bfs_hops` — rounds unroll as a WITH
+    chain of frontier joins + NOT-IN settles; pure integer arithmetic,
+    bit-exact by construction. (The replay unrolls every round; rounds
+    past convergence add nothing, matching the operator's early
+    exit.)"""
+    parts = [
+        f"e AS ({edges_sql})",
+        f"d0 AS (SELECT DISTINCT CAST(node AS BIGINT) AS node, "
+        f"CAST(0 AS BIGINT) AS hop FROM ({seeds_sql}))",
+        "f0 AS (SELECT node FROM d0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS (SELECT DISTINCT e.dst AS node "
+            f"FROM f{h - 1} JOIN e ON e.src = f{h - 1}.node "
+            f"WHERE e.dst NOT IN (SELECT node FROM d{h - 1}))"
+        )
+        parts.append(
+            f"d{h} AS (SELECT node, hop FROM d{h - 1} UNION ALL "
+            f"SELECT node, CAST({h} AS BIGINT) AS hop FROM f{h})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, hop FROM d{max_hops}"
+    )

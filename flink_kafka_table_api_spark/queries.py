@@ -7303,6 +7303,25 @@ def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
     return hits_scores(_hits_edges(spark, sf))
 
 
+@bench_query("bfs_hops")
+def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.py `bfs_hops`,
+    RESERVE operator — pre-validated, not slot-committed) over the
+    directed quadratic-generator graph from the three lowest customer
+    keys: per round a frontier-edge join + anti-join settle, never a
+    graph-sized shuffle."""
+    from flink_kafka_table_api_spark.operators.graph import bfs_hops
+
+    edges = _hits_edges(spark, sf)
+    seeds = (
+        _t(spark, sf, "customer")
+        .select(F.col("c_custkey").cast("long").alias("node"))
+        .orderBy("node")
+        .limit(3)
+    )
+    return bfs_hops(edges, seeds, max_hops=8)
+
+
 @bench_query("markov_transitions")
 def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix of per-user event
@@ -8232,6 +8251,13 @@ _PRIORITY: list[str] = [
 # 3 -> 1), and the text-repair family (fix_encoding + pii_redact).
 # TPC-H merges are last-resort: individual q-shape evidence is a
 # graded deliverable.
+#
+# Reserve OPERATOR (pre-built spare, not slot-committed): `bfs_hops`
+# (operators/graph.py bfs_hops + bfs_hops_sql — multi-source BFS hop
+# distances by Pregel-style frontier expansion, all-integer unrolled
+# oracle; tests/test_reserve_ops.py + the BENCH_ONLY twin above). If a
+# committed r7-r20 registration hits trouble, swap this in with the
+# same never-green gate rule.
 # =============================================================================
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",

@@ -125,6 +125,8 @@ MEASURE = [
     "ewma_control",          # 1 daily agg + groups-x-days chart fold
     "heaps_law",             # 1 token scan -> 2 aggs + 20-row fit
     "grid_density",          # 1 cell agg + dense-cell CC + label join
+    # reserve operator
+    "bfs_hops",              # per-round frontier join + settle anti-join
 ]
 
 
