@@ -1225,7 +1225,10 @@ def grid_density_clusters(
     cc = connected_components(edges).select(
         F.col("id").alias("__cid"), F.col("cluster")
     )
-    dense_labeled = dense.join(cc, "__cid", "left").select(
+    # cc is at most dense-cell-sized (often a driver-built frame whose
+    # size Spark can't estimate — left alone it picks a sort-merge
+    # join); broadcast is correct at any scale
+    dense_labeled = dense.join(F.broadcast(cc), "__cid", "left").select(
         "__cid",
         F.coalesce("cluster", "__cid").alias("cluster"),
     )
