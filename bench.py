@@ -153,8 +153,9 @@ HEADLINE = [
     "ewma_control",            # 1 daily agg + groups-x-days fold
     "heaps_law",               # token scan -> 2 partial aggs + 20-row fit
     "grid_density",            # 1 cell agg + dense-cell CC + label join
-    # reserve operator (pre-built spare, see the queries.py note)
+    # reserve operators (pre-built spares, see the queries.py note)
     "bfs_hops",                # per-round frontier join + anti-join settle
+    "mann_kendall",            # daily agg + bounded pair join + median
 ]
 
 

@@ -1620,3 +1620,225 @@ def ewma_control_sql(
                 THEN ewma > ucl OR ewma < lcl END AS violation
     FROM rows_
     """
+
+
+def mann_kendall(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha_z: float = 1.959963984540054,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test with Sen's slope (Mann 1945,
+    Kendall 1975; Sen 1968) over per-group daily event counts — the
+    drift family's missing TREND TEST: Holt TRACKS a trend, CUSUM
+    flags a level CHANGE, this answers "is there a statistically
+    significant monotone drift at all, and how steep" without assuming
+    linearity or normality.
+
+    S = sum over day pairs i<j of sign(c_j - c_i) — pure BIGINT.
+    var(S) carries the exact tie correction
+    [n(n-1)(2n+5) - sum t(t-1)(2t+5)] / 18 (ties over equal COUNT
+    values; integer numerator, one float division). z applies the
+    standard continuity correction ((S-1)/sd for S>0, (S+1)/sd for
+    S<0, 0 at S=0). Sen's slope is the MEDIAN of pairwise slopes
+    (c_j - c_i)/(j - i) — every slope a single exact division of
+    integers, the median the same linear-interpolated percentile in
+    both engines. Groups with < 2 days or zero variance return NULL
+    z/verdict.
+
+    Returns (group, n_days, s_stat, var_s_x18, z round(9), trend
+    in {'increasing','decreasing','no_trend'}, sens_slope round(9)).
+    var_s_x18 is the INTEGER numerator (18*var) so the output stays
+    exact.
+
+    Scale shape: one corpus-sized daily count aggregate (calendar-
+    filled, the family rule); the pair join is the ordered self-join
+    of the per-group DAILY frame — bounded by calendar length squared
+    (a decade of days ~ 6.6M pairs per group), keyed on the group so
+    it shuffles day rows, never events."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+
+    e = events.select(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    )
+    daily = tracked_persist(
+        e.groupBy("grp", "day").agg(
+            F.count("*").cast("long").alias("c")
+        )
+    )
+    span = daily.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    calendar = (
+        daily.select("grp").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+            ).alias("day"),
+            "__d0",
+        )
+    )
+    filled = tracked_persist(
+        calendar.join(daily, ["grp", "day"], "left")
+        .select(
+            "grp",
+            # day index from the GLOBAL span start (the calendar is
+            # grp x global span, so t is the same grid for every group)
+            F.datediff("day", "__d0").cast("long").alias("t"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    a = filled.select("grp", F.col("t").alias("ti"), F.col("c").alias("ci"))
+    b = filled.select("grp", F.col("t").alias("tj"), F.col("c").alias("cj"))
+    pairs = a.join(b, "grp").filter(F.col("ti") < F.col("tj"))
+    s_and_slope = pairs.groupBy("grp").agg(
+        F.sum(
+            F.signum((F.col("cj") - F.col("ci")).cast("double"))
+            .cast("long")
+        ).cast("long").alias("s_stat"),
+        F.round(
+            F.percentile(
+                (F.col("cj") - F.col("ci")).cast("double")
+                / (F.col("tj") - F.col("ti")).cast("double"),
+                F.lit(0.5),
+            ),
+            9,
+        ).alias("sens_slope"),
+    )
+    ties = (
+        filled.groupBy("grp", "c")
+        .agg(F.count("*").cast("long").alias("tt"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("__nvals"),
+            F.sum("tt").cast("long").alias("n_days"),
+            F.sum(
+                F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)
+            ).cast("long").alias("__tie_sum"),
+        )
+    )
+    n = F.col("n_days")
+    var18 = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tie_sum")
+    ).cast("long")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    s = F.col("s_stat").cast("double")
+    z = F.when(
+        var18 > 0,
+        F.when(s > 0, (s - 1) / sd)
+        .when(s < 0, (s + 1) / sd)
+        .otherwise(F.lit(0.0)),
+    )
+    zr = F.round(z, 9)
+    return (
+        s_and_slope.join(ties, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            "s_stat",
+            var18.alias("var_s_x18"),
+            zr.alias("z"),
+            F.when(zr > F.lit(alpha_z), F.lit("increasing"))
+            .when(zr < F.lit(-alpha_z), F.lit("decreasing"))
+            .when(zr.isNotNull(), F.lit("no_trend"))
+            .alias("trend"),
+            "sens_slope",
+        )
+    )
+
+
+def mann_kendall_sql(
+    src: str = "events", *, alpha_z: float = 1.959963984540054
+) -> str:
+    """DuckDB replay of :func:`mann_kendall` over ``src``: identical
+    integer S / tie numerator, identical continuity-corrected z,
+    quantile_cont median of the identical pairwise slope set."""
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {src} GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    cal AS (
+      SELECT g.grp, CAST(u.day AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) g,
+           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span) u
+    ),
+    filled AS (
+      SELECT cal.grp,
+             CAST(datediff('day', s.d0, cal.day) AS BIGINT) AS t,
+             COALESCE(d.c, 0) AS c
+      FROM cal
+      CROSS JOIN span s
+      LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
+    ),
+    pairs AS (
+      SELECT a.grp,
+             CAST(sign(CAST(b.c - a.c AS DOUBLE)) AS BIGINT) AS sg,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+               AS slope
+      FROM filled a JOIN filled b ON a.grp = b.grp AND a.t < b.t
+    ),
+    s_slope AS (
+      SELECT grp, CAST(SUM(sg) AS BIGINT) AS s_stat,
+             round(quantile_cont(slope, 0.5), 9) AS sens_slope
+      FROM pairs GROUP BY grp
+    ),
+    ties AS (
+      SELECT grp,
+             CAST(SUM(tt) AS BIGINT) AS n_days,
+             CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT)
+               AS tie_sum
+      FROM (SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS tt
+            FROM filled GROUP BY grp, c)
+      GROUP BY grp
+    ),
+    calc AS (
+      SELECT s.grp, t.n_days, s.s_stat,
+             CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                  - t.tie_sum AS BIGINT) AS var_s_x18,
+             s.sens_slope
+      FROM s_slope s JOIN ties t ON s.grp = t.grp
+    )
+    SELECT grp AS event_type, n_days, s_stat, var_s_x18,
+           round(CASE WHEN var_s_x18 > 0 THEN
+             CASE WHEN s_stat > 0 THEN
+                    (CAST(s_stat AS DOUBLE) - 1)
+                    / sqrt(CAST(var_s_x18 AS DOUBLE)
+                           / CAST(18.0 AS DOUBLE))
+                  WHEN s_stat < 0 THEN
+                    (CAST(s_stat AS DOUBLE) + 1)
+                    / sqrt(CAST(var_s_x18 AS DOUBLE)
+                           / CAST(18.0 AS DOUBLE))
+                  ELSE CAST(0.0 AS DOUBLE) END
+           END, 9) AS z,
+           CASE WHEN var_s_x18 > 0 THEN
+             CASE WHEN round(CASE WHEN s_stat > 0 THEN
+                      (CAST(s_stat AS DOUBLE) - 1)
+                      / sqrt(CAST(var_s_x18 AS DOUBLE)
+                             / CAST(18.0 AS DOUBLE))
+                    WHEN s_stat < 0 THEN
+                      (CAST(s_stat AS DOUBLE) + 1)
+                      / sqrt(CAST(var_s_x18 AS DOUBLE)
+                             / CAST(18.0 AS DOUBLE))
+                    ELSE CAST(0.0 AS DOUBLE) END, 9) > {alpha_z}
+                    THEN 'increasing'
+                  WHEN round(CASE WHEN s_stat > 0 THEN
+                      (CAST(s_stat AS DOUBLE) - 1)
+                      / sqrt(CAST(var_s_x18 AS DOUBLE)
+                             / CAST(18.0 AS DOUBLE))
+                    WHEN s_stat < 0 THEN
+                      (CAST(s_stat AS DOUBLE) + 1)
+                      / sqrt(CAST(var_s_x18 AS DOUBLE)
+                             / CAST(18.0 AS DOUBLE))
+                    ELSE CAST(0.0 AS DOUBLE) END, 9) < -{alpha_z}
+                    THEN 'decreasing'
+                  ELSE 'no_trend' END
+           END AS trend,
+           sens_slope
+    FROM calc
+    """

@@ -7322,6 +7322,21 @@ def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=8)
 
 
+@bench_query("mann_kendall")
+def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Sen's slope per event type
+    (operators/timeseries.py `mann_kendall`, RESERVE operator —
+    pre-validated, not slot-committed): one daily count aggregate,
+    then the pair join over the tiny groups-x-days frame; integer S
+    and tie numerator, continuity-corrected z. The raw corpus reads a
+    live 'decreasing' verdict on the error stream."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        mann_kendall,
+    )
+
+    return mann_kendall(_t(spark, sf, "events"))
+
+
 @bench_query("markov_transitions")
 def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix of per-user event
@@ -8252,12 +8267,20 @@ _PRIORITY: list[str] = [
 # TPC-H merges are last-resort: individual q-shape evidence is a
 # graded deliverable.
 #
-# Reserve OPERATOR (pre-built spare, not slot-committed): `bfs_hops`
-# (operators/graph.py bfs_hops + bfs_hops_sql — multi-source BFS hop
-# distances by Pregel-style frontier expansion, all-integer unrolled
-# oracle; tests/test_reserve_ops.py + the BENCH_ONLY twin above). If a
-# committed r7-r20 registration hits trouble, swap this in with the
-# same never-green gate rule.
+# Reserve OPERATORS (pre-built spares, not slot-committed; both in
+# tests/test_reserve_ops.py with BENCH_ONLY twins above — if a
+# committed r7-r20 registration hits trouble, swap one in under the
+# same never-green gate rule):
+#   `bfs_hops` — operators/graph.py bfs_hops + bfs_hops_sql:
+#     multi-source BFS hop distances by Pregel-style frontier
+#     expansion, all-integer unrolled oracle.
+#   `mann_kendall` — operators/timeseries.py mann_kendall +
+#     mann_kendall_sql: Mann-Kendall monotone-trend test with exact
+#     tie-corrected variance and Sen's-slope median — the drift
+#     family's trend TEST (Holt tracks, CUSUM flags level change,
+#     this answers "is there significant monotone drift"); integer
+#     S / var numerator, identical-expression z, live 'decreasing'
+#     verdict on the raw corpus.
 # =============================================================================
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "agg_minmax_by", "agg_rollup_cube",

@@ -125,8 +125,9 @@ MEASURE = [
     "ewma_control",          # 1 daily agg + groups-x-days chart fold
     "heaps_law",             # 1 token scan -> 2 aggs + 20-row fit
     "grid_density",          # 1 cell agg + dense-cell CC + label join
-    # reserve operator
+    # reserve operators
     "bfs_hops",              # per-round frontier join + settle anti-join
+    "mann_kendall",          # daily agg + bounded pair join + median
 ]
 
 
