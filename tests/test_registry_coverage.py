@@ -1,13 +1,13 @@
-"""Rotation-discipline guard (VERDICT r3 item 5, relaxed per VERDICT r4):
-the driver's correctness gate only checks the first 50 entries of
-queries() per round, and the registry (138+ names) has outgrown the
-50-slot × 2-round evidence window (max 100 distinct names). Freshness is
-therefore managed as a committed TWO-round plan, and this test makes the
-plan binding:
+"""Rotation-discipline guard (VERDICT r3 item 5, relaxed per VERDICT r4,
+window widened per VERDICT r6 item 1): the driver's correctness gate only
+checks the first 50 entries of queries() per round. Freshness is managed
+as a committed TWO-round plan over a THREE-round evidence window
+(sustainable registry ≈ 200 names — the widening that let the whole
+staged r7–r20 cohort register in rounds 7–8 instead of dripping through
+round 20), and this test makes the plan binding:
 
   every registered query must appear in the union of
-    (a) the GREEN rows (hash match, no error; see _green for the
-        rows-only carve-out) of the two most recent
+    (a) the GREEN rows (hash match, no error) of the THREE most recent
         CORRECTNESS_r*.json driver artifacts — a red row is the
         opposite of evidence (VERDICT r5 item 3),
     (b) the first 50 entries of the CURRENT rotation (= this round's
@@ -18,8 +18,10 @@ plan binding:
   a query that has NEVER had a green driver row must sit in (b), the
   actual gate — a schedule slot is a promise, not evidence;
 
-  and every query without an oracle must carry an explicit rows-only
-  reason.
+  and every query must carry an oracle: ROWS_ONLY_REASONS must stay
+  EMPTY (VERDICT r6 item 5 — the carve-out went dead when
+  audio_features gained a contract oracle, and a dead carve-out is a
+  latent loophole).
 
 Adding a new query therefore forces it into the upcoming gate (or the
 test fails), renaming a query breaks the link to its old evidence loudly
@@ -54,21 +56,18 @@ def _green(name: str, row: dict) -> bool:
     """GREEN-only evidence predicate (round-5 VERDICT item 3): an artifact
     ENTRY is not evidence — a red row (hash mismatch, error) means the
     driver looked and the query FAILED, which is exactly when it must come
-    back into the gate. A rows-only query's strongest achievable driver
-    row is err='no_oracle' with a successful row count; that counts for
-    it (and only for it)."""
-    if row.get("hash_match") and not row.get("err"):
-        return True
-    return (
-        name in ROWS_ONLY_REASONS
-        and row.get("err") == "no_oracle"
-        and row.get("spark_rows") is not None
-    )
+    back into the gate. The rows-only carve-out was deleted in round 7
+    (VERDICT r6 item 5): every registered query carries an oracle, so
+    the only evidence is a hash-match row."""
+    return bool(row.get("hash_match")) and not row.get("err")
+
+
+EVIDENCE_WINDOW = 3  # artifacts; widened from 2 per VERDICT r6 item 1
 
 
 def _recent_driver_entries() -> set[str]:
     names: set[str] = set()
-    for f in _artifacts()[-2:]:
+    for f in _artifacts()[-EVIDENCE_WINDOW:]:
         d = json.load(open(f))
         names |= {n for n, row in d.items() if _green(n, row)}
     return names
@@ -89,7 +88,8 @@ def test_every_query_has_recent_or_scheduled_driver_evidence():
     uncovered = sorted(set(QUERIES) - recent - gate - scheduled)
     assert not uncovered, (
         f"{len(uncovered)} queries have no driver CORRECTNESS entry in the "
-        f"last two rounds, no slot in the upcoming {GATE_WIDTH}-slot gate, "
+        f"last {EVIDENCE_WINDOW} rounds, no slot in the upcoming "
+        f"{GATE_WIDTH}-slot gate, "
         f"and no slot in the committed next-round schedule: {uncovered}. "
         "Rotate _PRIORITY or _NEXT_GATE_SCHEDULE (queries.py)."
     )
@@ -122,15 +122,21 @@ def test_next_gate_schedule_is_sane():
     )
 
 
-def test_every_query_is_oracle_bearing_or_explained():
+def test_every_query_is_oracle_bearing():
     for name in QUERIES:
-        assert name in ORACLES or name in ROWS_ONLY_REASONS, (
-            f"{name} has neither an oracle nor a rows_only_reason"
-        )
-    # and never both — a rows-only reason on an oracle-bearing query is
-    # stale documentation
-    both = set(ORACLES) & set(ROWS_ONLY_REASONS)
-    assert not both, f"queries with BOTH oracle and rows-only tag: {both}"
+        assert name in ORACLES, f"{name} has no oracle"
+
+
+def test_rows_only_registry_stays_empty():
+    """VERDICT r6 item 5: the rows-only mechanism went dead when
+    audio_features gained a contract oracle. Keep it dead — a new
+    rows-only query is a conscious decision that must also revisit the
+    _green predicate, not a silent registration."""
+    assert ROWS_ONLY_REASONS == {}, (
+        f"rows-only queries reappeared: {sorted(ROWS_ONLY_REASONS)} — the "
+        "evidence predicate (_green) no longer honors rows-only rows; "
+        "give them real oracles or consciously restore the carve-out."
+    )
 
 
 def test_gate_is_exactly_50_distinct_registered_names():
@@ -155,24 +161,18 @@ def test_green_predicate_rejects_red_and_errored_rows():
     """The round-5 audit found the old predicate counted ANY artifact
     entry — including scd2_history's r4 red row and audio_features'
     no_oracle error — as coverage evidence. Pin the corrected
-    semantics."""
+    semantics (rows-only carve-out deleted in round 7: a no_oracle row
+    is never evidence anymore)."""
     green = {"rows_match": True, "schema_match": True, "hash_match": True,
              "spark_rows": 10, "oracle_rows": 10, "err": None}
     red_hash = dict(green, hash_match=False)
     errored = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": 10, "oracle_rows": None, "err": "oracle: boom"}
-    rows_only_ok = {"rows_match": None, "schema_match": None,
-                    "hash_match": None, "spark_rows": 815,
-                    "oracle_rows": None, "err": "no_oracle"}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 815,
+                 "oracle_rows": None, "err": "no_oracle"}
     some_name = "any_query"
     assert _green(some_name, green)
     assert not _green(some_name, red_hash)
     assert not _green(some_name, errored)
-    # a no_oracle row only counts for a query REGISTERED as rows-only
-    assert not _green(some_name, rows_only_ok)
-    ROWS_ONLY_REASONS[some_name] = "test fixture"
-    try:
-        assert _green(some_name, rows_only_ok)
-        assert not _green(some_name, dict(rows_only_ok, spark_rows=None))
-    finally:
-        del ROWS_ONLY_REASONS[some_name]
+    assert not _green(some_name, rows_only)
