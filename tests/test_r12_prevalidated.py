@@ -282,10 +282,11 @@ def test_dedup_suite_matches_composed_oracle(spark, con):
     composed, sharing one signature/candidate computation."""
     from flink_kafka_table_api_spark.queries import (
         BENCH_ONLY,
+        QUERIES,
         dedup_suite_sql,
     )
 
-    sdf = BENCH_ONLY["dedup_suite"](spark, SF)
+    sdf = {**BENCH_ONLY, **QUERIES}["dedup_suite"](spark, SF)
     got = sorted(tuple(r) for r in sdf.collect())
     exp = sorted(tuple(r) for r in con.execute(dedup_suite_sql()).fetchall())
     assert len(got) == len(exp) > 500

@@ -178,6 +178,7 @@ def test_rake_prefers_cohesive_phrases_and_drops_stopwords(spark):
 def test_tpch_scalar_suite_matches_composed_oracle(spark):
     from flink_kafka_table_api_spark.queries import (
         BENCH_ONLY,
+        QUERIES,
         tpch_scalar_suite_sql,
     )
 
@@ -185,7 +186,7 @@ def test_tpch_scalar_suite_matches_composed_oracle(spark):
     for t in ("lineitem", "part"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     got = sorted(
-        tuple(r) for r in BENCH_ONLY["tpch_scalar_suite"](spark, SF).collect()
+        tuple(r) for r in {**BENCH_ONLY, **QUERIES}["tpch_scalar_suite"](spark, SF).collect()
     )
     exp = sorted(
         tuple(r) for r in c.execute(tpch_scalar_suite_sql()).fetchall()
@@ -197,6 +198,7 @@ def test_tpch_scalar_suite_matches_composed_oracle(spark):
 def test_ann_basic_suite_matches_composed_oracle(spark):
     from flink_kafka_table_api_spark.queries import (
         BENCH_ONLY,
+        QUERIES,
         ann_basic_suite_sql,
     )
 
@@ -205,7 +207,7 @@ def test_ann_basic_suite_matches_composed_oracle(spark):
         f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
     )
     got = sorted(
-        tuple(r) for r in BENCH_ONLY["ann_basic_suite"](spark, SF).collect()
+        tuple(r) for r in {**BENCH_ONLY, **QUERIES}["ann_basic_suite"](spark, SF).collect()
     )
     exp = sorted(
         tuple(r) for r in c.execute(ann_basic_suite_sql()).fetchall()

@@ -33,15 +33,31 @@ def test_bfs_hops_oracle_parity_on_testdata(spark, con):
     )
 
     edges = _hits_edges(spark, SF)
-    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    # derive seeds exactly the way the bench twin (q_bfs_hops) does —
+    # the three LOWEST customer keys from the parquet — and feed the
+    # SAME values to the oracle, so a seed-dependent regression (e.g.
+    # customer keys starting at 1, not 0) cannot slip past this parity
+    # check (round-7 ADVICE).
+    from pyspark.sql import functions as F
+
+    from flink_kafka_table_api_spark.catalog import read_table
+
+    seeds = (
+        read_table(spark, SF, "customer")
+        .select(F.col("c_custkey").cast("long").alias("node"))
+        .orderBy("node")
+        .limit(3)
+    )
+    seed_vals = [r.node for r in seeds.collect()]
     got = sorted(
         tuple(r) for r in bfs_hops(edges, seeds, max_hops=8).collect()
     )
+    values = ", ".join(f"({v})" for v in seed_vals)
     exp = sorted(
         con.execute(
             bfs_hops_sql(
                 _HITS_EDGES_SQL,
-                "SELECT * FROM (VALUES (0), (1), (2)) s(node)",
+                f"SELECT * FROM (VALUES {values}) s(node)",
                 max_hops=8,
             )
         ).fetchall()
@@ -49,7 +65,7 @@ def test_bfs_hops_oracle_parity_on_testdata(spark, con):
     assert got == exp
     # live multi-hop signal: several distinct hop levels reached
     assert len({h for _, h in got}) >= 4
-    assert [h for n, h in got if n in (0, 1, 2)] == [0, 0, 0]
+    assert [h for n, h in got if n in seed_vals] == [0, 0, 0]
 
 
 def test_bfs_hops_semantics_on_fixture(spark, con):

@@ -770,18 +770,18 @@ def test_rfm_segments_single_fact_aggregate(spark):
     """The orders fact feeds exactly ONE customer-keyed hash aggregate;
     everything downstream is 1-row broadcasts + a codegen'd tile fold —
     no window, no sort, no second fact shuffle."""
-    from flink_kafka_table_api_spark.queries import BENCH_ONLY
+    from flink_kafka_table_api_spark.queries import BENCH_ONLY, QUERIES
 
-    plan = _plan(BENCH_ONLY["rfm_segments"](spark, SF))
+    plan = _plan({**BENCH_ONLY, **QUERIES}["rfm_segments"](spark, SF))
     assert "Window" not in plan and "Sort" not in plan
     # the two 1-row frames (corpus max date, cut arrays) broadcast
     assert plan.count("BroadcastExchange") >= 2
 
 
 def test_assoc_rules_topk_is_take_ordered_with_broadcast_df(spark):
-    from flink_kafka_table_api_spark.queries import BENCH_ONLY
+    from flink_kafka_table_api_spark.queries import BENCH_ONLY, QUERIES
 
-    plan = _plan(BENCH_ONLY["assoc_rules"](spark, SF))
+    plan = _plan({**BENCH_ONLY, **QUERIES}["assoc_rules"](spark, SF))
     assert "TakeOrderedAndProject" in plan  # never a global sort
     # the vocabulary-sized df table broadcasts per rule side + N row
     assert plan.count("BroadcastHashJoin") >= 2
@@ -792,9 +792,9 @@ def test_mann_whitney_window_runs_on_value_grid_only(spark):
     the value-grid aggregate, never over corpus rows: in the plan the
     Window's child chain contains the grouped cache, and per-group sums
     arrive via hash aggregate."""
-    from flink_kafka_table_api_spark.queries import BENCH_ONLY
+    from flink_kafka_table_api_spark.queries import BENCH_ONLY, QUERIES
 
-    plan = _plan(BENCH_ONLY["mann_whitney"](spark, SF))
+    plan = _plan({**BENCH_ONLY, **QUERIES}["mann_whitney"](spark, SF))
     assert plan.count("Window") == 1
     assert "InMemoryTableScan" in plan  # the persisted (grp, v) cells
 
@@ -802,8 +802,8 @@ def test_mann_whitney_window_runs_on_value_grid_only(spark):
 def test_grid_density_labels_via_broadcast(spark):
     """The dense-cell label table broadcasts back onto the point frame
     (the only second corpus-sized stage is broadcast-side)."""
-    from flink_kafka_table_api_spark.queries import BENCH_ONLY
+    from flink_kafka_table_api_spark.queries import BENCH_ONLY, QUERIES
 
-    plan = _plan(BENCH_ONLY["grid_density"](spark, SF))
+    plan = _plan({**BENCH_ONLY, **QUERIES}["grid_density"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
