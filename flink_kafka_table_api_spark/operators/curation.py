@@ -206,6 +206,7 @@ def pack_sequences(
     text_col: str = "text",
     budget: int = 256,
     num_buckets: int = 32,
+    start_offset: int = 0,
 ) -> DataFrame:
     """Deterministic fixed-budget sequence packing for training batches.
 
@@ -214,6 +215,12 @@ def pack_sequences(
     ``seq_id = floor(cumsum_exclusive / budget)`` (boundary-straddling docs
     spill into the next budget window, exactly like causal-LM document
     packing with document-boundary carryover).
+
+    ``start_offset`` places this frame's token axis AFTER tokens already
+    packed elsewhere — the incremental-continuation hook: packing a stream
+    batch-by-batch with the carried running total produces EXACTLY the
+    layout a single full-corpus run produces (seq_id is a pure function of
+    the global exclusive cumulative sum).
 
     Implemented as a distributed prefix sum: range-bucket the id space,
     cumsum within each bucket (parallel windows), then add per-bucket
@@ -255,8 +262,10 @@ def pack_sequences(
         .select(
             id_col,
             "n_tokens",
-            F.expr(f"(__offset + __local_cum - n_tokens) div {budget}")
-            .alias("seq_id"),
+            F.expr(
+                f"({int(start_offset)} + __offset + __local_cum - n_tokens)"
+                f" div {budget}"
+            ).alias("seq_id"),
         )
     )
 

@@ -2045,6 +2045,75 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return dd_inc.matches(spark).select("a", "b", "jaccard")
 
 
+def stream_curation_sql(
+    *, quality_threshold: float = 0.5, budget: int = 256
+) -> str:
+    """Oracle for `stream_curation` (staged for the round-8 gate): the
+    batch replay of the incremental pipeline — keep-first-copy near-dup
+    filter (drop the NEWER side of every verified pair, exactly the
+    orientation IncrementalDedup emits when batches arrive in id order),
+    the llm_curation quality gate, then fixed-budget packing over the
+    kept set. The streamed run's carried token offset makes its per-batch
+    packing equal this single-pass layout bit-for-bit."""
+    toks = tx.tokens_sql("text")
+    pairs = _neardup_verified_oracle()
+    return f"""
+    WITH pairs AS ({pairs}),
+    kept AS (
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b = d.doc_id)
+    ),
+    q AS (
+      SELECT doc_id, text,
+             round((CASE WHEN len(__toks) BETWEEN 10 AND 1000
+                         THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN len(__toks) > 0
+                      THEN CAST(len(list_filter(__toks,
+                           t -> list_contains(['the','a','of','and','to',
+                                'in','is','it','that','for'], t)))
+                           AS DOUBLE) / len(__toks) ELSE 0.0 END) * 0.3
+                   + (CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text,
+                           '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                           / length(text) ELSE 0.0 END) * 0.3,
+                   6) AS quality_score
+      FROM (SELECT doc_id, text, {toks} AS __toks FROM kept)
+    ),
+    sized AS (
+      SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens
+      FROM q WHERE quality_score >= {quality_threshold}
+    )
+    SELECT doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             // {budget} AS BIGINT) AS seq_id
+    FROM sized
+    """
+
+
+@bench_query("stream_curation")
+def q_stream_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end INCREMENTAL curation pipeline
+    (streaming/curation_pipeline.py, round-6 VERDICT item 6): file-stream
+    source (2 deterministic micro-batches) -> incremental near-dup against
+    the accumulated band index -> quality gate -> packed sink via
+    replay-safe foreachBatch merge with a carried token offset. Staged
+    for the round-8 gate; the oracle is the single-pass batch replay —
+    proving per-batch incremental state reproduces the full recompute."""
+    import tempfile
+
+    from flink_kafka_table_api_spark.streaming.curation_pipeline import (
+        stream_curate_pack,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    state = tempfile.mkdtemp(prefix="fkta_streamcur_")
+    return stream_curate_pack(
+        spark, docs, state, threshold=0.5, quality_threshold=0.5,
+        budget=256, chunks=2, portable=True,
+    ).select("doc_id", "n_tokens", "seq_id")
+
+
 def _dedup_clusters_oracle() -> str:
     pairs = _neardup_verified_oracle()
     return f"""
@@ -8026,12 +8095,19 @@ _PRIORITY: list[str] = [
 #     graph_suite (already registered r7) and equi_depth_bins /
 #     winnowing ride inside binning_suite / fingerprint_suite — their
 #     values are hash-checked by those suites' gate rows every round
-#     they run.
+#     they run;
+#   - `stream_curation`, the round-7-built end-to-end incremental
+#     curation pipeline (VERDICT r6 item 6, streaming/
+#     curation_pipeline.py; pre-validated vs its single-pass oracle in
+#     tests/test_stream_curation.py).
 #
-# 23 + 27 = 50 exactly. After round 8 lands, every operator this engine
-# implements has a green driver row and the registry holds ~159 names
-# against a ~200-name sustainable window: the freed rounds 9-20 go to
-# genuinely new capability (r6 VERDICT items 3 and 6), not wiring.
+# 23 + 27 + 1 = 51 vs 50 slots: at round-8 commit time ONE schedule
+# name (activity_islands, r4-green) is displaced into the then-committed
+# r9 schedule — the displacement lever rounds 5-7 used.
+# After round 8 lands, every operator this engine implements has a green
+# driver row and the registry holds ~160 names against a ~200-name
+# sustainable window: the freed rounds 9-20 go to genuinely new
+# capability (r6 VERDICT items 3 and 6), not wiring.
 #
 # Bench twins that never register (by design, not backlog): ann_ivf,
 # dedup_minhash_fast, neardup_verified_fast, pq_ann_search — xxhash64 /

@@ -1,0 +1,172 @@
+"""End-to-end INCREMENTAL curation pipeline (round-6 VERDICT item 6):
+
+    file-stream source -> incremental near-dup -> quality gate
+        -> packed sink via replay-safe foreachBatch merge
+
+the streaming generalization of the batch `llm_curation` flow and of the
+reference's continuous-insert lifecycle (TransactionProcessor.java:192,
+215-223 — a long-lived job that keeps folding newly arriving records into
+maintained output state).
+
+Per micro-batch, NOTHING already processed is rescanned:
+
+- near-dup state is the `IncrementalDedup` band index — the new batch's
+  band signatures bucket-join against the ACCUMULATED index (signatures,
+  never documents), and only candidate pairs pull shingles from the doc
+  store;
+- the quality gate is a stateless narrow pass over the batch;
+- sequence packing continues from a persisted running token total, so
+  `seq_id` (a pure function of the global exclusive cumulative token sum)
+  comes out IDENTICAL to a single full-corpus packing run;
+- the sink merge is idempotent via per-batch commit markers (a replayed
+  batch after recovery is a no-op), the streaming/upsert.py recipe.
+
+At 100 TB this is the shape that matters: a daily crawl drop of X GB costs
+O(X) work against the standing index — index size affects only the
+bucket-join's build side (signatures: k longs per indexed doc), never a
+re-shuffle of the accumulated corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.operators.curation import pack_sequences
+from flink_kafka_table_api_spark.operators.text import with_quality_score
+from flink_kafka_table_api_spark.streaming.incremental_dedup import (
+    IncrementalDedup,
+)
+
+
+def stage_ordered_chunks(
+    docs: DataFrame, out_dir: str, *, id_col: str = "doc_id", chunks: int = 2
+) -> str:
+    """Stage a bounded corpus as `chunks` parquet files split by id range
+    (chunk 0 = lowest ids), with strictly increasing mtimes so Spark's
+    file-stream source replays them as deterministic micro-batches in id
+    order — the bounded twin of a dated crawl-drop directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+    span = max((hi - lo + 1 + chunks - 1) // chunks, 1)
+    for i in range(chunks):
+        path = os.path.join(out_dir, f"chunk{i:04d}.parquet")
+        if os.path.exists(path):
+            continue
+        chunk = docs.filter(
+            (F.col(id_col) >= lo + i * span)
+            & (F.col(id_col) < lo + (i + 1) * span)
+        )
+        # stage as a FLAT file: the file-stream source does not recurse
+        # into per-chunk directories, so lift the single part file out
+        tmp = path + "__tmp"
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part), path)
+        import shutil
+
+        shutil.rmtree(tmp)
+        # file-stream source orders by modification time; make the intended
+        # replay order unambiguous
+        t = 1_600_000_000 + i * 60
+        os.utime(path, (t, t))
+    return out_dir
+
+
+def stream_curate_pack(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    *,
+    threshold: float = 0.5,
+    quality_threshold: float = 0.5,
+    budget: int = 256,
+    chunks: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """Run the incremental curation pipeline over `docs` staged as a
+    file stream of `chunks` micro-batches; return the packed sink
+    (doc_id, n_tokens, seq_id) — bit-identical to quality-filtering +
+    keep-first-near-dup + packing the whole corpus in one batch run,
+    which is exactly what the DuckDB oracle replays."""
+    src_dir = stage_ordered_chunks(
+        docs.select("doc_id", "text"), os.path.join(state_dir, "src"),
+        chunks=chunks,
+    )
+    sink = os.path.join(state_dir, "packed")
+    marker_dir = os.path.join(state_dir, "commits")
+    meta_path = os.path.join(state_dir, "pack_offset.json")
+    inc = IncrementalDedup(
+        os.path.join(state_dir, "dedup"),
+        threshold=threshold, portable=portable,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed after recovery: already merged
+        batch = batch.persist()
+        # 1) incremental near-dup: batch signatures vs accumulated index
+        inc.process_batch(batch, batch_id)
+        # matches involving THIS batch's docs, newer side (`a`) dropped —
+        # the keep-first-copy rule; a batch doc matching an indexed doc OR
+        # a smaller-id doc in the same batch is the newer side
+        dropped = (
+            inc.matches(spark)
+            .filter(F.col("batch_id") == batch_id)
+            .select(F.col("a").alias("doc_id"))
+            .distinct()
+        )
+        kept = batch.join(dropped, "doc_id", "left_anti")
+        # 2) quality gate (stateless narrow pass)
+        scored = with_quality_score(kept).select("doc_id", "quality_score")
+        kept = kept.join(
+            scored.filter(F.col("quality_score") >= quality_threshold)
+            .select("doc_id"),
+            "doc_id",
+        )
+        # 3) packing continues from the persisted running token total
+        offset = 0
+        if os.path.exists(meta_path):
+            offset = json.load(open(meta_path))["token_total"]
+        if kept.limit(1).count() == 0:
+            # every doc in the batch was a near-dup or low quality: the
+            # running total is unchanged, the batch still commits
+            batch.unpersist()
+            open(marker, "w").close()
+            return
+        packed = pack_sequences(
+            kept, budget=budget, start_offset=offset
+        ).persist()
+        new_tokens = packed.agg(F.sum("n_tokens")).first()[0] or 0
+        # 4) merge into the sink (doc_ids are unique across batches, so
+        #    the merge is an append of new keys; the marker makes replays
+        #    no-ops — the streaming/upsert.py recipe)
+        packed.write.mode("append").parquet(sink)
+        json.dump({"token_total": int(offset + new_tokens)},
+                  open(meta_path, "w"))
+        packed.unpersist()
+        batch.unpersist()
+        open(marker, "w").close()
+
+    schema = docs.select("doc_id", "text").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)

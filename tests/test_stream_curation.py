@@ -1,0 +1,90 @@
+"""`stream_curation` (staged for the round-8 gate, VERDICT r6 item 6):
+the end-to-end incremental curation pipeline — file-stream source ->
+incremental near-dup -> quality gate -> packed sink via replay-safe
+foreachBatch merge — must equal its single-pass batch oracle AND must be
+demonstrably incremental (per-batch state appends, replays are no-ops,
+the packing offset carries across batches)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import stream_curation_sql
+from flink_kafka_table_api_spark.streaming.curation_pipeline import (
+    stream_curate_pack,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("streamcur"))
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    out = stream_curate_pack(
+        spark, docs, state, threshold=0.5, quality_threshold=0.5,
+        budget=256, chunks=2, portable=True,
+    )
+    return state, sorted(tuple(r) for r in out.collect())
+
+
+def test_matches_single_pass_batch_oracle(result):
+    """The streamed two-batch run reproduces the full-corpus replay
+    bit-for-bit: same kept set, same n_tokens, same seq layout."""
+    state, got = result
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = sorted(tuple(r) for r in con.execute(stream_curation_sql()).fetchall())
+    assert len(got) == len(exp) > 0
+    assert got == exp
+
+
+def test_state_is_incremental_per_batch(result, spark):
+    """Both micro-batches left their own appends in the dedup state
+    (band index + matches tagged by batch), and batch 1's processing
+    appended to — never rewrote — batch 0's index files."""
+    state, _ = result
+    bands_dir = os.path.join(state, "dedup", "band_index")
+    parts = [f for f in os.listdir(bands_dir) if f.endswith(".parquet")]
+    assert len(parts) >= 2, "each batch should append its own index files"
+    matches = spark.read.parquet(os.path.join(state, "dedup", "matches"))
+    assert {r.batch_id for r in matches.select("batch_id").distinct().collect()} <= {0, 1}
+    # the packed sink accumulated across batches (one append per batch
+    # with kept rows)
+    commits = os.listdir(os.path.join(state, "commits"))
+    assert sorted(commits) == ["batch-0", "batch-1"]
+
+
+def test_offset_carries_the_running_token_total(result, spark):
+    state, got = result
+    meta = json.load(open(os.path.join(state, "pack_offset.json")))
+    assert meta["token_total"] == sum(r[1] for r in got)
+    # seq ids are the pure floor(cum_exclusive/budget) of that axis
+    cum = 0
+    for doc_id, n_tokens, seq_id in got:  # rows sorted by doc_id
+        assert seq_id == cum // 256
+        cum += n_tokens
+
+
+def test_replay_is_a_no_op(result, spark):
+    """Re-running the stream over the same state dir re-delivers the
+    files, but the commit markers make every batch a no-op: the sink is
+    unchanged (the recovery contract of the foreachBatch merge)."""
+    state, got = result
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    import shutil
+
+    shutil.rmtree(os.path.join(state, "ckpt"))  # force full re-delivery
+    out = stream_curate_pack(
+        spark, docs, state, threshold=0.5, quality_threshold=0.5,
+        budget=256, chunks=2, portable=True,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == got
