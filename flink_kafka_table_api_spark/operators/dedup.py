@@ -151,11 +151,38 @@ def lsh_bands(
              F.col("band.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    band_df: DataFrame,
+    id_col: str,
+    *,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any band bucket. The join key
     (band_id, band_hash) keeps the shuffle proportional to bucket sizes, not
-    to the corpus squared; pathological buckets (all-identical docs) are the
-    one skew risk — AQE skew-join splits them."""
+    to the corpus squared.
+
+    ``max_bucket_size`` is the boilerplate-skew defusal (the winnow_matches
+    max_hash_df recipe, measured necessary by the round-7 zipf-skew
+    experiment: a hot template paragraph shared by ~7% of a 64x corpus made
+    dedup_clusters degrade 3.08x): buckets larger than the cap are SKIPPED
+    before the self-join, bounding per-bucket work at cap^2. The docs a
+    mega-bucket holds collide there because of SHARED BOILERPLATE, whose
+    pair Jaccard sits far below any near-dup threshold — and genuinely
+    near-identical docs also collide in their other bands, so the recall
+    cost is ~zero while the blowup is quadratic. The oracle replays the
+    identical cap (_lsh_pairs_oracle), so the capped form stays
+    gate-registrable; at every shipped sf the largest bucket is far below
+    256, making the cap a pure no-op at certification scale."""
+    if max_bucket_size is not None:
+        sizes = (
+            band_df.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        band_df = band_df.join(
+            sizes, ["band_id", "band_hash"], "left_semi"
+        )
     a = band_df.select(F.col(id_col).alias("a"), "band_id", "band_hash")
     b = band_df.select(F.col(id_col).alias("b"), "band_id", "band_hash")
     return (

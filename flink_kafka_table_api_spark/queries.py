@@ -1842,7 +1842,14 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lsh_pairs_oracle(bands: int = 4, rows_per_band: int = 2,
-                      src: str = "documents") -> str:
+                      src: str = "documents",
+                      max_bucket_size: int = 256) -> str:
+    """Replays dd.lsh_candidate_pairs EXACTLY, including the
+    max_bucket_size boilerplate-skew cap (the winnow_matches max_hash_df
+    recipe): buckets above the cap are skipped in BOTH engines. At every
+    shipped sf the largest bucket is far below the cap, so the capped
+    oracle is bit-identical to the uncapped one at certification scale —
+    the cap exists for the 64x zipf-skew regime (BASELINE.md §skew)."""
     sig = _minhash_oracle(bands * rows_per_band, src=src)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
@@ -1855,7 +1862,15 @@ def _lsh_pairs_oracle(bands: int = 4, rows_per_band: int = 2,
         for b in range(bands)
     )
     return f"""
-    WITH sigs AS ({sig}), bands AS ({band_rows})
+    WITH sigs AS ({sig}), all_bands AS ({band_rows}),
+    ok_buckets AS (
+      SELECT band_id, band_hash FROM all_bands
+      GROUP BY band_id, band_hash HAVING COUNT(*) <= {max_bucket_size}
+    ),
+    bands AS (
+      SELECT b.* FROM all_bands b
+      JOIN ok_buckets USING (band_id, band_hash)
+    )
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
     FROM bands x JOIN bands y
       ON x.band_id = y.band_id AND x.band_hash = y.band_hash

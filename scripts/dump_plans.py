@@ -298,7 +298,44 @@ def main() -> None:
         print("```")
         print(plan.rstrip())
         print("```\n")
+    print(STREAM_CURATION_SECTION)
     spark.stop()
+
+
+# The returned DataFrame of stream_curation is just the packed-sink scan;
+# the scale evidence is the PER-BATCH flow inside foreachBatch, so this
+# section documents that state machine instead of a one-shot plan.
+STREAM_CURATION_SECTION = """\
+## stream_curation (per-batch incremental state — no full recompute)
+
+**Property:** each micro-batch costs O(batch), never O(corpus): the new
+batch's band signatures bucket-join the ACCUMULATED band index
+(signatures only — k longs per indexed doc, never document text); the
+doc store is read exclusively to fetch shingles for candidate pairs; the
+quality gate is a stateless narrow pass over the batch; packing resumes
+from a persisted running token total, making seq_id (a pure function of
+the global exclusive cumulative sum) bit-identical to one full-corpus
+packing run; the sink merge is marker-idempotent, so recovery replays
+are no-ops.
+
+Per-batch state transitions (streaming/curation_pipeline.py,
+streaming/incremental_dedup.py):
+
+```
+batch k arrives (file-stream, availableNow, maxFilesPerTrigger=1)
+  band_index   += bands(batch k)          # parquet APPEND, prior files untouched
+  matches      += (new x index) u (new x new) verified pairs, tagged batch_id=k
+  doc_store    += batch k                 # shingle source for FUTURE candidates
+  kept          = batch k \\ newer-side(matches[batch k]) |> quality >= 0.5
+  packed_sink  += pack(kept, start_offset=token_total)   # keyed, marker-committed
+  token_total  += sum(n_tokens(kept))     # tiny json, the packing axis
+```
+
+Pinned by tests/test_stream_curation.py: value parity vs the single-pass
+DuckDB oracle, per-batch index APPENDS (file set grows, batch-0 files
+untouched), offset carry (seq_id == floor(cum_exclusive/budget) across
+the batch boundary), and replay idempotence after checkpoint loss.
+"""
 
 
 if __name__ == "__main__":

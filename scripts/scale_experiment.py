@@ -13,6 +13,22 @@ Run: python scripts/scale_experiment.py [N] [query ...]
      (default N=8; with query names given, measures ONLY those instead of
      the standing MEASURE list — used per round to add 8x rows for new
      operators without re-running the whole table)
+
+Skew mode (round-7 VERDICT item 3 — uniform replication keeps every key
+distribution intact, but real 100 TB corpora are zipf-skewed on their
+join/group keys):
+
+    python scripts/scale_experiment.py N --skew [query ...]
+
+builds the SAME Nx volume with two zipf(s~=1.1) hot-key injections —
+`events.user_id` redrawn from the zipf rank distribution (top user ~6.7%
+of ALL events: the window/sessionization straggler shape) and a zipf-hot
+boilerplate paragraph appended to ~25% of documents (shared web-template
+text: the hot-shingle / hot-LSH-bucket shape) — then measures each query
+at Nx uniform AND Nx skewed and reports the degradation ratio. It also
+runs an explicit AQE probe (skewed events x customer sort-merge join)
+and reports whether AQE's skew-split engaged (the
+test_aqe_splits_skewed_join_partitions pin, exercised at scale).
 """
 
 from __future__ import annotations
@@ -131,7 +147,33 @@ MEASURE = [
 ]
 
 
-def build_scaled(spark, n: int, out_dir: str) -> None:
+# zipf(s=1.1) rank draw from a deterministic md5 uniform: with
+# u ~ U(0,1], K = floor(u^(-1/(s-1))) = floor(u^-10) has the zipf tail
+# P(K > k) = k^-0.1 — rank 1 gets ~6.7% of ALL rows, rank 2 ~3.7%, ...
+# Deterministic (md5 of the row id), so both engines / reruns agree.
+def _zipf_rank_expr(id_expr: str, cap: int) -> str:
+    u = (f"((CAST(CONV(SUBSTRING(MD5(CAST({id_expr} AS STRING)), 1, 8), "
+         f"16, 10) AS DOUBLE) + 1.0) / 4294967296.0)")
+    # the s=1.1 tail is heavy (P(K>k) = k^-0.1): ranks past `cap` WRAP
+    # (modulo) instead of truncating onto the cap — truncation would pile
+    # ~half the mass onto one artificial mega-key; wrapping spreads the
+    # recycled tail as ~uniform noise while rank 1 keeps its ~6.7% share
+    # LEAST(..., 9e15) keeps the double finite-and-castable (u near 2^-32
+    # makes u^-10 overflow BIGINT) before the modulo wrap
+    return (f"(1 + (CAST(FLOOR(LEAST(POW({u}, -10.0), 9.0e15)) AS BIGINT) "
+            f"- 1) % CAST({cap} AS BIGINT))")
+
+
+# 16 boilerplate paragraphs (~15 words each): the shared web-template
+# text that makes shingle/minhash-band keys hot in real crawls. Appended
+# AFTER alphabet rotation so the SAME paragraph spans all replicas —
+# hot keys must cross the whole corpus to stress the shuffle.
+_BOILER = [
+    " ".join(f"tmpl{k}tok{j}" for j in range(15)) for k in range(1, 17)
+]
+
+
+def build_scaled(spark, n: int, out_dir: str, *, skew: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         dst = f"{out_dir}/{t}.parquet"
@@ -164,14 +206,143 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            if skew and t == "events":
+                # redraw user_id from the zipf rank distribution: the top
+                # user owns ~6.7% of ALL events across replicas — the
+                # sessionization / per-user-window straggler shape
+                out = out.withColumn(
+                    "user_id",
+                    F.expr(_zipf_rank_expr("event_id", 1499)) - F.lit(1),
+                )
+            if skew and t == "documents":
+                # append a zipf-hot boilerplate paragraph to the ~24% of
+                # docs whose rank lands within the 16 templates: hot
+                # shingles -> hot minhash bands -> hot bucket-join keys
+                rank = F.expr(_zipf_rank_expr("doc_id", 10**6))
+                boiler = F.array(*[F.lit(b) for b in _BOILER])
+                out = out.withColumn(
+                    "text",
+                    F.when(
+                        rank <= 16,
+                        F.concat_ws(
+                            " ", F.col("text"),
+                            F.element_at(boiler, rank.cast("int")),
+                        ),
+                    ).otherwise(F.col("text")),
+                ).withColumn("n_chars", F.length("text").cast("long"))
             out.repartition(32).write.parquet(dst)
         else:
             os.symlink(f"{BASE}/{t}.parquet", dst)
 
 
+def aqe_skew_probe(spark, skew_dir: str) -> None:
+    """Exercise the test_aqe_splits_skewed_join_partitions pin AT SCALE:
+    sort-merge-join the zipf-skewed events against a synthetic per-user
+    dimension wide enough to defeat broadcast, then report whether AQE's
+    OptimizeSkewedJoin split the hot partition (the executed plan's
+    shuffle read shows 'skewed')."""
+    ev = spark.read.parquet(f"{skew_dir}/events.parquet")
+    dim = (
+        spark.range(0, 1500)
+        .select(
+            F.col("id").alias("user_id"),
+            # pad varies with id so constant-folding can't strip it from
+            # the shuffle (the pin test's lesson)
+            F.expr("repeat(uuid(), CAST(48 + id % 16 AS INT))").alias("pad"),
+        )
+    )
+    # Local-scale proxy thresholds: production defaults detect skew at
+    # 256 MB partitions / 5x median — sizes a 100 TB corpus trivially
+    # produces but a 64x-sf0.1 local run cannot. Scale the DETECTION
+    # threshold to this run's partition sizes (the mechanism under test
+    # is identical); restore afterwards.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    # engaging point measured at 64x (compressed shuffle partitions run
+    # ~1.5-3 MB here; production defaults engage at 256 MB): hot partition
+    # ~3x median
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    # the test_aqe_splits_skewed_join_partitions recipe: partition
+    # coalescing masks the skew marker at proxy scale (it fuses the small
+    # partitions the split would be measured against), and the dim side
+    # must not broadcast for a sort-merge join to exist at all
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # global agg, NOT groupBy(user_id): AQE declines to split a skewed
+        # join whose output partitioning is reused downstream (the split
+        # would force a re-shuffle) — measured while building this probe
+        def run() -> tuple[float, str]:
+            joined = ev.select("user_id", "event_id", "value").join(
+                dim, "user_id"
+            ).agg(F.sum(F.length("pad")).alias("bytes_out"))
+            t0 = time.perf_counter()
+            joined.collect()
+            dt = time.perf_counter() - t0
+            return dt, joined._jdf.queryExecution().executedPlan().toString()
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t_off, _ = run()
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        t_on, plan = run()
+        # the executed-plan markers: "AQEShuffleRead skewed" +
+        # "SortMergeJoin(skew=true)"
+        engaged = "skewed" in plan
+        print(f"AQE skew probe (zipf user_id SMJ + agg): split OFF "
+              f"{t_off:.2f}s -> split ON {t_on:.2f}s; engaged: {engaged}")
+        if not engaged:
+            # surface the shuffle-read lines for the record
+            for line in plan.splitlines():
+                if "AQEShuffleRead" in line or "ShuffleQueryStage" in line:
+                    print("  ", line.strip()[:120])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# the 10 shuffle-heaviest operators over the two skewed tables — the set
+# the round-7 VERDICT ordered measured under zipf skew. (The graph family
+# is exempt by construction: its gate graphs are degree-bounded
+# permutation generators over customer KEYS, so no input skew can create
+# a celebrity vertex; zorder_write is a lineitem write, not a
+# documents/events shuffle.)
+SKEW_MEASURE = [
+    "lsh_candidate_pairs",    # hot minhash-band bucket self-join
+    "neardup_verified_fast",  # hot candidates + verify join
+    "dedup_clusters",         # hot pair graph -> connected components
+    "simjoin_prefix",         # hot prefix-token postings join
+    "winnow_matches",         # hot fingerprint self-join (max_hash_df cap)
+    "containment_pairs",      # hot LSH buckets + directional verify
+    "ngram_novelty",          # hot corpus-shingle keyed shuffles
+    "cdc_chunk_dedup",        # hot content-chunk hash keys
+    "sessionize",             # zipf user_id per-user window straggler
+    "markov_transitions",     # zipf user_id lag window + agg
+]
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    measure = sys.argv[2:] or MEASURE
+    args = [a for a in sys.argv[1:]]
+    skew = "--skew" in args
+    if skew:
+        args.remove("--skew")
+    n = int(args[0]) if args else 8
+    measure = args[1:] or (SKEW_MEASURE if skew else MEASURE)
     unknown = [q for q in measure if q not in RUNNABLE]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
@@ -182,6 +353,39 @@ def main() -> None:
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, n, out_dir)
+    if skew:
+        skew_dir = f"/tmp/fkta_scale_x{n}_skew_v1"
+        build_scaled(spark, n, skew_dir, skew=True)
+        # warm once (same as below), then measure Nx-uniform vs Nx-skewed
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        from flink_kafka_table_api_spark.operators.dedup import (
+            minhash_signatures,
+        )
+        minhash_signatures(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+            "doc_id", "text").count()
+        from flink_kafka_table_api_spark.caching import release_cached
+        runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
+
+        def best(fn_name: str, d: str) -> float:
+            ts = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                RUNNABLE[fn_name](spark, d).count()
+                ts.append(time.perf_counter() - t0)
+                release_cached()
+            return min(ts)
+
+        print(f"| query | {n}x uniform s | {n}x zipf-skew s | skew/uniform |")
+        print("|---|---|---|---|")
+        for name in measure:
+            tu = best(name, out_dir)
+            tk = best(name, skew_dir)
+            flag = "  <-- >3x, NEEDS FIX" if tk > 3 * tu else ""
+            print(f"| {name} | {tu:.2f} | {tk:.2f} | {tk / tu:.2f} |{flag}")
+        aqe_skew_probe(spark, skew_dir)
+        spark.stop()
+        return
     # warm codegen/workers once, as bench.py does
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from flink_kafka_table_api_spark.operators.dedup import minhash_signatures

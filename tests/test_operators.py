@@ -59,6 +59,34 @@ def test_lsh_finds_exact_dup_pair(spark, docs):
     assert (1, 4) in pairs
 
 
+def test_lsh_bucket_cap_skips_mega_buckets_only(spark, docs):
+    """max_bucket_size (the round-7 zipf-skew fix): a bucket above the cap
+    contributes NO candidate pairs; buckets at or below the cap are
+    untouched; None disables the cap entirely."""
+    # 40 identical docs -> every band bucket holds all 40
+    many = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = dd.minhash_signatures(many, "doc_id", "text", num_hashes=8)
+    bands = dd.lsh_bands(sigs, "doc_id", bands=4, rows_per_band=2)
+    capped = dd.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=20)
+    assert capped.count() == 0  # mega-bucket skipped
+    uncapped = dd.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=None)
+    assert uncapped.count() == 40 * 39 // 2
+    at_cap = dd.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=40)
+    assert at_cap.count() == 40 * 39 // 2  # <= cap is kept, not dropped
+    # the default cap (256) is a no-op on realistic buckets: the fixture
+    # dup pair is still found
+    fixture_bands = dd.lsh_bands(
+        dd.minhash_signatures(docs, "doc_id", "text", num_hashes=8),
+        "doc_id", bands=4, rows_per_band=2,
+    )
+    pairs = {(r.a, r.b)
+             for r in dd.lsh_candidate_pairs(fixture_bands, "doc_id").collect()}
+    assert (1, 4) in pairs
+
+
 def test_jaccard_verification(spark, docs):
     out = dd.ngram_jaccard_pairs(
         docs.withColumn("blk", F.lit(1)), "doc_id", "text",
