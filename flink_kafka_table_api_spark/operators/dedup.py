@@ -174,14 +174,22 @@ def lsh_candidate_pairs(
     gate-registrable; at every shipped sf the largest bucket is far below
     256, making the cap a pure no-op at certification scale."""
     if max_bucket_size is not None:
-        sizes = (
+        # enforce the cap via its COMPLEMENT: the oversized-bucket set is
+        # the pathology, so it is TINY (empty at every shipped sf — max
+        # real occupancy is 10, and bounded above by rows/cap always) and
+        # broadcasts into an anti-join — the bands table is never
+        # re-shuffled for the cap, and no extra driver action runs. (A
+        # semi-join against the under-cap buckets re-shuffled bands twice
+        # and cost ~+0.6s per LSH query at sf0.1 — measured, hence this
+        # shape.)
+        big = (
             band_df.groupBy("band_id", "band_hash")
             .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") <= max_bucket_size)
+            .filter(F.col("__n") > max_bucket_size)
             .select("band_id", "band_hash")
         )
         band_df = band_df.join(
-            sizes, ["band_id", "band_hash"], "left_semi"
+            F.broadcast(big), ["band_id", "band_hash"], "left_anti"
         )
     a = band_df.select(F.col(id_col).alias("a"), "band_id", "band_hash")
     b = band_df.select(F.col(id_col).alias("b"), "band_id", "band_hash")
