@@ -3,6 +3,11 @@
 with the scale property each plan is supposed to exhibit. Run from repo root:
 
     python scripts/dump_plans.py > PLANS.md
+
+CAUTION: the committed PLANS.md carries ~30 sections beyond the current
+SHOWCASE dict (added during the round-6 staging push with a since-trimmed
+showcase list). A naive full regen LOSES them — either re-add their keys
+to SHOWCASE first, or append new sections to the existing file.
 """
 
 from __future__ import annotations
