@@ -547,6 +547,29 @@ def test_sentiment_lexicon_is_narrow_fold(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def test_lsh_bucket_cap_is_broadcast_anti_not_reshuffle(spark):
+    """The round-7 bucket cap must stay on the cheap plan: the oversized
+    -bucket set BROADCASTS into an anti-join (the bands relation is never
+    re-shuffled for the cap), and the cap adds exactly one aggregate
+    exchange over the tiny bands table vs the uncapped plan."""
+    import flink_kafka_table_api_spark.operators.dedup as dd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    bands = dd.lsh_bands(sigs, "doc_id", bands=4, rows_per_band=2)
+    capped = _plan(dd.lsh_candidate_pairs(bands, "doc_id"))
+    uncapped = _plan(
+        dd.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=None)
+    )
+    anti_lines = [ln for ln in capped.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, "cap missing from the plan"
+    # every anti-join against the oversized-bucket set is BROADCAST —
+    # a sort-merge LeftAnti would mean the bands relation re-shuffles
+    # for the cap (the regression this pin guards)
+    assert all("BroadcastHashJoin" in ln for ln in anti_lines)
+    assert "LeftAnti" not in uncapped
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """The session claims AQE skew-join handling; prove it: a 95%-one-key
     join under forced SMJ must show skew-split partitions (skew=true) in
