@@ -156,6 +156,9 @@ HEADLINE = [
     # reserve operators (pre-built spares, see the queries.py note)
     "bfs_hops",                # per-round frontier join + anti-join settle
     "mann_kendall",            # daily agg + bounded pair join + median
+    # round-7: end-to-end incremental curation pipeline (committed to the
+    # round-8 gate; 2 real availableNow micro-batches + state + merges)
+    "stream_curation",         # file-stream -> inc near-dup -> pack sink
 ]
 
 
