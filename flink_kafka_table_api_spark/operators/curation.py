@@ -233,6 +233,10 @@ def pack_sequences(
         F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
     )
     lo, hi = sized.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:  # empty input: empty layout, not a None-span crash
+        return sized.select(
+            id_col, "n_tokens", F.lit(None).cast("long").alias("seq_id")
+        ).limit(0)
     span = max((hi - lo + 1 + num_buckets - 1) // num_buckets, 1)
     # `div`, not `/`: double division loses integer exactness above 2^53
     # (see corpus_shuffle) — bucket and sequence assignment must be exact.

@@ -133,15 +133,11 @@ def stream_curate_pack(
             "doc_id",
         )
         # 3) packing continues from the persisted running token total
+        # (pack_sequences handles an all-dropped batch: empty layout,
+        # zero new tokens — no extra emptiness probe job needed)
         offset = 0
         if os.path.exists(meta_path):
             offset = json.load(open(meta_path))["token_total"]
-        if kept.limit(1).count() == 0:
-            # every doc in the batch was a near-dup or low quality: the
-            # running total is unchanged, the batch still commits
-            batch.unpersist()
-            open(marker, "w").close()
-            return
         packed = pack_sequences(
             kept, budget=budget, start_offset=offset
         ).persist()

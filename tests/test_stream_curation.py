@@ -88,3 +88,15 @@ def test_replay_is_a_no_op(result, spark):
         budget=256, chunks=2, portable=True,
     )
     assert sorted(tuple(r) for r in out.collect()) == got
+
+
+def test_pack_sequences_empty_input_yields_empty_layout(spark):
+    """An all-dropped batch must pack to an empty frame (schema intact),
+    not crash on a None id span — the pipeline feeds pack_sequences
+    whatever survives the gates, including nothing."""
+    from flink_kafka_table_api_spark.operators.curation import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = pack_sequences(empty, budget=256, start_offset=123)
+    assert out.columns == ["doc_id", "n_tokens", "seq_id"]
+    assert out.count() == 0
