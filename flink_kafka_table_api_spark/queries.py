@@ -6427,13 +6427,13 @@ def graph_suite_sql() -> str:
 
 @query("graph_suite", graph_suite_sql())
 def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
-    """STAGED round-8 consolidation: the graph family (pagerank /
+    """Consolidation (registered round 7): the graph family (pagerank /
     triangle_count / label_propagation) as ONE tagged multi-assert query
     — each block runs its existing gate/bench construction unchanged and
     the union NULL-pads the per-block value columns. When registered it
-    retires pagerank + triangle_count and absorbs label_propagation's
-    registration: with the stream_windows merge, round 8's five staged
-    names then fit the 150-name cap exactly. Pre-validated vs
+    retired pagerank + triangle_count (round 7) and absorbs
+    label_propagation's and kcore's registrations — their values are
+    hash-checked inside this suite's gate row. Pre-validated vs
     graph_suite_sql() in tests/test_r8_prevalidated.py."""
     from flink_kafka_table_api_spark.caching import tracked_persist
     from flink_kafka_table_api_spark.operators.graph import (
@@ -7766,15 +7766,15 @@ def q_grid_density(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Pre-built slot-funding consolidation suites (rounds 11-20 ledger)
+# Consolidation suites (ALL REGISTERED in round 7 — the r6 VERDICT's
+# ledger compression)
 # ---------------------------------------------------------------------------
-# Every suite below is a NULL-padded typed-block union of REGISTERED
+# Every suite below is a NULL-padded typed-block union of its component
 # queries (components run verbatim; oracles composed verbatim), the
 # graph_suite/join_suite/dedup_suite recipe generalized into one
-# spec-driven builder. They exist so the committed round-11..18
-# registration plans have CONCRETE, parity-tested funding: each
-# registration of a suite retires its components (N -> 1 slots).
-# The per-round arithmetic is the ledger in the cap note below.
+# spec-driven builder. Registering a suite retired its components in the
+# same commit (retired_query: bench twin + composable oracle, no
+# registry slot).
 
 _SUITE_SPECS = {
     "simhash_suite": [
@@ -7945,8 +7945,9 @@ def _suite_sql(suite: str) -> str:
     return "\n    UNION ALL\n    ".join(parts)
 
 
-# Tag comments: which round's registrations each lever funds (the
-# committed ledger lives in the cap note below).
+# Tag comments: what each suite consolidates (all registered round 7;
+# the "registered r7" tags below replaced the old per-round funding
+# ledger).
 _SUITE_DOCS = {
     "simhash_suite": "SimHash family (dedup_simhash + simhash_pairs — "
         "per-doc fingerprints and the hamming pair stage of the same "
