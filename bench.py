@@ -300,6 +300,11 @@ def main() -> None:
             file=sys.stderr,
         )
     cal_after = round(calibration_probe(spark), 3)
+    missing = sorted(set(BASELINE_COMPARABLE) - set(timings))
+    assert not missing, (
+        f"headline accounting would silently shrink: comparable queries "
+        f"missing from this run's timings: {missing}"
+    )
     noise = round(
         max(1.0, (cal_before + cal_after) / 2 / CALIBRATION_REF_SEC), 3
     )
@@ -330,8 +335,10 @@ def main() -> None:
         # THE one headline accounting (VERDICT r6 item 4): noise-normalized
         # median total of the r1-comparable 23-query set / BASELINE.md's
         # 26.0 s. Everything else in this payload is supporting detail.
+        # A partial comparable set must be a loud error, never a smaller
+        # (flattering) numerator — round-7 ADVICE.
         "headline_ratio": round(
-            sum(timings[n] for n in BASELINE_COMPARABLE if n in timings)
+            sum(timings[n] for n in BASELINE_COMPARABLE)
             / noise / BASELINE_TOTAL_SEC, 3,
         ),
         "headline_rule": (
@@ -343,17 +350,37 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
     }
-    print(json.dumps(payload))
-    # Also write the payload to a file: BENCH_r*.json archives only a
-    # 2,000-char stdout tail, which truncated the r4 payload into regex
-    # archaeology (VERDICT r4 item 8). The file is the machine-readable
-    # record; stdout stays the driver contract.
+    # Full payload to a file: BENCH_r*.json archives only a 2,000-char
+    # stdout TAIL, which head-truncated the full 86-query line into
+    # `parsed: null` in rounds 6-7 (VERDICT r7 item 5). The file is the
+    # complete machine-readable record; stdout carries a COMPACT line —
+    # the r1-comparable per-query map plus the summary accounting — that
+    # fits the archived tail whole, printed LAST so the tail is the line.
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_payload.json"
     )
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {n: timings[n] for n in BASELINE_COMPARABLE},
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_queries_full": len(timings),
+        "noise_factor": noise,
+        "total_noise_normalized": payload["total_noise_normalized"],
+        "headline_ratio": payload["headline_ratio"],
+        "full_payload": "BENCH_payload.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, (
+        f"compact bench line is {len(line)} chars — exceeds the driver's "
+        "2000-char archived stdout tail; shrink it"
+    )
+    print(line)
     spark.stop()
 
 

@@ -68,6 +68,28 @@ def minhash_perm_sql(h_expr: str, a: int, b: int) -> str:
     return f"(((({h_expr}) % {MINHASH_MOD}) * {a} + {b}) % {MINHASH_MOD})"
 
 
+def spark_round6_sql(expr: str) -> str:
+    """DuckDB replay of Spark's F.round(x, 6) on a DOUBLE.
+
+    Spark rounds the double's SHORTEST decimal representation
+    (BigDecimal.valueOf = new BigDecimal(Double.toString(d)), HALF_UP);
+    DuckDB's round(DOUBLE, 6) rounds the EXACT binary expansion. On a
+    repr-boundary value the two disagree: 66.1600125 is stored as
+    66.16001249999999345..., which Spark rounds UP to 66.160013 (the
+    repr ends in ...5) and DuckDB rounds DOWN (the exact value is below
+    the boundary) — one cell of holt_forecast at sf0.01, found by the
+    round-8 gate replica. CAST(x AS VARCHAR) in DuckDB prints the same
+    shortest round-trip repr Java's Double.toString produces; DECIMAL
+    round is exact HALF_UP (away from zero, like Java's) — so this
+    chain reproduces Spark's result bit-for-bit on every finite double.
+    NULL propagates; NaN/Inf would fail the DECIMAL cast (use only on
+    finite-valued columns)."""
+    return (
+        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18)), 6) "
+        "AS DOUBLE)"
+    )
+
+
 # Scale 6 matters: testdata money columns have <=2 decimals, so 2-3-factor
 # products have <=6 exact decimals — at scale 6 the double->decimal cast
 # never lands on a rounding boundary (scale 4 DID, and Spark's HALF_UP vs

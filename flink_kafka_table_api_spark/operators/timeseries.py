@@ -28,6 +28,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_kafka_table_api_spark.functions.portable import (
+    spark_round6_sql,
+)
+
 
 def znorm_pattern(pattern: list[float]) -> list[float]:
     """Driver-side z-normalization of the query pattern (exact floats,
@@ -924,10 +928,16 @@ def holt_forecast_sql(*, alpha: float = 0.5, beta: float = 0.3) -> str:
         ) AS out
       FROM ser
     )
+    -- spark_round6_sql, not round(): the fold's carried doubles are
+    -- bit-identical across engines, but Spark rounds the SHORTEST
+    -- decimal repr while DuckDB round() uses the exact binary value —
+    -- they disagree on repr-boundary cells (66.1600125 at sf0.01)
     SELECT grp AS event_type, out[i].day AS day, out[i].c AS n_events,
-           round(out[i].l, 6) AS level, round(out[i].b, 6) AS trend,
-           round(out[i].f, 6) AS forecast,
-           round(abs(CAST(out[i].c AS DOUBLE) - out[i].f), 6) AS abs_err
+           {spark_round6_sql('out[i].l')} AS level,
+           {spark_round6_sql('out[i].b')} AS trend,
+           {spark_round6_sql('out[i].f')} AS forecast,
+           {spark_round6_sql('abs(CAST(out[i].c AS DOUBLE) - out[i].f)')}
+             AS abs_err
     FROM folded, unnest(generate_series(1, len(out))) AS u(i)
     """
 

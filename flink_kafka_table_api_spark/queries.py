@@ -39,6 +39,7 @@ from flink_kafka_table_api_spark.operators import retrieval as rt
 from flink_kafka_table_api_spark.operators import similarity as sim
 from flink_kafka_table_api_spark.operators import text as tx
 from flink_kafka_table_api_spark.operators import timeseries as tsr
+from flink_kafka_table_api_spark.operators import validate as vd
 from flink_kafka_table_api_spark.operators.relational import (
     anti_join,
     hierarchy_levels,
@@ -46,6 +47,7 @@ from flink_kafka_table_api_spark.operators.relational import (
     join_dim,
     merge_upsert,
     range_join_binned,
+    rfm_segments_sql,
     semi_join,
     sessionize,
     top_k_per_group,
@@ -2032,6 +2034,23 @@ def q_neardup_verified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _scratch_dir(tag: str, sf: str) -> str:
+    """Deterministic per-(query, sf) scratch dir for streaming-state
+    queries, scrubbed at call start: repeated bench/driver runs reuse ONE
+    directory instead of leaking a full streaming state per run (round-7
+    ADVICE), and the scrub keeps every run a cold, honestly-timed one
+    rather than a marker-skip replay."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(f"{tag}:{sf}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"fkta_{tag}_{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 @query(
     "incremental_neardup",
     f"""
@@ -2045,15 +2064,13 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     the first, without rescanning it. The oracle is the BATCH LSH pipeline
     (orientation-swapped: incremental emits (newer, older)) — proving that
     the incremental index finds exactly the pairs a full-corpus run finds."""
-    import tempfile
-
     from flink_kafka_table_api_spark.streaming.incremental_dedup import (
         IncrementalDedup,
     )
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     mid = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
-    state = tempfile.mkdtemp(prefix="fkta_incdedup_")
+    state = _scratch_dir("incdedup", sf)
     dd_inc = IncrementalDedup(state, threshold=0.5, portable=True)
     dd_inc.process_batch(docs.filter(F.col("doc_id") <= mid), 0)
     dd_inc.process_batch(docs.filter(F.col("doc_id") > mid), 1)
@@ -2106,7 +2123,7 @@ def stream_curation_sql(
     """
 
 
-@bench_query("stream_curation")
+@query("stream_curation", stream_curation_sql())
 def q_stream_curation(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end INCREMENTAL curation pipeline
     (streaming/curation_pipeline.py, round-6 VERDICT item 6): file-stream
@@ -2115,14 +2132,12 @@ def q_stream_curation(spark: SparkSession, sf: str) -> DataFrame:
     replay-safe foreachBatch merge with a carried token offset. Staged
     for the round-8 gate; the oracle is the single-pass batch replay —
     proving per-batch incremental state reproduces the full recompute."""
-    import tempfile
-
     from flink_kafka_table_api_spark.streaming.curation_pipeline import (
         stream_curate_pack,
     )
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    state = tempfile.mkdtemp(prefix="fkta_streamcur_")
+    state = _scratch_dir("streamcur", sf)
     return stream_curate_pack(
         spark, docs, state, threshold=0.5, quality_threshold=0.5,
         budget=256, chunks=2, portable=True,
@@ -3145,7 +3160,7 @@ def _run_stream_to_table(
     return spark.table(name)
 
 
-@query(
+@retired_query(
     "stream_tumbling",
     f"""
     WITH agg AS (
@@ -3231,7 +3246,7 @@ def q_stream_window_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "stream_session",
     f"""
     WITH flagged AS (
@@ -3273,7 +3288,7 @@ def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "stream_sliding",
     f"""
     WITH agg AS (
@@ -3935,7 +3950,7 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@retired_query(
+@query(
     "exists_orders",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
@@ -3969,7 +3984,7 @@ def q_exists_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@retired_query(
+@query(
     "corr_avg_subquery",
     f"""
     SELECT l.l_partkey, {dec_sum_sql('l.l_extendedprice', 'small_lot_revenue')},
@@ -4053,7 +4068,7 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@retired_query(
+@query(
     "cold_customers",
     f"""
     WITH threshold AS (
@@ -6506,7 +6521,7 @@ def stream_windows_sql() -> str:
     """
 
 
-@bench_query("stream_windows")
+@query("stream_windows", stream_windows_sql())
 def q_stream_windows(spark: SparkSession, sf: str) -> DataFrame:
     """STAGED round-8 consolidation: the tumbling / session / sliding
     window family as ONE tagged multi-assert query — three REAL
@@ -7269,7 +7284,7 @@ def q_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dd.er_clusters(_t(spark, sf, "part"), name_col="p_name")
 
 
-@bench_query("rake_keywords")
+@query("rake_keywords", tx.rake_keywords_sql())
 def q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """RAKE corpus keyphrases (operators/text.py `rake_keywords`,
     top-20): stopword-run segmentation via per-doc windows, integer
@@ -7283,7 +7298,7 @@ def q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
 # staging ledger, so these registered in round 7 or sit in the
 # committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@bench_query("burst_detection")
+@query("burst_detection", tsr.burst_detection_sql())
 def q_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
     """Kleinberg two-state burst intervals over daily event shares
     (operators/timeseries.py `burst_detection`): one corpus-sized daily
@@ -7297,7 +7312,46 @@ def q_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
     return burst_detection(_t(spark, sf, "events"))
 
 
-@bench_query("cluster_silhouette")
+def _cluster_silhouette_oracle() -> str:
+    """Oracle for `cluster_silhouette` (pre-validated in
+    tests/test_r14_prevalidated.py): centroid distances round(6), the
+    two nearest centroids per vector via an ordered struct list, the
+    simplified-silhouette formula, vec_id-ordered mean fold."""
+    cos = cosine_sql("v.embedding", "c.c_emb")
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < 8
+    ),
+    sc AS (
+      SELECT v.vec_id, c.c_id, round(1.0 - {cos}, 6) AS dist
+      FROM embeddings v CROSS JOIN centroids c
+    ),
+    two AS (
+      SELECT vec_id,
+             (list({{'dist': dist, 'cid': c_id}}
+                   ORDER BY dist, c_id))[1] AS n1,
+             (list({{'dist': dist, 'cid': c_id}}
+                   ORDER BY dist, c_id))[2] AS n2
+      FROM sc GROUP BY vec_id
+    ),
+    pv AS (
+      SELECT vec_id, n1.cid AS cluster,
+             round(CASE WHEN greatest(n1.dist, n2.dist) > 0
+                        THEN (n2.dist - n1.dist)
+                             / greatest(n1.dist, n2.dist)
+                        ELSE 0.0 END, 6) AS s
+      FROM two
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(list_reduce(list(s ORDER BY vec_id), (x, y) -> x + y)
+                 / COUNT(*), 6) AS mean_silhouette,
+           MIN(s) AS min_silhouette, MAX(s) AS max_silhouette
+    FROM pv GROUP BY cluster
+    """
+
+
+@query("cluster_silhouette", _cluster_silhouette_oracle())
 def q_cluster_silhouette(spark: SparkSession, sf: str) -> DataFrame:
     """Centroid-based simplified silhouette of the IVF coarse
     clustering (operators/similarity.py `cluster_silhouette`, the 8
@@ -7312,7 +7366,7 @@ def q_cluster_silhouette(spark: SparkSession, sf: str) -> DataFrame:
     return sim.cluster_silhouette(emb, cent)
 
 
-@bench_query("source_lang_mi")
+@query("source_lang_mi", cu.source_lang_mi_sql())
 def q_source_lang_mi(spark: SparkSession, sf: str) -> DataFrame:
     """Mutual information / NMI between source and language
     (operators/curation.py `source_lang_mi`): one contingency-cell
@@ -7321,7 +7375,33 @@ def q_source_lang_mi(spark: SparkSession, sf: str) -> DataFrame:
     return cu.source_lang_mi(_t(spark, sf, "documents"))
 
 
-@bench_query("tokenizer_fertility")
+def _tokenizer_fertility_oracle() -> str:
+    """Oracle for `tokenizer_fertility` (pre-validated in
+    tests/test_r14_prevalidated.py): the registered 12-merge BPE
+    training chain (_bpe_oracle) with a per-language fertility
+    final-select over the encoded word table."""
+    toks = tx.tokens_sql("text")
+    return _bpe_oracle(12, final_select=f"""
+    SELECT lw.lang,
+           CAST(SUM(lw.f) AS BIGINT) AS n_words,
+           CAST(SUM(lw.f * len(p.syms)) AS BIGINT) AS n_pieces,
+           CAST(SUM(lw.f * length(p.w)) AS BIGINT) AS n_chars,
+           round(CAST(SUM(lw.f * len(p.syms)) AS DOUBLE)
+                 / CAST(SUM(lw.f) AS DOUBLE), 6) AS fertility,
+           round(CAST(SUM(lw.f * length(p.w)) AS DOUBLE)
+                 / CAST(SUM(lw.f * len(p.syms)) AS DOUBLE), 6)
+             AS chars_per_piece
+    FROM (
+      SELECT lang, t AS w, COUNT(*) AS f
+      FROM (SELECT lang, unnest({toks}) AS t FROM documents)
+      WHERE regexp_matches(t, '^[a-z0-9]+$')
+      GROUP BY lang, t
+    ) lw JOIN {{w}} p ON lw.w = p.w
+    GROUP BY lw.lang
+    """)
+
+
+@query("tokenizer_fertility", _tokenizer_fertility_oracle())
 def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language BPE fertility audit (operators/text.py
     `tokenizer_fertility`, 12 corpus-trained merges): vocabulary-sized
@@ -7335,7 +7415,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
 # staging ledger, so these registered in round 7 or sit in the
 # committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@bench_query("ks_source_drift")
+@query("ks_source_drift", cu.ks_source_drift_sql())
 def q_ks_source_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov per source vs rest over the
     document-length distribution (operators/curation.py
@@ -7345,7 +7425,7 @@ def q_ks_source_drift(spark: SparkSession, sf: str) -> DataFrame:
     return cu.ks_source_drift(_t(spark, sf, "documents"))
 
 
-@bench_query("chi2_independence")
+@query("chi2_independence", cu.chi2_independence_sql())
 def q_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
     """Pearson chi-square + Cramer's V over the FULL source x lang
     grid (operators/curation.py `chi2_independence`): absent cells
@@ -7354,7 +7434,7 @@ def q_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
     return cu.chi2_independence(_t(spark, sf, "documents"))
 
 
-@bench_query("shingle_overlap_matrix")
+@query("shingle_overlap_matrix", dd.shingle_overlap_matrix_sql())
 def q_shingle_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise source content overlap via top-100 shingle Jaccard
     (operators/dedup.py `shingle_overlap_matrix`): the shared-upstream
@@ -7441,7 +7521,7 @@ def q_ann_basic_suite(spark: SparkSession, sf: str) -> DataFrame:
 # staging ledger, so these registered in round 7 or sit in the
 # committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@bench_query("holt_forecast")
+@query("holt_forecast", tsr.holt_forecast_sql())
 def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     """Holt linear-trend smoothing + one-step backtest over daily
     event counts (operators/timeseries.py `holt_forecast`): sequential
@@ -7454,7 +7534,7 @@ def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     return holt_forecast(_t(spark, sf, "events"))
 
 
-@bench_query("acf_audit")
+@query("acf_audit", tsr.acf_audit_sql())
 def q_acf_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Sample autocorrelation at lags 1-7 with the white-noise band
     (operators/timeseries.py `acf_audit`): the seasonality diagnostic
@@ -7466,7 +7546,19 @@ def q_acf_audit(spark: SparkSession, sf: str) -> DataFrame:
     return acf_audit(_t(spark, sf, "events"))
 
 
-@bench_query("snapshot_diff")
+# Deterministic snapshot derivations matching q_snapshot_diff (pre-
+# validated in tests/test_r16_prevalidated.py).
+_SNAPDIFF_OLD_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 7"
+_SNAPDIFF_NEW_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN text || ' v2' "
+    "ELSE text END AS text FROM documents WHERE doc_id % 10 != 5"
+)
+
+
+@query(
+    "snapshot_diff",
+    cu.snapshot_diff_sql(_SNAPDIFF_OLD_SQL, _SNAPDIFF_NEW_SQL),
+)
 def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus version CDC (operators/curation.py `snapshot_diff`):
     two deterministically derived snapshots of the documents table
@@ -7527,7 +7619,7 @@ _HITS_EDGES_SQL = """
 """
 
 
-@bench_query("hits_scores")
+@query("hits_scores", gr.hits_scores_sql(_HITS_EDGES_SQL))
 def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Kleinberg HITS hub/authority scores (operators/graph.py
     `hits_scores`) over the directed quadratic-generator graph —
@@ -7539,7 +7631,17 @@ def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
     return hits_scores(_hits_edges(spark, sf))
 
 
-@bench_query("bfs_hops")
+# The three lowest customer keys, matching q_bfs_hops's seed frame.
+_BFS_SEEDS_SQL = (
+    "SELECT CAST(c_custkey AS BIGINT) AS node FROM customer "
+    "ORDER BY node LIMIT 3"
+)
+
+
+@query(
+    "bfs_hops",
+    gr.bfs_hops_sql(_HITS_EDGES_SQL, _BFS_SEEDS_SQL, max_hops=8),
+)
 def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-source BFS hop distances (operators/graph.py `bfs_hops`,
     RESERVE operator — pre-validated, not slot-committed) over the
@@ -7558,7 +7660,7 @@ def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=8)
 
 
-@bench_query("mann_kendall")
+@query("mann_kendall", tsr.mann_kendall_sql())
 def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
     """Mann-Kendall monotone-trend test + Sen's slope per event type
     (operators/timeseries.py `mann_kendall`, RESERVE operator —
@@ -7573,7 +7675,7 @@ def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
     return mann_kendall(_t(spark, sf, "events"))
 
 
-@bench_query("markov_transitions")
+@query("markov_transitions", tsr.markov_transitions_sql())
 def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix of per-user event
     sequences (operators/timeseries.py `markov_transitions`): one
@@ -7586,7 +7688,7 @@ def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return markov_transitions(_t(spark, sf, "events"))
 
 
-@bench_query("benford_audit")
+@query("benford_audit", vd.benford_audit_sql("lineitem", "l_extendedprice"))
 def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Benford first-digit conformance audit over lineitem extended
     prices (operators/validate.py `benford_audit`): one narrow
@@ -7606,7 +7708,9 @@ def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
 # staging ledger, so these registered in round 7 or sit in the
 # committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@bench_query("k_anonymity")
+@query("k_anonymity", vd.k_anonymity_audit_sql(
+    "customer", ["c_nationkey", "c_mktsegment"], "c_acctbal"
+))
 def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity / l-diversity release audit over customer
     quasi-identifiers (nation, market segment) with account balance as
@@ -7625,7 +7729,7 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("kaplan_meier")
+@query("kaplan_meier", tsr.kaplan_meier_sql(subject_cols=("user_id", "event_type")))
 def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     """Kaplan-Meier survival of (user, event_type) engagement
     lifetimes with 7-day right-censoring (operators/timeseries.py
@@ -7641,7 +7745,16 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("psi_drift")
+# Snapshot derivations matching q_psi_drift (pre-validated in
+# tests/test_r18_prevalidated.py).
+_PSI_OLD_SQL = "SELECT n_chars FROM documents WHERE doc_id % 2 = 0"
+_PSI_NEW_SQL = (
+    "SELECT n_chars + CASE WHEN doc_id % 4 = 1 THEN 300 ELSE 0 END "
+    "AS n_chars FROM documents WHERE doc_id % 2 = 1"
+)
+
+
+@query("psi_drift", cu.psi_drift_sql(_PSI_OLD_SQL, _PSI_NEW_SQL, "n_chars"))
 def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Population Stability Index between two deterministically
     derived snapshots of the documents length distribution
@@ -7667,7 +7780,7 @@ def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
 # staging ledger, so these registered in round 7 or sit in the
 # committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@bench_query("rfm_segments")
+@query("rfm_segments", rfm_segments_sql())
 def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM customer segmentation over orders (operators/relational.py
     `rfm_segments`, Hughes '94): one customer-keyed aggregate, one
@@ -7680,7 +7793,7 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     return rfm_segments(_t(spark, sf, "orders"))
 
 
-@bench_query("mann_whitney")
+@query("mann_whitney", cu.mann_whitney_u_sql())
 def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source Mann-Whitney U location-shift test on document
     lengths (operators/curation.py `mann_whitney_u`): integer midrank
@@ -7693,7 +7806,7 @@ def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     return mann_whitney_u(_t(spark, sf, "documents"))
 
 
-@bench_query("assoc_rules")
+@query("assoc_rules", tx.assoc_rules_sql())
 def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Directional association rules with confidence/lift over the
     A-priori frequent-pair stage (operators/text.py `assoc_rules`,
@@ -7709,7 +7822,17 @@ def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
 # staging ledger, so these registered in round 7 or sit in the
 # committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@bench_query("ewma_control")
+# Phase-II level-shift derivation matching q_ewma_control (pre-
+# validated in tests/test_r20_prevalidated.py).
+_EWMA_SHIFT_SRC = """(
+  SELECT event_id, ts, event_type FROM events,
+    (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events)
+  WHERE NOT (CAST(ts AS DATE) > d0 + INTERVAL 20 DAY
+             AND event_id % 4 <> 0)
+)"""
+
+
+@query("ewma_control", tsr.ewma_control_sql(_EWMA_SHIFT_SRC))
 def q_ewma_control(spark: SparkSession, sf: str) -> DataFrame:
     """EWMA control chart over daily event counts with a planted
     Phase-II level shift (operators/timeseries.py `ewma_control`,
@@ -7736,7 +7859,7 @@ def q_ewma_control(spark: SparkSession, sf: str) -> DataFrame:
     return ewma_control(shifted)
 
 
-@bench_query("heaps_law")
+@query("heaps_law", tx.heaps_law_sql())
 def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps'-law vocabulary-growth checkpoints + log-log OLS fit
     (operators/text.py `heaps_law`): two map-side-partial aggregates
@@ -7749,7 +7872,7 @@ def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
     return heaps_law(_t(spark, sf, "documents"))
 
 
-@bench_query("grid_density")
+@query("grid_density", sim.grid_density_clusters_sql(cell=0.04, min_pts=4))
 def q_grid_density(spark: SparkSession, sf: str) -> DataFrame:
     """Grid-density clustering over embedding dims 1-2
     (operators/similarity.py `grid_density_clusters`, STING/CLIQUE
@@ -8042,100 +8165,67 @@ for _suite_name in _SUITE_SPECS:
 # gate (a schedule slot is not evidence), and that the two lists don't
 # overlap.
 #
-# Round-7 gate (VERDICT r6 items 1 and 2, the ledger compression):
-#   - FIRST, the four names running on r3 evidence (stream_approved /
-#     stream_session / stream_sliding / vocab_coverage — displaced two
-#     rounds running; the judge ordered them rotated in before anything
-#     else. stream_session / stream_sliding get their fresh green HERE;
-#     the stream_windows consolidation that will retire them registers
-#     in round 8, never before their evidence is current);
-#   - then the ENTIRE round-7 registration cohort (never-green rule:
-#     a new name sits in the actual gate): all 18 spec-driven
-#     consolidation suites, 7 bespoke consolidation suites + the
-#     tpch_scalar_suite (which retires NOTHING — all 22 tpch_q* names
-#     stay individually registered per VERDICT r6 item 7; the suite is
-#     pure additional coverage), and 20 pre-validated standalone
-#     operators. Every suite retired its components in this same
-#     commit (their oracles live on verbatim inside the suite SQL, and
-#     their callables stay bench-runnable as BENCH_ONLY twins).
-# 4 + 18 + 8 + 20 = 50 exactly.
+# Round-8 gate (VERDICT r7 items 1-3, finishing the ledger):
+#   - FIRST, the reference flagship approved_transactions — the r7
+#     rotation's off-by-one (24 r4-stale names, 23 scheduled; the
+#     coverage tripwire went RED the moment CORRECTNESS_r07 landed) —
+#     then the other 22 surviving r4-stale names from the committed r7
+#     schedule (stream_tumbling vacates its slot: it retires into the
+#     stream_windows consolidation registering below, its oracle
+#     composed verbatim and hash-checked every round the suite runs);
+#   - then the FINAL registration cohort (never-green rule: a new name
+#     sits in the actual gate): stream_windows (deferred from r7 so
+#     stream_session / stream_sliding could earn fresh r7 evidence
+#     first — they retire into it now), stream_curation (the round-7
+#     incremental streaming curation pipeline, VERDICT r6 item 6), and
+#     the 25 remaining pre-validated standalone operators. After this
+#     gate the staging ledger is PAID: zero BENCH_ONLY names without
+#     driver or suite-embedded evidence, one round ahead of the r9
+#     deadline. (label_propagation / equi_depth_bins / winnowing ride
+#     inside graph_suite / binning_suite / fingerprint_suite — their
+#     oracles are hash-checked by those suites' green rows.)
+# 23 + 2 + 25 = 50 exactly.
 _PRIORITY: list[str] = [
-    # -- r3-stale rotations (VERDICT r6 item 2: these go first) --
-    "stream_approved", "stream_session", "stream_sliding",
-    "vocab_coverage",
-    # -- spec-driven consolidation suites (components retired) --
-    "agg_suite", "approx_suite", "binning_suite", "bpe_suite",
-    "chunk_suite", "embedding_dedup_suite", "exact_dedup_suite",
-    "fingerprint_suite", "funcs_suite", "journey_suite",
-    "llm_curation_suite", "profile_suite", "retrieval_suite",
-    "sampling_suite", "simhash_suite", "stream_misc_suite",
-    "subquery_suite", "text_stats_suite",
-    # -- bespoke consolidation suites --
-    "ann_basic_suite", "dedup_suite", "graph_suite", "join_suite",
-    "set_ops", "substring_dups", "tpch_scalar_suite", "window_suite",
-    # -- standalone staged operators (rounds 7-13 of the old ledger) --
-    "weighted_sample", "frequent_pairs", "pq_ann",
-    "dup_ngram_coverage", "nb_scores", "source_kl_divergence",
-    "gazetteer_tag", "event_paths",
-    "seasonal_anomaly", "link_prediction", "containment_pairs",
-    "winnow_matches", "adamic_adar", "lsh_recall_audit",
-    "edit_similarity_join", "ngram_novelty", "cusum_drift",
-    "zipf_gini_audit", "readability", "er_clusters",
-]
-
-# Next round's committed gate (round 8). The round-6 VERDICT ordered the
-# r7-r20 slot-funding ledger COMPRESSED: register every pre-built staged
-# name by round 9 instead of dripping ~3 a round through round 20. The
-# evidence window widened to three artifacts (tests/
-# test_registry_coverage.py, sustainable registry ~200), and round 7
-# registered 46 of the 73 staged names (all 26 consolidation suites +
-# 20 standalone operators), retiring 61 suite components. Round 8
-# finishes the job — it must gate:
-#
-#   - the 23 names below whose most recent green is the r4 artifact
-#     (they fall out of the three-artifact window when CORRECTNESS_r07
-#     lands);
-#   - the 27 remaining staged registrations, each never-green and
-#     therefore gate-bound on registration: `stream_windows` (deferred
-#     from r7 ONLY because it retires stream_session / stream_sliding,
-#     which the r6 VERDICT ordered rotated in for fresh r7 evidence
-#     first) and the 26 remaining standalone operators: rake_keywords,
-#     burst_detection, cluster_silhouette, source_lang_mi,
-#     tokenizer_fertility, ks_source_drift, chi2_independence,
-#     shingle_overlap_matrix, holt_forecast, acf_audit, snapshot_diff,
-#     hits_scores, markov_transitions, benford_audit, k_anonymity,
-#     kaplan_meier, psi_drift, rfm_segments, mann_whitney, assoc_rules,
-#     ewma_control, heaps_law, grid_density, and the two former
-#     reserves bfs_hops + mann_kendall (nothing is held in reserve
-#     anymore), plus label_propagation's registration rides inside
-#     graph_suite (already registered r7) and equi_depth_bins /
-#     winnowing ride inside binning_suite / fingerprint_suite — their
-#     values are hash-checked by those suites' gate rows every round
-#     they run;
-#   - `stream_curation`, the round-7-built end-to-end incremental
-#     curation pipeline (VERDICT r6 item 6, streaming/
-#     curation_pipeline.py; pre-validated vs its single-pass oracle in
-#     tests/test_stream_curation.py).
-#
-# 23 + 27 + 1 = 51 vs 50 slots: at round-8 commit time ONE schedule
-# name (activity_islands, r4-green) is displaced into the then-committed
-# r9 schedule — the displacement lever rounds 5-7 used.
-# After round 8 lands, every operator this engine implements has a green
-# driver row and the registry holds ~160 names against a ~200-name
-# sustainable window: the freed rounds 9-20 go to genuinely new
-# capability (r6 VERDICT items 3 and 6), not wiring.
-#
-# Bench twins that never register (by design, not backlog): ann_ivf,
-# dedup_minhash_fast, neardup_verified_fast, pq_ann_search — xxhash64 /
-# search-path performance twins of registered contract queries.
-_NEXT_GATE_SCHEDULE: list[str] = [
+    # -- the r7 off-by-one, first (VERDICT r7 item 1) --
+    "approved_transactions",
+    # -- the 22 other r4-stale names from the committed r7 schedule --
     "activity_islands", "avro_file_roundtrip", "bigram_lm_score",
     "bloom_decontaminate", "cdc_chunk_dedup", "connector_approved",
     "dedup_clusters", "dsir_select", "fix_encoding", "fuzzy_name_match",
     "join_inner_agg", "merge_upsert", "pivot_unpivot", "pricing_summary",
     "salted_agg", "sentiment_lexicon", "simjoin_prefix", "skyline_parts",
-    "star_join", "stream_tumbling", "time_rollup_multi",
-    "top_ngram_fraction", "ts_pattern_topk",
+    "star_join", "time_rollup_multi", "top_ngram_fraction",
+    "ts_pattern_topk",
+    # -- streaming registrations (never-green: actual-gate-bound) --
+    "stream_windows", "stream_curation",
+    # -- the 25 remaining staged standalone operators --
+    "rake_keywords", "burst_detection", "cluster_silhouette",
+    "source_lang_mi", "tokenizer_fertility", "ks_source_drift",
+    "chi2_independence", "shingle_overlap_matrix", "holt_forecast",
+    "acf_audit", "snapshot_diff", "hits_scores", "bfs_hops",
+    "mann_kendall", "markov_transitions", "benford_audit", "k_anonymity",
+    "kaplan_meier", "psi_drift", "rfm_segments", "mann_whitney",
+    "assoc_rules", "ewma_control", "heaps_law", "grid_density",
+]
+
+# Next round's committed gate (round 9). When CORRECTNESS_r08 lands the
+# evidence window becomes {r6, r7, r8}: the 23 names whose most recent
+# green is the r5 artifact fall out and rotate here, plus the three
+# subquery shapes re-registered this round per VERDICT r7 item 6
+# (exists_orders last green r5; corr_avg_subquery / cold_customers r6 —
+# scheduled now so they cannot repeat the approved_transactions
+# off-by-one when r9 lands). 26 names against 50 slots: the first
+# rotation round with slack since round 4 — the ledger is paid, and
+# rounds 9+ fund new capability, not wiring.
+_NEXT_GATE_SCHEDULE: list[str] = [
+    "asof_join", "cold_customers", "corr_avg_subquery", "cte_query",
+    "decontaminate", "exists_orders", "filter_project", "heavy_hitters",
+    "hierarchy_rollup", "jl_projection", "leakage_safe_split",
+    "multimodal_meta", "ngram_jaccard", "not_null_audit",
+    "pack_sequences", "predicates", "range_join", "salted_join",
+    "scd2_history", "sessionize", "sort_limit", "stream_dedup",
+    "stream_sessions_stateful", "tfidf", "tpch_q18_big_orders",
+    "tpch_q3_shipping",
 ]
 
 

@@ -19,7 +19,14 @@ Per micro-batch, NOTHING already processed is rescanned:
   `seq_id` (a pure function of the global exclusive cumulative token sum)
   comes out IDENTICAL to a single full-corpus packing run;
 - the sink merge is idempotent via per-batch commit markers (a replayed
-  batch after recovery is a no-op), the streaming/upsert.py recipe.
+  batch after recovery is a no-op), the streaming/upsert.py recipe —
+  and every side effect of a batch (the dedup state, the packed sink
+  rows, the carried token total) is a BATCH-SCOPED overwrite published
+  BEFORE the marker, so a crash mid-batch replays into a scrub +
+  deterministic recompute instead of duplicated appends: the offset
+  chain reads batch N-1's published total, never a mutable global file,
+  so a half-committed batch can neither double-count tokens nor corrupt
+  any later seq_id.
 
 At 100 TB this is the shape that matters: a daily crawl drop of X GB costs
 O(X) work against the standing index — index size affects only the
@@ -101,19 +108,41 @@ def stream_curate_pack(
     )
     sink = os.path.join(state_dir, "packed")
     marker_dir = os.path.join(state_dir, "commits")
-    meta_path = os.path.join(state_dir, "pack_offset.json")
+    offsets_dir = os.path.join(state_dir, "offsets")
     inc = IncrementalDedup(
         os.path.join(state_dir, "dedup"),
         threshold=threshold, portable=portable,
     )
 
+    def offset_after(batch_id: int) -> int:
+        """Published running token total after `batch_id` (0 before the
+        first batch). Reading the PREVIOUS batch's immutable snapshot —
+        not a mutable global file — is what makes a replayed
+        half-committed batch recompute the same offset it saw the first
+        time instead of double-counting its own tokens."""
+        if batch_id < 0:
+            return 0
+        return json.load(
+            open(os.path.join(offsets_dir, f"batch-{batch_id}.json"))
+        )["token_total"]
+
     def process(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
         os.makedirs(marker_dir, exist_ok=True)
+        os.makedirs(offsets_dir, exist_ok=True)
         marker = os.path.join(marker_dir, f"batch-{batch_id}")
         if os.path.exists(marker):
             return  # replayed after recovery: already merged
+        # crash-replay scrub: without a marker, any batch-scoped output
+        # on disk is partial — remove it so the recompute publishes clean
+        shutil.rmtree(
+            os.path.join(sink, f"batch-{batch_id}"), ignore_errors=True
+        )
         batch = batch.persist()
         # 1) incremental near-dup: batch signatures vs accumulated index
+        #    (process_batch is itself idempotent: marker-guarded,
+        #    batch-scoped state, scrub-on-replay)
         inc.process_batch(batch, batch_id)
         # matches involving THIS batch's docs, newer side (`a`) dropped —
         # the keep-first-copy rule; a batch doc matching an indexed doc OR
@@ -132,22 +161,26 @@ def stream_curate_pack(
             .select("doc_id"),
             "doc_id",
         )
-        # 3) packing continues from the persisted running token total
-        # (pack_sequences handles an all-dropped batch: empty layout,
-        # zero new tokens — no extra emptiness probe job needed)
-        offset = 0
-        if os.path.exists(meta_path):
-            offset = json.load(open(meta_path))["token_total"]
+        # 3) packing continues from the PREVIOUS batch's published token
+        # total (pack_sequences handles an all-dropped batch: empty
+        # layout, zero new tokens — no extra emptiness probe job needed)
+        offset = offset_after(batch_id - 1)
         packed = pack_sequences(
             kept, budget=budget, start_offset=offset
         ).persist()
         new_tokens = packed.agg(F.sum("n_tokens")).first()[0] or 0
-        # 4) merge into the sink (doc_ids are unique across batches, so
-        #    the merge is an append of new keys; the marker makes replays
-        #    no-ops — the streaming/upsert.py recipe)
-        packed.write.mode("append").parquet(sink)
-        json.dump({"token_total": int(offset + new_tokens)},
-                  open(meta_path, "w"))
+        # 4) publish: batch-scoped sink overwrite + this batch's offset
+        #    snapshot, marker LAST — the commit point (doc_ids are unique
+        #    across batches, so the sink union is an append of new keys;
+        #    the marker makes replays no-ops, and the scrub above makes
+        #    mid-batch-crash replays clean recomputes)
+        packed.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch-{batch_id}")
+        )
+        json.dump(
+            {"token_total": int(offset + new_tokens)},
+            open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
+        )
         packed.unpersist()
         batch.unpersist()
         open(marker, "w").close()
@@ -165,4 +198,12 @@ def stream_curate_pack(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    if not IncrementalDedup._has_parts(sink):
+        # every batch was filtered to nothing: typed empty sink
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, seq_id long"
+        )
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(sink)
+        .select("doc_id", "n_tokens", "seq_id")
+    )

@@ -8,22 +8,43 @@ delta deduped against everything already ingested WITHOUT rescanning it):
   per micro-batch (foreachBatch):
     1. signatures + band hashes for the NEW docs only (O(delta));
     2. bucket-join those bands against the persisted band index
-       (O(delta x bucket density), never O(corpus));
+       (O(delta x bucket density), never O(corpus)), with the SAME
+       oversized-bucket cap as the batch pipeline, applied to the
+       ACCUMULATED occupancy (index + this batch) — a hot boilerplate
+       template flooding one band bucket is defused in-stream, not just
+       in batch replays;
     3. exact-Jaccard verify candidate pairs (new doc text vs indexed doc
        text, via the doc store);
-    4. append flagged pairs to the matches table, and the new docs'
-       bands + texts to the index (so later batches dedup against them).
+    4. publish flagged pairs / the new docs' bands + texts into
+       BATCH-SCOPED state directories, then mark the batch indexed.
 
-At 100 TB the band index is the only long-lived state: ~bands x 8 bytes per
-doc, partitioned by band_hash so step 2 prunes. Batches also self-dedup
+Crash safety / exactly-once: every side effect of a batch is an overwrite
+of a `batch-N` directory (or the `indexed/batch-N` marker, written LAST).
+A replay of a fully-indexed batch is a no-op (marker check); a replay
+after a mid-batch crash first scrubs the batch's partial directories and
+recomputes them from identical inputs — the accumulated index it reads
+contains only fully or partially published EARLIER batches, never its own
+partial output.
+
+Cap semantics vs the single-pass batch oracle: the cap engages on the
+occupancy a bucket has reached AT DETECTION TIME. A bucket that crosses
+the cap mid-stream stops producing candidates from then on, but pairs it
+produced while small are kept — so incremental recall is a superset of
+the capped single-pass run and a subset of the uncapped one. At every
+shipped sf the largest bucket is far below the cap, so the gate parity
+with the capped batch oracle is exact (pinned in tests).
+
+At 100 TB the band index is the only long-lived state: ~bands x 8 bytes
+per doc, bucket-keyed so step 2 prunes. Batches also self-dedup
 (new-vs-new collisions) in the same join.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -49,16 +70,71 @@ class IncrementalDedup:
         shingle_k: int = 3,
         threshold: float = 0.5,
         portable: bool = False,
+        max_bucket_size: int | None = 256,
     ) -> None:
+        self.state_dir = state_dir
         self.bands_path = os.path.join(state_dir, "band_index")
         self.docs_path = os.path.join(state_dir, "doc_store")
         self.matches_path = os.path.join(state_dir, "matches")
+        self.marker_dir = os.path.join(state_dir, "indexed")
         self.num_hashes = num_hashes
         self.bands = bands
         self.rows_per_band = rows_per_band
         self.shingle_k = shingle_k
         self.threshold = threshold
         self.portable = portable
+        self.max_bucket_size = max_bucket_size
+
+    # -- batch-scoped state layout -------------------------------------
+    @staticmethod
+    def _part(table_path: str, batch_id: int) -> str:
+        return os.path.join(table_path, f"batch-{batch_id}")
+
+    @staticmethod
+    def _has_parts(table_path: str) -> bool:
+        """True iff any batch directory holds an actual parquet data
+        file — an all-empty batch (e.g. zero matches) writes a directory
+        with only a _SUCCESS marker, which parquet schema inference
+        cannot read."""
+        if not os.path.isdir(table_path):
+            return False
+        for root, _dirs, files in os.walk(table_path):
+            if any(
+                f.endswith(".parquet") and not f.startswith(("_", "."))
+                for f in files
+            ):
+                return True
+        return False
+
+    @staticmethod
+    def _read_parts(
+        spark: SparkSession, table_path: str, template: DataFrame
+    ) -> DataFrame:
+        """Union of all published batch-N directories (empty template
+        frame when none hold data yet). recursiveFileLookup keeps the
+        state schema identical to what each batch wrote — no
+        partition-column surprises for downstream unions."""
+        if not IncrementalDedup._has_parts(table_path):
+            return template.limit(0)
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(table_path)
+            .select(*template.columns)
+        )
+
+    def is_indexed(self, batch_id: int) -> bool:
+        """True iff process_batch fully published this batch (marker is
+        the LAST write of a batch — the replay no-op signal)."""
+        return os.path.exists(
+            os.path.join(self.marker_dir, f"batch-{batch_id}")
+        )
+
+    def _scrub(self, batch_id: int) -> None:
+        """Remove this batch's (necessarily partial — its marker is
+        absent) state directories so a post-crash replay recomputes them
+        from a clean slate and never reads its own half-written output."""
+        for t in (self.bands_path, self.docs_path, self.matches_path):
+            shutil.rmtree(self._part(t, batch_id), ignore_errors=True)
 
     def _new_bands(self, batch: DataFrame) -> DataFrame:
         sigs = minhash_signatures(
@@ -93,16 +169,35 @@ class IncrementalDedup:
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.is_indexed(batch_id):
+            return  # replayed after recovery: already fully published
+        self._scrub(batch_id)
         spark = batch.sparkSession
         batch = batch.select("doc_id", "text").persist()
         new_bands = self._new_bands(batch).persist()
         new_bands.count()
-        have_index = os.path.exists(self.bands_path)
-        index = (
-            spark.read.parquet(self.bands_path)
-            if have_index
-            else new_bands.limit(0)
-        )
+        index = self._read_parts(spark, self.bands_path, new_bands)
+        # Oversized-bucket cap on the ACCUMULATED occupancy (index + this
+        # batch) — the operators/dedup.py lsh_candidate_pairs recipe: the
+        # oversized set is the pathology, therefore tiny, and broadcasts
+        # into anti-joins; the bands tables are never re-shuffled for it.
+        idx_b = index
+        nb = new_bands
+        if self.max_bucket_size is not None:
+            big = (
+                index.select("band_id", "band_hash")
+                .unionByName(new_bands.select("band_id", "band_hash"))
+                .groupBy("band_id", "band_hash")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") > self.max_bucket_size)
+                .select("band_id", "band_hash")
+            )
+            nb = new_bands.join(
+                F.broadcast(big), ["band_id", "band_hash"], "left_anti"
+            )
+            idx_b = index.join(
+                F.broadcast(big), ["band_id", "band_hash"], "left_anti"
+            )
         # candidates, two joins with different pair-uniqueness rules:
         # - new-vs-INDEXED: the id sets are disjoint (an id is indexed at
         #   most once), so each cross pair appears in exactly one
@@ -113,15 +208,15 @@ class IncrementalDedup:
         #   dedups them and drops self-pairs.
         # Output orientation is therefore (a=new doc, b=indexed doc) for
         # cross pairs and (a=larger id, b=smaller id) within a batch.
-        new_a = new_bands.select(
+        new_a = nb.select(
             F.col("doc_id").alias("a"), "band_id", "band_hash"
         )
         cross = new_a.join(
-            index.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
+            idx_b.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
             ["band_id", "band_hash"],
         ).filter(F.col("a") != F.col("b"))
         within = new_a.join(
-            new_bands.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
+            nb.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
             ["band_id", "band_hash"],
         ).filter(F.col("a") > F.col("b"))
         # cand feeds THREE consumers below (the id prune plus both sides of
@@ -132,11 +227,7 @@ class IncrementalDedup:
             .distinct()
             .persist()
         )
-        doc_store = (
-            spark.read.parquet(self.docs_path)
-            if os.path.exists(self.docs_path)
-            else batch.limit(0)
-        )
+        doc_store = self._read_parts(spark, self.docs_path, batch)
         sh = self._verify_shingles(doc_store, batch, cand)
         a = sh.select(F.col("doc_id").alias("a"), F.col("__sh").alias("__sa"))
         b = sh.select(F.col("doc_id").alias("b"), F.col("__sh").alias("__sb"))
@@ -147,33 +238,63 @@ class IncrementalDedup:
             .select("a", "b", "jaccard")
             .withColumn("batch_id", F.lit(batch_id))
         )
-        matches.write.mode("append").parquet(self.matches_path)
-        new_bands.write.mode("append").parquet(self.bands_path)
-        batch.write.mode("append").parquet(self.docs_path)
+        # plan pin for the skew posture (read by tests, never by the
+        # pipeline): the cap must reach the physical plan as a broadcast
+        # anti-join — cheap to capture, and the only way a test can see
+        # inside a foreachBatch-driven join
+        self.last_candidate_plan = (
+            cand._jdf.queryExecution().executedPlan().toString()
+        )
+        # publish: batch-scoped overwrites, marker LAST (the commit point)
+        matches.write.mode("overwrite").parquet(
+            self._part(self.matches_path, batch_id)
+        )
+        new_bands.write.mode("overwrite").parquet(
+            self._part(self.bands_path, batch_id)
+        )
+        batch.write.mode("overwrite").parquet(
+            self._part(self.docs_path, batch_id)
+        )
         cand.unpersist()
         new_bands.unpersist()
         batch.unpersist()
+        os.makedirs(self.marker_dir, exist_ok=True)
+        open(os.path.join(self.marker_dir, f"batch-{batch_id}"), "w").close()
 
     def matches(self, spark) -> DataFrame:
-        if not os.path.exists(self.matches_path):
+        if not os.path.isdir(self.matches_path):
             raise FileNotFoundError("no batches processed yet")
-        return spark.read.parquet(self.matches_path)
+        if not self._has_parts(self.matches_path):
+            # batches ran but every one was match-free: typed empty frame
+            return spark.createDataFrame(
+                [], "a long, b long, jaccard double, batch_id int"
+            )
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(self.matches_path)
+            .select("a", "b", "jaccard", "batch_id")
+        )
 
     def compact_state(
         self, spark, *, target_file_bytes: int = 256 * 1024 * 1024
     ) -> None:
-        """Housekeeping for long-running streams: every micro-batch APPENDS
-        one file per partition to the band index / doc store / matches, so
-        after thousands of batches the scans in step 2/3 go metadata-bound.
-        Rewrites each state table to ~target-sized files (atomic swap via
-        sources.files.compact). Run it between batches on whatever cadence
-        the batch rate dictates — state CONTENT is untouched, so detection
-        results are identical before and after."""
+        """Housekeeping for long-running streams: every micro-batch
+        publishes one directory of per-partition files to the band index /
+        doc store / matches, so after thousands of batches the scans in
+        step 2/3 go metadata-bound. Rewrites each published batch
+        directory to ~target-sized files (atomic swap via
+        sources.files.compact), preserving the batch-scoped layout the
+        replay idempotence depends on. Run it between batches on whatever
+        cadence the batch rate dictates — state CONTENT is untouched, so
+        detection results are identical before and after."""
         from flink_kafka_table_api_spark.sources.files import compact
 
         for p in (self.bands_path, self.docs_path, self.matches_path):
-            if os.path.exists(p):
-                compact(spark, p, target_file_bytes=target_file_bytes)
+            if not os.path.isdir(p):
+                continue
+            for e in os.scandir(p):
+                if e.is_dir() and e.name.startswith("batch-"):
+                    compact(spark, e.path, target_file_bytes=target_file_bytes)
 
 
 def streaming_neardup(
