@@ -159,6 +159,9 @@ HEADLINE = [
     # round-7: end-to-end incremental curation pipeline (committed to the
     # round-8 gate; 2 real availableNow micro-batches + state + merges)
     "stream_curation",         # file-stream -> inc near-dup -> pack sink
+    # round-8 capability: watermarked late-data handling (3 out-of-order
+    # availableNow micro-batches; admit/drop/emit replayed by the oracle)
+    "stream_late_events",      # out-of-order drops -> watermark -> window
 ]
 
 

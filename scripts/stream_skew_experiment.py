@@ -74,6 +74,29 @@ def skewed_docs(spark):
     ).select("doc_id", "text")
 
 
+def flooded_docs(spark):
+    """The mega-bucket shape the cap exists for: the zipf rank-1 docs
+    (~6.7% of the corpus, ~335 docs at sf0.1 — above the 256 cap)
+    REPLACED by the shared template plus a per-doc suffix — boilerplate-
+    only pages, where the template dominates every minhash and the
+    whole group lands in one band-bucket family. The append-style skew
+    above dilutes the template among each doc's own shingles (max
+    bucket ~76 at sf0.1), so it stresses verify volume but not the cap;
+    this variant is the cap's trigger shape."""
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    rank = F.expr(_zipf_rank_expr("doc_id", 10**6))
+    return docs.withColumn(
+        "text",
+        F.when(
+            rank == 1,
+            F.concat_ws(
+                " ", F.lit(_BOILER[0]), F.lit(_BOILER[1]),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    ).select("doc_id", "text")
+
+
 def timed_pipeline(spark, docs, tag: str, runs: int) -> tuple[float, int]:
     times, n = [], 0
     for _ in range(runs):
@@ -90,10 +113,10 @@ def timed_pipeline(spark, docs, tag: str, runs: int) -> tuple[float, int]:
     return min(times), n
 
 
-def cap_evidence(spark, docs) -> None:
-    """Replay the skewed corpus through IncrementalDedup directly (the
-    same two id-range batches the file stream delivers) to read the
-    plan pin and the per-batch match volumes."""
+def cap_evidence(spark, docs, tag: str) -> None:
+    """Replay the corpus through IncrementalDedup directly (the same
+    two id-range batches the file stream delivers) to read the plan pin
+    and the per-batch match volumes."""
     state = tempfile.mkdtemp(prefix="fkta_skewexp_evidence_")
     inc = IncrementalDedup(state, threshold=0.5, portable=True)
     mid = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
@@ -113,10 +136,10 @@ def cap_evidence(spark, docs) -> None:
         .first()
     )
     plan = inc.last_candidate_plan
-    print(f"verified matches per batch: {per_batch}")
-    print(f"max accumulated bucket occupancy: {occ[0]} "
+    print(f"[{tag}] verified matches per batch: {per_batch}")
+    print(f"[{tag}] max accumulated bucket occupancy: {occ[0]} "
           f"(buckets over the 256 cap: {occ[1]})")
-    print("cap in the streaming candidate plan: "
+    print(f"[{tag}] cap in the streaming candidate plan: "
           f"LeftAnti={'LeftAnti' in plan} Broadcast={'Broadcast' in plan}")
     shutil.rmtree(state, ignore_errors=True)
 
@@ -133,10 +156,14 @@ def main() -> None:
     timed_pipeline(spark, uniform_docs(spark).limit(50), "warm", 1)
     t_u, n_u = timed_pipeline(spark, uniform_docs(spark), "uniform", runs)
     t_s, n_s = timed_pipeline(spark, skewed_docs(spark), "skew", runs)
+    t_f, n_f = timed_pipeline(spark, flooded_docs(spark), "flood", runs)
     print(f"uniform: {t_u:.2f}s ({n_u} packed rows)")
-    print(f"zipf-skewed: {t_s:.2f}s ({n_s} packed rows)")
-    print(f"degradation ratio: {t_s / t_u:.2f}x")
-    cap_evidence(spark, skewed_docs(spark))
+    print(f"zipf-boilerplate-append: {t_s:.2f}s ({n_s} packed rows), "
+          f"ratio {t_s / t_u:.2f}x")
+    print(f"template-flood (mega-bucket): {t_f:.2f}s ({n_f} packed rows), "
+          f"ratio {t_f / t_u:.2f}x")
+    cap_evidence(spark, skewed_docs(spark), "append-skew")
+    cap_evidence(spark, flooded_docs(spark), "flood")
     spark.stop()
 
 
