@@ -159,9 +159,11 @@ HEADLINE = [
     # round-7: end-to-end incremental curation pipeline (committed to the
     # round-8 gate; 2 real availableNow micro-batches + state + merges)
     "stream_curation",         # file-stream -> inc near-dup -> pack sink
-    # round-8 capability: watermarked late-data handling (3 out-of-order
-    # availableNow micro-batches; admit/drop/emit replayed by the oracle)
+    # round-8 capabilities: watermarked late-data handling and the
+    # out-of-order curation pipeline (each 3 availableNow micro-batches;
+    # admit/drop/finalize replayed by their oracles)
     "stream_late_events",      # out-of-order drops -> watermark -> window
+    "stream_curation_ooo",     # ooo drops -> watermark -> dedup -> pack
 ]
 
 
