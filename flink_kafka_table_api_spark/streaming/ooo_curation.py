@@ -146,13 +146,22 @@ def stream_curate_pack_ooo(
         if wm_prev is not None:
             fin = fin.filter(F.col("doc_id") > wm_prev)
         # 5) keep-smallest-id: drop finalized docs that are the LARGER
-        #    side of any verified pair accumulated so far
+        #    side of any verified pair accumulated so far. Restricting
+        #    the matches side to the finalize interval FIRST keeps the
+        #    anti-join's build side O(finalized-window pairs) — without
+        #    it the side grows with corpus age, the one cost a
+        #    long-running stream cannot pay
         dropped = (
             inc.matches(spark)
             .select(F.greatest("a", "b").alias("doc_id"))
-            .distinct()
+            .filter(F.col("doc_id") <= new_wm)
         )
-        kept = fin.join(dropped, "doc_id", "left_anti")
+        if wm_prev is not None:
+            dropped = dropped.filter(F.col("doc_id") > wm_prev)
+        # no forced broadcast: one interval's drop side is usually tiny
+        # (AQE broadcasts it), but a pathological drop could be large —
+        # let the optimizer pick
+        kept = fin.join(dropped.distinct(), "doc_id", "left_anti")
         scored = with_quality_score(kept).select("doc_id", "quality_score")
         kept = kept.join(
             scored.filter(F.col("quality_score") >= quality_threshold)
