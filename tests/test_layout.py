@@ -67,7 +67,14 @@ def test_zorder_prunes_multidim_box_where_roundrobin_cannot(spark, tmp_path):
     conjunctive box predicate on BOTH columns overlaps far fewer files
     than under the natural round-robin layout, by parquet min/max file
     stats — the exact skipping decision a stats-aware reader makes."""
-    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    # coalesce(1): BOTH nondeterminism sources in the rewrite are
+    # partial-merge-order effects — percentile_approx's sketch merge and
+    # repartitionByRange's per-partition sampling vary with task
+    # completion order on a loaded box (observed: the same code pruned
+    # 3-5/16 on a quiet run and 9/16 under full-suite load). One input
+    # partition makes the layout a pure function of the data, which is
+    # what a pruning assertion needs to measure.
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").coalesce(1)
     n_files = 16
     natural = str(tmp_path / "li_natural")
     li.repartition(n_files).write.parquet(natural)
