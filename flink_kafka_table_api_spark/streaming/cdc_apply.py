@@ -1,0 +1,214 @@
+"""CDC changelog apply with an event-time watermark (built round 8,
+registration-bound for round 9).
+
+The reference is a Flink Table API client, and the Table API's signature
+abstraction beyond windowed aggregation is the CHANGELOG/UPSERT stream:
+a keyed stream of insert/update/delete operations materialized into a
+continuously-maintained current-state table
+(`tableEnv.toChangelogStream` / upsert-kafka — public Flink API surface;
+the reference's own pipeline is the insert-only special case,
+TransactionProcessor.java:192). This module is the Spark-first
+equivalent: a foreachBatch keyed merge (the streaming/upsert.py recipe)
+hardened with the round-8 watermark + crash-safety machinery:
+
+  per micro-batch k (foreachBatch):
+    1. ADMIT:  ops with op_ts > W_{k-1} (the stored watermark); ops at
+               or below it are too late — the key's state may already
+               have been read downstream — and are dropped
+               DETERMINISTICALLY (the same contract stream_late_events
+               pins for Spark's own windowed aggregates);
+    2. REDUCE: the batch's per-key winner by (op_ts, op_id) — one
+               max_by hash aggregate, partial-agg friendly;
+    3. MERGE:  winner-of(previous state, batch winners) — state version
+               k is written as a NEW batch-scoped directory, so the
+               merge is an immutable version chain, not an in-place
+               mutation;
+    4. ADVANCE: W_k = max(op_ts SEEN through batch k) - delay (seen,
+               not admitted: dropped ops still advance the watermark);
+    5. PUBLISH: state/batch-k + offsets/batch-k.json, marker LAST —
+               replays of committed batches are no-ops, a mid-batch
+               crash scrubs and recomputes (the curation_pipeline.py
+               contract).
+
+The final snapshot is the last state version with DELETE winners
+removed: a key whose latest admitted op is a delete is absent, exactly
+the upsert-stream semantics. Because the per-key winner is an argmax
+over (op_ts, op_id), a late-but-admitted op with an older timestamp
+merges WITHOUT overwriting newer state — out-of-order arrival inside
+the watermark horizon is harmless by construction.
+
+At 100 TB: the per-batch reduce shuffles one row per distinct key in
+the batch; the merge joins that against the previous state version on
+the key (sort-merge or broadcast as AQE decides). State size is
+O(live keys); old versions are pruned to a bounded tail
+(`keep_versions`), so storage does not grow with stream age. What this
+deliberately does NOT do is re-read the ops history — state version k
+is a pure fold of version k-1 and batch k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.streaming.incremental_dedup import (
+    IncrementalDedup,
+)
+from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+
+OPS_COLUMNS = ["op_id", "op_ts", "key", "op", "value"]
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    ops_chunked: DataFrame,
+    state_dir: str,
+    *,
+    n_chunks: int,
+    delay: str,
+    chunk_col: str = "__chunk",
+    keep_versions: int = 3,
+) -> DataFrame:
+    """Materialize a keyed changelog stream (`ops_chunked`: op_id,
+    op_ts, key, op in {'U','D'}, value, `chunk_col`) staged as
+    `n_chunks` micro-batch drops into the current-state snapshot
+    (key, last_op_id, last_op_ts, last_op, last_value) of every live
+    (non-deleted) key, under an event-time watermark of `delay`
+    (an INTERVAL literal, e.g. '2 days'). Deterministic given the drop
+    boundaries — the DuckDB oracle replays admission + argmax."""
+    src = stage_chunked_by(
+        ops_chunked, os.path.join(state_dir, "src"),
+        chunk_col=chunk_col, n_chunks=n_chunks, columns=OPS_COLUMNS,
+    )
+    state = os.path.join(state_dir, "state")
+    marker_dir = os.path.join(state_dir, "commits")
+    offsets_dir = os.path.join(state_dir, "offsets")
+
+    def meta_after(batch_id: int) -> dict:
+        if batch_id < 0:
+            return {"watermark": None, "max_seen": None}
+        return json.load(
+            open(os.path.join(offsets_dir, f"batch-{batch_id}.json"))
+        )
+
+    def winners(df: DataFrame, n_col=None) -> DataFrame:
+        """Per-key argmax by (op_ts, op_id) plus the applied-op count:
+        ONE partial-agg-friendly hash aggregate, no window shuffle.
+        `n_col` weights the count (a previous state version's winner row
+        carries its accumulated n_ops through the merge)."""
+        pick = F.max_by(
+            F.struct(
+                F.col("op_id").alias("last_op_id"),
+                F.col("op_ts").alias("last_op_ts"),
+                F.col("op").alias("last_op"),
+                F.col("value").alias("last_value"),
+            ),
+            F.struct(F.col("op_ts"), F.col("op_id")),
+        ).alias("w")
+        n = (F.sum(n_col) if n_col is not None else F.count("*"))
+        return (
+            df.groupBy("key")
+            .agg(pick, n.cast("long").alias("n_ops"))
+            .select("key", "w.*", "n_ops")
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        os.makedirs(offsets_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed after recovery: already merged
+        shutil.rmtree(
+            os.path.join(state, f"batch-{batch_id}"), ignore_errors=True
+        )
+        prev = meta_after(batch_id - 1)
+        batch = batch.persist()
+        admitted = (
+            batch if prev["watermark"] is None
+            else batch.filter(F.col("op_ts") > prev["watermark"])
+        )
+        batch_w = winners(admitted.withColumn("__n", F.lit(1)), "__n")
+        prev_path = os.path.join(state, f"batch-{batch_id - 1}")
+        if os.path.isdir(prev_path):
+            # the merge is the SAME aggregate: the previous version's
+            # winner row (carrying its accumulated n_ops) competes with
+            # this batch's winner row; max_by picks the newer, sum
+            # accumulates the counts
+            prev_state = spark.read.parquet(prev_path)
+            as_ops = lambda df: df.select(  # noqa: E731
+                "key",
+                F.col("last_op_id").alias("op_id"),
+                F.col("last_op_ts").alias("op_ts"),
+                F.col("last_op").alias("op"),
+                F.col("last_value").alias("value"),
+                F.col("n_ops").alias("__n"),
+            )
+            merged = winners(
+                as_ops(prev_state).unionByName(as_ops(batch_w)), "__n"
+            )
+        else:
+            merged = batch_w
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state, f"batch-{batch_id}")
+        )
+        batch_max = batch.agg(F.max("op_ts")).first()[0]
+        candidates = [
+            m for m in (prev["max_seen"], None if batch_max is None
+                        else batch_max.isoformat()) if m is not None
+        ]
+        max_seen = max(candidates) if candidates else None
+        new_wm = None
+        if max_seen is not None:
+            row = spark.sql(
+                f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
+                "AS STRING)"
+            ).first()
+            new_wm = row[0]
+        json.dump(
+            {"watermark": new_wm, "max_seen": max_seen},
+            open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
+        )
+        batch.unpersist()
+        open(marker, "w").close()
+        # bounded version tail: state does not grow with stream age
+        old = batch_id - keep_versions
+        if old >= 0:
+            shutil.rmtree(
+                os.path.join(state, f"batch-{old}"), ignore_errors=True
+            )
+
+    stream = (
+        spark.readStream
+        .schema("op_id long, op_ts timestamp, key long, op string, "
+                "value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        (e for e in os.scandir(state) if e.name.startswith("batch-")),
+        key=lambda e: int(e.name.split("-")[1]),
+    )
+    if not versions:
+        return spark.createDataFrame(
+            [], "key long, last_op_id long, last_op_ts timestamp, "
+            "last_op string, last_value double, n_ops long"
+        )
+    return (
+        spark.read.parquet(versions[-1].path)
+        .filter(F.col("last_op") != "D")
+    )
+
+
+# re-export for callers that stage their own chunks
+__all__ = ["stream_cdc_apply", "stage_chunked_by", "IncrementalDedup"]
