@@ -8442,9 +8442,15 @@ _PRIORITY: list[str] = [
 # subquery shapes re-registered this round per VERDICT r7 item 6
 # (exists_orders last green r5; corr_avg_subquery / cold_customers r6 —
 # scheduled now so they cannot repeat the approved_transactions
-# off-by-one when r9 lands). 26 names against 50 slots: the first
-# rotation round with slack since round 4 — the ledger is paid, and
-# rounds 9+ fund new capability, not wiring.
+# off-by-one when r9 lands), plus the two round-8 displacements
+# (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
+# the first rotation round with slack since round 4 — the ledger is
+# paid, and rounds 9+ fund new capability, not wiring. One such
+# capability is already BUILT and pre-validated for the round-9 gate:
+# streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
+# changelog materialization; oracle + parity tests in
+# tests/test_cdc_apply.py — register it as @query with
+# _events_ops_oracle's SQL and a gate slot, never as BENCH_ONLY).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "asof_join", "avro_file_roundtrip",
     "cold_customers", "corr_avg_subquery", "cte_query",
