@@ -871,28 +871,30 @@ def bfs_hops(
 def bfs_hops_sql(
     edges_sql: str, seeds_sql: str, *, max_hops: int = 8
 ) -> str:
-    """DuckDB replay of :func:`bfs_hops` — rounds unroll as a WITH
-    chain of frontier joins + NOT-IN settles; pure integer arithmetic,
-    bit-exact by construction. (The replay unrolls every round; rounds
-    past convergence add nothing, matching the operator's early
-    exit.)"""
-    parts = [
-        f"e AS ({edges_sql})",
-        f"d0 AS (SELECT DISTINCT CAST(node AS BIGINT) AS node, "
-        f"CAST(0 AS BIGINT) AS hop FROM ({seeds_sql}))",
-        "f0 AS (SELECT node FROM d0)",
-    ]
-    for h in range(1, max_hops + 1):
-        parts.append(
-            f"f{h} AS (SELECT DISTINCT e.dst AS node "
-            f"FROM f{h - 1} JOIN e ON e.src = f{h - 1}.node "
-            f"WHERE e.dst NOT IN (SELECT node FROM d{h - 1}))"
-        )
-        parts.append(
-            f"d{h} AS (SELECT node, hop FROM d{h - 1} UNION ALL "
-            f"SELECT node, CAST({h} AS BIGINT) AS hop FROM f{h})"
-        )
-    return (
-        "WITH " + ", ".join(parts)
-        + f" SELECT node, hop FROM d{max_hops}"
+    """DuckDB replay of :func:`bfs_hops` as a RECURSIVE CTE over
+    (node, hop) pairs: UNION (set) recursion explores every node/hop
+    combination reachable within `max_hops` — bounded by
+    nodes x (max_hops+1) rows — and MIN(hop) per node is exactly the
+    operator's first-reached round; pure integer arithmetic, bit-exact.
+
+    History (round 8): the original replay unrolled the rounds as a
+    WITH chain where each d{h} referenced d{h-1} TWICE (the frontier
+    join and the NOT-IN settle). DuckDB 1.0 INLINES multiply-referenced
+    CTEs, so the unrolled plan re-evaluated the whole prefix per
+    reference — exponential in max_hops (measured at sf0.001: hops=6
+    6.9 s, hops=7 99.6 s, hops=8 did not return) — which would have
+    stalled the driver's sf0.01 gate the first time bfs_hops rotated
+    in. The recursive form evaluates each frontier once."""
+    return f"""
+    WITH RECURSIVE e AS ({edges_sql}),
+    walk(node, hop) AS (
+      SELECT DISTINCT CAST(node AS BIGINT) AS node,
+             CAST(0 AS BIGINT) AS hop
+      FROM ({seeds_sql})
+      UNION
+      SELECT e.dst AS node, walk.hop + 1 AS hop
+      FROM walk JOIN e ON e.src = walk.node
+      WHERE walk.hop < {max_hops}
     )
+    SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+    """

@@ -2621,8 +2621,12 @@ def heaps_law(
         (F.col("b") * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy"))
         / denom,
     )
+    # + 0.0 canonicalizes IEEE negative zero: a slope that rounds to
+    # zero from below is -0.0 in DuckDB's round but 0.0 in Spark's
+    # (BigDecimal drops the sign) — caught by the round-8 sf0.01 gate
+    # replica ("%.6g" renders them "-0" vs "0")
     fit = folded.select(
-        F.round(beta, 9).alias("beta"),
+        (F.round(beta, 9) + F.lit(0.0)).alias("beta"),
         F.round(
             F.exp((F.col("s.sy") - beta * F.col("s.sx")) / F.col("b")), 9
         ).alias("k_coef"),
@@ -2691,9 +2695,11 @@ def heaps_law_sql(*, n_buckets: int = 20) -> str:
     fit AS (
       -- CASE-guarded like the Spark side: B=1 or constant-x checkpoints
       -- make the denominator 0 (DuckDB would emit inf, Spark ANSI throws)
+      -- + 0.0 canonicalizes -0.0 (matches the Spark side; IEEE
+      -- (-0.0) + (+0.0) = +0.0)
       SELECT round(CASE WHEN b * s.sxx - s.sx * s.sx <> 0 THEN
                      (b * s.sxy - s.sx * s.sy)
-                     / (b * s.sxx - s.sx * s.sx) END, 9) AS beta,
+                     / (b * s.sxx - s.sx * s.sx) END, 9) + 0.0 AS beta,
              round(exp((s.sy - CASE WHEN b * s.sxx - s.sx * s.sx <> 0
                                THEN (b * s.sxy - s.sx * s.sy)
                                     / (b * s.sxx - s.sx * s.sx) END
