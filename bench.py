@@ -164,6 +164,13 @@ HEADLINE = [
     # admit/drop/finalize replayed by their oracles)
     "stream_late_events",      # out-of-order drops -> watermark -> window
     "stream_curation_ooo",     # ooo drops -> watermark -> dedup -> pack
+    # round-8 capabilities built ahead for the round-9 gate (BENCH twins;
+    # each is a real availableNow streaming run with marker-committed
+    # per-batch publishes)
+    "stream_cdc_apply",        # ooo changelog -> watermark -> keyed merge
+    "stream_ann_ingest",       # embedding drops -> IVF append -> pruned query
+    "stream_profile",          # per-batch partials -> sketch-merged profile
+    "stream_temporal_join",    # probe drops AS-OF the CDC dimension
 ]
 
 

@@ -6776,6 +6776,154 @@ def q_stream_curation_ooo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@bench_query("stream_cdc_apply")
+def q_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog apply (streaming/cdc_apply.py, round-8 capability):
+    events as a keyed changelog (key=user_id, 'error'=delete, else
+    upsert) delivered as 3 out-of-order drops (the stream_late_events
+    chunk rule), materialized into the current-state snapshot under a
+    2-day event-time watermark. BENCH twin for scaling/perf continuity;
+    registers as @query in the committed round-9 gate with the
+    admission+argmax replay oracle pre-validated in
+    tests/test_cdc_apply.py."""
+    from flink_kafka_table_api_spark.streaming.cdc_apply import (
+        stream_cdc_apply,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    shift = (
+        F.when(F.col("event_id") % 61 == 0, F.lit(2))
+        .when(F.col("event_id") % 37 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    ops = ev.select(
+        F.col("event_id").alias("op_id"),
+        F.col("ts").cast("timestamp").alias("op_ts"),
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        "value",
+        F.least(natural + shift, F.lit(2)).alias("__chunk"),
+    )
+    state = _scratch_dir("cdcapply", sf)
+    return stream_cdc_apply(spark, ops, state, n_chunks=3, delay="2 days")
+
+
+@bench_query("stream_ann_ingest")
+def q_stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ANN index ingest (streaming/ann_ingest.py, round-8
+    capability): embeddings delivered as 3 micro-batch drops, each
+    published exactly-once (marker protocol) into the cluster-partitioned
+    IVF index; the query routes driver-side and scans only the probed
+    cluster partition across all batch publishes. BENCH twin; registers
+    as @query in the committed round-9 gate with the full-value
+    assignment+routing+re-rank replay pre-validated in
+    tests/test_stream_ann_ingest.py."""
+    from flink_kafka_table_api_spark.streaming.ann_ingest import (
+        stream_ann_ingest,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_embedding")
+    )
+    chunked = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % 3).alias("__chunk")
+    )
+    state = _scratch_dir("annstream", sf)
+    return stream_ann_ingest(
+        spark, chunked, state, n_chunks=3, centroids=centroids,
+        nprobe=1, k=10,
+    )
+
+
+@bench_query("stream_temporal_join")
+def q_stream_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Processing-time TEMPORAL JOIN against the CDC-maintained
+    dimension (streaming/temporal_join.py, round-8 capability): the
+    events changelog (cdc_apply rule) applied drop-by-drop, with the
+    events themselves as the probe stream in natural day terciles —
+    each probe drop enriched FOR SYSTEM_TIME AS OF its own batch
+    (Flink Table API temporal-join semantics made deterministic by the
+    drop boundaries). BENCH twin; registers as @query in a round-9/10
+    gate slot with the admission+per-probe-argmax replay pre-validated
+    in tests/test_temporal_join.py."""
+    from flink_kafka_table_api_spark.streaming.temporal_join import (
+        stream_temporal_join,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    shift = (
+        F.when(F.col("event_id") % 61 == 0, F.lit(2))
+        .when(F.col("event_id") % 37 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    ops = ev.select(
+        F.col("event_id").alias("op_id"),
+        F.col("ts").cast("timestamp").alias("op_ts"),
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        "value",
+        F.least(natural + shift, F.lit(2)).alias("__chunk"),
+    )
+    probes = ev.select(
+        F.col("event_id").alias("probe_id"),
+        F.col("ts").cast("timestamp").alias("probe_ts"),
+        F.col("user_id").alias("key"),
+        natural.alias("__chunk"),
+    )
+    state = _scratch_dir("tempjoin", sf)
+    return stream_temporal_join(
+        spark, ops, probes, state, n_chunks=3, delay="2 days",
+    )
+
+
+@bench_query("stream_profile")
+def q_stream_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental profile monitor
+    (streaming/profile_monitor.py, round-8 capability): per-batch
+    mergeable column partials (counts, typed ranges, HLL sketches) over
+    4 event drops, folded into the live profile; the gate form joins a
+    verification-only exact-distinct pass and asserts the HLL++ 4-sigma
+    tolerance boolean (the approx_distinct precedent). BENCH twin;
+    registers as @query in the committed round-9 gate with the exact
+    per-column replay pre-validated in tests/test_stream_profile.py."""
+    from flink_kafka_table_api_spark.streaming.profile_monitor import (
+        EVENTS_SPEC,
+        stream_profile,
+    )
+
+    ev = _t(spark, sf, "events")
+    chunked = ev.select(
+        *[c for c, _ in EVENTS_SPEC],
+        (F.col("event_id") % 4).alias("__chunk"),
+    )
+    state = _scratch_dir("streamprof", sf)
+    profile = stream_profile(spark, chunked, state, n_chunks=4)
+    exact = None
+    for col, _ in EVENTS_SPEC:
+        block = ev.agg(
+            F.lit(col).alias("column"),
+            F.countDistinct(col).cast("long").alias("distinct_exact"),
+        )
+        exact = block if exact is None else exact.unionByName(block)
+    return profile.join(exact, "column").select(
+        "column", "n_rows", "n_null", "min_num", "max_num",
+        "min_str", "max_str", "distinct_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("distinct_exact"))
+            <= 0.20 * F.col("distinct_exact")
+        ).alias("within_tolerance"),
+    )
+
+
 @query("gazetteer_tag", tx.gazetteer_tag_sql({"spark": "ENGINE", "join": "OP", "hash join": "OP2", "table scan merge": "OP3", "customer": "ENTITY"}))
 def q_gazetteer_tag(spark: SparkSession, sf: str) -> DataFrame:
     """Dictionary entity tagging (operators/text.py `gazetteer_tag`)
@@ -8445,12 +8593,26 @@ _PRIORITY: list[str] = [
 # off-by-one when r9 lands), plus the two round-8 displacements
 # (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
 # the first rotation round with slack since round 4 — the ledger is
-# paid, and rounds 9+ fund new capability, not wiring. One such
-# capability is already BUILT and pre-validated for the round-9 gate:
-# streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
-# changelog materialization; oracle + parity tests in
-# tests/test_cdc_apply.py — register it as @query with
-# _events_ops_oracle's SQL and a gate slot, never as BENCH_ONLY).
+# paid, and rounds 9+ fund new capability, not wiring. FOUR such
+# capabilities are already BUILT, pre-validated, and bench-twinned
+# (BENCH_ONLY above) for round-9 gate slots — register each as @query
+# with its pre-validated oracle plus a gate slot, never leave them
+# BENCH_ONLY past r9 (temporal_join may take a r10 slot if r9 fills):
+#   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
+#     changelog materialization; oracle `_events_ops_oracle` +
+#     parity/crash tests in tests/test_cdc_apply.py);
+#   - streaming/ann_ingest.py `stream_ann_ingest` (exactly-once
+#     micro-batch IVF index publishes + pruned query; full-value
+#     oracle ORACLE_SQL + parity/crash/plan tests in
+#     tests/test_stream_ann_ingest.py);
+#   - streaming/profile_monitor.py `stream_profile` (mergeable
+#     per-batch column partials -> live profile; exact-field oracle
+#     ORACLE_SQL + tolerance/crash tests in tests/test_stream_profile.py);
+#   - streaming/temporal_join.py `stream_temporal_join`
+#     (processing-time temporal join against the CDC dimension —
+#     Flink's FOR SYSTEM_TIME AS OF made deterministic by drop
+#     boundaries; full-value oracle ORACLE_SQL + semantics/crash tests
+#     in tests/test_temporal_join.py).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "asof_join", "avro_file_roundtrip",
     "cold_customers", "corr_avg_subquery", "cte_query",

@@ -63,6 +63,52 @@ from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
 OPS_COLUMNS = ["op_id", "op_ts", "key", "op", "value"]
 
 
+def changelog_winners(df: DataFrame, n_col=None) -> DataFrame:
+    """Per-key argmax by (op_ts, op_id) plus the applied-op count: ONE
+    partial-agg-friendly hash aggregate, no window shuffle. `n_col`
+    weights the count (a previous state version's winner row carries its
+    accumulated n_ops through the merge). Shared by the CDC apply and
+    the temporal join (streaming/temporal_join.py)."""
+    pick = F.max_by(
+        F.struct(
+            F.col("op_id").alias("last_op_id"),
+            F.col("op_ts").alias("last_op_ts"),
+            F.col("op").alias("last_op"),
+            F.col("value").alias("last_value"),
+        ),
+        F.struct(F.col("op_ts"), F.col("op_id")),
+    ).alias("w")
+    n = (F.sum(n_col) if n_col is not None else F.count("*"))
+    return (
+        df.groupBy("key")
+        .agg(pick, n.cast("long").alias("n_ops"))
+        .select("key", "w.*", "n_ops")
+    )
+
+
+def merge_state_version(
+    spark: SparkSession, prev_path: str, batch_winners: DataFrame
+) -> DataFrame:
+    """Fold a batch's per-key winners into the previous state version:
+    the SAME aggregate — the previous winner row (carrying its
+    accumulated n_ops) competes with the batch winner row; max_by picks
+    the newer, sum accumulates the counts."""
+    if not os.path.isdir(prev_path):
+        return batch_winners
+    as_ops = lambda df: df.select(  # noqa: E731
+        "key",
+        F.col("last_op_id").alias("op_id"),
+        F.col("last_op_ts").alias("op_ts"),
+        F.col("last_op").alias("op"),
+        F.col("last_value").alias("value"),
+        F.col("n_ops").alias("__n"),
+    )
+    prev_state = spark.read.parquet(prev_path)
+    return changelog_winners(
+        as_ops(prev_state).unionByName(as_ops(batch_winners)), "__n"
+    )
+
+
 def stream_cdc_apply(
     spark: SparkSession,
     ops_chunked: DataFrame,
@@ -95,27 +141,6 @@ def stream_cdc_apply(
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"))
         )
 
-    def winners(df: DataFrame, n_col=None) -> DataFrame:
-        """Per-key argmax by (op_ts, op_id) plus the applied-op count:
-        ONE partial-agg-friendly hash aggregate, no window shuffle.
-        `n_col` weights the count (a previous state version's winner row
-        carries its accumulated n_ops through the merge)."""
-        pick = F.max_by(
-            F.struct(
-                F.col("op_id").alias("last_op_id"),
-                F.col("op_ts").alias("last_op_ts"),
-                F.col("op").alias("last_op"),
-                F.col("value").alias("last_value"),
-            ),
-            F.struct(F.col("op_ts"), F.col("op_id")),
-        ).alias("w")
-        n = (F.sum(n_col) if n_col is not None else F.count("*"))
-        return (
-            df.groupBy("key")
-            .agg(pick, n.cast("long").alias("n_ops"))
-            .select("key", "w.*", "n_ops")
-        )
-
     def process(batch: DataFrame, batch_id: int) -> None:
         os.makedirs(marker_dir, exist_ok=True)
         os.makedirs(offsets_dir, exist_ok=True)
@@ -131,27 +156,11 @@ def stream_cdc_apply(
             batch if prev["watermark"] is None
             else batch.filter(F.col("op_ts") > prev["watermark"])
         )
-        batch_w = winners(admitted.withColumn("__n", F.lit(1)), "__n")
+        batch_w = changelog_winners(
+            admitted.withColumn("__n", F.lit(1)), "__n"
+        )
         prev_path = os.path.join(state, f"batch-{batch_id - 1}")
-        if os.path.isdir(prev_path):
-            # the merge is the SAME aggregate: the previous version's
-            # winner row (carrying its accumulated n_ops) competes with
-            # this batch's winner row; max_by picks the newer, sum
-            # accumulates the counts
-            prev_state = spark.read.parquet(prev_path)
-            as_ops = lambda df: df.select(  # noqa: E731
-                "key",
-                F.col("last_op_id").alias("op_id"),
-                F.col("last_op_ts").alias("op_ts"),
-                F.col("last_op").alias("op"),
-                F.col("last_value").alias("value"),
-                F.col("n_ops").alias("__n"),
-            )
-            merged = winners(
-                as_ops(prev_state).unionByName(as_ops(batch_w)), "__n"
-            )
-        else:
-            merged = batch_w
+        merged = merge_state_version(spark, prev_path, batch_w)
         merged.write.mode("overwrite").parquet(
             os.path.join(state, f"batch-{batch_id}")
         )
@@ -211,4 +220,7 @@ def stream_cdc_apply(
 
 
 # re-export for callers that stage their own chunks
-__all__ = ["stream_cdc_apply", "stage_chunked_by", "IncrementalDedup"]
+__all__ = [
+    "stream_cdc_apply", "changelog_winners", "merge_state_version",
+    "stage_chunked_by", "IncrementalDedup",
+]
