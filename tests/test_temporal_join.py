@@ -325,3 +325,41 @@ def test_replay_of_committed_batches_is_a_noop(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in out2.collect())
     assert got == want  # not double-published
+
+
+def test_asof_enrich_plan_is_keyed_join_never_nested_loop(spark):
+    """The event-time lookup must plan as a KEYED equi-join (broadcast
+    or sort-merge, the op_ts <= probe_ts residual as a join condition)
+    plus one hash aggregate — never a nested-loop/cartesian over the
+    history, which is the O(probes x ops) shape that kills this at
+    scale."""
+    from flink_kafka_table_api_spark.streaming.temporal_join import (
+        asof_enrich,
+    )
+
+    ops, probes = _events_fixture(spark)
+    history = ops.select("op_id", "op_ts", "key", "op", "value")
+    plan = (
+        asof_enrich(probes.drop("__chunk"), history)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) \
+        or ("ShuffledHashJoin" in plan)
+
+
+def test_changelog_winners_is_partial_aggregate(spark):
+    """The per-batch ops reduce must be a partial-final hash aggregate
+    (map-side combine before the key shuffle), never a window sort."""
+    from flink_kafka_table_api_spark.streaming.cdc_apply import (
+        changelog_winners,
+    )
+
+    ops, _ = _events_fixture(spark)
+    plan = (
+        changelog_winners(ops.withColumn("__n", F.lit(1)), "__n")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial" in plan.lower()
