@@ -57,10 +57,40 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_kafka_table_api_spark.functions.portable import dec_sum
+from flink_kafka_table_api_spark.functions.vector import (
+    as_double_array,
+    cosine,
+)
 from flink_kafka_table_api_spark.operators import similarity as sim
 from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
 
 VEC_COLUMNS = ["vec_id", "embedding"]
+
+
+def assign_with_distance(
+    vectors: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """ivf_assign plus the winning distance in the SAME aggregate:
+    (vec_id, cluster, dist) where dist = round(1 - cos(v, centroid), 6)
+    of the assigned centroid. The per-batch DECIMAL sum of dist is the
+    centroid-drift signal ("when to retrain"): a corpus drifting away
+    from the fixed coarse centroids shows up as a rising mean
+    quantization error per drop — a measured rebuild trigger instead of
+    a guess (the faiss train-then-add posture's missing feedback
+    loop)."""
+    scored = vectors.crossJoin(F.broadcast(cents)).withColumn(
+        "__dist",
+        1 - cosine(as_double_array("embedding"),
+                   as_double_array("c_embedding")),
+    )
+    # argmin on the UNROUNDED distance — identical to ivf_assign, so the
+    # index stays bit-equal to a batch build; round only the reported
+    # distance (after the min, so rounding can never flip the argmin)
+    return scored.groupBy("vec_id").agg(
+        F.min_by("c_id", F.col("__dist")).alias("cluster"),
+        F.round(F.min("__dist"), 6).alias("dist"),
+    )
 
 
 def stream_ann_ingest(
@@ -106,6 +136,7 @@ def stream_ann_ingest(
         chunk_col=chunk_col, n_chunks=n_chunks, columns=VEC_COLUMNS,
     )
     index = os.path.join(state_dir, "index")
+    metrics = os.path.join(state_dir, "metrics")
     marker_dir = os.path.join(state_dir, "commits")
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -116,9 +147,13 @@ def stream_ann_ingest(
         shutil.rmtree(
             os.path.join(index, f"batch_id={batch_id}"), ignore_errors=True
         )
-        assign = sim.ivf_assign(batch, cents)
+        shutil.rmtree(
+            os.path.join(metrics, f"batch_id={batch_id}"),
+            ignore_errors=True,
+        )
+        assign = assign_with_distance(batch, cents).persist()
         (
-            batch.join(assign, "vec_id")
+            batch.join(assign.select("vec_id", "cluster"), "vec_id")
             .withColumn("qe", sim.int8_quantize("embedding")
                         .cast("array<tinyint>"))
             .withColumn("batch_id", F.lit(batch_id))
@@ -126,6 +161,20 @@ def stream_ann_ingest(
             .partitionBy("batch_id", "cluster")
             .parquet(index)
         )
+        # the drift partial: ONE tiny row per batch — exact decimal sum
+        # of the per-vector quantization error (order-insensitive, so
+        # the oracle replays it bit-for-bit)
+        (
+            assign.agg(
+                F.count("*").cast("long").alias("n"),
+                dec_sum("dist", "err_sum"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(metrics)
+        )
+        assign.unpersist()
         open(marker, "w").close()
 
     stream = (
@@ -165,7 +214,13 @@ def stream_ann_ingest(
         F.count("*").cast("long").alias("vec_id"),
         F.lit(None).cast("double").alias("score"),
     )
-    return topk.unionByName(n_indexed)
+    # per-drop centroid-drift rows: the measured rebuild trigger
+    drift = spark.read.parquet(metrics).select(
+        F.lit("drift").alias("block"),
+        F.col("batch_id").cast("long").alias("vec_id"),
+        F.col("err_sum").alias("score"),
+    )
+    return topk.unionByName(n_indexed).unionByName(drift)
 
 
-__all__ = ["stream_ann_ingest", "stage_chunked_by"]
+__all__ = ["stream_ann_ingest", "assign_with_distance", "stage_chunked_by"]

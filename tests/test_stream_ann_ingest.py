@@ -53,12 +53,20 @@ WITH centroids AS (
   JOIN probe p ON a.cluster = p.c_id
   CROSS JOIN q
   ORDER BY score DESC, v.vec_id LIMIT 10
+), assign_d AS (
+  SELECT v.vec_id, v.vec_id % {N_CHUNKS} AS chunk,
+         round(MIN(1 - {_COS_VC}), 6) AS dist
+  FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
 )
 SELECT 'topk' AS block, vec_id, score FROM topk
 UNION ALL
 SELECT 'n_indexed' AS block,
        (SELECT COUNT(*) FROM embeddings) AS vec_id,
        CAST(NULL AS DOUBLE) AS score
+UNION ALL
+SELECT 'drift' AS block, chunk AS vec_id,
+       CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS DOUBLE) AS score
+FROM assign_d GROUP BY chunk
 """
 
 
@@ -97,7 +105,8 @@ def test_matches_duckdb_full_value_replay(result):
         f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
     )
     exp = sorted(tuple(r) for r in con.execute(ORACLE_SQL).fetchall())
-    assert len(result["rows"]) == len(exp) == 11
+    # 10 topk + 1 conservation + N_CHUNKS centroid-drift rows
+    assert len(result["rows"]) == len(exp) == 11 + N_CHUNKS
     assert result["rows"] == exp
 
 
