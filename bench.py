@@ -171,6 +171,7 @@ HEADLINE = [
     "stream_ann_ingest",       # embedding drops -> IVF append -> pruned query
     "stream_profile",          # per-batch partials -> sketch-merged profile
     "stream_temporal_join",    # probe drops AS-OF the CDC dimension
+    "stream_scd2",             # changelog -> per-batch SCD2 history deltas
 ]
 
 

@@ -6812,6 +6812,47 @@ def q_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     return stream_cdc_apply(spark, ops, state, n_chunks=3, delay="2 days")
 
 
+@bench_query("stream_scd2")
+def q_stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming SCD2 history maintenance (streaming/scd2_stream.py,
+    round-8 capability): the same events changelog as stream_cdc_apply,
+    but materialized into the full TYPE-2 history — one row per
+    admitted upsert with [effective_from, effective_to) validity,
+    deletes closing intervals — maintained as per-batch deltas with
+    last-writer-wins reads and LSM-style shadow-then-delete compaction.
+    The versioned-table shape Flink's event-time temporal join reads
+    (FOR SYSTEM_TIME AS OF on a versioned table), maintained
+    incrementally. BENCH twin; registers as @query in a round-9/10
+    gate slot with the admission+LEAD-chaining replay pre-validated in
+    tests/test_scd2_stream.py."""
+    from flink_kafka_table_api_spark.streaming.scd2_stream import (
+        stream_scd2,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    shift = (
+        F.when(F.col("event_id") % 61 == 0, F.lit(2))
+        .when(F.col("event_id") % 37 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    ops = ev.select(
+        F.col("event_id").alias("op_id"),
+        F.col("ts").cast("timestamp").alias("op_ts"),
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        "value",
+        F.least(natural + shift, F.lit(2)).alias("__chunk"),
+    )
+    state = _scratch_dir("scd2stream", sf)
+    return stream_scd2(
+        spark, ops, state, n_chunks=3, delay="2 days", compact_every=2,
+    )
+
+
 @bench_query("stream_ann_ingest")
 def q_stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ANN index ingest (streaming/ann_ingest.py, round-8
@@ -8593,11 +8634,12 @@ _PRIORITY: list[str] = [
 # off-by-one when r9 lands), plus the two round-8 displacements
 # (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
 # the first rotation round with slack since round 4 — the ledger is
-# paid, and rounds 9+ fund new capability, not wiring. FOUR such
+# paid, and rounds 9+ fund new capability, not wiring. FIVE such
 # capabilities are already BUILT, pre-validated, and bench-twinned
 # (BENCH_ONLY above) for round-9 gate slots — register each as @query
 # with its pre-validated oracle plus a gate slot, never leave them
-# BENCH_ONLY past r9 (temporal_join may take a r10 slot if r9 fills):
+# BENCH_ONLY past r10 (temporal_join / scd2 may take r10 slots if r9
+# fills):
 #   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
 #     changelog materialization; oracle `_events_ops_oracle` +
 #     parity/crash tests in tests/test_cdc_apply.py);
@@ -8612,7 +8654,13 @@ _PRIORITY: list[str] = [
 #     (processing-time temporal join against the CDC dimension —
 #     Flink's FOR SYSTEM_TIME AS OF made deterministic by drop
 #     boundaries; full-value oracle ORACLE_SQL + semantics/crash tests
-#     in tests/test_temporal_join.py).
+#     in tests/test_temporal_join.py);
+#   - streaming/scd2_stream.py `stream_scd2` (the changelog's full
+#     TYPE-2 history maintained as per-batch deltas with
+#     last-writer-wins reads and shadow-then-delete compaction — the
+#     versioned table event-time temporal joins read; full-value
+#     oracle scd2_oracle() + semantics/crash/compaction tests in
+#     tests/test_scd2_stream.py).
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "asof_join", "avro_file_roundtrip",
     "cold_customers", "corr_avg_subquery", "cte_query",

@@ -1,0 +1,274 @@
+"""Streaming SCD2 history maintenance over a CDC changelog (built
+round 8, registration-bound for round 9/10).
+
+`streaming/cdc_apply.py` materializes the changelog's CURRENT-state
+snapshot — the upsert-stream shape whose insert-only special case is
+the reference pipeline (TransactionProcessor.java:192). This module
+maintains the full TYPE-2 HISTORY of the same changelog: one row per
+admitted upsert with [effective_from, effective_to) validity and an
+is_current flag, deletes closing the interval they land on. It is the
+versioned "temporal table" that `streaming/temporal_join.py`'s
+event-time mode conceptually reads (Flink `FOR SYSTEM_TIME AS OF`
+against a versioned table — public Table API surface), maintained
+incrementally instead of being derived per probe.
+
+Why not reuse the cdc_apply state shape? Its per-batch state rewrite is
+O(live keys) — fine for a snapshot, wrong for history, which is O(all
+admitted ops) and would make every micro-batch cost O(stream age).
+Instead the history store is a chain of per-batch DELTAS with
+last-writer-wins reads:
+
+  state/hist/b=K/__kb=N/...   full REBUILT history of exactly the keys
+                              touched in batch K (and nothing else),
+                              hash-bucketed by key into n_buckets dirs
+
+  per micro-batch k (foreachBatch):
+    1. ADMIT:   ops with op_ts > W_{k-1}; too-late ops are dropped
+                deterministically (the cdc_apply/stream_late_events
+                contract — same watermark rule, same offsets files);
+    2. PRIOR:   the affected keys' current history rows = rows of the
+                LATEST delta per key, read with the scan pruned to the
+                batch's key-buckets (partition pruning on __kb, so a
+                batch touching 3 of 64 buckets reads 3/64ths of the
+                store) and semi-joined to the batch's keys;
+    3. REBUILD: window over (prior ops ∪ admitted ops) per key ordered
+                by (op_ts, op_id): effective_from = op_ts,
+                effective_to = lead(op_ts), is_current = last row is an
+                upsert. Every stored row keeps its op verbatim
+                (op_id, op_ts, op, value) — including delete tombstone
+                rows — so a key's ops are always recoverable from its
+                latest delta alone and late-but-admitted ops splice
+                into the middle of the chain correctly;
+    4. PUBLISH: hist/b=k + offsets/batch-k.json, marker LAST (replays
+                of committed batches no-op; a mid-batch crash scrubs
+                and recomputes — the curation_pipeline.py contract);
+    5. COMPACT (every `compact_every` batches): fold the untouched
+                keys' latest rows into b=k too, making it a full
+                snapshot; older deltas are then shadowed duplicates
+                (last-writer-wins reads never pick them) and are
+                deleted AFTER the marker — a crash mid-cleanup leaves
+                harmless shadowed dirs, never a torn store.
+
+The maintained history equals one batch pass over the admitted ops by
+construction (pinned by tests/test_scd2_stream.py), so the gate oracle
+is a full-value DuckDB replay of admission + LEAD-window chaining.
+
+At 100 TB: per-batch write cost is O(history of the batch's keys), not
+O(corpus); the PRIOR read is partition-pruned to the batch's buckets;
+the final read's latest-delta-per-key argmax is one window over the
+store (or cheap max(b) join), the same cost as reading any LSM/merge-
+on-read table; compaction bounds the delta-chain length exactly like
+an LSM level merge, and its shadow-then-delete order makes it
+crash-safe without a lock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.streaming.cdc_apply import OPS_COLUMNS
+from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+
+HIST_SCHEMA = (
+    "key long, op_id long, op_ts timestamp, op string, value double, "
+    "effective_from timestamp, effective_to timestamp, "
+    "is_current boolean, __kb int"
+)
+
+
+def _chain(ops: DataFrame) -> DataFrame:
+    """Rebuild the SCD2 interval chain for every key present in `ops`
+    (columns: key, op_id, op_ts, op, value, __kb). One window shuffle,
+    keyed by the same column every other stage uses."""
+    w = Window.partitionBy("key").orderBy("op_ts", "op_id")
+    nxt = F.lead(F.struct("op_ts", "op")).over(w)
+    return ops.select(
+        "key", "op_id", "op_ts", "op", "value", "__kb",
+        F.col("op_ts").alias("effective_from"),
+        F.coalesce(nxt["op_ts"], F.lit(None).cast("timestamp"))
+        .alias("effective_to"),
+        (nxt.isNull() & (F.col("op") == "U")).alias("is_current"),
+    ).select(
+        "key", "op_id", "op_ts", "op", "value", "effective_from",
+        "effective_to", "is_current", "__kb",
+    )
+
+
+def _latest_per_key(hist: DataFrame) -> DataFrame:
+    """Last-writer-wins read of the delta chain: each key's rows from
+    the highest delta `b` that contains it."""
+    w = Window.partitionBy("key")
+    return (
+        hist.withColumn("__mb", F.max("b").over(w))
+        .filter(F.col("b") == F.col("__mb"))
+        .drop("__mb", "b")
+    )
+
+
+def stream_scd2(
+    spark: SparkSession,
+    ops_chunked: DataFrame,
+    state_dir: str,
+    *,
+    n_chunks: int,
+    delay: str,
+    chunk_col: str = "__chunk",
+    n_buckets: int = 16,
+    compact_every: int | None = None,
+) -> DataFrame:
+    """Maintain the SCD2 history of a keyed changelog (`ops_chunked`:
+    op_id, op_ts, key, op in {'U','D'}, value, `chunk_col`) delivered
+    as `n_chunks` micro-batch drops, under an event-time watermark of
+    `delay` (INTERVAL literal). Returns the history of every admitted
+    UPSERT: (key, op_id, value, effective_from, effective_to,
+    is_current) — a delete closes the interval it lands on and emits no
+    row of its own. Deterministic given the drop boundaries."""
+    src = stage_chunked_by(
+        ops_chunked, os.path.join(state_dir, "src"),
+        chunk_col=chunk_col, n_chunks=n_chunks, columns=OPS_COLUMNS,
+    )
+    hist = os.path.join(state_dir, "hist")
+    marker_dir = os.path.join(state_dir, "commits")
+    offsets_dir = os.path.join(state_dir, "offsets")
+
+    def meta_after(batch_id: int) -> dict:
+        if batch_id < 0:
+            return {"watermark": None, "max_seen": None}
+        return json.load(
+            open(os.path.join(offsets_dir, f"batch-{batch_id}.json"))
+        )
+
+    def read_hist() -> DataFrame | None:
+        versions = [
+            e.name for e in os.scandir(hist) if e.name.startswith("b=")
+        ] if os.path.isdir(hist) else []
+        if not versions:
+            return None
+        # explicit schema: no per-batch inference job, and an all-empty
+        # delta dir (admitted-nothing batch) reads as zero rows
+        return (
+            spark.read.schema(HIST_SCHEMA + ", b int")
+            .option("basePath", hist)
+            .parquet(*(os.path.join(hist, v) for v in versions))
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        os.makedirs(offsets_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replay of a committed batch: no-op
+        # crash-replay scrub: an unmarked delta is torn output
+        shutil.rmtree(os.path.join(hist, f"b={batch_id}"),
+                      ignore_errors=True)
+        prev = meta_after(batch_id - 1)
+        batch = batch.persist()
+        admitted = (
+            batch if prev["watermark"] is None
+            else batch.filter(F.col("op_ts") > prev["watermark"])
+        ).withColumn(
+            "__kb", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int")
+        ).persist()
+        compact = (
+            compact_every is not None
+            and (batch_id + 1) % compact_every == 0
+        )
+        prior = read_hist()
+        out = None
+        if prior is None:
+            out = _chain(admitted)
+        else:
+            # driver-side list of touched buckets (≤ n_buckets ints):
+            # the ONLY collect, and it exists to prune the hist scan
+            kbs = [r[0] for r in admitted.select("__kb").distinct()
+                   .collect()]
+            latest_aff = (
+                _latest_per_key(prior.filter(F.col("__kb").isin(kbs)))
+                .join(admitted.select("key").distinct(), "key",
+                      "left_semi")
+                if kbs else None
+            )
+            prior_ops = (
+                latest_aff.select("key", "op_id", "op_ts", "op",
+                                  "value", "__kb")
+                if latest_aff is not None else None
+            )
+            rebuilt = (
+                _chain(prior_ops.unionByName(
+                    admitted.select("key", "op_id", "op_ts", "op",
+                                    "value", "__kb")))
+                if prior_ops is not None else _chain(admitted)
+            )
+            if compact:
+                untouched = _latest_per_key(prior).join(
+                    admitted.select("key").distinct(), "key", "left_anti"
+                )
+                out = rebuilt.unionByName(untouched)
+            else:
+                out = rebuilt
+        out.write.partitionBy("__kb").mode("overwrite").parquet(
+            os.path.join(hist, f"b={batch_id}")
+        )
+        batch_max = batch.agg(F.max("op_ts")).first()[0]
+        candidates = [
+            m for m in (prev["max_seen"], None if batch_max is None
+                        else batch_max.isoformat()) if m is not None
+        ]
+        max_seen = max(candidates) if candidates else None
+        new_wm = None
+        if max_seen is not None:
+            new_wm = spark.sql(
+                f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
+                "AS STRING)"
+            ).first()[0]
+        json.dump(
+            {"watermark": new_wm, "max_seen": max_seen},
+            open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
+        )
+        admitted.unpersist()
+        batch.unpersist()
+        open(marker, "w").close()
+        if compact:
+            # b=batch_id is now a full snapshot; older deltas are
+            # shadowed duplicates — deleting them AFTER the marker is
+            # idempotent cleanup, crash-safe by construction
+            for e in os.scandir(hist):
+                if e.name.startswith("b=") and \
+                        int(e.name.split("=")[1]) < batch_id:
+                    shutil.rmtree(e.path, ignore_errors=True)
+
+    stream = (
+        spark.readStream
+        .schema("op_id long, op_ts timestamp, key long, op string, "
+                "value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    full = read_hist()
+    if full is None:
+        return spark.createDataFrame(
+            [], "key long, op_id long, value double, "
+            "effective_from timestamp, effective_to timestamp, "
+            "is_current boolean",
+        )
+    return (
+        _latest_per_key(full)
+        .filter(F.col("op") == "U")
+        .select("key", "op_id", "value", "effective_from",
+                "effective_to", "is_current")
+    )
+
+
+__all__ = ["stream_scd2"]
