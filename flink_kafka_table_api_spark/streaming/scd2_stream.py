@@ -18,9 +18,11 @@ admitted ops) and would make every micro-batch cost O(stream age).
 Instead the history store is a chain of per-batch DELTAS with
 last-writer-wins reads:
 
-  state/hist/b=K/__kb=N/...   full REBUILT history of exactly the keys
-                              touched in batch K (and nothing else),
-                              hash-bucketed by key into n_buckets dirs
+  state/hist/batch_id=K/__kb=N/...   full REBUILT history of exactly
+                              the keys touched in batch K (and nothing
+                              else), hash-bucketed by key into
+                              n_buckets dirs (batch_id=N dirs are the
+                              shared reprocess.py convention)
 
   per micro-batch k (foreachBatch):
     1. ADMIT:   ops with op_ts > W_{k-1}; too-late ops are dropped
@@ -39,11 +41,11 @@ last-writer-wins reads:
                 rows — so a key's ops are always recoverable from its
                 latest delta alone and late-but-admitted ops splice
                 into the middle of the chain correctly;
-    4. PUBLISH: hist/b=k + offsets/batch-k.json, marker LAST (replays
+    4. PUBLISH: hist/batch_id=k + offsets/batch-k.json, marker LAST (replays
                 of committed batches no-op; a mid-batch crash scrubs
                 and recomputes — the curation_pipeline.py contract);
     5. COMPACT (every `compact_every` batches): fold the untouched
-                keys' latest rows into b=k too, making it a full
+                keys' latest rows into batch_id=k too, making it a full
                 snapshot; older deltas are then shadowed duplicates
                 (last-writer-wins reads never pick them) and are
                 deleted AFTER the marker — a crash mid-cleanup leaves
@@ -56,7 +58,7 @@ is a full-value DuckDB replay of admission + LEAD-window chaining.
 At 100 TB: per-batch write cost is O(history of the batch's keys), not
 O(corpus); the PRIOR read is partition-pruned to the batch's buckets;
 the final read's latest-delta-per-key argmax is one window over the
-store (or cheap max(b) join), the same cost as reading any LSM/merge-
+store (or cheap max(batch_id) join), the same cost as reading any LSM/merge-
 on-read table; compaction bounds the delta-chain length exactly like
 an LSM level merge, and its shadow-then-delete order makes it
 crash-safe without a lock.
@@ -101,12 +103,12 @@ def _chain(ops: DataFrame) -> DataFrame:
 
 def _latest_per_key(hist: DataFrame) -> DataFrame:
     """Last-writer-wins read of the delta chain: each key's rows from
-    the highest delta `b` that contains it."""
+    the highest delta `batch_id` that contains it."""
     w = Window.partitionBy("key")
     return (
-        hist.withColumn("__mb", F.max("b").over(w))
-        .filter(F.col("b") == F.col("__mb"))
-        .drop("__mb", "b")
+        hist.withColumn("__mb", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("__mb"))
+        .drop("__mb", "batch_id")
     )
 
 
@@ -145,14 +147,14 @@ def stream_scd2(
 
     def read_hist() -> DataFrame | None:
         versions = [
-            e.name for e in os.scandir(hist) if e.name.startswith("b=")
+            e.name for e in os.scandir(hist) if e.name.startswith("batch_id=")
         ] if os.path.isdir(hist) else []
         if not versions:
             return None
         # explicit schema: no per-batch inference job, and an all-empty
         # delta dir (admitted-nothing batch) reads as zero rows
         return (
-            spark.read.schema(HIST_SCHEMA + ", b int")
+            spark.read.schema(HIST_SCHEMA + ", batch_id int")
             .option("basePath", hist)
             .parquet(*(os.path.join(hist, v) for v in versions))
         )
@@ -164,7 +166,7 @@ def stream_scd2(
         if os.path.exists(marker):
             return  # replay of a committed batch: no-op
         # crash-replay scrub: an unmarked delta is torn output
-        shutil.rmtree(os.path.join(hist, f"b={batch_id}"),
+        shutil.rmtree(os.path.join(hist, f"batch_id={batch_id}"),
                       ignore_errors=True)
         prev = meta_after(batch_id - 1)
         batch = batch.persist()
@@ -212,7 +214,7 @@ def stream_scd2(
             else:
                 out = rebuilt
         out.write.partitionBy("__kb").mode("overwrite").parquet(
-            os.path.join(hist, f"b={batch_id}")
+            os.path.join(hist, f"batch_id={batch_id}")
         )
         batch_max = batch.agg(F.max("op_ts")).first()[0]
         candidates = [
@@ -238,7 +240,7 @@ def stream_scd2(
             # shadowed duplicates — deleting them AFTER the marker is
             # idempotent cleanup, crash-safe by construction
             for e in os.scandir(hist):
-                if e.name.startswith("b=") and \
+                if e.name.startswith("batch_id=") and \
                         int(e.name.split("=")[1]) < batch_id:
                     shutil.rmtree(e.path, ignore_errors=True)
 
@@ -271,4 +273,32 @@ def stream_scd2(
     )
 
 
-__all__ = ["stream_scd2"]
+def reset_scd2_from(state_dir: str, batch_id: int) -> dict:
+    """Selective reprocessing (streaming/reprocess.py) with the one
+    extra invariant compaction introduces: a compaction snapshot is the
+    ONLY surviving basis for the batches it shadowed-then-deleted, so a
+    reset targeting a batch at or before the oldest surviving delta
+    would delete that basis while the earlier batches' markers still
+    make them no-op — silently losing their history. Valid targets are
+    batch_id == 0 (full recompute: every marker goes too) or
+    batch_id > the oldest surviving delta index; anything between is
+    rejected loudly."""
+    from flink_kafka_table_api_spark.streaming.reprocess import reset_from
+
+    hist = os.path.join(state_dir, "hist")
+    surviving = sorted(
+        int(e.name.split("=")[1]) for e in os.scandir(hist)
+        if e.name.startswith("batch_id=")
+    ) if os.path.isdir(hist) else []
+    floor = surviving[0] if surviving else 0
+    if 0 < batch_id <= floor:
+        raise ValueError(
+            f"reset_from({batch_id}) would delete the compaction "
+            f"snapshot at batch {floor} that batches < {floor} were "
+            f"folded into; reset from > {floor}, or from 0 for a full "
+            "recompute"
+        )
+    return reset_from(state_dir, batch_id)
+
+
+__all__ = ["stream_scd2", "reset_scd2_from"]

@@ -96,8 +96,8 @@ def test_deltas_are_incremental(spark, tmp_path):
         n_chunks=3, delay="2 days",
     )
     hist = os.path.join(state, "hist")
-    assert sorted(os.listdir(hist)) == ["b=0", "b=1", "b=2"]
-    d2 = spark.read.parquet(os.path.join(hist, "b=2"))
+    assert sorted(os.listdir(hist)) == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    d2 = spark.read.parquet(os.path.join(hist, "batch_id=2"))
     assert sorted(r[0] for r in d2.select("key").distinct().collect()) \
         == [1, 6]
 
@@ -131,10 +131,10 @@ def test_compaction_is_equivalent_and_bounds_the_chain(spark, tmp_path):
     )
     assert _got(out) == EXPECTED
     hist = os.path.join(state, "hist")
-    assert sorted(os.listdir(hist)) == ["b=1", "b=2"]
+    assert sorted(os.listdir(hist)) == ["batch_id=1", "batch_id=2"]
     # the snapshot really carries the untouched keys: key 1's drop-0
-    # rows live in b=1 after compaction
-    d1 = spark.read.parquet(os.path.join(hist, "b=1"))
+    # rows live in batch_id=1 after compaction
+    d1 = spark.read.parquet(os.path.join(hist, "batch_id=1"))
     assert {r[0] for r in d1.select("key").distinct().collect()} \
         >= {1, 2, 4}
 
@@ -223,3 +223,66 @@ def test_oracle_parity_on_testdata(spark, tmp_path):
     assert multi
     assert any(t[5] == "False" for t in got)
     assert any(t[5] == "True" for t in got)
+
+
+def test_selective_reprocessing(spark, tmp_path):
+    """reset_scd2_from follows the shared reprocess convention: reset
+    from drop 2, re-run, identical history with batches 0-1's published
+    files untouched byte-for-byte (mtime-pinned). A reset targeting a
+    batch at or before the oldest surviving delta on a COMPACTED store
+    is rejected (it would delete the snapshot the shadowed batches were
+    folded into); reset from 0 is a valid full recompute."""
+    from flink_kafka_table_api_spark.streaming.scd2_stream import (
+        reset_scd2_from,
+    )
+
+    state = str(tmp_path / "s6")
+    out = stream_scd2(
+        spark, _chunked_ops(spark, FIXTURE), state,
+        n_chunks=3, delay="2 days",
+    )
+    want = _got(out)
+    hist = os.path.join(state, "hist")
+
+    def mtimes(b):
+        d = os.path.join(hist, f"batch_id={b}")
+        return {
+            os.path.relpath(p, d): os.path.getmtime(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+            for p in [os.path.join(r, f)]
+        }
+
+    before = {b: mtimes(b) for b in (0, 1)}
+    removed = reset_scd2_from(state, 2)
+    assert removed["markers"] == 1 and removed["partitions"] == 1
+    out2 = stream_scd2(
+        spark, _chunked_ops(spark, FIXTURE), state,
+        n_chunks=3, delay="2 days",
+    )
+    assert _got(out2) == want
+    assert {b: mtimes(b) for b in (0, 1)} == before
+
+    # compacted store: floor is the snapshot at batch 1
+    state2 = str(tmp_path / "s7")
+    stream_scd2(
+        spark, _chunked_ops(spark, FIXTURE), state2,
+        n_chunks=3, delay="2 days", compact_every=2,
+    )
+    try:
+        reset_scd2_from(state2, 1)
+        raise AssertionError("reset into the compacted range must fail")
+    except ValueError:
+        pass
+    reset_scd2_from(state2, 2)
+    out3 = stream_scd2(
+        spark, _chunked_ops(spark, FIXTURE), state2,
+        n_chunks=3, delay="2 days", compact_every=2,
+    )
+    assert _got(out3) == want
+    # full recompute from 0 is always valid
+    reset_scd2_from(state2, 0)
+    out4 = stream_scd2(
+        spark, _chunked_ops(spark, FIXTURE), state2,
+        n_chunks=3, delay="2 days", compact_every=2,
+    )
+    assert _got(out4) == want
