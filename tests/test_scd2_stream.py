@@ -286,3 +286,31 @@ def test_selective_reprocessing(spark, tmp_path):
         n_chunks=3, delay="2 days", compact_every=2,
     )
     assert _got(out4) == want
+
+
+def test_prior_read_is_partition_pruned(spark, tmp_path):
+    """The per-batch PRIOR read must prune the history scan to the
+    batch's key-buckets: a filter on __kb (a partition directory) shows
+    up as a PartitionFilter on the scan, reading a strict subset of the
+    store's partitions — the property that keeps per-batch read cost
+    O(touched buckets), not O(store)."""
+    from flink_kafka_table_api_spark.streaming.scd2_stream import (
+        HIST_SCHEMA,
+    )
+
+    state = str(tmp_path / "s8")
+    stream_scd2(
+        spark, _chunked_ops(spark, FIXTURE), state,
+        n_chunks=3, delay="2 days",
+    )
+    hist = os.path.join(state, "hist")
+    dirs = [os.path.join(hist, d) for d in os.listdir(hist)
+            if d.startswith("batch_id=")]
+    df = (
+        spark.read.schema(HIST_SCHEMA + ", batch_id int")
+        .option("basePath", hist).parquet(*dirs)
+        .filter(F.col("__kb").isin([3]))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "__kb" in scan[0].split("PartitionFilters")[1], plan
