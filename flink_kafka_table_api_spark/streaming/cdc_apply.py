@@ -118,6 +118,7 @@ def stream_cdc_apply(
     delay: str,
     chunk_col: str = "__chunk",
     keep_versions: int = 3,
+    snapshot: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize a keyed changelog stream (`ops_chunked`: op_id,
     op_ts, key, op in {'U','D'}, value, `chunk_col`) staged as
@@ -125,7 +126,19 @@ def stream_cdc_apply(
     (key, last_op_id, last_op_ts, last_op, last_value) of every live
     (non-deleted) key, under an event-time watermark of `delay`
     (an INTERVAL literal, e.g. '2 days'). Deterministic given the drop
-    boundaries — the DuckDB oracle replays admission + argmax."""
+    boundaries — the DuckDB oracle replays admission + argmax.
+
+    `snapshot` bootstraps the materialization from an existing state
+    (the Debezium/Flink snapshot-first handoff: read the table once,
+    then stream only the changelog tail). It must be WINNERS-form
+    (key, last_op_id, last_op_ts, last_op, last_value, n_ops) and
+    UNFILTERED — delete tombstones included, i.e. `load_cdc_state`
+    of the prior run, NOT its user-facing return: a late-but-admitted
+    op with a timestamp older than a pre-snapshot delete must LOSE to
+    the tombstone, which it can only do if the tombstone rides along.
+    The seed becomes state version -1 and the watermark continues from
+    max(last_op_ts) - delay, so the handoff is bit-equal to having
+    streamed the whole changelog (pinned in tests/test_cdc_apply.py)."""
     src = stage_chunked_by(
         ops_chunked, os.path.join(state_dir, "src"),
         chunk_col=chunk_col, n_chunks=n_chunks, columns=OPS_COLUMNS,
@@ -134,12 +147,34 @@ def stream_cdc_apply(
     marker_dir = os.path.join(state_dir, "commits")
     offsets_dir = os.path.join(state_dir, "offsets")
 
+    if snapshot is not None:
+        seed_meta = os.path.join(offsets_dir, "batch--1.json")
+        # idempotent, crash-safe seeding: state parquet first
+        # (overwrite), the offsets file LAST as the commit point; a
+        # reseed after a mid-seed crash just overwrites
+        if not os.path.exists(seed_meta):
+            os.makedirs(offsets_dir, exist_ok=True)
+            snapshot.write.mode("overwrite").parquet(
+                os.path.join(state, "batch--1")
+            )
+            mx = snapshot.agg(F.max("last_op_ts")).first()[0]
+            max_seen = mx.isoformat() if mx is not None else None
+            wm = None
+            if max_seen is not None:
+                wm = spark.sql(
+                    f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL "
+                    f"{delay} AS STRING)"
+                ).first()[0]
+            json.dump(
+                {"watermark": wm, "max_seen": max_seen},
+                open(seed_meta, "w"),
+            )
+
     def meta_after(batch_id: int) -> dict:
-        if batch_id < 0:
+        p = os.path.join(offsets_dir, f"batch-{batch_id}.json")
+        if batch_id < 0 and not os.path.exists(p):
             return {"watermark": None, "max_seen": None}
-        return json.load(
-            open(os.path.join(offsets_dir, f"batch-{batch_id}.json"))
-        )
+        return json.load(open(p))
 
     def process(batch: DataFrame, batch_id: int) -> None:
         os.makedirs(marker_dir, exist_ok=True)
@@ -189,6 +224,10 @@ def stream_cdc_apply(
             shutil.rmtree(
                 os.path.join(state, f"batch-{old}"), ignore_errors=True
             )
+            if old == 0:  # the bootstrap seed is superseded with batch 0
+                shutil.rmtree(
+                    os.path.join(state, "batch--1"), ignore_errors=True
+                )
 
     stream = (
         spark.readStream
@@ -204,23 +243,38 @@ def stream_cdc_apply(
         .start()
     )
     q.awaitTermination()
-    versions = sorted(
-        (e for e in os.scandir(state) if e.name.startswith("batch-")),
-        key=lambda e: int(e.name.split("-")[1]),
-    )
-    if not versions:
+    last = _last_state_version(state)
+    if last is None:
         return spark.createDataFrame(
             [], "key long, last_op_id long, last_op_ts timestamp, "
             "last_op string, last_value double, n_ops long"
         )
-    return (
-        spark.read.parquet(versions[-1].path)
-        .filter(F.col("last_op") != "D")
-    )
+    return spark.read.parquet(last).filter(F.col("last_op") != "D")
+
+
+def _last_state_version(state: str) -> str | None:
+    versions = sorted(
+        (e for e in os.scandir(state) if e.name.startswith("batch-")),
+        key=lambda e: int(e.name[len("batch-"):]),  # batch--1 parses too
+    ) if os.path.isdir(state) else []
+    return versions[-1].path if versions else None
+
+
+def load_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The UNFILTERED winners state (delete tombstones included) of a
+    completed `stream_cdc_apply` run — the handoff snapshot for
+    bootstrapping another materialization (`snapshot=` above). The
+    user-facing return filters tombstones and must NOT be used as a
+    seed: without the tombstone, a late-but-admitted op older than a
+    pre-snapshot delete would resurrect the deleted key."""
+    last = _last_state_version(os.path.join(state_dir, "state"))
+    if last is None:
+        raise FileNotFoundError(f"no state versions under {state_dir}")
+    return spark.read.parquet(last)
 
 
 # re-export for callers that stage their own chunks
 __all__ = [
     "stream_cdc_apply", "changelog_winners", "merge_state_version",
-    "stage_chunked_by", "IncrementalDedup",
+    "load_cdc_state", "stage_chunked_by", "IncrementalDedup",
 ]

@@ -40,6 +40,21 @@ def reset_from(state_dir: str, batch_id: int) -> dict:
     `state_dir` (markers, offsets, state versions, batch-scoped
     partition dirs) plus the streaming checkpoint, leaving batches
     < `batch_id` untouched. Returns {kind: n_removed} for auditing."""
+    # fail fast, before any deletion: pipelines with a versioned state
+    # chain (cdc_apply, temporal_join) fold batch K onto state/batch-K-1,
+    # and keep_versions prunes old versions — resetting to a K whose
+    # basis was pruned would silently rebase the tail's merge on nothing
+    state_d = os.path.join(state_dir, "state")
+    if batch_id > 0 and os.path.isdir(state_d):
+        have = {e.name for e in os.scandir(state_d)}
+        if have and f"batch-{batch_id - 1}" not in have:
+            oldest = min(int(n[len("batch-"):]) for n in have)
+            raise ValueError(
+                f"state/batch-{batch_id - 1} (the merge basis for batch "
+                f"{batch_id}) was pruned by the version tail; valid "
+                f"resets are 0 (full rebuild) or >= {oldest + 1} (whose "
+                "predecessor version survives)"
+            )
     removed = {"markers": 0, "offsets": 0, "state": 0,
                "partitions": 0, "checkpoint": 0}
     for sub, kind in (("commits", "markers"), ("offsets", "offsets"),

@@ -224,3 +224,97 @@ def test_oracle_parity_on_testdata(spark):
         TIMESTAMP '1970-01-01')
     """).fetchone()[0]
     assert dropped > 0, "no op crossed the admission watermark"
+
+
+BOOT_ROWS = [
+    (0, 10, "2024-01-09 10:00:00", 1, "U", 1.0),
+    (0, 11, "2024-01-09 11:00:00", 1, "U", 2.0),
+    (0, 12, "2024-01-09 10:00:00", 2, "U", 3.0),
+    (0, 13, "2024-01-09 11:00:00", 2, "D", 0.0),
+    (0, 14, "2024-01-09 12:00:00", 4, "U", 5.0),
+    # key 7: upsert then DELETE inside drop 0 — the tombstone-handoff key
+    (0, 15, "2024-01-09 08:00:00", 7, "U", 6.0),
+    (0, 16, "2024-01-09 12:00:00", 7, "D", 0.0),
+    # drop 1: watermark = 01-09 12:00 - 2 days
+    (1, 17, "2024-01-09 09:00:00", 4, "U", 7.0),   # late, older: no overwrite
+    (1, 18, "2024-01-09 10:00:00", 7, "U", 8.0),   # late, OLDER than key 7's
+    #                                                delete: must stay deleted
+    (1, 19, "2024-01-09 13:00:00", 6, "U", 9.0),
+    (2, 20, "2024-01-09 14:00:00", 1, "U", 10.0),
+]
+
+
+def test_bootstrap_handoff_is_bit_equal(spark, tmp_path):
+    """Snapshot-first handoff (the Debezium/Flink bootstrap): materialize
+    drop 0 alone, hand its UNFILTERED state off as the seed, stream only
+    drops 1-2 — bit-equal to streaming the whole changelog, including
+    n_ops and the watermark continuation."""
+    from flink_kafka_table_api_spark.streaming.cdc_apply import (
+        load_cdc_state,
+    )
+
+    full = stream_cdc_apply(
+        spark, _chunked_ops(spark, BOOT_ROWS), str(tmp_path / "full"),
+        n_chunks=3, delay="2 days",
+    )
+    want = sorted(tuple(r) for r in full.collect())
+
+    first = str(tmp_path / "first")
+    stream_cdc_apply(
+        spark, _chunked_ops(spark, [r for r in BOOT_ROWS if r[0] == 0]),
+        first, n_chunks=1, delay="2 days",
+    )
+    seed = load_cdc_state(spark, first)
+    tail = [(c - 1, *rest) for c, *rest in BOOT_ROWS if c > 0]
+    boot = stream_cdc_apply(
+        spark, _chunked_ops(spark, tail), str(tmp_path / "boot"),
+        n_chunks=2, delay="2 days", snapshot=seed,
+    )
+    got = sorted(tuple(r) for r in boot.collect())
+    assert got == want
+    # the tombstone-handoff key stayed deleted (op 18 lost to op 16),
+    # and the late-but-admitted older op did not overwrite key 4
+    keys = {t[0] for t in got}
+    assert 7 not in keys
+    assert next(t for t in got if t[0] == 4)[1] == 14  # last_op_id
+
+
+def test_bootstrap_from_filtered_snapshot_is_wrong(spark, tmp_path):
+    """Document WHY the seed must be unfiltered: seeding from the
+    user-facing (tombstone-filtered) return resurrects key 7 via the
+    late op 18 — the divergence load_cdc_state exists to prevent."""
+    first = str(tmp_path / "firstf")
+    filtered = stream_cdc_apply(
+        spark, _chunked_ops(spark, [r for r in BOOT_ROWS if r[0] == 0]),
+        first, n_chunks=1, delay="2 days",
+    )
+    tail = [(c - 1, *rest) for c, *rest in BOOT_ROWS if c > 0]
+    boot = stream_cdc_apply(
+        spark, _chunked_ops(spark, tail), str(tmp_path / "bootf"),
+        n_chunks=2, delay="2 days", snapshot=filtered,
+    )
+    assert 7 in {r.key for r in boot.collect()}  # resurrected: the trap
+
+
+def test_reset_refuses_a_pruned_merge_basis(spark, tmp_path):
+    """keep_versions=1 leaves only the last state version; resetting to
+    a batch whose predecessor version was pruned must fail loudly (the
+    silent alternative rebases the tail's merge on nothing), while a
+    full reset_from(0) stays valid and reproduces the original."""
+    from flink_kafka_table_api_spark.streaming.reprocess import reset_from
+
+    state = str(tmp_path / "pruned")
+    out = stream_cdc_apply(
+        spark, _chunked_ops(spark, BOOT_ROWS), state,
+        n_chunks=3, delay="2 days", keep_versions=1,
+    )
+    want = sorted(tuple(r) for r in out.collect())
+    assert sorted(os.listdir(os.path.join(state, "state"))) == ["batch-2"]
+    with pytest.raises(ValueError, match="pruned by the version tail"):
+        reset_from(state, 2)
+    reset_from(state, 0)
+    out2 = stream_cdc_apply(
+        spark, _chunked_ops(spark, BOOT_ROWS), state,
+        n_chunks=3, delay="2 days", keep_versions=1,
+    )
+    assert sorted(tuple(r) for r in out2.collect()) == want
