@@ -273,6 +273,40 @@ def stream_scd2(
     )
 
 
+def scd2_lookup(
+    hist: DataFrame,
+    probes: DataFrame,
+    *,
+    probe_ts: str = "probe_ts",
+) -> DataFrame:
+    """Point-in-time enrichment against a TYPE-2 history (the payoff of
+    maintaining it): each probe row joins the single version whose
+    [effective_from, effective_to) interval contains its timestamp —
+    `FOR SYSTEM_TIME AS OF probe_ts` against the versioned table. LEFT
+    join: probes before the key's first version, after its delete, or
+    for unseen keys enrich to NULL.
+
+    One keyed equi-join with a range residual — never a window over the
+    history, never a cross join. Intervals are disjoint per key by
+    construction (stream_scd2's LEAD chaining), so each probe matches
+    at most one row; at 100 TB this is a plain keyed join AQE can
+    broadcast or sort-merge, with the history side prunable by __kb
+    buckets when probes are bucketed the same way."""
+    h = hist.select(
+        F.col("key").alias("__hkey"),
+        F.col("value").alias("dim_value"),
+        F.col("op_id").alias("version_op_id"),
+        "effective_from", "effective_to",
+    )
+    on = (
+        (probes["key"] == h["__hkey"])
+        & (h["effective_from"] <= probes[probe_ts])
+        & (h["effective_to"].isNull()
+           | (probes[probe_ts] < h["effective_to"]))
+    )
+    return probes.join(h, on, "left").drop("__hkey")
+
+
 def reset_scd2_from(state_dir: str, batch_id: int) -> dict:
     """Selective reprocessing (streaming/reprocess.py) with the one
     extra invariant compaction introduces: a compaction snapshot is the
@@ -301,4 +335,4 @@ def reset_scd2_from(state_dir: str, batch_id: int) -> dict:
     return reset_from(state_dir, batch_id)
 
 
-__all__ = ["stream_scd2", "reset_scd2_from"]
+__all__ = ["stream_scd2", "scd2_lookup", "reset_scd2_from"]

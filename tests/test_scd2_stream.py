@@ -314,3 +314,48 @@ def test_prior_read_is_partition_pruned(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan and "__kb" in scan[0].split("PartitionFilters")[1], plan
+
+
+def test_scd2_lookup_point_in_time(spark, tmp_path):
+    """FOR SYSTEM_TIME AS OF probe_ts against the maintained history:
+    inclusive effective_from, exclusive effective_to, NULL before a
+    key's first version / between a delete and a re-insert / after a
+    closing delete / for unseen keys — and the mid-chain spliced late
+    op (key 4's op 17) serves its own interval. The plan must stay a
+    keyed join (equi on key + range residual), never a nested loop."""
+    from flink_kafka_table_api_spark.streaming.scd2_stream import (
+        scd2_lookup,
+    )
+
+    hist = stream_scd2(
+        spark, _chunked_ops(spark, FIXTURE), str(tmp_path / "s9"),
+        n_chunks=3, delay="2 days",
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-09 10:30:00"),
+            (101, 1, "2024-01-09 11:00:00"),  # boundary: from inclusive
+            (102, 1, "2024-01-09 14:00:00"),  # boundary: to exclusive
+            (103, 1, "2024-01-09 09:00:00"),  # pre-history
+            (104, 2, "2024-01-09 12:00:00"),  # delete..re-insert gap
+            (105, 2, "2024-01-09 13:00:00"),
+            (106, 4, "2024-01-09 09:30:00"),  # the spliced late op
+            (107, 4, "2024-01-09 12:00:00"),
+            (108, 9, "2024-01-09 12:00:00"),  # unseen key
+            (109, 6, "2024-01-09 23:59:00"),  # open current interval
+        ],
+        "probe_id long, key long, probe_ts string",
+    ).select("probe_id", "key", F.to_timestamp("probe_ts").alias("probe_ts"))
+    out = scd2_lookup(hist, probes)
+    got = {r.probe_id: (r.dim_value, r.version_op_id)
+           for r in out.collect()}
+    assert got == {
+        100: (1.0, 10), 101: (2.0, 11), 102: (None, None),
+        103: (None, None), 104: (None, None), 105: (9.0, 19),
+        106: (6.0, 17), 107: (5.0, 16), 108: (None, None),
+        109: (10.0, 21),
+    }
+    assert out.count() == 10  # at most one version per probe
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
