@@ -8661,6 +8661,9 @@ _PRIORITY: list[str] = [
 #     versioned table event-time temporal joins read; full-value
 #     oracle scd2_oracle() + semantics/crash/compaction tests in
 #     tests/test_scd2_stream.py).
+# All 28 scheduled names were replica-validated green (rows+schema+
+# hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
+# session that committed this list — the r9 gate cannot stall on them.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "activity_islands", "asof_join", "avro_file_roundtrip",
     "cold_customers", "corr_avg_subquery", "cte_query",
