@@ -67,19 +67,20 @@ def test_zorder_prunes_multidim_box_where_roundrobin_cannot(spark, tmp_path):
     conjunctive box predicate on BOTH columns overlaps far fewer files
     than under the natural round-robin layout, by parquet min/max file
     stats — the exact skipping decision a stats-aware reader makes."""
-    # coalesce(1): BOTH nondeterminism sources in the rewrite are
-    # partial-merge-order effects — percentile_approx's sketch merge and
-    # repartitionByRange's per-partition sampling vary with task
-    # completion order on a loaded box (observed: the same code pruned
-    # 3-5/16 on a quiet run and 9/16 under full-suite load). One input
-    # partition makes the layout a pure function of the data, which is
-    # what a pruning assertion needs to measure.
+    # determinism, both sources: coalesce(1) pins percentile_approx's
+    # sketch merge order (the bucket bounds), and exact_bounds=True pins
+    # the range-partition boundaries — repartitionByRange's reservoir
+    # sample is seeded from the RDD id, so even a single-partition input
+    # lands different file boundaries run to run (observed: 3-5/16 hit
+    # files on a quiet run, 9/16 under full-suite load). A pruning
+    # assertion needs the layout to be a pure function of the data.
     li = spark.read.parquet(f"{SF001}/lineitem.parquet").coalesce(1)
     n_files = 16
     natural = str(tmp_path / "li_natural")
     li.repartition(n_files).write.parquet(natural)
     zed = str(tmp_path / "li_zorder")
-    zorder_write(li, zed, ["l_partkey", "l_suppkey"], num_files=n_files)
+    zorder_write(li, zed, ["l_partkey", "l_suppkey"], num_files=n_files,
+                 exact_bounds=True)
 
     # a ~10% x ~10% box in the middle of both domains
     pk = li.agg(F.expr("percentile_approx(l_partkey, array(0.45, 0.55))")).first()[0]
