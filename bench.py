@@ -172,6 +172,8 @@ HEADLINE = [
     "stream_profile",          # per-batch partials -> sketch-merged profile
     "stream_temporal_join",    # probe drops AS-OF the CDC dimension
     "stream_scd2",             # changelog -> per-batch SCD2 history deltas
+    "stream_event_temporal_join",  # probes buffered to the watermark,
+    # then joined AS OF their own event time against the SCD2 store
 ]
 
 

@@ -6926,6 +6926,63 @@ def q_stream_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@bench_query("stream_event_temporal_join")
+def q_stream_event_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-synchronized EVENT-TIME temporal join
+    (streaming/event_temporal_join.py, round-8 capability): the events
+    changelog (scd2 chunk rule, %61/%37 shifts, 2-day watermark)
+    maintained as the SCD2 versioned dimension, probed by the events
+    themselves as an out-of-order probe stream (%53/%41 shifts, 1-day
+    watermark); each probe buffers until min(dim, probe) watermark
+    passes its OWN event time, then joins the version valid AT that
+    time — Flink's FOR SYSTEM_TIME AS OF p.event_time against a
+    versioned table, with the emission-batch schedule part of the
+    checked result. BENCH twin; registers as @query in a round-9/10
+    gate slot with the full replay (both admissions + LEAD chaining +
+    point-in-time join + horizons) pre-validated in
+    tests/test_event_temporal_join.py."""
+    from flink_kafka_table_api_spark.streaming.event_temporal_join import (
+        stream_event_temporal_join,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    ops = ev.select(
+        F.col("event_id").alias("op_id"),
+        F.col("ts").cast("timestamp").alias("op_ts"),
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        "value",
+        F.least(
+            natural
+            + F.when(F.col("event_id") % 61 == 0, F.lit(2))
+            .when(F.col("event_id") % 37 == 0, F.lit(1))
+            .otherwise(F.lit(0)),
+            F.lit(2),
+        ).alias("__chunk"),
+    )
+    probes = ev.select(
+        F.col("event_id").alias("probe_id"),
+        F.col("ts").cast("timestamp").alias("probe_ts"),
+        F.col("user_id").alias("key"),
+        F.least(
+            natural
+            + F.when(F.col("event_id") % 53 == 0, F.lit(2))
+            .when(F.col("event_id") % 41 == 0, F.lit(1))
+            .otherwise(F.lit(0)),
+            F.lit(2),
+        ).alias("__chunk"),
+    )
+    state = _scratch_dir("evtempjoin", sf)
+    return stream_event_temporal_join(
+        spark, ops, probes, state,
+        n_chunks=3, dim_delay="2 days", probe_delay="1 day",
+    )
+
+
 @bench_query("stream_profile")
 def q_stream_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming incremental profile monitor
@@ -8660,7 +8717,14 @@ _PRIORITY: list[str] = [
 #     last-writer-wins reads and shadow-then-delete compaction — the
 #     versioned table event-time temporal joins read; full-value
 #     oracle scd2_oracle() + semantics/crash/compaction tests in
-#     tests/test_scd2_stream.py).
+#     tests/test_scd2_stream.py);
+#   - streaming/event_temporal_join.py `stream_event_temporal_join`
+#     (Flink's watermark-synchronized EVENT-TIME temporal join: probes
+#     buffer until min(dim, probe) watermark passes their own event
+#     time, then join the SCD2 version valid AT that time — late dim
+#     versions splice in before emission; full-value oracle incl. the
+#     emission-batch schedule + splice/crash/bounded-buffer tests in
+#     tests/test_event_temporal_join.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.

@@ -112,6 +112,74 @@ def _latest_per_key(hist: DataFrame) -> DataFrame:
     )
 
 
+def read_history(spark: SparkSession, hist: str) -> DataFrame | None:
+    """Read the raw delta chain (all surviving batch_id= dirs) with an
+    explicit schema: no per-batch inference job, and an all-empty delta
+    dir (admitted-nothing batch) reads as zero rows."""
+    versions = [
+        e.name for e in os.scandir(hist) if e.name.startswith("batch_id=")
+    ] if os.path.isdir(hist) else []
+    if not versions:
+        return None
+    return (
+        spark.read.schema(HIST_SCHEMA + ", batch_id int")
+        .option("basePath", hist)
+        .parquet(*(os.path.join(hist, v) for v in versions))
+    )
+
+
+def apply_history_delta(
+    spark: SparkSession,
+    hist: str,
+    admitted: DataFrame,
+    *,
+    batch_id: int,
+    n_buckets: int,
+    compact: bool = False,
+) -> None:
+    """One SCD2 maintenance step, shared by stream_scd2 and the
+    event-time temporal join (streaming/event_temporal_join.py): fold a
+    batch of ADMITTED ops (key, op_id, op_ts, op, value, __kb) into the
+    delta-chain store at `hist` as batch_id=`batch_id`. The caller owns
+    admission, scrubbing, offsets, and markers; this owns the
+    prior-read (pruned to the batch's key-buckets), the LEAD-window
+    chain rebuild, and the delta publish (plus the full-snapshot fold
+    when `compact`)."""
+    prior = read_history(spark, hist)
+    if prior is None:
+        out = _chain(admitted)
+    else:
+        # driver-side list of touched buckets (≤ n_buckets ints):
+        # the ONLY collect, and it exists to prune the hist scan
+        kbs = [r[0] for r in admitted.select("__kb").distinct().collect()]
+        latest_aff = (
+            _latest_per_key(prior.filter(F.col("__kb").isin(kbs)))
+            .join(admitted.select("key").distinct(), "key", "left_semi")
+            if kbs else None
+        )
+        prior_ops = (
+            latest_aff.select("key", "op_id", "op_ts", "op",
+                              "value", "__kb")
+            if latest_aff is not None else None
+        )
+        rebuilt = (
+            _chain(prior_ops.unionByName(
+                admitted.select("key", "op_id", "op_ts", "op",
+                                "value", "__kb")))
+            if prior_ops is not None else _chain(admitted)
+        )
+        if compact:
+            untouched = _latest_per_key(prior).join(
+                admitted.select("key").distinct(), "key", "left_anti"
+            )
+            out = rebuilt.unionByName(untouched)
+        else:
+            out = rebuilt
+    out.write.partitionBy("__kb").mode("overwrite").parquet(
+        os.path.join(hist, f"batch_id={batch_id}")
+    )
+
+
 def stream_scd2(
     spark: SparkSession,
     ops_chunked: DataFrame,
@@ -145,20 +213,6 @@ def stream_scd2(
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"))
         )
 
-    def read_hist() -> DataFrame | None:
-        versions = [
-            e.name for e in os.scandir(hist) if e.name.startswith("batch_id=")
-        ] if os.path.isdir(hist) else []
-        if not versions:
-            return None
-        # explicit schema: no per-batch inference job, and an all-empty
-        # delta dir (admitted-nothing batch) reads as zero rows
-        return (
-            spark.read.schema(HIST_SCHEMA + ", batch_id int")
-            .option("basePath", hist)
-            .parquet(*(os.path.join(hist, v) for v in versions))
-        )
-
     def process(batch: DataFrame, batch_id: int) -> None:
         os.makedirs(marker_dir, exist_ok=True)
         os.makedirs(offsets_dir, exist_ok=True)
@@ -180,41 +234,9 @@ def stream_scd2(
             compact_every is not None
             and (batch_id + 1) % compact_every == 0
         )
-        prior = read_hist()
-        out = None
-        if prior is None:
-            out = _chain(admitted)
-        else:
-            # driver-side list of touched buckets (≤ n_buckets ints):
-            # the ONLY collect, and it exists to prune the hist scan
-            kbs = [r[0] for r in admitted.select("__kb").distinct()
-                   .collect()]
-            latest_aff = (
-                _latest_per_key(prior.filter(F.col("__kb").isin(kbs)))
-                .join(admitted.select("key").distinct(), "key",
-                      "left_semi")
-                if kbs else None
-            )
-            prior_ops = (
-                latest_aff.select("key", "op_id", "op_ts", "op",
-                                  "value", "__kb")
-                if latest_aff is not None else None
-            )
-            rebuilt = (
-                _chain(prior_ops.unionByName(
-                    admitted.select("key", "op_id", "op_ts", "op",
-                                    "value", "__kb")))
-                if prior_ops is not None else _chain(admitted)
-            )
-            if compact:
-                untouched = _latest_per_key(prior).join(
-                    admitted.select("key").distinct(), "key", "left_anti"
-                )
-                out = rebuilt.unionByName(untouched)
-            else:
-                out = rebuilt
-        out.write.partitionBy("__kb").mode("overwrite").parquet(
-            os.path.join(hist, f"batch_id={batch_id}")
+        apply_history_delta(
+            spark, hist, admitted,
+            batch_id=batch_id, n_buckets=n_buckets, compact=compact,
         )
         batch_max = batch.agg(F.max("op_ts")).first()[0]
         candidates = [
@@ -258,7 +280,7 @@ def stream_scd2(
         .start()
     )
     q.awaitTermination()
-    full = read_hist()
+    full = read_history(spark, hist)
     if full is None:
         return spark.createDataFrame(
             [], "key long, op_id long, value double, "
@@ -335,4 +357,7 @@ def reset_scd2_from(state_dir: str, batch_id: int) -> dict:
     return reset_from(state_dir, batch_id)
 
 
-__all__ = ["stream_scd2", "scd2_lookup", "reset_scd2_from"]
+__all__ = [
+    "stream_scd2", "scd2_lookup", "reset_scd2_from",
+    "apply_history_delta", "read_history",
+]

@@ -1,0 +1,277 @@
+"""Watermark-synchronized EVENT-TIME temporal join
+(`streaming/event_temporal_join.py`, built round 8, registration-bound
+for a round-9/10 gate slot): probes buffer until min(dim watermark,
+probe watermark) passes their own event time, then join the SCD2
+version valid AT that time — Flink's `FOR SYSTEM_TIME AS OF p.event_time`
+against a versioned table. Pre-validated here against a DuckDB replay
+(admission on both sides + LEAD chaining + point-in-time join + the
+emission-batch schedule), plus hand-built fixtures for the semantics
+that separate this from the eager variant: a dim version arriving one
+batch LATE still enriches an older buffered probe (the splice), probes
+in deleted spans / before first version / unseen keys enrich NULL,
+too-late probes drop, never-released probes emit in the end-of-input
+flush, and crash replay is clean."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.streaming.event_temporal_join import (
+    stream_event_temporal_join,
+)
+
+SF = "/root/testdata/sf0.001"
+D = "2024-01-09 "
+
+
+def _ops(spark, rows):
+    """rows: (chunk, op_id, 'HH:MM', key, op, value)"""
+    return spark.createDataFrame(
+        [(c, i, D + t + ":00", k, o, v) for c, i, t, k, o, v in rows],
+        "c int, op_id long, op_ts string, key long, op string, "
+        "value double",
+    ).select(
+        "op_id", F.to_timestamp("op_ts").alias("op_ts"), "key", "op",
+        "value", F.col("c").alias("__chunk"),
+    )
+
+
+def _probes(spark, rows):
+    """rows: (chunk, probe_id, 'HH:MM', key)"""
+    return spark.createDataFrame(
+        [(c, i, D + t + ":00", k) for c, i, t, k in rows],
+        "c int, probe_id long, probe_ts string, key long",
+    ).select(
+        "probe_id", F.to_timestamp("probe_ts").alias("probe_ts"), "key",
+        F.col("c").alias("__chunk"),
+    )
+
+
+OPS = [
+    # drop 0: dim max 12:00 -> W_dim_0 = 11:00
+    (0, 100, "09:00", 1, "U", 1.0),
+    (0, 101, "12:00", 2, "U", 5.0),
+    # drop 1: 102 is LATE but admitted (11:30 > 11:00) — the splice;
+    # 103 is too late (10:00 <= 11:00) — dropped; dim max 13:00 ->
+    # W_dim_1 = 12:00
+    (1, 102, "11:30", 1, "U", 2.0),
+    (1, 103, "10:00", 3, "U", 9.0),
+    (1, 104, "13:00", 2, "D", 0.0),
+    # drop 2: dim max 15:00 -> W_dim_2 = 14:00
+    (2, 105, "15:00", 4, "U", 7.0),
+]
+PROBES = [
+    # drop 0: probe max 11:45 -> W_probe_0 = 10:45; H_0 = 10:45
+    (0, 1, "11:45", 1),   # buffered past the splice; emits batch 2
+    (0, 2, "10:30", 1),   # emits batch 0 (final: the splice is later)
+    (0, 6, "10:40", 42),  # unseen key -> NULL, batch 0
+    # drop 1: probe max 12:30 -> W_probe_1 = 11:30; H_1 = 11:30
+    (1, 3, "12:30", 2),   # emits batch 2
+    (1, 4, "09:30", 9),   # too late (<= W_probe_0) -> dropped
+    (1, 7, "11:40", 4),   # before key 4's first version -> NULL, batch 2
+    # drop 2: probe max 13:30 -> W_probe_2 = 12:30; H_2 = 12:30
+    (2, 5, "13:30", 2),   # in key 2's deleted span -> NULL, flush batch
+]
+# (probe_id, key, dim_value, dim_op_id, batch_id)
+EXPECTED = sorted([
+    (1, 1, 2.0, 102, 2),       # late dim op 102 spliced in, then seen
+    (2, 1, 1.0, 100, 0),
+    (3, 2, 5.0, 101, 2),
+    (5, 2, None, None, 3),     # deleted span; released by the flush
+    (6, 42, None, None, 0),
+    (7, 4, None, None, 2),
+])
+
+
+def _got(out):
+    return sorted(
+        (r.probe_id, r.key, r.dim_value, r.dim_op_id, r.batch_id)
+        for r in out.collect()
+    )
+
+
+def _run(spark, path):
+    return stream_event_temporal_join(
+        spark, _ops(spark, OPS), _probes(spark, PROBES), path,
+        n_chunks=3, dim_delay="1 hour", probe_delay="1 hour",
+    )
+
+
+def test_event_time_semantics(spark, tmp_path):
+    """The full contract on one fixture: buffered emission at
+    min-watermark, the late-dim splice enriching an OLDER buffered
+    probe, NULLs for deleted spans / pre-first-version / unseen keys,
+    deterministic too-late probe drop, end-of-input flush."""
+    assert _got(_run(spark, str(tmp_path / "e1"))) == EXPECTED
+
+
+def test_splice_differs_from_eager_emission(spark, tmp_path):
+    """Probe 1 (11:45) arrives in drop 0 when key 1's history is only
+    op 100 (v=1.0); the eager event-mode join would emit v=1.0. The
+    watermark buffer holds it until batch 2, after op 102 (11:30,
+    v=2.0) splices in — the defining difference, asserted directly."""
+    got = {r[0]: r for r in _got(_run(spark, str(tmp_path / "e2")))}
+    assert got[1][2] == 2.0 and got[1][3] == 102 and got[1][4] == 2
+    # and the already-emitted probe 2 was NOT retro-updated: its 10:30
+    # instant predates the splice, so v=1.0 was final at emission
+    assert got[2][2] == 1.0 and got[2][4] == 0
+
+
+def test_crash_replay_is_clean(spark, tmp_path):
+    state = str(tmp_path / "e3")
+    want = _got(_run(spark, state))
+    # crash between batch 2's publishes and its marker (flush included)
+    os.remove(os.path.join(state, "commits", "batch-2"))
+    os.remove(os.path.join(state, "commits", "batch-3-flush"))
+    os.remove(os.path.join(state, "offsets", "batch-2.json"))
+    shutil.rmtree(os.path.join(state, "ckpt"))
+    got = _got(stream_event_temporal_join(
+        spark, _ops(spark, OPS), _probes(spark, PROBES), state,
+        n_chunks=3, dim_delay="1 hour", probe_delay="1 hour",
+    ))
+    assert got == want == EXPECTED
+
+
+def test_pending_buffer_is_bounded(spark, tmp_path):
+    """The pending store holds ONLY still-buffered probes (watermark
+    lag), not the stream's history: after batch 2, exactly probe 5."""
+    state = str(tmp_path / "e4")
+    _run(spark, state)
+    last = spark.read.parquet(os.path.join(state, "pending", "batch-2"))
+    assert [r.probe_id for r in last.collect()] == [5]
+
+
+def oracle_sql(dim_delay_days: int = 2, probe_delay_days: int = 1) -> str:
+    """The replay a gate registration will use: events as both the
+    changelog (the scd2_oracle derivation, %61/%37 chunk shifts) and
+    the probe stream (%53/%41 shifts), per-side admission, per-batch
+    emission horizons H_k = min(W_dim_k, W_probe_k), emission batch =
+    first k >= arrival chunk with H_k >= probe_ts (else 3, the flush),
+    and the point-in-time join against the LEAD-chained history."""
+    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+    nat = f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 AS BIGINT), 2)"
+    return f"""
+    WITH ops AS (
+      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             LEAST({nat} + (CASE WHEN event_id % 61 = 0 THEN 2
+                                 WHEN event_id % 37 = 0 THEN 1
+                                 ELSE 0 END), 2) AS chunk
+      FROM events
+    ),
+    probes AS (
+      SELECT event_id AS probe_id, ts AS probe_ts, user_id AS key,
+             LEAST({nat} + (CASE WHEN event_id % 53 = 0 THEN 2
+                                 WHEN event_id % 41 = 0 THEN 1
+                                 ELSE 0 END), 2) AS chunk
+      FROM events
+    ),
+    dmx AS (SELECT chunk, MAX(op_ts) AS m FROM ops GROUP BY chunk),
+    pmx AS (SELECT chunk, MAX(probe_ts) AS m FROM probes GROUP BY chunk),
+    adm_ops AS (
+      SELECT o.* FROM ops o
+      WHERE o.op_ts > COALESCE(
+        (SELECT MAX(m) FROM dmx WHERE chunk < o.chunk)
+          - INTERVAL {dim_delay_days} DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    adm_probes AS (
+      SELECT p.* FROM probes p
+      WHERE p.probe_ts > COALESCE(
+        (SELECT MAX(m) FROM pmx WHERE chunk < p.chunk)
+          - INTERVAL {probe_delay_days} DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    horiz AS (
+      SELECT k.k, LEAST(
+        (SELECT MAX(m) FROM dmx WHERE chunk <= k.k)
+          - INTERVAL {dim_delay_days} DAY,
+        (SELECT MAX(m) FROM pmx WHERE chunk <= k.k)
+          - INTERVAL {probe_delay_days} DAY) AS h
+      FROM (VALUES (0), (1), (2)) AS k(k)
+    ),
+    emit AS (
+      SELECT p.probe_id, p.probe_ts, p.key,
+             COALESCE((SELECT MIN(h.k) FROM horiz h
+                       WHERE h.k >= p.chunk AND h.h >= p.probe_ts),
+                      3) AS batch_id
+      FROM adm_probes p
+    ),
+    chain AS (
+      SELECT key, op_id, op, value, op_ts AS effective_from,
+             LEAD(op_ts) OVER (PARTITION BY key
+                               ORDER BY op_ts, op_id) AS effective_to
+      FROM adm_ops
+    )
+    SELECT e.probe_id, e.probe_ts, e.key, c.value AS dim_value,
+           c.op_id AS dim_op_id, CAST(e.batch_id AS BIGINT) AS batch_id
+    FROM emit e LEFT JOIN chain c
+      ON c.op = 'U' AND e.key = c.key
+         AND c.effective_from <= e.probe_ts
+         AND (c.effective_to IS NULL OR e.probe_ts < c.effective_to)
+    """
+
+
+def spark_twin(spark, sf: str, state: str):
+    """The Spark side of the gate/bench twin: mirrors oracle_sql's
+    derivations exactly (shared by queries.q_stream_event_temporal_join)."""
+    ev = read_table(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    ops = ev.select(
+        F.col("event_id").alias("op_id"),
+        F.col("ts").cast("timestamp").alias("op_ts"),
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        "value",
+        F.least(
+            natural
+            + F.when(F.col("event_id") % 61 == 0, F.lit(2))
+            .when(F.col("event_id") % 37 == 0, F.lit(1))
+            .otherwise(F.lit(0)),
+            F.lit(2),
+        ).alias("__chunk"),
+    )
+    probes = ev.select(
+        F.col("event_id").alias("probe_id"),
+        F.col("ts").cast("timestamp").alias("probe_ts"),
+        F.col("user_id").alias("key"),
+        F.least(
+            natural
+            + F.when(F.col("event_id") % 53 == 0, F.lit(2))
+            .when(F.col("event_id") % 41 == 0, F.lit(1))
+            .otherwise(F.lit(0)),
+            F.lit(2),
+        ).alias("__chunk"),
+    )
+    return stream_event_temporal_join(
+        spark, ops, probes, state,
+        n_chunks=3, dim_delay="2 days", probe_delay="1 day",
+    )
+
+
+def test_oracle_parity_on_testdata(spark, tmp_path):
+    out = spark_twin(spark, SF, str(tmp_path / "e5"))
+    got = sorted(tuple(str(x) for x in r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    exp = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(oracle_sql()).fetchall()
+    )
+    assert len(got) == len(exp) > 0
+    assert got == exp
+    # live signals: enrichment found real versions, some probes
+    # enriched NULL, and emission actually spread across batches
+    # (buffering happened — not everything released in its own batch)
+    vals = [t[3] for t in got]
+    assert any(v != "None" for v in vals) and any(v == "None" for v in vals)
+    assert len({t[5] for t in got}) >= 2
