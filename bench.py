@@ -174,6 +174,7 @@ HEADLINE = [
     "stream_scd2",             # changelog -> per-batch SCD2 history deltas
     "stream_event_temporal_join",  # probes buffered to the watermark,
     # then joined AS OF their own event time against the SCD2 store
+    "stream_topn_retract",     # update-stream Top-N as RowKind changelog
 ]
 
 

@@ -6983,6 +6983,34 @@ def q_stream_event_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@bench_query("stream_topn_retract")
+def q_stream_topn_retract(spark: SparkSession, sf: str) -> DataFrame:
+    """Retract-stream Top-N (streaming/retract.py, round-8 capability):
+    Flink's Rank operator over an UPDATE stream — the running
+    SUM(value)-per-user Top-10 maintained across 3 event drops, emitted
+    as the RowKind changelog (+I/-U/+U/-D; toRetractStream semantics,
+    org.apache.flink.types.RowKind — public API). Totals accumulate in
+    DECIMAL(25,6) (the repo-wide order-free rule). BENCH twin;
+    registers as @query in a round-9/10 gate slot with the
+    snapshot-diff replay pre-validated in tests/test_retract_topn.py."""
+    from flink_kafka_table_api_spark.streaming.retract import (
+        stream_topn_retract,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    rows = ev.select(
+        F.col("event_id").alias("row_id"),
+        F.col("user_id").alias("key"),
+        "value",
+        F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+        .alias("__chunk"),
+    )
+    state = _scratch_dir("topnretract", sf)
+    return stream_topn_retract(spark, rows, state, n_chunks=3, n=10)
+
+
 @bench_query("stream_profile")
 def q_stream_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming incremental profile monitor
@@ -8724,7 +8752,13 @@ _PRIORITY: list[str] = [
 #     time, then join the SCD2 version valid AT that time — late dim
 #     versions splice in before emission; full-value oracle incl. the
 #     emission-batch schedule + splice/crash/bounded-buffer tests in
-#     tests/test_event_temporal_join.py).
+#     tests/test_event_temporal_join.py);
+#   - streaming/retract.py `stream_topn_retract` (Flink's Rank operator
+#     over an UPDATE stream emitted as the RowKind changelog
+#     (+I/-U/+U/-D, toRetractStream semantics) — the query class
+#     Spark's own streaming cannot sink transactionally; full-value
+#     snapshot-diff oracle + re-admission/rank-slide/crash fixtures in
+#     tests/test_retract_topn.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.
