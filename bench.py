@@ -175,6 +175,7 @@ HEADLINE = [
     "stream_event_temporal_join",  # probes buffered to the watermark,
     # then joined AS OF their own event time against the SCD2 store
     "stream_topn_retract",     # update-stream Top-N as RowKind changelog
+    "match_recognize",         # SQL:2016 row-pattern CEP (funnel shape)
 ]
 
 

@@ -7011,6 +7011,43 @@ def q_stream_topn_retract(spark: SparkSession, sf: str) -> DataFrame:
     return stream_topn_retract(spark, rows, state, n_chunks=3, n=10)
 
 
+@bench_query("match_recognize")
+def q_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE row-pattern matching (operators/cep.py, round-8
+    capability): the SQL:2016 / Flink SQL CEP surface — per user,
+    PATTERN (view click+ purchase) over the events sequence, greedy,
+    non-overlapping (AFTER MATCH SKIP PAST LAST ROW), ONE ROW PER MATCH
+    with aggregated measures. The engine runs the generic classify ->
+    per-key string -> regex-scan plan; the oracle detects the same
+    matches with window functions (last non-click row before each
+    purchase must be a view at distance >= 2) — two different
+    algorithms, full-value checked. BENCH twin; registers as @query in
+    a round-9/10 gate slot, pre-validated in tests/test_cep.py."""
+    from flink_kafka_table_api_spark.operators.cep import match_recognize
+
+    ev = _t(spark, sf, "events")
+    return match_recognize(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        define=[
+            ("V", F.col("event_type") == "view"),
+            ("K", F.col("event_type") == "click"),
+            ("P", F.col("event_type") == "purchase"),
+        ],
+        pattern="V K+ P",
+        measures={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+            "n_clicks": F.sum((F.col("__symbol") == "K").cast("long")),
+            "click_value": F.sum(
+                F.when(F.col("__symbol") == "K", F.col("value"))
+                .cast("decimal(25,6)")
+            ).cast("double"),
+        },
+    ).select("user_id", "start_ts", "end_ts", "n_clicks", "click_value")
+
+
 @bench_query("stream_profile")
 def q_stream_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming incremental profile monitor
@@ -8758,7 +8795,12 @@ _PRIORITY: list[str] = [
 #     (+I/-U/+U/-D, toRetractStream semantics) — the query class
 #     Spark's own streaming cannot sink transactionally; full-value
 #     snapshot-diff oracle + re-admission/rank-slide/crash fixtures in
-#     tests/test_retract_topn.py).
+#     tests/test_retract_topn.py);
+#   - operators/cep.py `match_recognize` (SQL:2016 MATCH_RECOGNIZE /
+#     Flink CEP: classify -> per-key symbol string -> ONE Arrow-batched
+#     regex scan, greedy non-overlapping, ONE ROW PER MATCH measures;
+#     full-value window-function oracle + quantifier/overlap fixtures
+#     in tests/test_cep.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.
