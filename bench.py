@@ -176,6 +176,7 @@ HEADLINE = [
     # then joined AS OF their own event time against the SCD2 store
     "stream_topn_retract",     # update-stream Top-N as RowKind changelog
     "match_recognize",         # SQL:2016 row-pattern CEP (funnel shape)
+    "stream_match_recognize",  # incremental CEP, watermark-gated emission
 ]
 
 

@@ -75,6 +75,21 @@ def compile_pattern(pattern: str, names: list[str]) -> str:
     return rx
 
 
+def tail_extensible(pattern: str) -> bool:
+    """True iff a COMPLETE match of `pattern` could still absorb more
+    rows (the last token carries an open quantifier: ? + * or {m,}).
+    The streaming scanner uses this to decide whether a match ending
+    exactly at the frozen boundary is final (fixed tail — the match
+    cannot grow) or must stay pending (open tail — a future row could
+    extend it)."""
+    last = pattern.split()[-1]
+    m = _TOKEN.match(last)
+    if not m:
+        raise ValueError(f"bad pattern token: {last!r}")
+    quant = m.group(2) or ""
+    return quant in ("?", "+", "*") or quant.endswith(",}")
+
+
 def match_recognize(
     df: DataFrame,
     *,

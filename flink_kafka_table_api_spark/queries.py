@@ -7048,6 +7048,55 @@ def q_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "start_ts", "end_ts", "n_clicks", "click_value")
 
 
+@bench_query("stream_match_recognize")
+def q_stream_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE (streaming/stream_cep.py, round-8
+    capability): the funnel PATTERN (view click+ purchase) per user
+    over the events stream delivered as 3 out-of-order drops (%61/%37
+    shifts) under a 2-day watermark — incremental CEP with
+    watermark-gated emission (a match emits when the watermark freezes
+    a row past its end; open-tail matches stay pending and absorb late
+    splices). The flush makes the total equal the batch
+    match_recognize over admitted rows, which is what the oracle
+    replays. BENCH twin; registers as @query in a round-9/10 gate slot,
+    pre-validated in tests/test_stream_cep.py."""
+    from flink_kafka_table_api_spark.streaming.stream_cep import (
+        stream_match_recognize,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    chunked = ev.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+        F.least(
+            natural
+            + F.when(F.col("event_id") % 61 == 0, F.lit(2))
+            .when(F.col("event_id") % 37 == 0, F.lit(1))
+            .otherwise(F.lit(0)),
+            F.lit(2),
+        ).alias("__chunk"),
+    )
+    state = _scratch_dir("streamcep", sf)
+    return stream_match_recognize(
+        spark, chunked, state, n_chunks=3, delay="2 days",
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        define=[
+            ("V", F.col("event_type") == "view"),
+            ("K", F.col("event_type") == "click"),
+            ("P", F.col("event_type") == "purchase"),
+        ],
+        pattern="V K+ P",
+        measures={
+            "start_ts": F.min("ts"),
+            "end_ts": F.max("ts"),
+            "n_clicks": F.sum((F.col("__symbol") == "K").cast("long")),
+        },
+    ).select("user_id", "start_ts", "end_ts", "n_clicks")
+
+
 @bench_query("stream_profile")
 def q_stream_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming incremental profile monitor
@@ -8800,7 +8849,14 @@ _PRIORITY: list[str] = [
 #     Flink CEP: classify -> per-key symbol string -> ONE Arrow-batched
 #     regex scan, greedy non-overlapping, ONE ROW PER MATCH measures;
 #     full-value window-function oracle + quantifier/overlap fixtures
-#     in tests/test_cep.py).
+#     in tests/test_cep.py);
+#   - streaming/stream_cep.py `stream_match_recognize` (incremental
+#     CEP: frozen-prefix scan from per-key consumed offsets,
+#     watermark-gated emission — fixed-tail matches emit when the
+#     watermark passes their end, open-tail matches stay pending and
+#     absorb late splices; flush total equals the batch scan over
+#     admitted rows, which is the oracle; fixtures + parity in
+#     tests/test_stream_cep.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.

@@ -1,0 +1,389 @@
+"""Streaming MATCH_RECOGNIZE: incremental row-pattern matching with
+watermark-gated emission (built round 8, registration-bound for a
+round-9/10 gate slot).
+
+FlinkCEP / Flink SQL's MATCH_RECOGNIZE runs on unbounded streams: the
+NFA consumes rows per key as watermarks advance and emits a match only
+when no earlier-timestamped row can still arrive. This module is the
+Spark-first incremental twin of `operators/cep.py`, on the round-8
+drops machinery (admission, markers, per-batch publishes).
+
+The frozen-prefix argument that makes incremental emission sound:
+
+  * a key's sequence is ordered by (ts, id); rows admitted later have
+    ts > W_prev, so they always append AFTER the rows frozen at any
+    earlier watermark — the frozen prefix only grows, and char
+    positions inside it never shift;
+  * a match found by finditer over the frozen prefix, scanning from
+    the consumed offset, is FINAL iff it ends strictly BEFORE the
+    frozen boundary: the char that terminated each quantifier is then
+    itself frozen, and greedy extension would require matching through
+    the boundary. A match touching the boundary stays pending (it may
+    absorb future rows) and the scan stops there — emitting anything
+    after it could contradict the eventual left-to-right
+    skip-past-last-row scan;
+  * therefore the emitted matches are always a prefix of the eventual
+    batch scan, and the end-of-input flush (scan the rest from the
+    consumed offset) makes the total EXACTLY the batch
+    `match_recognize` over the admitted rows — which is what the
+    DuckDB oracle replays.
+
+  state layout (marker-committed, the shared round-8 conventions):
+    rows/batch_id=k/     admitted rows of drop k (classified char
+                         attached — DEFINEs are row-local, so
+                         classification at admission is stable)
+    consumed/batch-k/    per-key consumed char offsets AFTER batch k
+                         (only keys that ever emitted; tiny)
+    out/batch_id=k/      matches finalized at batch k
+    offsets/batch-k.json watermark; commits/batch-k  marker LAST
+
+  per micro-batch k: ADMIT (ts > W_{k-1}) -> append rows/batch_id=k ->
+  ADVANCE W_k -> AFFECTED keys = keys with stored rows in
+  (W_{k-1}, W_k] (their frozen prefix grew; nothing else can change) ->
+  rebuild those keys' frozen strings, scan from consumed offset, emit
+  final matches + updated offsets -> measures via keyed range join on
+  the frozen rows -> publish, marker LAST. End of input: flush from
+  the consumed offsets over the full sequences (batch_id = n_chunks).
+
+Cost model at 100 TB: per batch, only keys whose frozen prefix grew
+are rescanned, from their consumed offset — O(unconsumed suffix), i.e.
+bounded by watermark lag for keys that keep matching; a match-free
+key's rescan is O(its history), the same as its one flush would cost
+(Flink's NFA avoids this by carrying partial-match state; the rescan
+trades that state for the frozen-prefix simplicity — stated, not
+hidden). Nothing is driver-side except the bounded watermark scalars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.operators.cep import (
+    _CHARS,
+    compile_pattern,
+    tail_extensible,
+)
+from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+
+
+def stream_match_recognize(
+    spark: SparkSession,
+    rows_chunked: DataFrame,
+    state_dir: str,
+    *,
+    n_chunks: int,
+    delay: str,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    define: list[tuple[str, Column]],
+    pattern: str,
+    measures: dict[str, Column],
+    chunk_col: str = "__chunk",
+    keep_versions: int = 3,
+) -> DataFrame:
+    """MATCH_RECOGNIZE over a stream of `n_chunks` drops under an
+    event-time watermark of `delay`: PARTITION BY `key_col` ORDER BY
+    (`ts_col`, `id_col`), row-local `define` / `pattern` / `measures`
+    as in operators/cep.py. Too-late rows (ts <= W) are dropped
+    deterministically; a match emits in the first batch whose
+    watermark freezes a row PAST the match's end (batch_id column;
+    n_chunks = the end-of-input flush). The final match set equals the
+    batch match_recognize over the admitted rows."""
+    names = [n for n, _ in define]
+    regex = compile_pattern(pattern, names)
+    ext_tail = tail_extensible(pattern)
+
+    expr_sym, expr_ch = None, None
+    for i, (name, pred) in enumerate(define):
+        expr_sym = (
+            F.when(pred, name) if expr_sym is None
+            else expr_sym.when(pred, name)
+        )
+        expr_ch = (
+            F.when(pred, _CHARS[i]) if expr_ch is None
+            else expr_ch.when(pred, _CHARS[i])
+        )
+    classified = rows_chunked.select(
+        "*", expr_sym.otherwise(F.lit(None)).alias("__symbol"),
+        expr_ch.otherwise(".").alias("__ch"),
+    )
+    data_cols = [
+        c for c in classified.columns if c != chunk_col
+    ]
+    src = stage_chunked_by(
+        classified, os.path.join(state_dir, "src"),
+        chunk_col=chunk_col, n_chunks=n_chunks, columns=data_cols,
+    )
+    rows_schema = classified.drop(chunk_col).schema
+    rows_store = os.path.join(state_dir, "rows")
+    consumed = os.path.join(state_dir, "consumed")
+    out = os.path.join(state_dir, "out")
+    marker_dir = os.path.join(state_dir, "commits")
+    offsets_dir = os.path.join(state_dir, "offsets")
+
+    @F.pandas_udf("array<struct<s: int, e: int, final: boolean>>")
+    def scan(seq, frozen_len, offset):
+        import re as _re
+
+        rx = _re.compile(regex)
+        def one(args):
+            s, fl, off = args
+            s = s or ""
+            fl = int(fl)
+            spans = []
+            for m in rx.finditer(s, int(off or 0)):
+                final = m.end() < fl or (
+                    m.end() == fl and not ext_tail
+                )
+                spans.append(
+                    {"s": m.start(), "e": m.end(), "final": final}
+                )
+                if not final:
+                    # the match may still absorb rows (it reaches into
+                    # or exactly to the boundary with an open tail):
+                    # pending, and nothing after it is decided either
+                    break
+            return spans
+
+        import pandas as pd
+
+        return pd.Series(map(one, zip(seq, frozen_len, offset)))
+
+    def meta_after(batch_id: int) -> dict:
+        if batch_id < 0:
+            return {"watermark": None, "max_seen": None}
+        return json.load(
+            open(os.path.join(offsets_dir, f"batch-{batch_id}.json"))
+        )
+
+    def read_rows() -> DataFrame | None:
+        parts = [
+            e.name for e in os.scandir(rows_store)
+            if e.name.startswith("batch_id=")
+        ] if os.path.isdir(rows_store) else []
+        if not parts:
+            return None
+        return spark.read.schema(rows_schema).parquet(
+            *(os.path.join(rows_store, p) for p in parts)
+        )
+
+    def read_consumed(batch_id: int) -> DataFrame | None:
+        p = os.path.join(consumed, f"batch-{batch_id}")
+        if not os.path.isdir(p):
+            return None
+        return spark.read.schema(
+            f"{key_col} long, __off int"
+        ).parquet(p)
+
+    def emit(
+        keys: DataFrame | None,
+        horizon: str | None,
+        prev_consumed: DataFrame | None,
+        batch_id: int,
+        flush: bool,
+    ) -> None:
+        """Scan `keys`' sequences (all stored rows when `flush`, else
+        the frozen prefix up to `horizon`) from the consumed offsets;
+        publish final matches to out/batch_id=`batch_id` and the new
+        offsets to consumed/batch-`batch_id`."""
+        stored = read_rows()
+        if stored is None:
+            stored = spark.createDataFrame([], rows_schema)
+        new_cons = prev_consumed
+        scoped = (
+            stored if keys is None
+            else stored.join(keys, key_col, "left_semi")
+        )
+        w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+        rows = scoped.withColumn("__rn", F.row_number().over(w))
+        frz = (
+            F.lit(True) if flush or horizon is None
+            else (F.col(ts_col) <= horizon)
+        )
+        rows = rows.withColumn("__frozen", frz)
+        seqs = rows.groupBy(key_col).agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", "__ch"))
+                    ),
+                    lambda x: x["__ch"],
+                ),
+            ).alias("__seq"),
+            F.sum(F.col("__frozen").cast("int")).cast("int")
+            .alias("__flen"),
+        )
+        if prev_consumed is not None:
+            seqs = seqs.join(prev_consumed, key_col, "left")
+            seqs = seqs.fillna({"__off": 0})
+        else:
+            seqs = seqs.withColumn("__off", F.lit(0))
+        if flush:
+            seqs = seqs.withColumn("__flen", F.lit(1 << 30))
+        spans = seqs.select(
+            F.col(key_col).alias("__mk"),
+            F.posexplode(
+                scan("__seq", "__flen", "__off")
+            ),
+        ).select(
+            "__mk",
+            F.col("col.s").alias("__s"), F.col("col.e").alias("__e"),
+            F.col("col.final").alias("__final"),
+        ).persist()
+        final = spans.filter(
+            "__final" if not flush else F.lit(True)
+        )
+        matched = rows.join(
+            final,
+            (rows[key_col] == final["__mk"])
+            & (rows["__rn"] >= final["__s"] + 1)
+            & (rows["__rn"] <= final["__e"]),
+            "inner",
+        )
+        matches_df = (
+            matched.groupBy(key_col, "__s")
+            .agg(*[c.alias(n) for n, c in measures.items()])
+            .drop("__s")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        if not flush:
+            # offsets advance to the end of each key's last final
+            # match; keys without one keep their old offset
+            adv = (
+                spans.filter("__final")
+                .groupBy("__mk")
+                .agg(F.max("__e").cast("int").alias("__noff"))
+                .select(
+                    F.col("__mk").alias(key_col), "__noff",
+                )
+            )
+            base = (
+                prev_consumed if prev_consumed is not None
+                else spark.createDataFrame(
+                    [], f"{key_col} long, __off int")
+            )
+            new_cons = (
+                base.join(adv, key_col, "full_outer")
+                .select(
+                    key_col,
+                    F.greatest(
+                        F.coalesce("__off", F.lit(0)),
+                        F.coalesce("__noff", F.lit(0)),
+                    ).cast("int").alias("__off"),
+                )
+            )
+        matches_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+        if not flush:
+            (
+                new_cons if new_cons is not None
+                else spark.createDataFrame([], f"{key_col} long, __off int")
+            ).write.mode("overwrite").parquet(
+                os.path.join(consumed, f"batch-{batch_id}")
+            )
+        spans.unpersist()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        os.makedirs(offsets_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return
+        for d in (
+            os.path.join(rows_store, f"batch_id={batch_id}"),
+            os.path.join(consumed, f"batch-{batch_id}"),
+            os.path.join(out, f"batch_id={batch_id}"),
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+        prev = meta_after(batch_id - 1)
+        batch = batch.persist()
+        admitted = (
+            batch if prev["watermark"] is None
+            else batch.filter(F.col(ts_col) > prev["watermark"])
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(rows_store, f"batch_id={batch_id}")
+        )
+        mx = batch.agg(F.max(ts_col)).first()[0]
+        cands = [m for m in (prev["max_seen"],
+                             None if mx is None else mx.isoformat())
+                 if m is not None]
+        max_seen = max(cands) if cands else None
+        new_wm = None
+        if max_seen is not None:
+            new_wm = spark.sql(
+                f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
+                "AS STRING)"
+            ).first()[0]
+        # keys whose frozen prefix grew this batch: stored rows with
+        # ts in (W_{k-1}, W_k]
+        stored = read_rows()
+        affected = None
+        if stored is not None and new_wm is not None:
+            grown = stored.filter(F.col(ts_col) <= new_wm)
+            if prev["watermark"] is not None:
+                grown = grown.filter(F.col(ts_col) > prev["watermark"])
+            affected = grown.select(key_col).distinct()
+        emit(
+            affected if affected is not None
+            else spark.createDataFrame([], f"{key_col} long"),
+            new_wm, read_consumed(batch_id - 1), batch_id, flush=False,
+        )
+        json.dump(
+            {"watermark": new_wm, "max_seen": max_seen},
+            open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
+        )
+        batch.unpersist()
+        open(marker, "w").close()
+        old = batch_id - keep_versions
+        if old >= 0:
+            shutil.rmtree(
+                os.path.join(consumed, f"batch-{old}"), ignore_errors=True
+            )
+
+    stream = (
+        spark.readStream.schema(rows_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    flush_marker = os.path.join(marker_dir, f"batch-{n_chunks}-flush")
+    if not os.path.exists(flush_marker):
+        shutil.rmtree(
+            os.path.join(out, f"batch_id={n_chunks}"), ignore_errors=True
+        )
+        emit(None, None, read_consumed(n_chunks - 1), n_chunks,
+             flush=True)
+        open(flush_marker, "w").close()
+
+    parts = [
+        e.name for e in os.scandir(out)
+        if e.name.startswith("batch_id=")
+    ] if os.path.isdir(out) else []
+    reads = [
+        spark.read.parquet(os.path.join(out, p)) for p in sorted(parts)
+    ]
+    result = reads[0]
+    for r in reads[1:]:
+        result = result.unionByName(r)
+    return result.withColumn(
+        "batch_id", F.col("batch_id").cast("long")
+    )
+
+
+__all__ = ["stream_match_recognize"]
