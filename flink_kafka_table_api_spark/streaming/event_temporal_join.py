@@ -99,11 +99,16 @@ OUT_SCHEMA = (
 PENDING_SCHEMA = "probe_id long, probe_ts timestamp, key long"
 
 
-def _enrich(history: DataFrame | None, probes: DataFrame) -> DataFrame:
+def _enrich(
+    history: DataFrame | None,
+    probes: DataFrame,
+    bin_seconds: int | None = None,
+) -> DataFrame:
     """Interval-containment enrichment of `probes` against the
     latest-per-key SCD2 chain: tombstone (op='D') intervals are removed
     FIRST, so a probe inside a deleted span left-joins to NULL rather
-    than to the delete row."""
+    than to the delete row. `bin_seconds` enables scd2_lookup's
+    bin-based range join (the zipf-hot-key fix)."""
     if history is None:
         return probes.select(
             "probe_id", "probe_ts", "key",
@@ -111,7 +116,9 @@ def _enrich(history: DataFrame | None, probes: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("dim_op_id"),
         )
     versions = _latest_per_key(history).filter(F.col("op") == "U")
-    return scd2_lookup(versions, probes, probe_ts="probe_ts").select(
+    return scd2_lookup(
+        versions, probes, probe_ts="probe_ts", bin_seconds=bin_seconds,
+    ).select(
         "probe_id", "probe_ts", "key", "dim_value",
         F.col("version_op_id").alias("dim_op_id"),
     )
@@ -128,6 +135,7 @@ def stream_event_temporal_join(
     probe_delay: str,
     chunk_col: str = "__chunk",
     n_buckets: int = 16,
+    lookup_bin_seconds: int | None = None,
 ) -> DataFrame:
     """Join `probes_chunked` (probe_id, probe_ts, key, `chunk_col`)
     FOR SYSTEM_TIME AS OF each probe's OWN event time against the
@@ -138,7 +146,9 @@ def stream_event_temporal_join(
     dim_value, dim_op_id, batch_id): dim_* NULL for keys unseen,
     tombstoned, or not yet versioned at the probe's instant; batch_id
     is the batch whose horizon released the row (n_chunks = the
-    end-of-input flush)."""
+    end-of-input flush). `lookup_bin_seconds` turns the emission join
+    into scd2_lookup's bin-based range join — required posture for
+    zipf-hot dimension keys (see scd2_lookup)."""
     ops_src = stage_chunked_by(
         ops_chunked, os.path.join(state_dir, "ops"),
         chunk_col=chunk_col, n_chunks=n_chunks, columns=OPS_COLUMNS,
@@ -257,9 +267,9 @@ def stream_event_temporal_join(
                 if kbs else None
             )
         # 6. publish out + pending + offsets, marker LAST
-        _enrich(full_hist, emit).write.mode("overwrite").parquet(
-            os.path.join(out, f"batch_id={batch_id}")
-        )
+        _enrich(full_hist, emit, lookup_bin_seconds).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"batch_id={batch_id}"))
         still.write.mode("overwrite").parquet(
             os.path.join(pending, f"batch-{batch_id}")
         )
@@ -305,9 +315,11 @@ def stream_event_temporal_join(
         )
         left = read_pending(n_chunks - 1)
         if left is not None:
-            _enrich(read_history(spark, hist), left).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out, f"batch_id={n_chunks}"))
+            _enrich(
+                read_history(spark, hist), left, lookup_bin_seconds,
+            ).write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={n_chunks}")
+            )
         open(flush_marker, "w").close()
 
     parts = [

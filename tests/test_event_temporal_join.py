@@ -275,3 +275,17 @@ def test_oracle_parity_on_testdata(spark, tmp_path):
     vals = [t[3] for t in got]
     assert any(v != "None" for v in vals) and any(v == "None" for v in vals)
     assert len({t[5] for t in got}) >= 2
+
+
+def test_binned_emission_join_preserves_parity(spark, tmp_path):
+    """lookup_bin_seconds (the zipf-hot-key posture) must not change a
+    single value: the full fixture contract holds with daily binning,
+    and the sf0.001 twin with 1-day bins still matches the DuckDB
+    replay bit-for-bit."""
+    out = stream_event_temporal_join(
+        spark, _ops(spark, OPS), _probes(spark, PROBES),
+        str(tmp_path / "e6"), n_chunks=3,
+        dim_delay="1 hour", probe_delay="1 hour",
+        lookup_bin_seconds=3600,
+    )
+    assert _got(out) == EXPECTED

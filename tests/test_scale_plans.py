@@ -899,3 +899,35 @@ def test_topn_retract_rank_is_take_ordered(spark, tmp_path):
     ).select("key", F.col("total").cast("decimal(25,6)").alias("total"))
     plan = _plan(_topn(state, 10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_binned_scd2_lookup_joins_on_key_and_bin(spark):
+    """The bin-based range join must put (key, bin) in the EQUI join
+    keys — if the bin degraded to a post-join residual, the hot-key
+    candidate explosion it exists to prevent would be back."""
+    from flink_kafka_table_api_spark.streaming.scd2_stream import (
+        scd2_lookup,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, 10.0, 100, "2024-01-01 00:00:00", "2024-01-02 00:00:00")],
+        "key long, value double, op_id long, f string, t string",
+    ).select(
+        "key", "value", "op_id",
+        F.to_timestamp("f").alias("effective_from"),
+        F.to_timestamp("t").alias("effective_to"),
+    )
+    probes = spark.createDataFrame(
+        [(1, 1, "2024-01-01 12:00:00")],
+        "probe_id long, key long, p string",
+    ).select(
+        "probe_id", "key", F.to_timestamp("p").alias("probe_ts"),
+    )
+    out = scd2_lookup(hist, probes, bin_seconds=86400)
+    out.collect()
+    plan = _plan(out)
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "Cartesian" not in ln]
+    assert join_lines, plan
+    assert any("__pbin" in ln and "__bin" in ln for ln in join_lines), \
+        join_lines

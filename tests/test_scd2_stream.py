@@ -359,3 +359,47 @@ def test_scd2_lookup_point_in_time(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_binned_lookup_equals_plain_lookup(spark, tmp_path):
+    """scd2_lookup's bin-based range join (the zipf-hot-key fix) is a
+    pure execution-strategy change: binned and unbinned enrichment must
+    return IDENTICAL rows on the maintained testdata history, for a bin
+    much smaller, comparable to, and much larger than the typical
+    version lifetime — including probes before the first version /
+    after a delete (NULL rows survive the LEFT join through the bin
+    explode)."""
+    from flink_kafka_table_api_spark.streaming.scd2_stream import (
+        scd2_lookup,
+    )
+
+    ev = read_table(spark, SF, "events")
+    ops = ev.select(
+        F.col("event_id").alias("op_id"),
+        F.col("ts").cast("timestamp").alias("op_ts"),
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        "value", F.lit(0).alias("__chunk"),
+    )
+    hist = stream_scd2(
+        spark, ops, str(tmp_path / "s9"), n_chunks=1, delay="2 days",
+    ).select(
+        "key", F.col("value"), F.col("op_id"),
+        "effective_from", "effective_to",
+    )
+    probes = ev.select(
+        F.col("event_id").alias("probe_id"),
+        F.col("user_id").alias("key"),
+        (F.col("ts").cast("timestamp")
+         + F.expr("INTERVAL 17 MINUTES")).alias("probe_ts"),
+    )
+    def rows(bin_seconds):
+        out = scd2_lookup(hist, probes, bin_seconds=bin_seconds).select(
+            "probe_id", "dim_value", "version_op_id",
+        )
+        return sorted(tuple(str(x) for x in r) for r in out.collect())
+    plain = rows(None)
+    assert len(plain) == probes.count()  # at most one version each
+    for bs in (3600, 86400, 30 * 86400):
+        assert rows(bs) == plain, f"bin={bs}s diverged"
