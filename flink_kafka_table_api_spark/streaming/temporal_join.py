@@ -45,7 +45,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.streaming.cdc_apply import (
@@ -61,44 +61,56 @@ PROBE_COLUMNS = ["probe_id", "probe_ts", "key"]
 def asof_enrich(
     probes: DataFrame, history: DataFrame
 ) -> DataFrame:
-    """EVENT-TIME temporal lookup: each probe joins the dimension
-    version AS OF its own probe_ts — per-probe argmax by (op_ts, op_id)
-    over same-key ops with op_ts <= probe_ts; a winner that is a delete
-    enriches to NULL (the key was tombstoned as of that instant). One
-    keyed equi-join + one hash aggregate — never a window over the
-    history."""
-    cand = probes.join(
-        history.select("op_id", "op_ts", "key", "op", "value"),
-        on=[probes.key == history.key,
-            history.op_ts <= probes.probe_ts],
-        how="left",
-    ).select(
-        "probe_id", "probe_ts", probes.key.alias("key"),
-        "op_id", "op_ts", "op", "value",
+    """EVENT-TIME temporal lookup: each probe sees the dimension
+    version AS OF its own probe_ts — the last op by (op_ts, op_id)
+    with op_ts <= probe_ts on its key; a winner that is a delete
+    enriches to NULL (the key was tombstoned as of that instant).
+
+    Expressed as the UNION + ordered-window shape (the
+    operators/relational.py asof_join_last pattern), NOT a join: ops
+    and probes union into one keyed sequence ordered by (ts, ops-
+    before-probes, id), and every probe reads last(op_struct,
+    ignorenulls) over the unbounded-preceding frame. One keyed shuffle,
+    linear per key. The previous keyed-join + argmax shape generated
+    |probes_hot| x |ops_hot| candidate pairs on a zipf-hot key before
+    the aggregate — quadratic in key hotness, the same scale-killer
+    the bin-based range join fixed in scd2_lookup; the window shape is
+    O(P + V) per key outright."""
+    op_struct_t = "struct<dim_op_id: bigint, __op: string, " \
+                  "dim_value: double>"
+    ops_side = history.select(
+        "key",
+        F.col("op_ts").alias("__t"),
+        F.lit(0).alias("__after"),
+        F.col("op_id").alias("__tie"),
+        F.struct(
+            F.col("op_id").alias("dim_op_id"),
+            F.col("op").alias("__op"),
+            F.col("value").alias("dim_value"),
+        ).alias("__o"),
+        F.lit(None).cast("long").alias("probe_id"),
     )
-    win = (
-        cand.groupBy("probe_id")
-        .agg(
-            F.first("probe_ts").alias("probe_ts"),
-            F.first("key").alias("key"),
-            F.max_by(
-                F.struct(
-                    F.col("op_id").alias("dim_op_id"),
-                    F.col("op").alias("__op"),
-                    F.col("value").alias("dim_value"),
-                ),
-                F.when(
-                    F.col("op_id").isNotNull(),
-                    F.struct(F.col("op_ts"), F.col("op_id")),
-                ),
-            ).alias("w"),
-        )
+    probe_side = probes.select(
+        "key",
+        F.col("probe_ts").alias("__t"),
+        F.lit(1).alias("__after"),
+        F.col("probe_id").alias("__tie"),
+        F.lit(None).cast(op_struct_t).alias("__o"),
+        "probe_id",
     )
-    return win.select(
-        "probe_id", "probe_ts", "key",
-        F.when(F.col("w.__op") == "U", F.col("w.dim_value"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("__t", "__after", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ops_side.unionByName(probe_side).withColumn(
+        "__w", F.last("__o", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("__after") == 1).select(
+        "probe_id", F.col("__t").alias("probe_ts"), "key",
+        F.when(F.col("__w.__op") == "U", F.col("__w.dim_value"))
         .alias("dim_value"),
-        F.when(F.col("w.__op") == "U", F.col("w.dim_op_id"))
+        F.when(F.col("__w.__op") == "U", F.col("__w.dim_op_id"))
         .alias("dim_op_id"),
     )
 

@@ -327,12 +327,12 @@ def test_replay_of_committed_batches_is_a_noop(spark, tmp_path):
     assert got == want  # not double-published
 
 
-def test_asof_enrich_plan_is_keyed_join_never_nested_loop(spark):
-    """The event-time lookup must plan as a KEYED equi-join (broadcast
-    or sort-merge, the op_ts <= probe_ts residual as a join condition)
-    plus one hash aggregate — never a nested-loop/cartesian over the
-    history, which is the O(probes x ops) shape that kills this at
-    scale."""
+def test_asof_enrich_plan_is_one_keyed_window_no_join(spark):
+    """The event-time lookup must plan as UNION + ONE keyed window
+    (the asof_join_last shape) with NO join node at all: the previous
+    keyed-join + argmax shape paid |probes_hot| x |ops_hot| candidate
+    pairs on a zipf-hot key before the aggregate — quadratic in key
+    hotness. The window shape is O(P + V) per key outright."""
     from flink_kafka_table_api_spark.streaming.temporal_join import (
         asof_enrich,
     )
@@ -343,10 +343,10 @@ def test_asof_enrich_plan_is_keyed_join_never_nested_loop(spark):
         asof_enrich(probes.drop("__chunk"), history)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) \
-        or ("ShuffledHashJoin" in plan)
+    assert "Join" not in plan
+    assert "Window" in plan
+    # the union collapses BELOW the shuffle: ONE key exchange total
+    assert plan.count("Exchange") == 1
 
 
 def test_changelog_winners_is_partial_aggregate(spark):
