@@ -177,6 +177,7 @@ HEADLINE = [
     "stream_topn_retract",     # update-stream Top-N as RowKind changelog
     "match_recognize",         # SQL:2016 row-pattern CEP (funnel shape)
     "stream_match_recognize",  # incremental CEP, watermark-gated emission
+    "data_expectations",       # 11-rule data contract, fused per-table scans
 ]
 
 

@@ -7101,6 +7101,29 @@ def q_stream_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "start_ts", "end_ts", "n_clicks")
 
 
+@bench_query("data_expectations")
+def q_data_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-expectations report (operators/expectations.py,
+    round-8 capability): an 11-rule contract over 7 tables — not_null,
+    unique, accepted_values, in_range, and three referential-integrity
+    relationships — compiled so every aggregate-shaped rule on a table
+    fuses into ONE scan (plan-pinned) and each relationship is one
+    anti-join count. BENCH twin; registers as @query in a round-9/10
+    gate slot with every count replayed by the DuckDB oracle
+    pre-validated in tests/test_expectations.py."""
+    from flink_kafka_table_api_spark.operators.expectations import (
+        TESTDATA_CONTRACT,
+        expectations_report,
+    )
+
+    tables = {
+        t: _t(spark, sf, t)
+        for t in ("orders", "events", "part", "lineitem", "customer",
+                  "nation", "region")
+    }
+    return expectations_report(tables, TESTDATA_CONTRACT)
+
+
 @bench_query("stream_profile")
 def q_stream_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming incremental profile monitor
@@ -8860,7 +8883,11 @@ _PRIORITY: list[str] = [
 #     watermark passes their end, open-tail matches stay pending and
 #     absorb late splices; flush total equals the batch scan over
 #     admitted rows, which is the oracle; fixtures + parity in
-#     tests/test_stream_cep.py).
+#     tests/test_stream_cep.py);
+#   - operators/expectations.py `data_expectations` (declarative
+#     data-contract rules compiled to fused per-table scans +
+#     anti-join FK counts; every count DuckDB-replayed,
+#     tests/test_expectations.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.
