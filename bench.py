@@ -178,6 +178,9 @@ HEADLINE = [
     "match_recognize",         # SQL:2016 row-pattern CEP (funnel shape)
     "stream_match_recognize",  # incremental CEP, watermark-gated emission
     "data_expectations",       # 11-rule data contract, fused per-table scans
+    "cumulate_windows",        # CUMULATE TVF: step partials + spine merge
+    "stream_cumulate",         # CUMULATE stage 1 on the engine, ooo drops
+    "stream_over_agg",         # per-row OVER range agg, watermark-emitted
 ]
 
 

@@ -7163,6 +7163,316 @@ def q_stream_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cumulate_windows_sql(*, step: int = 21600, size_steps: int = 4) -> str:
+    """Oracle for `cumulate_windows` (streaming/cumulate.py): per-step
+    partials, the densified slice spine from each key's first populated
+    slice to the cumulate window end, ONE running-merge window fold —
+    the same two-stage algebra, replayed relationally."""
+    size = step * size_steps
+    return f"""
+    WITH part AS (
+      SELECT CAST(to_timestamp((epoch(ts)::BIGINT // {step} + 1) * {step})
+               AS TIMESTAMP) AS slice_end,
+             event_type, COUNT(*) AS n_events,
+             SUM(CAST(value AS {DEC})) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT *, CAST(to_timestamp(((epoch(slice_end)::BIGINT - {step})
+                 // {size}) * {size}) AS TIMESTAMP) AS window_start
+      FROM part
+    ),
+    spine AS (
+      SELECT window_start, event_type,
+             CAST(unnest(generate_series(
+               MIN(slice_end),
+               CAST(to_timestamp(epoch(window_start)::BIGINT + {size})
+                 AS TIMESTAMP),
+               INTERVAL {step} SECOND)) AS TIMESTAMP) AS window_end
+      FROM win GROUP BY window_start, event_type
+    )
+    SELECT s.window_start, s.window_end, s.event_type,
+           CAST(SUM(w.n_events) OVER pre AS BIGINT) AS n_events,
+           CAST(SUM(w.sv) OVER pre AS DOUBLE) AS sum_value
+    FROM spine s LEFT JOIN win w
+      ON s.window_start = w.window_start AND s.event_type = w.event_type
+         AND s.window_end = w.slice_end
+    WINDOW pre AS (PARTITION BY s.window_start, s.event_type
+                   ORDER BY s.window_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@bench_query("cumulate_windows")
+def q_cumulate_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink CUMULATE windowing TVF (streaming/cumulate.py, round-8
+    capability): per event_type, the expanding 6h/12h/18h/24h
+    day-so-far totals — CUMULATE(step=6h, size=1d). Two-stage plan: ONE
+    step-tumbling partial aggregate (never the 4x input explosion of
+    the naive port), then the output-sized spine + running merge.
+    BENCH twin; registers as @query in a round-9/10 gate slot with the
+    oracle pre-validated in tests/test_cumulate.py. Reference scope:
+    Flink's windowing TVF planning the reference delegates
+    (TransactionProcessor.java:106)."""
+    from flink_kafka_table_api_spark.streaming.cumulate import cumulate
+
+    ev = _t(spark, sf, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    out = cumulate(
+        ev, "ts", step_seconds=21600, size_steps=4,
+        group_by=("event_type",),
+        partial_aggs=(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        ),
+        merge_sum=("n_events", "sum_value"),
+    )
+    return out.select(
+        "window_start", "window_end", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+def stream_cumulate_sql(
+    *, step: int = 21600, size_steps: int = 4, delay_days: int = 2
+) -> str:
+    """Oracle for `stream_cumulate`: the stream_late_events admission
+    replay (chunk terciles, %37/%61 late shifts, a row drops iff its
+    STEP slice was already evicted), per-step partials over the admitted
+    rows, the closed-slice bound (slice_end <= max(ALL ts) - delay),
+    then the cumulate spine + running merge over the closed slices."""
+    size = step * size_steps
+    return f"""
+    WITH base AS (
+      SELECT event_id, ts, event_type, value,
+             datediff('day',
+                      (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                      CAST(ts AS DATE)) AS d_idx
+      FROM events
+    ),
+    chun AS (
+      SELECT *, LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
+             + (CASE WHEN event_id % 61 = 0 THEN 2
+                     WHEN event_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
+      FROM base
+    ),
+    mx AS (SELECT chunk, MAX(ts) AS mts FROM chun GROUP BY chunk),
+    horizon AS (
+      SELECT c.chunk,
+             (SELECT MAX(m.mts) FROM mx m WHERE m.chunk <= c.chunk - 2)
+               - INTERVAL {delay_days} DAY AS evicted_before
+      FROM (SELECT DISTINCT chunk FROM chun) c
+    ),
+    admitted AS (
+      SELECT ch.ts, ch.event_type, ch.value
+      FROM chun ch JOIN horizon h ON ch.chunk = h.chunk
+      WHERE h.evicted_before IS NULL
+         OR CAST(to_timestamp((epoch(ch.ts)::BIGINT // {step} + 1)
+                              * {step}) AS TIMESTAMP) > h.evicted_before
+    ),
+    part AS (
+      SELECT CAST(to_timestamp((epoch(ts)::BIGINT // {step} + 1) * {step})
+               AS TIMESTAMP) AS slice_end,
+             event_type, COUNT(*) AS n_events,
+             SUM(CAST(value AS {DEC})) AS sv
+      FROM admitted GROUP BY 1, 2
+    ),
+    closed AS (
+      SELECT p.* FROM part p,
+           (SELECT MAX(ts) - INTERVAL {delay_days} DAY AS w FROM events) wm
+      WHERE p.slice_end <= wm.w
+    ),
+    win AS (
+      SELECT *, CAST(to_timestamp(((epoch(slice_end)::BIGINT - {step})
+                 // {size}) * {size}) AS TIMESTAMP) AS window_start
+      FROM closed
+    ),
+    spine AS (
+      SELECT window_start, event_type,
+             CAST(unnest(generate_series(
+               MIN(slice_end),
+               CAST(to_timestamp(epoch(window_start)::BIGINT + {size})
+                 AS TIMESTAMP),
+               INTERVAL {step} SECOND)) AS TIMESTAMP) AS window_end
+      FROM win GROUP BY window_start, event_type
+    ),
+    merged AS (
+      SELECT s.window_start, s.window_end, s.event_type,
+             CAST(SUM(w.n_events) OVER pre AS BIGINT) AS n_events,
+             CAST(SUM(w.sv) OVER pre AS DOUBLE) AS sum_value
+      FROM spine s LEFT JOIN win w
+        ON s.window_start = w.window_start AND s.event_type = w.event_type
+           AND s.window_end = w.slice_end
+      WINDOW pre AS (PARTITION BY s.window_start, s.event_type
+                     ORDER BY s.window_end
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT m.* FROM merged m,
+         (SELECT MAX(ts) - INTERVAL {delay_days} DAY AS w FROM events) wm
+    WHERE m.window_end <= wm.w
+    """
+
+
+@bench_query("stream_cumulate")
+def q_stream_cumulate(spark: SparkSession, sf: str) -> DataFrame:
+    """CUMULATE through the REAL streaming engine (round-8 capability):
+    the events corpus staged as 3 out-of-order drops (the
+    stream_late_events chunk rule), watermark(2 days) -> step-tumbling
+    6h APPEND aggregate on the engine (stage 1: Spark's own admission,
+    state eviction, emission), then the batch cumulate merge over the
+    CLOSED slices (stage 2, streaming/cumulate.py). Emitted rows are
+    the day-so-far totals the cumulate TVF would have fired, bounded by
+    the terminal watermark. BENCH twin; registers as @query in a
+    round-9/10 gate slot with the admission+spine+merge replay
+    pre-validated in tests/test_cumulate.py."""
+    from flink_kafka_table_api_spark.streaming.cumulate import (
+        cumulate_finalize,
+    )
+    from flink_kafka_table_api_spark.streaming.late_data import (
+        stage_chunked_by,
+    )
+
+    step, size_steps = 21600, 4
+    ev = _t(spark, sf, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    shift = (
+        F.when(F.col("event_id") % 61 == 0, F.lit(2))
+        .when(F.col("event_id") % 37 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    chunked = ev.withColumn("__chunk", F.least(natural + shift, F.lit(2)))
+    state = _scratch_dir("cumustream", sf)
+    src = stage_chunked_by(
+        chunked, os.path.join(state, "src"), n_chunks=3,
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, event_type string, "
+                "value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    partial = (
+        sw.with_watermark(stream, "ts", "2 days")
+        .groupBy(F.window("ts", f"{step} seconds"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        )
+    )
+    emitted = _run_stream_to_table(partial, spark, "append").select(
+        F.col("window.end").alias("slice_end"), "event_type",
+        "n_events", "sum_value",
+    )
+    cap = ev.agg(
+        F.max("ts") - F.expr("INTERVAL 2 DAYS")
+    ).first()[0]  # terminal watermark: one bounded scalar
+    out = cumulate_finalize(
+        emitted, step_seconds=step, size_steps=size_steps,
+        group_by=("event_type",), merge_sum=("n_events", "sum_value"),
+    )
+    return out.filter(F.col("window_end") <= F.lit(cap)).select(
+        "window_start", "window_end", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+def stream_over_agg_sql(
+    *, range_seconds: int = 86400, delay_days: int = 2
+) -> str:
+    """Oracle for `stream_over_agg` (streaming/over_agg.py): replay the
+    deterministic out-of-order delivery (the stream_late_events chunk
+    rule), per-ROW admission ts > max(ts over earlier chunks) - delay,
+    the terminal-watermark emission bound (ts <= max(ALL ts) - delay),
+    then ONE batch window function over the admitted subset — the
+    completeness argument in the module docstring is exactly why the
+    incremental run equals this single pass."""
+    return f"""
+    WITH base AS (
+      SELECT event_id AS row_id, ts, user_id AS key, value,
+             datediff('day',
+                      (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                      CAST(ts AS DATE)) AS d_idx
+      FROM events
+    ),
+    chun AS (
+      SELECT *, LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
+             + (CASE WHEN row_id % 61 = 0 THEN 2
+                     WHEN row_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
+      FROM base
+    ),
+    mx AS (SELECT chunk, MAX(ts) AS mts FROM chun GROUP BY chunk),
+    adm AS (
+      SELECT c.row_id, c.ts, c.key, c.value FROM chun c
+      WHERE c.ts > COALESCE(
+        (SELECT MAX(m.mts) FROM mx m WHERE m.chunk < c.chunk)
+          - INTERVAL {delay_days} DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    agg AS (
+      SELECT row_id, ts, key, value,
+             CAST(COUNT(*) OVER pre AS BIGINT) AS n_win,
+             CAST(SUM(CAST(value AS {DEC})) OVER pre AS DOUBLE) AS sum_win
+      FROM adm
+      WINDOW pre AS (PARTITION BY key ORDER BY epoch(ts)::BIGINT
+                     RANGE BETWEEN {range_seconds} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT a.* FROM agg a,
+         (SELECT MAX(ts) - INTERVAL {delay_days} DAY AS w FROM events) wm
+    WHERE a.ts <= wm.w
+    """
+
+
+@bench_query("stream_over_agg")
+def q_stream_over_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time OVER aggregation on a stream (streaming/over_agg.py,
+    round-8 capability): Flink's `SUM(value) OVER (PARTITION BY key
+    ORDER BY ts RANGE INTERVAL '1' DAY PRECEDING)` — one output row per
+    input row, emitted once the watermark passes its event time — over
+    the events corpus as 3 out-of-order drops (the stream_late_events
+    chunk rule), watermark 2 days, preceding range 1 day per user_id.
+    Spark streaming has no window functions; the foreachBatch state
+    machine carries exactly Flink's OVER-window state (preceding-range
+    context + out-of-orderness buffer). BENCH twin; registers as
+    @query in a round-9/10 gate slot with the admission+window replay
+    pre-validated in tests/test_over_agg.py."""
+    from flink_kafka_table_api_spark.streaming.over_agg import (
+        stream_over_agg,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    shift = (
+        F.when(F.col("event_id") % 61 == 0, F.lit(2))
+        .when(F.col("event_id") % 37 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    rows = ev.select(
+        F.col("event_id").alias("row_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").alias("key"),
+        "value",
+        F.least(natural + shift, F.lit(2)).alias("__chunk"),
+    )
+    state = _scratch_dir("overagg", sf)
+    return stream_over_agg(
+        spark, rows, state, n_chunks=3, delay="2 days",
+        range_seconds=86400,
+    )
+
+
 @query("gazetteer_tag", tx.gazetteer_tag_sql({"spark": "ENGINE", "join": "OP", "hash join": "OP2", "table scan merge": "OP3", "customer": "ENTITY"}))
 def q_gazetteer_tag(spark: SparkSession, sf: str) -> DataFrame:
     """Dictionary entity tagging (operators/text.py `gazetteer_tag`)
@@ -8887,7 +9197,20 @@ _PRIORITY: list[str] = [
 #   - operators/expectations.py `data_expectations` (declarative
 #     data-contract rules compiled to fused per-table scans +
 #     anti-join FK counts; every count DuckDB-replayed,
-#     tests/test_expectations.py).
+#     tests/test_expectations.py);
+#   - streaming/cumulate.py `cumulate_windows` + `stream_cumulate`
+#     (Flink's CUMULATE windowing TVF as step-tumble partials +
+#     densified spine + ONE running-merge fold — never the size/step-x
+#     input explosion; the streaming form runs stage 1 on the real
+#     engine over out-of-order drops; full-value oracles
+#     cumulate_windows_sql()/stream_cumulate_sql() pre-validated at
+#     sf0.001 AND sf0.01 in tests/test_cumulate.py);
+#   - streaming/over_agg.py `stream_over_agg` (Flink's event-time OVER
+#     aggregation: per-row preceding-range COUNT/SUM emitted when the
+#     watermark passes the row's event time; preceding-range context +
+#     pending buffer state, exactly Flink's OVER-window state shape;
+#     full-value oracle stream_over_agg_sql() pre-validated at sf0.001
+#     AND sf0.01 in tests/test_over_agg.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.

@@ -931,3 +931,16 @@ def test_binned_scd2_lookup_joins_on_key_and_bin(spark):
     assert join_lines, plan
     assert any("__pbin" in ln and "__bin" in ln for ln in join_lines), \
         join_lines
+
+
+def test_cumulate_is_partials_plus_spine_never_exploded_input(spark):
+    """CUMULATE's 100 TB property: stage 1 is ONE map-side-partial
+    aggregate of the input (never the size/step-x row explosion of the
+    naive port), the only Generate is the output-sized spine, the merge
+    is union+fold (no join), and the partials compute ONCE (both union
+    branches read the persisted partials, not a second input scan)."""
+    plan = _plan(RUNNABLE["cumulate_windows"](spark, SF))
+    assert "partial_count(1)" in plan          # map-side combine, stage 1
+    assert plan.count("Generate") == 1          # spine only
+    assert "Join" not in plan                   # merge is union + fold
+    assert plan.count("InMemoryTableScan") == 2  # partials cached, 1 scan
