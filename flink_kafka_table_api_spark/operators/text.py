@@ -2711,3 +2711,111 @@ def heaps_law_sql(*, n_buckets: int = 20) -> str:
            cum.cum_tokens, cum.cum_types, fit.beta, fit.k_coef
     FROM cum, fit
     """
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (round 8): detection + redaction of the four classic PII
+# signal classes over a text column — the release gate every
+# LLM-training corpus pass runs before packing (Dolma/RedPajama-style
+# pipelines; complements k_anonymity, which audits STRUCTURED
+# quasi-identifiers). Pure codegen'd expression algebra: regex extract
+# chains + higher-order-function validation folds, zero Python in the
+# hot path. Patterns stay in the Java/RE2 common subset (no lookaround,
+# no backreferences) so the DuckDB oracle replays them verbatim.
+# ---------------------------------------------------------------------------
+
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+CC_RE = r"\b[0-9]{13,16}\b"
+
+
+def _luhn_ok(s: Column) -> Column:
+    """Luhn mod-10 checksum over a digit string: from the right, double
+    every second digit, subtract 9 when it exceeds 9, total % 10 == 0.
+    An integer aggregate fold — bit-exact in both engines."""
+    n = F.length(s)
+    def step(acc: Column, i: Column) -> Column:
+        d = F.substr(s, i, F.lit(1)).cast("int")
+        doubled = F.when(((n - i) % 2) == 1, d * 2).otherwise(d)
+        return acc + F.when(doubled > 9, doubled - 9).otherwise(doubled)
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), step)
+    return (total % 10) == 0
+
+
+def _luhn_ok_sql(s: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(1, length({s}) + 1), i -> "
+        f"CASE WHEN ((length({s}) - i) % 2) = 1 THEN "
+        f"(CASE WHEN CAST(substring({s}, i, 1) AS INT) * 2 > 9 "
+        f"THEN CAST(substring({s}, i, 1) AS INT) * 2 - 9 "
+        f"ELSE CAST(substring({s}, i, 1) AS INT) * 2 END) "
+        f"ELSE CAST(substring({s}, i, 1) AS INT) END)) % 10 = 0)"
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII audit + redaction:
+
+      n_emails   — email-shaped spans;
+      n_phones   — NNN-NNN-NNNN phone spans;
+      n_ipv4     — dotted quads whose four octets are all <= 255
+                   (candidates with out-of-range octets are counted out
+                   but still redacted — conservative redaction);
+      n_cc_luhn  — 13-16 digit runs passing the Luhn mod-10 check
+                   (same policy: every digit run is redacted, only
+                   checksum-valid ones are COUNTED as card numbers);
+      redacted   — the text with every candidate span replaced by its
+                   <EMAIL>/<CC>/<PHONE>/<IP> tag.
+
+    One narrow projection pass at any scale — no shuffle, no join, no
+    Python. Counts and validation are higher-order integer folds over
+    the extracted span arrays."""
+    t = F.col(text_col)
+    emails = F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))
+    phones = F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))
+    ips = F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))
+    ccs = F.regexp_extract_all(t, F.lit(CC_RE), F.lit(0))
+    valid_ip = lambda x: F.forall(  # noqa: E731
+        F.split(x, r"\."), lambda o: o.cast("int") <= 255
+    )
+    redacted = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, CC_RE, "<CC>")
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    redacted = F.regexp_replace(redacted, IPV4_RE, "<IP>")
+    return df.select(
+        "doc_id",
+        F.size(emails).cast("long").alias("n_emails"),
+        F.size(phones).cast("long").alias("n_phones"),
+        F.size(F.filter(ips, valid_ip)).cast("long").alias("n_ipv4"),
+        F.size(F.filter(ccs, _luhn_ok)).cast("long").alias("n_cc_luhn"),
+        redacted.alias("redacted"),
+    )
+
+
+def pii_scrub_sql(text_expr: str) -> str:
+    """DuckDB rendering of :func:`pii_scrub` over `text_expr` —
+    fragments for the oracle (same patterns verbatim; RE2 and Java
+    agree on this subset)."""
+    email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    cc = "\\b[0-9]{13,16}\\b"
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{text_expr}, '{email}', '<EMAIL>', 'g'), "
+        f"'{cc}', '<CC>', 'g'), "
+        f"'{phone}', '<PHONE>', 'g'), "
+        f"'{ipv4}', '<IP>', 'g')"
+    )
+    return f"""
+      CAST(len(regexp_extract_all({text_expr}, '{email}')) AS BIGINT)
+        AS n_emails,
+      CAST(len(regexp_extract_all({text_expr}, '{phone}')) AS BIGINT)
+        AS n_phones,
+      CAST(len(list_filter(regexp_extract_all({text_expr}, '{ipv4}'),
+        x -> len(list_filter(string_split(x, '.'),
+                 o -> CAST(o AS INT) > 255)) = 0)) AS BIGINT) AS n_ipv4,
+      CAST(len(list_filter(regexp_extract_all({text_expr}, '{cc}'),
+        s -> {_luhn_ok_sql('s')})) AS BIGINT) AS n_cc_luhn,
+      {redacted} AS redacted
+    """

@@ -7473,6 +7473,81 @@ def q_stream_over_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pii_scrub_sql() -> str:
+    """Oracle for `pii_scrub` (operators/text.py): the deterministic
+    PII injection (docs with doc_id % 3 <> 0 get an email + dotted quad
+    + phone + 16-digit card derived from doc_id; % 3 = 0 docs stay
+    clean) replayed verbatim, then the same regex-extract counts, the
+    octet / Luhn validation folds, and the redaction chain."""
+    inject = (
+        "CASE WHEN doc_id % 3 <> 0 THEN text"
+        " || ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com"
+        " ip ' || CAST((doc_id * 7) % 300 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 29) % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 31) % 300 AS VARCHAR)"
+        " || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST((doc_id * 17) % 10000 AS VARCHAR), 4, '0')"
+        " || ' card 4' || lpad(CAST((doc_id * 2654435761) %"
+        " 1000000000000000 AS VARCHAR), 15, '0')"
+        " ELSE text END"
+    )
+    return f"""
+    WITH pii AS (
+      SELECT doc_id, {inject} AS t FROM documents
+    ),
+    scrub AS (
+      SELECT doc_id, {tx.pii_scrub_sql('t')}
+      FROM pii
+    )
+    SELECT doc_id, n_emails, n_phones, n_ipv4, n_cc_luhn,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           {portable_hash64_sql('redacted')} AS redacted_hash
+    FROM scrub
+    """
+
+
+@bench_query("pii_scrub")
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction (operators/text.py `pii_scrub`,
+    round-8 capability): emails, NNN-NNN-NNNN phones, octet-validated
+    dotted quads, Luhn-validated 13-16-digit card runs — counted per
+    document, every candidate span redacted to its tag. The corpus
+    carries a deterministic doc_id-derived PII injection (2/3 of docs)
+    so validity genuinely varies: out-of-range octets and
+    Luhn-failing card numbers are redacted but not counted. One
+    narrow zero-shuffle projection pass. BENCH twin; registers as
+    @query in a round-9/10 gate slot with the oracle pre-validated in
+    tests/test_pii_scrub.py."""
+    from flink_kafka_table_api_spark.operators.text import pii_scrub
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" user"), s(did), F.lit("@mail.example.com ip "),
+        s((did * 7) % 300), F.lit("."), s((did * 13) % 256),
+        F.lit("."), s((did * 29) % 256), F.lit("."), s((did * 31) % 300),
+        F.lit(" call 555-"), F.lpad(s(did % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s((did * 17) % 10000), 4, "0"),
+        F.lit(" card 4"),
+        F.lpad(s((did * F.lit(2654435761)) % F.lit(1000000000000000)),
+               15, "0"),
+    )
+    pii = d.select(
+        "doc_id",
+        F.when(did % 3 != 0, injected).otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = pii_scrub(pii, "text")
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ipv4", "n_cc_luhn",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        portable_hash64("redacted").alias("redacted_hash"),
+    )
+
+
 @query("gazetteer_tag", tx.gazetteer_tag_sql({"spark": "ENGINE", "join": "OP", "hash join": "OP2", "table scan merge": "OP3", "customer": "ENTITY"}))
 def q_gazetteer_tag(spark: SparkSession, sf: str) -> DataFrame:
     """Dictionary entity tagging (operators/text.py `gazetteer_tag`)
@@ -9210,7 +9285,11 @@ _PRIORITY: list[str] = [
 #     watermark passes the row's event time; preceding-range context +
 #     pending buffer state, exactly Flink's OVER-window state shape;
 #     full-value oracle stream_over_agg_sql() pre-validated at sf0.001
-#     AND sf0.01 in tests/test_over_agg.py).
+#     AND sf0.01 in tests/test_over_agg.py);
+#   - operators/text.py `pii_scrub` (per-doc email/phone/IP/card PII
+#     audit + tag redaction with octet and Luhn validation folds —
+#     zero-shuffle expression algebra; full-value oracle pii_scrub_sql()
+#     pre-validated at sf0.001 AND sf0.01 in tests/test_pii_scrub.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.
