@@ -9217,11 +9217,11 @@ _PRIORITY: list[str] = [
 # off-by-one when r9 lands), plus the two round-8 displacements
 # (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
 # the first rotation round with slack since round 4 — the ledger is
-# paid, and rounds 9+ fund new capability, not wiring. NINE such
+# paid, and rounds 9+ fund new capability, not wiring. THIRTEEN such
 # capabilities are already BUILT, pre-validated, and bench-twinned
-# (BENCH_ONLY above) for round-9 gate slots — register each as @query
-# with its pre-validated oracle plus a gate slot, never leave them
-# BENCH_ONLY past r10 (28 rotations + 9 registrations = 37 of 50
+# (BENCH_ONLY above) for round-9/10 gate slots — register each as
+# @query with its pre-validated oracle plus a gate slot, never leave
+# them BENCH_ONLY past r10 (28 rotations + 13 registrations = 41 of 50
 # slots; the remainder can re-run recent-but-aging names):
 #   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
 #     changelog materialization; oracle `_events_ops_oracle` +

@@ -944,3 +944,32 @@ def test_cumulate_is_partials_plus_spine_never_exploded_input(spark):
     assert plan.count("Generate") == 1          # spine only
     assert "Join" not in plan                   # merge is union + fold
     assert plan.count("InMemoryTableScan") == 2  # partials cached, 1 scan
+
+
+def test_pii_scrub_is_single_narrow_pass(spark):
+    """PII scrub: one codegen'd projection over the scan — no shuffle,
+    no join, and only (doc_id, text) read."""
+    plan = _plan(RUNNABLE["pii_scrub"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema
+
+
+def test_over_range_agg_is_one_keyed_window(spark):
+    """The OVER-aggregate shape both the batch helper and every
+    stream_over_agg micro-batch run: ONE keyed exchange into a RANGE
+    window — no join, no second shuffle."""
+    from flink_kafka_table_api_spark.streaming.over_agg import (
+        over_range_agg,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, 1.0)],
+        "row_id long, ts string, key long, value double",
+    ).select("row_id", F.to_timestamp("ts").alias("ts"), "key", "value")
+    plan = _plan(over_range_agg(rows, 3600))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "specifiedwindowframe(RangeFrame" in plan
