@@ -181,6 +181,7 @@ HEADLINE = [
     "cumulate_windows",        # CUMULATE TVF: step partials + spine merge
     "stream_cumulate",         # CUMULATE stage 1 on the engine, ooo drops
     "stream_over_agg",         # per-row OVER range agg, watermark-emitted
+    "stream_over_rows",        # ROWS-frame OVER twin (count-based state)
     "pii_scrub",               # regex+Luhn PII audit, zero-shuffle pass
 ]
 

@@ -7473,6 +7473,87 @@ def q_stream_over_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_over_rows_sql(
+    *, n_preceding: int = 5, delay_days: int = 2
+) -> str:
+    """Oracle for `stream_over_rows` (streaming/over_agg.py, ROWS
+    frame): same admission/emission replay as stream_over_agg_sql, the
+    window frame counted over the deterministic (ts, row_id) total
+    order instead of the event-time range."""
+    return f"""
+    WITH base AS (
+      SELECT event_id AS row_id, ts, user_id AS key, value,
+             datediff('day',
+                      (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                      CAST(ts AS DATE)) AS d_idx
+      FROM events
+    ),
+    chun AS (
+      SELECT *, LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
+             + (CASE WHEN row_id % 61 = 0 THEN 2
+                     WHEN row_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
+      FROM base
+    ),
+    mx AS (SELECT chunk, MAX(ts) AS mts FROM chun GROUP BY chunk),
+    adm AS (
+      SELECT c.row_id, c.ts, c.key, c.value FROM chun c
+      WHERE c.ts > COALESCE(
+        (SELECT MAX(m.mts) FROM mx m WHERE m.chunk < c.chunk)
+          - INTERVAL {delay_days} DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    agg AS (
+      SELECT row_id, ts, key, value,
+             CAST(COUNT(*) OVER pre AS BIGINT) AS n_win,
+             CAST(SUM(CAST(value AS {DEC})) OVER pre AS DOUBLE) AS sum_win
+      FROM adm
+      WINDOW pre AS (PARTITION BY key
+                     ORDER BY epoch(ts)::BIGINT, row_id
+                     ROWS BETWEEN {n_preceding} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT a.* FROM agg a,
+         (SELECT MAX(ts) - INTERVAL {delay_days} DAY AS w FROM events) wm
+    WHERE a.ts <= wm.w
+    """
+
+
+@bench_query("stream_over_rows")
+def q_stream_over_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """ROWS-frame OVER aggregation on a stream (streaming/over_agg.py,
+    round-8 capability): Flink's `... OVER (PARTITION BY key ORDER BY
+    ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)` — with stream_over_agg
+    this completes Flink's OVER-window class (RANGE + ROWS). The
+    context tail is the key's LAST 5 emitted rows (count-bounded state)
+    instead of a time range. BENCH twin; registers as @query in a
+    round-9/10 gate slot with the replay pre-validated in
+    tests/test_over_agg.py."""
+    from flink_kafka_table_api_spark.streaming.over_agg import (
+        stream_over_rows_agg,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    shift = (
+        F.when(F.col("event_id") % 61 == 0, F.lit(2))
+        .when(F.col("event_id") % 37 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    rows = ev.select(
+        F.col("event_id").alias("row_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").alias("key"),
+        "value",
+        F.least(natural + shift, F.lit(2)).alias("__chunk"),
+    )
+    state = _scratch_dir("overrows", sf)
+    return stream_over_rows_agg(
+        spark, rows, state, n_chunks=3, delay="2 days", n_preceding=5,
+    )
+
+
 def pii_scrub_sql() -> str:
     """Oracle for `pii_scrub` (operators/text.py): the deterministic
     PII injection (docs with doc_id % 3 <> 0 get an email + dotted quad
@@ -9217,11 +9298,11 @@ _PRIORITY: list[str] = [
 # off-by-one when r9 lands), plus the two round-8 displacements
 # (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
 # the first rotation round with slack since round 4 — the ledger is
-# paid, and rounds 9+ fund new capability, not wiring. THIRTEEN such
+# paid, and rounds 9+ fund new capability, not wiring. FOURTEEN such
 # capabilities are already BUILT, pre-validated, and bench-twinned
 # (BENCH_ONLY above) for round-9/10 gate slots — register each as
 # @query with its pre-validated oracle plus a gate slot, never leave
-# them BENCH_ONLY past r10 (28 rotations + 13 registrations = 41 of 50
+# them BENCH_ONLY past r10 (28 rotations + 14 registrations = 42 of 50
 # slots; the remainder can re-run recent-but-aging names):
 #   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
 #     changelog materialization; oracle `_events_ops_oracle` +
@@ -9289,7 +9370,12 @@ _PRIORITY: list[str] = [
 #   - operators/text.py `pii_scrub` (per-doc email/phone/IP/card PII
 #     audit + tag redaction with octet and Luhn validation folds —
 #     zero-shuffle expression algebra; full-value oracle pii_scrub_sql()
-#     pre-validated at sf0.001 AND sf0.01 in tests/test_pii_scrub.py).
+#     pre-validated at sf0.001 AND sf0.01 in tests/test_pii_scrub.py);
+#   - streaming/over_agg.py `stream_over_rows` (the ROWS-frame OVER
+#     twin: previous-n-rows COUNT/SUM over the (ts, row_id) total
+#     order, count-bounded context tail; with stream_over_agg this
+#     completes Flink's OVER-window class; oracle
+#     stream_over_rows_sql() pre-validated in tests/test_over_agg.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.

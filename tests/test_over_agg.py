@@ -130,3 +130,104 @@ def test_oracle_parity_on_testdata(spark):
       WHERE e.event_id = a.row_id AND e.ts <= wm.w
     """).fetchone()[0]
     assert len(got) < naive, "no row crossed the admission watermark"
+
+
+# ---------------------------------------------------------------------------
+# ROWS-frame variant
+# ---------------------------------------------------------------------------
+
+
+def _run_rows(spark, rows, state, **kw):
+    from flink_kafka_table_api_spark.streaming.over_agg import (
+        stream_over_rows_agg,
+    )
+
+    kw.setdefault("n_chunks", 3)
+    kw.setdefault("delay", "2 days")
+    kw.setdefault("n_preceding", 2)
+    return stream_over_rows_agg(spark, _chunked_rows(spark, rows), state, **kw)
+
+
+def test_over_rows_semantics_fixture(spark, tmp_path):
+    """ROWS frames: exactly the previous n rows by (ts, row_id) order —
+    peers do NOT see each other (unlike RANGE), the context tail hands
+    the last n rows across batches, ties break on row_id."""
+    out = _run_rows(spark, ROWS, str(tmp_path / "r1"))
+    got = {r.row_id: (r.n_win, r.sum_win) for r in out.collect()}
+    assert got == {
+        10: (1, 1.0),
+        11: (2, 3.0),
+        12: (3, 7.0),        # last-2-rows context feeds the drop-1 row
+        13: (1, 8.0),        # equal-ts peer: row_id order, 13 first
+        14: (2, 24.0),       # sees its peer 13 (frame is count-based)
+        15: (1, 32.0),
+        16: (2, 96.0),       # row 17 dropped: absent here too
+        18: (1, 256.0),
+        # 17 too late (dropped); 19, 20 beyond the terminal watermark
+    }
+
+
+def test_over_rows_context_is_count_bounded(spark, tmp_path):
+    state = str(tmp_path / "r2")
+    _run_rows(spark, ROWS, state, n_preceding=1, keep_versions=1)
+    ctx = spark.read.parquet(os.path.join(state, "context", "batch-2"))
+    # at most n_preceding rows per key survive in the context tail
+    per_key = ctx.groupBy("key").count().collect()
+    assert per_key and all(r["count"] <= 1 for r in per_key)
+
+
+def test_over_rows_oracle_parity_on_testdata(spark):
+    from flink_kafka_table_api_spark.queries import stream_over_rows_sql
+
+    out = BENCH_ONLY["stream_over_rows"](spark, SF)
+    got = sorted(tuple(str(x) for x in r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    exp = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(stream_over_rows_sql()).fetchall()
+    )
+    assert len(got) == len(exp) > 0
+    assert got == exp
+
+
+def test_banded_equals_naive_window(spark):
+    """The banded (key, bin) decomposition must be bit-equal to the
+    monolithic per-key RANGE window it replaces — including exact
+    frame-boundary hits (ts' == ts - range), peers, bin-edge rows and
+    keys whose history spans many empty bins."""
+    from flink_kafka_table_api_spark.functions.portable import DEC
+    from flink_kafka_table_api_spark.streaming.over_agg import (
+        over_range_agg,
+    )
+    from pyspark.sql import Window
+
+    rows = []
+    rid = 0
+    for key in (1, 2, 3):
+        for m in (0, 59, 60, 61, 100, 119, 120, 120, 121, 240, 600):
+            rid += 1
+            rows.append(
+                (rid, f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00",
+                 key, float(rid))
+            )
+    df = spark.createDataFrame(
+        rows, "row_id long, ts string, key long, value double"
+    ).select("row_id", F.to_timestamp("ts").alias("ts"), "key", "value")
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in over_range_agg(df, 3600).collect()
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    naive = df.select(
+        "row_id", "ts", "key", "value",
+        F.count("*").over(w).cast("long").alias("n_win"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+        .alias("sum_win"),
+    )
+    exp = sorted(tuple(str(x) for x in r) for r in naive.collect())
+    assert got == exp
