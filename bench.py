@@ -182,6 +182,7 @@ HEADLINE = [
     "stream_cumulate",         # CUMULATE stage 1 on the engine, ooo drops
     "stream_over_agg",         # per-row OVER range agg, watermark-emitted
     "stream_over_rows",        # ROWS-frame OVER twin (count-based state)
+    "stream_window_dedup",     # window-dedup TVF: argmin winner per window
     "pii_scrub",               # regex+Luhn PII audit, zero-shuffle pass
 ]
 

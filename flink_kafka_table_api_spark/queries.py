@@ -7554,6 +7554,122 @@ def q_stream_over_rows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_window_dedup_sql(*, delay_days: int = 2) -> str:
+    """Oracle for `stream_window_dedup` (Flink's Window Deduplication
+    TVF: ROW_NUMBER()=1 per window+key by event time): the
+    stream_late_events admission replay (1-day windows), per
+    (window, user) argmin by the (ts, event_id) total order, closed
+    windows only."""
+    return f"""
+    WITH base AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             datediff('day',
+                      (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                      CAST(ts AS DATE)) AS d_idx
+      FROM events
+    ),
+    chun AS (
+      SELECT *, LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
+             + (CASE WHEN event_id % 61 = 0 THEN 2
+                     WHEN event_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
+      FROM base
+    ),
+    mx AS (SELECT chunk, MAX(ts) AS mts FROM chun GROUP BY chunk),
+    horizon AS (
+      SELECT c.chunk,
+             (SELECT MAX(m.mts) FROM mx m WHERE m.chunk <= c.chunk - 2)
+               - INTERVAL {delay_days} DAY AS evicted_before
+      FROM (SELECT DISTINCT chunk FROM chun) c
+    ),
+    admitted AS (
+      SELECT ch.event_id, ch.ts, ch.user_id, ch.event_type, ch.value
+      FROM chun ch JOIN horizon h ON ch.chunk = h.chunk
+      WHERE h.evicted_before IS NULL
+         OR date_trunc('day', ch.ts) + INTERVAL 1 DAY > h.evicted_before
+    ),
+    ranked AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+               AS window_end,
+             user_id, event_id AS first_event_id, ts AS first_ts,
+             event_type AS first_event_type, value AS first_value,
+             row_number() OVER (
+               PARTITION BY date_trunc('day', ts), user_id
+               ORDER BY ts, event_id) AS rn
+      FROM admitted
+    )
+    SELECT window_start, window_end, user_id, first_event_id, first_ts,
+           first_event_type, first_value
+    FROM ranked, (SELECT MAX(ts) - INTERVAL {delay_days} DAY AS w
+                  FROM events) wm
+    WHERE rn = 1 AND window_end <= wm.w
+    """
+
+
+@bench_query("stream_window_dedup")
+def q_stream_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink's Window Deduplication TVF (the last windowing-TVF class
+    after aggregation/cumulate/Top-N: ROW_NUMBER() OVER (PARTITION BY
+    window, key ORDER BY ts) = 1 — "first event per user per day")
+    through the REAL engine: the events corpus as 3 out-of-order drops
+    (the stream_late_events chunk rule), watermark(2 days) -> per
+    (1-day window, user_id) min_by over the (ts, event_id) total order,
+    APPEND mode, availableNow — the argmin aggregate is the
+    deduplication (no per-row rank state), so the streaming state is
+    one winner row per open (window, key). BENCH twin; registers as
+    @query in a round-9/10 gate slot with the replay pre-validated in
+    tests/test_window_dedup.py."""
+    from flink_kafka_table_api_spark.streaming.late_data import (
+        stage_chunked_by,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    shift = (
+        F.when(F.col("event_id") % 61 == 0, F.lit(2))
+        .when(F.col("event_id") % 37 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    chunked = ev.withColumn("__chunk", F.least(natural + shift, F.lit(2)))
+    state = _scratch_dir("windedup", sf)
+    src = stage_chunked_by(
+        chunked, os.path.join(state, "src"), n_chunks=3,
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    winner = F.min_by(
+        F.struct(
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.col("event_type").alias("first_event_type"),
+            F.col("value").alias("first_value"),
+        ),
+        F.struct(F.col("ts"), F.col("event_id")),
+    ).alias("w")
+    agg = (
+        sw.with_watermark(stream, "ts", "2 days")
+        .groupBy(F.window("ts", "1 day"), "user_id")
+        .agg(winner)
+    )
+    return _run_stream_to_table(agg, spark, "append").select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "user_id", "w.first_event_id", "w.first_ts",
+        "w.first_event_type", "w.first_value",
+    )
+
+
 def pii_scrub_sql() -> str:
     """Oracle for `pii_scrub` (operators/text.py): the deterministic
     PII injection (docs with doc_id % 3 <> 0 get an email + dotted quad
@@ -9298,11 +9414,11 @@ _PRIORITY: list[str] = [
 # off-by-one when r9 lands), plus the two round-8 displacements
 # (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
 # the first rotation round with slack since round 4 — the ledger is
-# paid, and rounds 9+ fund new capability, not wiring. FOURTEEN such
+# paid, and rounds 9+ fund new capability, not wiring. FIFTEEN such
 # capabilities are already BUILT, pre-validated, and bench-twinned
 # (BENCH_ONLY above) for round-9/10 gate slots — register each as
 # @query with its pre-validated oracle plus a gate slot, never leave
-# them BENCH_ONLY past r10 (28 rotations + 14 registrations = 42 of 50
+# them BENCH_ONLY past r10 (28 rotations + 15 registrations = 43 of 50
 # slots; the remainder can re-run recent-but-aging names):
 #   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
 #     changelog materialization; oracle `_events_ops_oracle` +
@@ -9375,7 +9491,12 @@ _PRIORITY: list[str] = [
 #     twin: previous-n-rows COUNT/SUM over the (ts, row_id) total
 #     order, count-bounded context tail; with stream_over_agg this
 #     completes Flink's OVER-window class; oracle
-#     stream_over_rows_sql() pre-validated in tests/test_over_agg.py).
+#     stream_over_rows_sql() pre-validated in tests/test_over_agg.py);
+#   - `stream_window_dedup` (Flink's Window Deduplication TVF:
+#     keep-first per window+key by event time as an argmin AGGREGATE
+#     on the real engine — one winner row of state per open
+#     window+key; oracle stream_window_dedup_sql() pre-validated at
+#     sf0.001 AND sf0.01 in tests/test_window_dedup.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.
