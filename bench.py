@@ -183,6 +183,7 @@ HEADLINE = [
     "stream_over_agg",         # per-row OVER range agg, watermark-emitted
     "stream_over_rows",        # ROWS-frame OVER twin (count-based state)
     "stream_window_dedup",     # window-dedup TVF: argmin winner per window
+    "stream_session_dynamic",  # per-row gap extractor session windows
     "pii_scrub",               # regex+Luhn PII audit, zero-shuffle pass
 ]
 

@@ -7670,6 +7670,80 @@ def q_stream_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_session_dynamic_sql(*, delay_seconds: int = 5) -> str:
+    """Oracle for `stream_session_dynamic` (Flink's session gap
+    EXTRACTOR: the gap is a per-row function of the event, here by
+    event_type): each event claims [ts, ts + gap(event)); sessions
+    merge while ts <= running max of previous interval ends (touching
+    MERGES — comparator pinned empirically against Spark's
+    session_window, same as the fixed-gap oracle's); session_end is
+    the merged interval end max(ts+gap), which a fixed-gap replay
+    cannot produce. Emission: sessions the terminal watermark closed."""
+    gap = ("CASE event_type WHEN 'error' THEN 2700 "
+           "WHEN 'purchase' THEN 1800 ELSE 900 END")
+    return f"""
+    WITH ends AS (
+      SELECT user_id, event_id, ts, value,
+             ts + INTERVAL ({gap}) SECOND AS iv_end
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN MAX(iv_end) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) >= ts
+                     THEN 0 ELSE 1 END AS new_session
+      FROM ends
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(iv_end) AS session_end,
+             COUNT(*) AS n_events, {dec_sum_sql('value', 'sum_value')}
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM sessions,
+         (SELECT MAX(ts) - INTERVAL {delay_seconds} SECOND AS w
+          FROM events) wm
+    WHERE session_end <= wm.w
+    """
+
+
+@bench_query("stream_session_dynamic")
+def q_stream_session_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-row gap (Flink's
+    SessionWindowTimeGapExtractor; Spark's session_window with a gap
+    Column) through the real streaming engine: errors keep a session
+    alive 45 min, purchases 30, everything else 15 — so session
+    boundaries depend on WHICH events are inside, not just their
+    spacing, and session_end = max(ts + gap) over the merged interval.
+    APPEND mode, watermark-closed sessions only. BENCH twin; registers
+    as @query in a round-9/10 gate slot with the running-max replay
+    pre-validated in tests/test_window_dedup.py."""
+    stream = _stream_table(spark, sf, "events")
+    gap = (
+        F.when(F.col("event_type") == "error", "45 minutes")
+        .when(F.col("event_type") == "purchase", "30 minutes")
+        .otherwise("15 minutes")
+    )
+    sessions = sw.session(
+        sw.with_watermark(stream, "ts", "5 seconds"),
+        "ts", gap, group_by=("user_id",),
+        aggs=(F.count("*").alias("n_events"),
+              dec_sum("value", "sum_value")),
+    )
+    return _run_stream_to_table(sessions, spark, "append").select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+
+
 def pii_scrub_sql() -> str:
     """Oracle for `pii_scrub` (operators/text.py): the deterministic
     PII injection (docs with doc_id % 3 <> 0 get an email + dotted quad
@@ -9414,11 +9488,11 @@ _PRIORITY: list[str] = [
 # off-by-one when r9 lands), plus the two round-8 displacements
 # (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
 # the first rotation round with slack since round 4 — the ledger is
-# paid, and rounds 9+ fund new capability, not wiring. FIFTEEN such
+# paid, and rounds 9+ fund new capability, not wiring. SIXTEEN such
 # capabilities are already BUILT, pre-validated, and bench-twinned
 # (BENCH_ONLY above) for round-9/10 gate slots — register each as
 # @query with its pre-validated oracle plus a gate slot, never leave
-# them BENCH_ONLY past r10 (28 rotations + 15 registrations = 43 of 50
+# them BENCH_ONLY past r10 (28 rotations + 16 registrations = 44 of 50
 # slots; the remainder can re-run recent-but-aging names):
 #   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
 #     changelog materialization; oracle `_events_ops_oracle` +
@@ -9496,7 +9570,12 @@ _PRIORITY: list[str] = [
 #     keep-first per window+key by event time as an argmin AGGREGATE
 #     on the real engine — one winner row of state per open
 #     window+key; oracle stream_window_dedup_sql() pre-validated at
-#     sf0.001 AND sf0.01 in tests/test_window_dedup.py).
+#     sf0.001 AND sf0.01 in tests/test_window_dedup.py);
+#   - `stream_session_dynamic` (Flink's session gap EXTRACTOR: per-row
+#     gap by event_type through Spark's native dynamic session_window;
+#     merge comparator pinned empirically — touching merges, end =
+#     max(ts+gap); oracle stream_session_dynamic_sql() pre-validated
+#     at sf0.001 AND sf0.01 in tests/test_window_dedup.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.

@@ -70,3 +70,44 @@ def test_late_winner_semantics(spark):
         if k in naive_winner and naive_winner[k] != got_winner[k]
     }
     assert changed, "the dropped slice never changed a winner"
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (same pre-validation file: both are
+# windowing-surface capabilities staged for the same rounds)
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_session_oracle_parity(spark):
+    from flink_kafka_table_api_spark.queries import (
+        stream_session_dynamic_sql,
+    )
+
+    out = BENCH_ONLY["stream_session_dynamic"](spark, SF)
+    got = sorted(tuple(str(x) for x in r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    exp = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(stream_session_dynamic_sql()).fetchall()
+    )
+    assert len(got) == len(exp) > 0
+    assert got == exp
+    # live signal: the dynamic gap must genuinely change the
+    # sessionization vs a fixed 15-minute gap (some error/purchase kept
+    # a session alive that the fixed gap would have split)
+    fixed = con.execute("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 900
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      SELECT COUNT(*) FROM (
+        SELECT user_id, SUM(ns) AS n_sessions FROM flagged GROUP BY user_id
+      )
+    """).fetchone()[0]
+    dyn_sessions = con.execute(f"""
+      SELECT COUNT(*) FROM ({stream_session_dynamic_sql()})
+    """).fetchone()[0]
+    assert dyn_sessions != fixed
