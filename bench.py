@@ -184,6 +184,7 @@ HEADLINE = [
     "stream_over_rows",        # ROWS-frame OVER twin (count-based state)
     "stream_window_dedup",     # window-dedup TVF: argmin winner per window
     "stream_session_dynamic",  # per-row gap extractor session windows
+    "stream_window_join",      # window-join TVF: inner + left outer runs
     "pii_scrub",               # regex+Luhn PII audit, zero-shuffle pass
 ]
 

@@ -70,15 +70,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _as_stream_dir(sf_dir: str, name: str) -> str:
     """Spark's file-stream source requires a *directory*; the testdata is one
-    parquet file per table (read-only), so stage a symlink dir in /tmp."""
+    parquet file per table (read-only), so stage a symlink dir in /tmp.
+
+    A table that is itself a DIRECTORY of part files (the 8x scale
+    builds, any Spark-written table) must have its part FILES linked
+    individually: the file-stream source does not recurse into a
+    symlinked subdirectory — it silently lists ZERO files, and every
+    stream_* query returns an empty (fast-looking) result. That bug
+    shipped one bogus scaling row (stream_window_topk 8x '0.02',
+    BASELINE.md) before the loud guard below caught it."""
     import os
     import tempfile
 
     d = os.path.join(tempfile.gettempdir(), "fkta_stream", os.path.basename(sf_dir), name)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    src = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        for f in parts:
+            link = os.path.join(d, f)
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(d, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    staged = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert staged, f"no parquet files staged for streaming from {src}"
     return d
 
 
@@ -7744,6 +7764,107 @@ def q_stream_session_dynamic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _window_join_run(spark: SparkSession, sf: str, how: str) -> DataFrame:
+    """One watermarked WINDOW JOIN run (Flink's windowing-TVF join):
+    errors x clicks of the same user within the same 1-day tumbling
+    window — the join key is (window, user), so state evicts per
+    window close instead of per time-range bound (the TVF's state
+    story: one window's rows, not a sliding interval)."""
+    errors = (
+        _stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "5 seconds")
+        .withColumn("w", F.window("e_ts", "1 day"))
+    )
+    clicks = (
+        _stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "5 seconds")
+        .withColumn("w2", F.window("c_ts", "1 day"))
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("w") == F.col("w2")) & (F.col("user_id") == F.col("c_user")),
+        how,
+    ).select(
+        F.coalesce(F.col("w.start"), F.col("w2.start"))
+        .alias("window_start"),
+        "error_id", "click_id",
+        F.coalesce("user_id", "c_user").alias("user_id"),
+    )
+    return _run_stream_to_table(joined, spark, "append")
+
+
+def stream_window_join_sql(*, delay_seconds: int = 5) -> str:
+    """Oracle for `stream_window_join`: inner = all same-(day, user)
+    error x click pairs; left_outer adds the NULL-click row for an
+    error whose (day, user) has no click, emitted once the window
+    closed under the GLOBAL watermark (min over both inputs' max event
+    time - delay) — until then a matching click could still arrive;
+    trailing windows stay withheld (state eviction is strict)."""
+    return f"""
+    WITH e AS (SELECT event_id AS error_id, user_id,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS w,
+                      ts AS e_ts
+               FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id AS click_id, user_id AS c_user,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS w2,
+                      ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST(
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+                - INTERVAL {delay_seconds} SECOND AS w),
+         ji AS (SELECT e.w AS window_start, e.error_id, c.click_id,
+                       e.user_id
+                FROM e JOIN c ON e.w = c.w2 AND e.user_id = c.c_user),
+         jl AS (SELECT e.w AS window_start, e.error_id, c.click_id,
+                       e.user_id, e.w AS ew
+                FROM e LEFT JOIN c ON e.w = c.w2 AND e.user_id = c.c_user)
+    SELECT 'inner' AS join_type, window_start, error_id, click_id, user_id
+    FROM ji
+    UNION ALL
+    SELECT 'left_outer', window_start, error_id, click_id, user_id
+    FROM jl, wm
+    WHERE jl.click_id IS NOT NULL
+       OR jl.ew + INTERVAL 1 DAY <= wm.w
+    """
+
+
+@bench_query("stream_window_join")
+def q_stream_window_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink's WINDOW JOIN TVF (the remaining windowing-TVF member
+    after aggregation/cumulate/Top-N/deduplication): errors x clicks
+    joined on (1-day tumbling window, user) as TWO real watermarked
+    stream-stream runs (inner + left_outer) tagged onto one schema —
+    the stream_stream_joins consolidation shape. Unlike the interval
+    join, state is scoped per WINDOW and evicts at window close; the
+    outer row's NULL click emits only once the global watermark passes
+    the window end. BENCH twin; registers as @query in a round-9/10
+    gate slot with the oracle pre-validated in
+    tests/test_window_dedup.py."""
+    parts = []
+    for jt in ("inner", "left_outer"):
+        res = _window_join_run(spark, sf, jt)
+        parts.append(
+            res.select(
+                F.lit(jt).alias("join_type"),
+                "window_start", "error_id", "click_id", "user_id",
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
 def pii_scrub_sql() -> str:
     """Oracle for `pii_scrub` (operators/text.py): the deterministic
     PII injection (docs with doc_id % 3 <> 0 get an email + dotted quad
@@ -9488,11 +9609,11 @@ _PRIORITY: list[str] = [
 # off-by-one when r9 lands), plus the two round-8 displacements
 # (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
 # the first rotation round with slack since round 4 — the ledger is
-# paid, and rounds 9+ fund new capability, not wiring. SIXTEEN such
+# paid, and rounds 9+ fund new capability, not wiring. SEVENTEEN such
 # capabilities are already BUILT, pre-validated, and bench-twinned
 # (BENCH_ONLY above) for round-9/10 gate slots — register each as
 # @query with its pre-validated oracle plus a gate slot, never leave
-# them BENCH_ONLY past r10 (28 rotations + 16 registrations = 44 of 50
+# them BENCH_ONLY past r10 (28 rotations + 17 registrations = 45 of 50
 # slots; the remainder can re-run recent-but-aging names):
 #   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
 #     changelog materialization; oracle `_events_ops_oracle` +
@@ -9575,7 +9696,13 @@ _PRIORITY: list[str] = [
 #     gap by event_type through Spark's native dynamic session_window;
 #     merge comparator pinned empirically — touching merges, end =
 #     max(ts+gap); oracle stream_session_dynamic_sql() pre-validated
-#     at sf0.001 AND sf0.01 in tests/test_window_dedup.py).
+#     at sf0.001 AND sf0.01 in tests/test_window_dedup.py);
+#   - `stream_window_join` (Flink's WINDOW JOIN TVF, completing the
+#     windowing-TVF family: errors x clicks on (1-day window, user) as
+#     two real watermarked runs, inner + left_outer tagged; outer NULL
+#     rows emit at window close under the global watermark; oracle
+#     stream_window_join_sql() pre-validated at sf0.001 AND sf0.01 in
+#     tests/test_window_dedup.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.

@@ -189,3 +189,29 @@ def test_watermark_declaration_preserved(spark):
     stream = _stream_table(spark, SF, "events")
     wm = sw.with_watermark(stream, "ts", "5 seconds")
     assert "watermark" in wm._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_table_stages_multi_file_table_dirs(spark, tmp_path):
+    """A table that is a DIRECTORY of part files (any Spark-written
+    table, the Nx scale builds) must stream its part files — the
+    file-stream source does not recurse into a symlinked subdirectory
+    and silently lists ZERO files (the bug behind the bogus
+    stream_window_topk 8x row in BASELINE.md). The staging must link
+    part files individually and fail loudly if nothing was staged."""
+    from flink_kafka_table_api_spark.queries import (
+        _run_stream_to_table,
+        _stream_table,
+    )
+
+    src = spark.range(100).selectExpr(
+        "id AS event_id",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+        " AS ts",
+        "id % 7 AS user_id", "'click' AS event_type",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    table_dir = str(tmp_path / "events.parquet")
+    src.repartition(4).write.parquet(table_dir)
+    stream = _stream_table(spark, str(tmp_path), "events")
+    got = _run_stream_to_table(stream, spark, "append")
+    assert got.count() == 100

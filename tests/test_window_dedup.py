@@ -111,3 +111,39 @@ def test_dynamic_session_oracle_parity(spark):
       SELECT COUNT(*) FROM ({stream_session_dynamic_sql()})
     """).fetchone()[0]
     assert dyn_sessions != fixed
+
+
+def test_window_join_oracle_parity(spark):
+    """Window Join TVF (inner + left_outer tagged runs): oracle parity
+    at sf0.001, plus the outer-emission live signal — some error rows
+    really carry a NULL click, and some closed-window NULL rows exist
+    while trailing-window unmatched errors stay withheld."""
+    from flink_kafka_table_api_spark.queries import stream_window_join_sql
+
+    out = BENCH_ONLY["stream_window_join"](spark, SF)
+    got = sorted(tuple(str(x) for x in r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    exp = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(stream_window_join_sql()).fetchall()
+    )
+    assert len(got) == len(exp) > 0
+    assert got == exp
+    nulls = [r for r in exp if r[0] == "left_outer" and r[3] == "None"]
+    assert nulls, "no unmatched error emitted a NULL click"
+    withheld = con.execute("""
+      WITH e AS (SELECT event_id, user_id, date_trunc('day', ts) AS w
+                 FROM events WHERE event_type = 'error'),
+           c AS (SELECT user_id, date_trunc('day', ts) AS w
+                 FROM events WHERE event_type = 'click'),
+           wm AS (SELECT LEAST(
+                    (SELECT MAX(ts) FROM events WHERE event_type='error'),
+                    (SELECT MAX(ts) FROM events WHERE event_type='click'))
+                  - INTERVAL 5 SECOND AS w)
+      SELECT COUNT(*) FROM e, wm
+      WHERE e.w + INTERVAL 1 DAY > wm.w
+        AND NOT EXISTS (SELECT 1 FROM c
+                        WHERE c.w = e.w AND c.user_id = e.user_id)
+    """).fetchone()[0]
+    assert withheld > 0, "no trailing-window unmatched error to withhold"
