@@ -2714,14 +2714,20 @@ def heaps_law_sql(*, n_buckets: int = 20) -> str:
 
 
 # ---------------------------------------------------------------------------
-# PII scrub (round 8): detection + redaction of the four classic PII
-# signal classes over a text column — the release gate every
-# LLM-training corpus pass runs before packing (Dolma/RedPajama-style
-# pipelines; complements k_anonymity, which audits STRUCTURED
-# quasi-identifiers). Pure codegen'd expression algebra: regex extract
-# chains + higher-order-function validation folds, zero Python in the
-# hot path. Patterns stay in the Java/RE2 common subset (no lookaround,
-# no backreferences) so the DuckDB oracle replays them verbatim.
+# PII scrub (round 8): VALIDATED detection + redaction of four PII
+# signal classes over a text column. The registered `pii_redact`
+# (operators/curation.py) is the pattern-REPLACEMENT pass (typed tags +
+# one total tag count); this operator adds what an audit/compliance
+# REPORT needs and a bare replace chain cannot produce: per-class
+# counts where a candidate is COUNTED only if it validates — Luhn
+# mod-10 for 13-16-digit card runs, octet <= 255 for dotted quads —
+# while every candidate still redacts (conservative-redaction policy;
+# a digit run that fails Luhn is still not something to ship).
+# Complements k_anonymity, which audits STRUCTURED quasi-identifiers.
+# Pure codegen'd expression algebra: regex extract chains +
+# higher-order-function validation folds, zero Python in the hot path.
+# Patterns stay in the Java/RE2 common subset (no lookaround, no
+# backreferences) so the DuckDB oracle replays them verbatim.
 # ---------------------------------------------------------------------------
 
 PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
