@@ -78,27 +78,41 @@ def _as_stream_dir(sf_dir: str, name: str) -> str:
     symlinked subdirectory — it silently lists ZERO files, and every
     stream_* query returns an empty (fast-looking) result. That bug
     shipped one bogus scaling row (stream_window_topk 8x '0.02',
-    BASELINE.md) before the loud guard below caught it."""
+    BASELINE.md) before the loud guard below caught it.
+
+    The staging key hashes the FULL source path (two sf_dirs sharing a
+    basename must not share staging), and the dir is RECONCILED against
+    the current source file set: a rewritten table has new unique part
+    names, and accumulating stale links silently multiplies the
+    streamed rows (caught by the staging regression test)."""
+    import hashlib
     import os
+    import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "fkta_stream", os.path.basename(sf_dir), name)
-    os.makedirs(d, exist_ok=True)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    d = os.path.join(
+        tempfile.gettempdir(), "fkta_stream",
+        f"{os.path.basename(sf_dir)}-{key}", name,
+    )
     src = f"{sf_dir}/{name}.parquet"
     if os.path.isdir(src):
-        parts = sorted(
+        expected = {
             f for f in os.listdir(src) if f.endswith(".parquet")
-        )
-        for f in parts:
-            link = os.path.join(d, f)
-            if not os.path.exists(link):
-                os.symlink(os.path.join(src, f), link)
+        }
     else:
-        link = os.path.join(d, f"{name}.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-    staged = [f for f in os.listdir(d) if f.endswith(".parquet")]
-    assert staged, f"no parquet files staged for streaming from {src}"
+        expected = {f"{name}.parquet"}
+    staged = (
+        {f for f in os.listdir(d) if f.endswith(".parquet")}
+        if os.path.isdir(d) else set()
+    )
+    if staged != expected:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        for f in sorted(expected):
+            target = os.path.join(src, f) if os.path.isdir(src) else src
+            os.symlink(target, os.path.join(d, f))
+    assert expected, f"no parquet files staged for streaming from {src}"
     return d
 
 

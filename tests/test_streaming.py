@@ -215,3 +215,10 @@ def test_stream_table_stages_multi_file_table_dirs(spark, tmp_path):
     stream = _stream_table(spark, str(tmp_path), "events")
     got = _run_stream_to_table(stream, spark, "append")
     assert got.count() == 100
+    # a REWRITTEN table has new unique part names; stale staged links
+    # must be reconciled away, not accumulated (accumulation silently
+    # multiplies the streamed rows — this exact test caught it)
+    src.repartition(2).write.mode("overwrite").parquet(table_dir)
+    stream2 = _stream_table(spark, str(tmp_path), "events")
+    got2 = _run_stream_to_table(stream2, spark, "append")
+    assert got2.count() == 100
