@@ -333,6 +333,10 @@ SKEW_MEASURE = [
     "cdc_chunk_dedup",        # hot content-chunk hash keys
     "sessionize",             # zipf user_id per-user window straggler
     "markov_transitions",     # zipf user_id lag window + agg
+    # round-8 session 5: the banded (key, time-bin) OVER window — the
+    # fix for the 4.52x per-key-sort straggler; keep it measured so a
+    # regression back to the naive shape re-flags (>3x trips NEEDS FIX)
+    "stream_over_agg",
 ]
 
 
