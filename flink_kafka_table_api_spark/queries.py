@@ -9627,8 +9627,11 @@ _PRIORITY: list[str] = [
 # capabilities are already BUILT, pre-validated, and bench-twinned
 # (BENCH_ONLY above) for round-9/10 gate slots — register each as
 # @query with its pre-validated oracle plus a gate slot, never leave
-# them BENCH_ONLY past r10 (28 rotations + 17 registrations = 45 of 50
-# slots; the remainder can re-run recent-but-aging names):
+# them BENCH_ONLY past r10. They carry EIGHTEEN registry names (the
+# CUMULATE capability takes two slots: batch + streaming form), so
+# 28 rotations + 18 registrations = 46 of 50 r9 slots if taken in one
+# round; splitting across r9/r10 leaves rotation slack — either way
+# the remainder re-runs recent-but-aging names:
 #   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
 #     changelog materialization; oracle `_events_ops_oracle` +
 #     parity/crash tests in tests/test_cdc_apply.py);
