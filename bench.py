@@ -185,6 +185,7 @@ HEADLINE = [
     "stream_window_dedup",     # window-dedup TVF: argmin winner per window
     "stream_session_dynamic",  # per-row gap extractor session windows
     "stream_window_join",      # window-join TVF: inner + left outer runs
+    "stream_source_quota",     # FCFS per-source token budget, carried state
     "pii_scrub",               # regex+Luhn PII audit, zero-shuffle pass
 ]
 

@@ -7879,6 +7879,63 @@ def q_stream_window_join(spark: SparkSession, sf: str) -> DataFrame:
     return parts[0].unionAll(parts[1])
 
 
+def stream_source_quota_sql(*, budget: int = 1500) -> str:
+    """Oracle for `stream_source_quota` (streaming/quota.py): the drops
+    are id-ordered, so first-come-first-served admission with a carried
+    per-source counter is bit-equal to ONE batch prefix-sum pass in
+    doc_id order — which is this replay (the batch `source_token_cap`
+    oracle with delivery order replacing the hash re-rank)."""
+    return f"""
+    SELECT source, doc_id, n_tokens FROM (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM (
+        SELECT source, doc_id,
+               CAST(len({tx.tokens_sql('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+    ) WHERE tokens_before < {budget}
+    """
+
+
+@bench_query("stream_source_quota")
+def q_stream_source_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming per-source token-budget quota (streaming/quota.py,
+    round-8 capability): the INGEST-side form of the registered
+    `source_token_cap` — an ingest gate cannot re-rank the future, so
+    admission is first-come-first-served in delivery order against a
+    carried per-source consumed counter (|sources| rows of state,
+    broadcast at each batch). Documents arrive as 3 id-ordered drops;
+    budget 1500 tokens/source, so the counter genuinely carries across
+    batch boundaries (live-signal pinned in tests). BENCH twin;
+    registers as @query in a round-9/10 gate slot with the prefix-sum
+    replay pre-validated in tests/test_quota.py."""
+    from flink_kafka_table_api_spark.streaming.quota import (
+        stream_source_quota,
+    )
+
+    d = _t(spark, sf, "documents")
+    prm = d.agg(
+        F.min("doc_id").alias("m0"),
+        F.ceil((F.max("doc_id") - F.min("doc_id") + 1) / 3.0)
+        .cast("long").alias("w"),
+    ).first()
+    chunked = d.select(
+        "doc_id", "source", "text",
+        F.least(
+            F.floor((F.col("doc_id") - F.lit(prm.m0)) / F.lit(prm.w)),
+            F.lit(2),
+        ).cast("int").alias("__chunk"),
+    )
+    state = _scratch_dir("srcquota", sf)
+    return stream_source_quota(
+        spark, chunked, state, n_chunks=3, budget=1500,
+    )
+
+
 def pii_scrub_sql() -> str:
     """Oracle for `pii_scrub` (operators/text.py): the deterministic
     PII injection (docs with doc_id % 3 <> 0 get an email + dotted quad
@@ -9623,13 +9680,13 @@ _PRIORITY: list[str] = [
 # off-by-one when r9 lands), plus the two round-8 displacements
 # (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
 # the first rotation round with slack since round 4 — the ledger is
-# paid, and rounds 9+ fund new capability, not wiring. SEVENTEEN such
+# paid, and rounds 9+ fund new capability, not wiring. EIGHTEEN such
 # capabilities are already BUILT, pre-validated, and bench-twinned
 # (BENCH_ONLY above) for round-9/10 gate slots — register each as
 # @query with its pre-validated oracle plus a gate slot, never leave
-# them BENCH_ONLY past r10. They carry EIGHTEEN registry names (the
+# them BENCH_ONLY past r10. They carry NINETEEN registry names (the
 # CUMULATE capability takes two slots: batch + streaming form), so
-# 28 rotations + 18 registrations = 46 of 50 r9 slots if taken in one
+# 28 rotations + 19 registrations = 47 of 50 r9 slots if taken in one
 # round; splitting across r9/r10 leaves rotation slack — either way
 # the remainder re-runs recent-but-aging names:
 #   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
@@ -9719,7 +9776,14 @@ _PRIORITY: list[str] = [
 #     two real watermarked runs, inner + left_outer tagged; outer NULL
 #     rows emit at window close under the global watermark; oracle
 #     stream_window_join_sql() pre-validated at sf0.001 AND sf0.01 in
-#     tests/test_window_dedup.py).
+#     tests/test_window_dedup.py);
+#   - streaming/quota.py `stream_source_quota` (the ingest-side form
+#     of the registered source_token_cap: first-come-first-served
+#     per-source token-budget admission against a carried consumed
+#     counter — |sources| rows of broadcast state; id-ordered drops
+#     make it bit-equal to one batch prefix pass, which is the oracle
+#     stream_source_quota_sql(), pre-validated at sf0.001 AND sf0.01
+#     in tests/test_quota.py).
 # All 28 scheduled names were replica-validated green (rows+schema+
 # hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
 # session that committed this list — the r9 gate cannot stall on them.
