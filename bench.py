@@ -187,6 +187,10 @@ HEADLINE = [
     "stream_window_join",      # window-join TVF: inner + left outer runs
     "stream_source_quota",     # FCFS per-source token budget, carried state
     "pii_scrub",               # regex+Luhn PII audit, zero-shuffle pass
+    # round-9 capability (registered in the round-9 gate): Flink
+    # withIdleness — per-source watermarks, idle-source-excluded
+    # min-combine, windows finalize without the silent source
+    "stream_idle_watermark",   # multi-source wm combine + idle exclusion
 ]
 
 

@@ -111,6 +111,13 @@ def _as_stream_dir(sf_dir: str, name: str) -> str:
         os.makedirs(d, exist_ok=True)
         for f in sorted(expected):
             target = os.path.join(src, f) if os.path.isdir(src) else src
+            # loud guard (ADVICE r8): a single-file source that does not
+            # exist would otherwise stage a DANGLING symlink (expected is
+            # non-empty by construction) and fail later as an opaque
+            # Spark read error instead of here.
+            assert os.path.exists(target), (
+                f"streaming stage source missing: {target}"
+            )
             os.symlink(target, os.path.join(d, f))
     assert expected, f"no parquet files staged for streaming from {src}"
     return d
@@ -6810,15 +6817,59 @@ def q_stream_curation_ooo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("stream_cdc_apply")
+def stream_cdc_apply_sql(delay_days: int = 2) -> str:
+    """Oracle for `stream_cdc_apply`: events as a changelog
+    (key=user_id, 'error'=delete, everything else=upsert), the
+    stream_late_events chunk rule (day terciles, %37 one drop late,
+    %61 two drops late), admission op_ts > max(op_ts over earlier
+    chunks) - delay, per-key argmax by (op_ts, op_id), tombstones out.
+    Moved verbatim from tests/test_cdc_apply.py for the round-9
+    registration (the test imports it from here now)."""
+    return f"""
+    WITH ops AS (
+      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             datediff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                      CAST(ts AS DATE)) AS d_idx
+      FROM events
+    ),
+    chun AS (
+      SELECT *, LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
+             + (CASE WHEN op_id % 61 = 0 THEN 2
+                     WHEN op_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
+      FROM ops
+    ),
+    mx AS (SELECT chunk, MAX(op_ts) AS mts FROM chun GROUP BY chunk),
+    adm AS (
+      SELECT c.* FROM chun c
+      WHERE c.op_ts > COALESCE(
+        (SELECT MAX(m.mts) FROM mx m WHERE m.chunk < c.chunk)
+          - INTERVAL {delay_days} DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    win AS (
+      SELECT key, op_id AS last_op_id, op_ts AS last_op_ts,
+             op AS last_op, value AS last_value,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY op_ts DESC, op_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY key) AS n_ops
+      FROM adm
+    )
+    SELECT key, last_op_id, last_op_ts, last_op, last_value,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM win WHERE rn = 1 AND last_op <> 'D'
+    """
+
+
+@query("stream_cdc_apply", stream_cdc_apply_sql())
 def q_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     """CDC changelog apply (streaming/cdc_apply.py, round-8 capability):
     events as a keyed changelog (key=user_id, 'error'=delete, else
     upsert) delivered as 3 out-of-order drops (the stream_late_events
     chunk rule), materialized into the current-state snapshot under a
-    2-day event-time watermark. BENCH twin for scaling/perf continuity;
-    registers as @query in the committed round-9 gate with the
-    admission+argmax replay oracle pre-validated in
+    2-day event-time watermark. Registered round 9 (the committed
+    schedule) with the admission+argmax replay oracle pre-validated in
     tests/test_cdc_apply.py."""
     from flink_kafka_table_api_spark.streaming.cdc_apply import (
         stream_cdc_apply,
@@ -6846,7 +6897,51 @@ def q_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     return stream_cdc_apply(spark, ops, state, n_chunks=3, delay="2 days")
 
 
-@bench_query("stream_scd2")
+def stream_scd2_sql(delay_days: int = 2) -> str:
+    """Oracle for `stream_scd2`: the cdc_apply changelog derivation and
+    chunk rule, admission op_ts > max(op_ts over earlier chunks) -
+    delay, then LEAD-window interval chaining; deletes close intervals
+    and emit no row. Moved verbatim from tests/test_scd2_stream.py for
+    the round-9 registration."""
+    return f"""
+    WITH ops AS (
+      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             datediff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                      CAST(ts AS DATE)) AS d_idx
+      FROM events
+    ),
+    chun AS (
+      SELECT *, LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
+             + (CASE WHEN op_id % 61 = 0 THEN 2
+                     WHEN op_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
+      FROM ops
+    ),
+    mx AS (SELECT chunk, MAX(op_ts) AS mts FROM chun GROUP BY chunk),
+    adm AS (
+      SELECT c.* FROM chun c
+      WHERE c.op_ts > COALESCE(
+        (SELECT MAX(m.mts) FROM mx m WHERE m.chunk < c.chunk)
+          - INTERVAL {delay_days} DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    chain AS (
+      SELECT key, op_id, op, value,
+             op_ts AS effective_from,
+             LEAD(op_ts) OVER (PARTITION BY key
+                               ORDER BY op_ts, op_id) AS effective_to,
+             (LEAD(op_ts) OVER (PARTITION BY key
+                                ORDER BY op_ts, op_id) IS NULL)
+               AS is_current
+      FROM adm
+    )
+    SELECT key, op_id, value, effective_from, effective_to, is_current
+    FROM chain WHERE op = 'U'
+    """
+
+
+@query("stream_scd2", stream_scd2_sql())
 def q_stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming SCD2 history maintenance (streaming/scd2_stream.py,
     round-8 capability): the same events changelog as stream_cdc_apply,
@@ -6887,7 +6982,55 @@ def q_stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("stream_ann_ingest")
+def stream_ann_ingest_sql(n_chunks: int = 3) -> str:
+    """Oracle for `stream_ann_ingest`: fixed vec_id<8 centroids,
+    arg_min coarse assignment over the WHOLE corpus (assignment is a
+    stateless per-row function, so the accumulated streaming index
+    equals the batch assignment exactly), driver-literal routing of the
+    vec_id=0 query to its nearest centroid, exact round-6 cosine
+    re-rank within the probed cluster, plus rowcount conservation
+    across every published batch. Moved verbatim from
+    tests/test_stream_ann_ingest.py for the round-9 registration."""
+    cos_vc = cosine_sql("v.embedding", "c.c_emb")
+    cos_qc = cosine_sql("q.q_emb", "c.c_emb")
+    cos_vq = cosine_sql("v.embedding", "q.q_emb")
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT v.vec_id, arg_min(c.c_id, 1 - {cos_vc}) AS cluster
+      FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
+    ), q AS (
+      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT c.c_id FROM centroids c CROSS JOIN q
+      ORDER BY 1 - {cos_qc}, c.c_id LIMIT 1
+    ), topk AS (
+      SELECT v.vec_id, round({cos_vq}, 6) AS score
+      FROM embeddings v
+      JOIN assign a ON v.vec_id = a.vec_id
+      JOIN probe p ON a.cluster = p.c_id
+      CROSS JOIN q
+      ORDER BY score DESC, v.vec_id LIMIT 10
+    ), assign_d AS (
+      SELECT v.vec_id, v.vec_id % {n_chunks} AS chunk,
+             round(MIN(1 - {cos_vc}), 6) AS dist
+      FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
+    )
+    SELECT 'topk' AS block, vec_id, score FROM topk
+    UNION ALL
+    SELECT 'n_indexed' AS block,
+           (SELECT COUNT(*) FROM embeddings) AS vec_id,
+           CAST(NULL AS DOUBLE) AS score
+    UNION ALL
+    SELECT 'drift' AS block, chunk AS vec_id,
+           CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS DOUBLE) AS score
+    FROM assign_d GROUP BY chunk
+    """
+
+
+@query("stream_ann_ingest", stream_ann_ingest_sql())
 def q_stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ANN index ingest (streaming/ann_ingest.py, round-8
     capability): embeddings delivered as 3 micro-batch drops, each
@@ -6915,7 +7058,61 @@ def q_stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("stream_temporal_join")
+def stream_temporal_join_sql() -> str:
+    """Oracle for `stream_temporal_join`: the cdc_apply changelog
+    derivation with the %61/%37 chunk shifts, admission per chunk, the
+    events themselves as the probe stream in NATURAL day terciles, each
+    probe joined FOR SYSTEM_TIME AS OF its own batch via per-probe
+    argmax over ops admitted in chunks <= the probe's. Moved verbatim
+    from tests/test_temporal_join.py for the round-9 registration."""
+    return """
+    WITH base AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             datediff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                      CAST(ts AS DATE)) AS d_idx
+      FROM events
+    ),
+    ops AS (
+      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
+               + (CASE WHEN event_id % 61 = 0 THEN 2
+                       WHEN event_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
+      FROM base
+    ),
+    mx AS (SELECT chunk, MAX(op_ts) AS mts FROM ops GROUP BY chunk),
+    adm AS (
+      SELECT o.* FROM ops o
+      WHERE o.op_ts > COALESCE(
+        (SELECT MAX(m.mts) FROM mx m WHERE m.chunk < o.chunk)
+          - INTERVAL 2 DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    probes AS (
+      SELECT event_id AS probe_id, ts AS probe_ts, user_id AS key,
+             LEAST(CAST(d_idx // 10 AS BIGINT), 2) AS pk
+      FROM base
+    ),
+    cand AS (
+      SELECT p.probe_id, a.op, a.value, a.op_id,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY a.op_ts DESC, a.op_id DESC) AS rn
+      FROM probes p JOIN adm a ON a.key = p.key AND a.chunk <= p.pk
+    ),
+    win AS (
+      SELECT probe_id,
+             CASE WHEN op <> 'D' THEN value END AS dim_value,
+             CASE WHEN op <> 'D' THEN op_id END AS dim_op_id
+      FROM cand WHERE rn = 1
+    )
+    SELECT p.probe_id, p.probe_ts, p.key, w.dim_value, w.dim_op_id,
+           CAST(p.pk AS BIGINT) AS batch_id
+    FROM probes p LEFT JOIN win w ON w.probe_id = p.probe_id
+    """
+
+
+@query("stream_temporal_join", stream_temporal_join_sql())
 def q_stream_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     """Processing-time TEMPORAL JOIN against the CDC-maintained
     dimension (streaming/temporal_join.py, round-8 capability): the
@@ -6960,7 +7157,86 @@ def q_stream_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("stream_event_temporal_join")
+def stream_event_temporal_join_sql(
+    dim_delay_days: int = 2, probe_delay_days: int = 1
+) -> str:
+    """Oracle for `stream_event_temporal_join`: events as both the
+    changelog (the scd2 derivation, %61/%37 chunk shifts) and the probe
+    stream (%53/%41 shifts), per-side admission, per-batch emission
+    horizons H_k = min(W_dim_k, W_probe_k), emission batch = first
+    k >= arrival chunk with H_k >= probe_ts (else 3, the flush), and
+    the point-in-time join against the LEAD-chained history. Moved
+    verbatim from tests/test_event_temporal_join.py for the round-9
+    registration."""
+    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+    nat = (
+        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
+        "AS BIGINT), 2)"
+    )
+    return f"""
+    WITH ops AS (
+      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             LEAST({nat} + (CASE WHEN event_id % 61 = 0 THEN 2
+                                 WHEN event_id % 37 = 0 THEN 1
+                                 ELSE 0 END), 2) AS chunk
+      FROM events
+    ),
+    probes AS (
+      SELECT event_id AS probe_id, ts AS probe_ts, user_id AS key,
+             LEAST({nat} + (CASE WHEN event_id % 53 = 0 THEN 2
+                                 WHEN event_id % 41 = 0 THEN 1
+                                 ELSE 0 END), 2) AS chunk
+      FROM events
+    ),
+    dmx AS (SELECT chunk, MAX(op_ts) AS m FROM ops GROUP BY chunk),
+    pmx AS (SELECT chunk, MAX(probe_ts) AS m FROM probes GROUP BY chunk),
+    adm_ops AS (
+      SELECT o.* FROM ops o
+      WHERE o.op_ts > COALESCE(
+        (SELECT MAX(m) FROM dmx WHERE chunk < o.chunk)
+          - INTERVAL {dim_delay_days} DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    adm_probes AS (
+      SELECT p.* FROM probes p
+      WHERE p.probe_ts > COALESCE(
+        (SELECT MAX(m) FROM pmx WHERE chunk < p.chunk)
+          - INTERVAL {probe_delay_days} DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    horiz AS (
+      SELECT k.k, LEAST(
+        (SELECT MAX(m) FROM dmx WHERE chunk <= k.k)
+          - INTERVAL {dim_delay_days} DAY,
+        (SELECT MAX(m) FROM pmx WHERE chunk <= k.k)
+          - INTERVAL {probe_delay_days} DAY) AS h
+      FROM (VALUES (0), (1), (2)) AS k(k)
+    ),
+    emit AS (
+      SELECT p.probe_id, p.probe_ts, p.key,
+             COALESCE((SELECT MIN(h.k) FROM horiz h
+                       WHERE h.k >= p.chunk AND h.h >= p.probe_ts),
+                      3) AS batch_id
+      FROM adm_probes p
+    ),
+    chain AS (
+      SELECT key, op_id, op, value, op_ts AS effective_from,
+             LEAD(op_ts) OVER (PARTITION BY key
+                               ORDER BY op_ts, op_id) AS effective_to
+      FROM adm_ops
+    )
+    SELECT e.probe_id, e.probe_ts, e.key, c.value AS dim_value,
+           c.op_id AS dim_op_id, CAST(e.batch_id AS BIGINT) AS batch_id
+    FROM emit e LEFT JOIN chain c
+      ON c.op = 'U' AND e.key = c.key
+         AND c.effective_from <= e.probe_ts
+         AND (c.effective_to IS NULL OR e.probe_ts < c.effective_to)
+    """
+
+
+@query("stream_event_temporal_join", stream_event_temporal_join_sql())
 def q_stream_event_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     """Watermark-synchronized EVENT-TIME temporal join
     (streaming/event_temporal_join.py, round-8 capability): the events
@@ -7021,7 +7297,69 @@ def q_stream_event_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@bench_query("stream_topn_retract")
+def stream_topn_retract_sql(n: int = 10) -> str:
+    """Oracle for `stream_topn_retract`: events as the update stream
+    (key=user_id, natural day terciles), per-batch cumulative
+    DECIMAL(25,6) sums, ROW_NUMBER ranking, consecutive-snapshot diff
+    into RowKind ops. Moved verbatim from tests/test_retract_topn.py
+    for the round-9 registration."""
+    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+    nat = (
+        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
+        "AS BIGINT), 2)"
+    )
+    return f"""
+    WITH rows_ AS (
+      SELECT user_id AS key, value, {nat} AS chunk FROM events
+    ),
+    snaps AS (
+      SELECT k.k, r.key,
+             CAST(SUM(CAST(r.value AS DECIMAL(25,6)))
+                  AS DECIMAL(25,6)) AS total
+      FROM (VALUES (0), (1), (2)) AS k(k)
+      JOIN rows_ r ON r.chunk <= k.k
+      GROUP BY k.k, r.key
+    ),
+    topn AS (
+      SELECT * FROM (
+        SELECT k, key, total,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY total DESC, key) AS rnk
+        FROM snaps)
+      WHERE rnk <= {n}
+    ),
+    paired AS (
+      SELECT COALESCE(n.k, o.k + 1) AS batch_id,
+             COALESCE(n.key, o.key) AS key,
+             o.total AS ototal, o.rnk AS ornk,
+             n.total AS ntotal, n.rnk AS nrnk
+      FROM topn n
+      FULL OUTER JOIN topn o ON o.k = n.k - 1 AND o.key = n.key
+      WHERE COALESCE(n.k, o.k + 1) <= 2
+    )
+    SELECT '+I' AS op, key, CAST(ntotal AS DOUBLE) AS total,
+           nrnk AS rnk, CAST(batch_id AS BIGINT) AS batch_id
+    FROM paired WHERE ornk IS NULL
+    UNION ALL
+    SELECT '-D', key, CAST(ototal AS DOUBLE), ornk,
+           CAST(batch_id AS BIGINT)
+    FROM paired WHERE nrnk IS NULL
+    UNION ALL
+    SELECT '-U', key, CAST(ototal AS DOUBLE), ornk,
+           CAST(batch_id AS BIGINT)
+    FROM paired
+    WHERE ornk IS NOT NULL AND nrnk IS NOT NULL
+      AND (ototal <> ntotal OR ornk <> nrnk)
+    UNION ALL
+    SELECT '+U', key, CAST(ntotal AS DOUBLE), nrnk,
+           CAST(batch_id AS BIGINT)
+    FROM paired
+    WHERE ornk IS NOT NULL AND nrnk IS NOT NULL
+      AND (ototal <> ntotal OR ornk <> nrnk)
+    """
+
+
+@query("stream_topn_retract", stream_topn_retract_sql())
 def q_stream_topn_retract(spark: SparkSession, sf: str) -> DataFrame:
     """Retract-stream Top-N (streaming/retract.py, round-8 capability):
     Flink's Rank operator over an UPDATE stream — the running
@@ -7049,7 +7387,49 @@ def q_stream_topn_retract(spark: SparkSession, sf: str) -> DataFrame:
     return stream_topn_retract(spark, rows, state, n_chunks=3, n=10)
 
 
-@bench_query("match_recognize")
+def match_recognize_sql() -> str:
+    """Oracle for `match_recognize`: the SAME matches found by a
+    window-function algorithm (no regex, no NFA) — classify rows, then
+    a purchase row closes a match iff the last non-click row before it
+    is a view at distance >= 2 (so the run between is all clicks, i.e.
+    PATTERN (view click+ purchase) with greedy click+ and
+    skip-past-last-row, which never overlaps for disjoint classes).
+    Moved verbatim from tests/test_cep.py for the round-9
+    registration."""
+    return """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'view' THEN 'A'
+                  WHEN event_type = 'click' THEN 'B'
+                  WHEN event_type = 'purchase' THEN 'C'
+                  ELSE '.' END AS ch,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nb AS (
+      SELECT *,
+             MAX(CASE WHEN ch <> 'B' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS j
+      FROM seq
+    ),
+    m AS (
+      SELECT c.user_id, c.j, c.rn AS i, a.ts AS start_ts, c.ts AS end_ts
+      FROM nb c JOIN seq a ON a.user_id = c.user_id AND a.rn = c.j
+      WHERE c.ch = 'C' AND a.ch = 'A' AND c.rn - c.j >= 2
+    )
+    SELECT m.user_id, m.start_ts, m.end_ts,
+           CAST(m.i - m.j - 1 AS BIGINT) AS n_clicks,
+           CAST(SUM(CAST(b.value AS DECIMAL(25,6))) AS DOUBLE)
+             AS click_value
+    FROM m JOIN seq b
+      ON b.user_id = m.user_id AND b.rn > m.j AND b.rn < m.i
+    GROUP BY m.user_id, m.start_ts, m.end_ts, m.i, m.j
+    """
+
+
+@query("match_recognize", match_recognize_sql())
 def q_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
     """MATCH_RECOGNIZE row-pattern matching (operators/cep.py, round-8
     capability): the SQL:2016 / Flink SQL CEP surface — per user,
@@ -7086,7 +7466,62 @@ def q_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "start_ts", "end_ts", "n_clicks", "click_value")
 
 
-@bench_query("stream_match_recognize")
+def stream_match_recognize_sql() -> str:
+    """Oracle for `stream_match_recognize`: watermark admission (the
+    scd2 chunk rule), then the SAME window-function funnel detection as
+    the batch CEP oracle — because the flush makes the streamed total
+    equal the batch scan over admitted rows. Moved verbatim from
+    tests/test_stream_cep.py for the round-9 registration."""
+    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+    nat = (
+        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
+        "AS BIGINT), 2)"
+    )
+    return f"""
+    WITH raw AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             LEAST({nat} + (CASE WHEN event_id % 61 = 0 THEN 2
+                                 WHEN event_id % 37 = 0 THEN 1
+                                 ELSE 0 END), 2) AS chunk
+      FROM events
+    ),
+    mx AS (SELECT chunk, MAX(ts) AS m FROM raw GROUP BY chunk),
+    adm AS (
+      SELECT r.* FROM raw r
+      WHERE r.ts > COALESCE(
+        (SELECT MAX(m) FROM mx WHERE chunk < r.chunk)
+          - INTERVAL 2 DAY,
+        TIMESTAMP '1970-01-01')
+    ),
+    seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'view' THEN 'A'
+                  WHEN event_type = 'click' THEN 'B'
+                  WHEN event_type = 'purchase' THEN 'C'
+                  ELSE '.' END AS ch,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM adm
+    ),
+    nb AS (
+      SELECT *,
+             MAX(CASE WHEN ch <> 'B' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS j
+      FROM seq
+    ),
+    m AS (
+      SELECT c.user_id, c.j, c.rn AS i, a.ts AS start_ts, c.ts AS end_ts
+      FROM nb c JOIN seq a ON a.user_id = c.user_id AND a.rn = c.j
+      WHERE c.ch = 'C' AND a.ch = 'A' AND c.rn - c.j >= 2
+    )
+    SELECT m.user_id, m.start_ts, m.end_ts,
+           CAST(m.i - m.j - 1 AS BIGINT) AS n_clicks
+    FROM m
+    """
+
+
+@query("stream_match_recognize", stream_match_recognize_sql())
 def q_stream_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming MATCH_RECOGNIZE (streaming/stream_cep.py, round-8
     capability): the funnel PATTERN (view click+ purchase) per user
@@ -7135,7 +7570,59 @@ def q_stream_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "start_ts", "end_ts", "n_clicks")
 
 
-@bench_query("data_expectations")
+def data_expectations_sql() -> str:
+    """Oracle for `data_expectations`: one UNION ALL branch per
+    TESTDATA_CONTRACT rule, counts via CASE / COUNT DISTINCT /
+    NOT EXISTS. Moved verbatim from tests/test_expectations.py for the
+    round-9 registration."""
+    def row(rule, table, column, n):
+        return f"""
+        SELECT '{rule}' AS rule, '{table}' AS "table",
+               '{column}' AS "column",
+               CAST(({n}) AS BIGINT) AS n_violations,
+               ({n}) = 0 AS passed
+        """
+    parts = [
+        row("not_null", "orders", "o_custkey",
+            "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)"),
+        row("not_null", "events", "user_id",
+            "(SELECT COUNT(*) FROM events WHERE user_id IS NULL)"),
+        row("unique", "orders", "o_orderkey",
+            "(SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) "
+            "FROM orders)"),
+        row("unique", "part", "p_partkey",
+            "(SELECT COUNT(p_partkey) - COUNT(DISTINCT p_partkey) "
+            "FROM part)"),
+        row("accepted_values", "orders", "o_orderstatus",
+            "(SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT "
+            "NULL AND o_orderstatus NOT IN ('O', 'F', 'P'))"),
+        row("accepted_values", "events", "event_type",
+            "(SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL "
+            "AND event_type NOT IN "
+            "('click', 'purchase', 'error', 'signup', 'view'))"),
+        row("in_range", "lineitem", "l_quantity",
+            "(SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT "
+            "NULL AND (l_quantity < 1.0 OR l_quantity > 50.0))"),
+        row("in_range", "events", "value",
+            "(SELECT COUNT(*) FROM events WHERE value IS NOT NULL AND "
+            "(value < 0.0 OR value > 1000000.0))"),
+        row("relationship", "orders", "o_custkey->customer.c_custkey",
+            "(SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT "
+            "NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE "
+            "c.c_custkey = o.o_custkey))"),
+        row("relationship", "lineitem", "l_partkey->part.p_partkey",
+            "(SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT "
+            "NULL AND NOT EXISTS (SELECT 1 FROM part p WHERE "
+            "p.p_partkey = l.l_partkey))"),
+        row("relationship", "nation", "n_regionkey->region.r_regionkey",
+            "(SELECT COUNT(*) FROM nation n WHERE n.n_regionkey IS NOT "
+            "NULL AND NOT EXISTS (SELECT 1 FROM region r WHERE "
+            "r.r_regionkey = n.n_regionkey))"),
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("data_expectations", data_expectations_sql())
 def q_data_expectations(spark: SparkSession, sf: str) -> DataFrame:
     """Declarative data-expectations report (operators/expectations.py,
     round-8 capability): an 11-rule contract over 7 tables — not_null,
@@ -7158,7 +7645,46 @@ def q_data_expectations(spark: SparkSession, sf: str) -> DataFrame:
     return expectations_report(tables, TESTDATA_CONTRACT)
 
 
-@bench_query("stream_profile")
+def _profile_col_block_sql(col: str, kind: str) -> str:
+    """One exact-replay UNION branch of the stream_profile oracle."""
+    n_null = f"COUNT(*) - COUNT({col})"
+    if kind in ("long", "double"):
+        mn, mx = (f"MIN(CAST({col} AS DOUBLE))", f"MAX(CAST({col} AS DOUBLE))")
+        ms = xs = "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        ms = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S.%f')"
+        xs = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S.%f')"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        ms, xs = f"MIN({col})", f"MAX({col})"
+    return f"""
+    SELECT '{col}' AS column, COUNT(*) AS n_rows,
+           CAST({n_null} AS BIGINT) AS n_null,
+           {mn} AS min_num, {mx} AS max_num,
+           {ms} AS min_str, {xs} AS max_str,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS distinct_exact,
+           TRUE AS within_tolerance
+    FROM events"""
+
+
+def stream_profile_sql() -> str:
+    """Oracle for `stream_profile`: exact per-column counts/nulls/
+    ranges/distincts over the whole corpus, plus the literal TRUE the
+    Spark side must EARN via the HLL++ tolerance boolean (the
+    approx_distinct precedent — the estimate itself is engine-specific,
+    its accuracy contract is not). Moved verbatim from
+    tests/test_stream_profile.py for the round-9 registration."""
+    from flink_kafka_table_api_spark.streaming.profile_monitor import (
+        EVENTS_SPEC,
+    )
+
+    return "\nUNION ALL\n".join(
+        _profile_col_block_sql(c, k) for c, k in EVENTS_SPEC
+    )
+
+
+@query("stream_profile", stream_profile_sql())
 def q_stream_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming incremental profile monitor
     (streaming/profile_monitor.py, round-8 capability): per-batch
@@ -7237,7 +7763,7 @@ def cumulate_windows_sql(*, step: int = 21600, size_steps: int = 4) -> str:
     """
 
 
-@bench_query("cumulate_windows")
+@query("cumulate_windows", cumulate_windows_sql())
 def q_cumulate_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Flink CUMULATE windowing TVF (streaming/cumulate.py, round-8
     capability): per event_type, the expanding 6h/12h/18h/24h
@@ -7349,7 +7875,7 @@ def stream_cumulate_sql(
     """
 
 
-@bench_query("stream_cumulate")
+@query("stream_cumulate", stream_cumulate_sql())
 def q_stream_cumulate(spark: SparkSession, sf: str) -> DataFrame:
     """CUMULATE through the REAL streaming engine (round-8 capability):
     the events corpus staged as 3 out-of-order drops (the
@@ -7467,7 +7993,7 @@ def stream_over_agg_sql(
     """
 
 
-@bench_query("stream_over_agg")
+@query("stream_over_agg", stream_over_agg_sql())
 def q_stream_over_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Event-time OVER aggregation on a stream (streaming/over_agg.py,
     round-8 capability): Flink's `SUM(value) OVER (PARTITION BY key
@@ -7552,7 +8078,7 @@ def stream_over_rows_sql(
     """
 
 
-@bench_query("stream_over_rows")
+@query("stream_over_rows", stream_over_rows_sql())
 def q_stream_over_rows(spark: SparkSession, sf: str) -> DataFrame:
     """ROWS-frame OVER aggregation on a stream (streaming/over_agg.py,
     round-8 capability): Flink's `... OVER (PARTITION BY key ORDER BY
@@ -7640,7 +8166,7 @@ def stream_window_dedup_sql(*, delay_days: int = 2) -> str:
     """
 
 
-@bench_query("stream_window_dedup")
+@query("stream_window_dedup", stream_window_dedup_sql())
 def q_stream_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Flink's Window Deduplication TVF (the last windowing-TVF class
     after aggregation/cumulate/Top-N: ROW_NUMBER() OVER (PARTITION BY
@@ -7750,7 +8276,7 @@ def stream_session_dynamic_sql(*, delay_seconds: int = 5) -> str:
     """
 
 
-@bench_query("stream_session_dynamic")
+@query("stream_session_dynamic", stream_session_dynamic_sql())
 def q_stream_session_dynamic(spark: SparkSession, sf: str) -> DataFrame:
     """Session windows with a DYNAMIC per-row gap (Flink's
     SessionWindowTimeGapExtractor; Spark's session_window with a gap
@@ -7855,7 +8381,7 @@ def stream_window_join_sql(*, delay_seconds: int = 5) -> str:
     """
 
 
-@bench_query("stream_window_join")
+@query("stream_window_join", stream_window_join_sql())
 def q_stream_window_join(spark: SparkSession, sf: str) -> DataFrame:
     """Flink's WINDOW JOIN TVF (the remaining windowing-TVF member
     after aggregation/cumulate/Top-N/deduplication): errors x clicks
@@ -7901,7 +8427,7 @@ def stream_source_quota_sql(*, budget: int = 1500) -> str:
     """
 
 
-@bench_query("stream_source_quota")
+@query("stream_source_quota", stream_source_quota_sql())
 def q_stream_source_quota(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming per-source token-budget quota (streaming/quota.py,
     round-8 capability): the INGEST-side form of the registered
@@ -7933,6 +8459,133 @@ def q_stream_source_quota(spark: SparkSession, sf: str) -> DataFrame:
     state = _scratch_dir("srcquota", sf)
     return stream_source_quota(
         spark, chunked, state, n_chunks=3, budget=1500,
+    )
+
+
+def stream_idle_watermark_sql(*, delay_days: int = 2) -> str:
+    """Oracle for `stream_idle_watermark`
+    (streaming/idle_watermark.py): events as a 5-source stream
+    (source=event_type) in day-tercile drops with the %37/%61 late
+    shifts — EXCEPT 'signup', which goes silent after its first drop
+    (only its natural-tercile-0 rows, unshifted). Replays, per chunk:
+    per-source cumulative DELIVERED maxima, the idleness-aware
+    min-combine over sources active in that chunk (monotone via a
+    running max), admission ts > W_{k-1}, per-(source, 1-day window)
+    DECIMAL aggregation, and the emission batch = max(first chunk whose
+    watermark passed window_end, first chunk with an admitted row of
+    the window), flush = 3."""
+    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+    nat = (
+        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
+        "AS BIGINT), 2)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type AS source, ts, value, event_id,
+             {nat} AS nat_chunk
+      FROM events
+    ),
+    rows_ AS (
+      SELECT source, ts, value,
+             CASE WHEN source = 'signup' THEN 0
+                  ELSE LEAST(nat_chunk
+                       + (CASE WHEN event_id % 61 = 0 THEN 2
+                               WHEN event_id % 37 = 0 THEN 1
+                               ELSE 0 END), 2)
+             END AS chunk
+      FROM base
+      WHERE source <> 'signup' OR nat_chunk = 0
+    ),
+    smax AS (
+      SELECT source, chunk, MAX(ts) AS mx
+      FROM rows_ GROUP BY source, chunk
+    ),
+    cum AS (
+      SELECT k.k, m.source, MAX(m.mx) AS max_seen,
+             MAX(CASE WHEN m.chunk = k.k THEN 1 ELSE 0 END) AS active
+      FROM (VALUES (0), (1), (2)) AS k(k)
+      JOIN smax m ON m.chunk <= k.k
+      GROUP BY k.k, m.source
+    ),
+    wmk AS (
+      SELECT k, MAX(wraw) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+      FROM (
+        SELECT kk.k AS k,
+               (SELECT MIN(c.max_seen) FROM cum c
+                WHERE c.k = kk.k AND c.active = 1)
+                 - INTERVAL {delay_days} DAY AS wraw
+        FROM (VALUES (0), (1), (2)) AS kk(k)
+      )
+    ),
+    adm AS (
+      SELECT r.* FROM rows_ r
+      WHERE r.chunk = 0
+         OR r.ts > (SELECT w FROM wmk WHERE k = r.chunk - 1)
+    ),
+    wagg AS (
+      SELECT source,
+             CAST(CAST(ts AS DATE) AS TIMESTAMP) AS window_start,
+             CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+               AS window_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               AS sum_value,
+             MIN(chunk) AS first_chunk
+      FROM adm GROUP BY 1, 2, 3
+    )
+    SELECT source, window_start, window_end, n_events, sum_value,
+           CAST(CASE WHEN mk IS NULL THEN 3
+                     ELSE GREATEST(mk, first_chunk) END
+                AS BIGINT) AS batch_id
+    FROM (
+      SELECT w.*, (SELECT MIN(m.k) FROM wmk m WHERE m.w >= w.window_end)
+               AS mk
+      FROM wagg w
+    )
+    """
+
+
+@query("stream_idle_watermark", stream_idle_watermark_sql())
+def q_stream_idle_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition watermark alignment with idle-source handling
+    (streaming/idle_watermark.py, round-9 capability — VERDICT r8
+    item 7, Flink's withIdleness): events as a 5-source stream
+    (source=event_type) in 3 day-tercile drops with the %37/%61 late
+    shifts, except 'signup' which goes SILENT after the first drop;
+    per-source watermarks min-combine over the batch's ACTIVE sources,
+    so the idle source does not stall window finalization for the live
+    ones (the batch_id column is the observable effect, pinned in
+    tests/test_idle_watermark.py). Registered in the round-9 gate,
+    replica-validated green at sf0.001 AND sf0.01 before the rotation
+    landed (committed: tests/test_r9_registrations_two_sf.py)."""
+    from flink_kafka_table_api_spark.streaming.idle_watermark import (
+        stream_idle_watermark,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    shift = (
+        F.when(F.col("event_id") % 61 == 0, F.lit(2))
+        .when(F.col("event_id") % 37 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    chunk = F.when(
+        F.col("event_type") == "signup", F.lit(0)
+    ).otherwise(F.least(natural + shift, F.lit(2)))
+    rows = ev.filter(
+        (F.col("event_type") != "signup") | (natural == 0)
+    ).select(
+        F.col("event_type").alias("source"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        chunk.cast("int").alias("__chunk"),
+    )
+    state = _scratch_dir("idlewm", sf)
+    return stream_idle_watermark(
+        spark, rows, state, n_chunks=3, delay="2 days", window="1 day",
     )
 
 
@@ -7970,7 +8623,7 @@ def pii_scrub_sql() -> str:
     """
 
 
-@bench_query("pii_scrub")
+@query("pii_scrub", pii_scrub_sql())
 def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII detection + redaction (operators/text.py `pii_scrub`,
     round-8 capability): emails, NNN-NNN-NNNN phones, octet-validated
@@ -9640,154 +10293,17 @@ for _suite_name in _SUITE_SPECS:
 # avro_file_roundtrip displaced to r9 to fund the two round-8
 # capability registrations).
 _PRIORITY: list[str] = [
-    # -- the r7 off-by-one, first (VERDICT r7 item 1) --
-    "approved_transactions",
-    # -- 20 of the 22 other r4-stale names from the committed r7
-    # schedule (activity_islands and avro_file_roundtrip displace to the
-    # committed r9 schedule — the rounds-5-7 lever, and exactly the two
-    # displacements the r7 VERDICT's 52-vs-50 arithmetic anticipated —
-    # to fund the stream_late_events / stream_curation_ooo registrations
-    # below) --
-    "bigram_lm_score",
-    "bloom_decontaminate", "cdc_chunk_dedup", "connector_approved",
-    "dedup_clusters", "dsir_select", "fix_encoding", "fuzzy_name_match",
-    "join_inner_agg", "merge_upsert", "pivot_unpivot", "pricing_summary",
-    "salted_agg", "sentiment_lexicon", "simjoin_prefix", "skyline_parts",
-    "star_join", "time_rollup_multi", "top_ngram_fraction",
-    "ts_pattern_topk",
-    # -- streaming registrations (never-green: actual-gate-bound) --
-    "stream_windows", "stream_curation",
-    # -- the 25 remaining staged standalone operators --
-    "rake_keywords", "burst_detection", "cluster_silhouette",
-    "source_lang_mi", "tokenizer_fertility", "ks_source_drift",
-    "chi2_independence", "shingle_overlap_matrix", "holt_forecast",
-    "acf_audit", "snapshot_diff", "hits_scores", "bfs_hops",
-    "mann_kendall", "markov_transitions", "benford_audit", "k_anonymity",
-    "kaplan_meier", "psi_drift", "rfm_segments", "mann_whitney",
-    "assoc_rules", "ewma_control", "heaps_law", "grid_density",
-    # -- round-8 capabilities (never-green: actual-gate-bound):
-    # watermarked late-data handling through the real streaming engine,
-    # and the out-of-order generalization of the curation pipeline --
-    "stream_late_events", "stream_curation_ooo",
-]
-
-# Next round's committed gate (round 9). When CORRECTNESS_r08 lands the
-# evidence window becomes {r6, r7, r8}: the 23 names whose most recent
-# green is the r5 artifact fall out and rotate here, plus the three
-# subquery shapes re-registered this round per VERDICT r7 item 6
-# (exists_orders last green r5; corr_avg_subquery / cold_customers r6 —
-# scheduled now so they cannot repeat the approved_transactions
-# off-by-one when r9 lands), plus the two round-8 displacements
-# (activity_islands, avro_file_roundtrip). 28 names against 50 slots:
-# the first rotation round with slack since round 4 — the ledger is
-# paid, and rounds 9+ fund new capability, not wiring. EIGHTEEN such
-# capabilities are already BUILT, pre-validated, and bench-twinned
-# (BENCH_ONLY above) for round-9/10 gate slots — register each as
-# @query with its pre-validated oracle plus a gate slot, never leave
-# them BENCH_ONLY past r10. They carry NINETEEN registry names (the
-# CUMULATE capability takes two slots: batch + streaming form), so
-# 28 rotations + 19 registrations = 47 of 50 r9 slots if taken in one
-# round; splitting across r9/r10 leaves rotation slack — either way
-# the remainder re-runs recent-but-aging names:
-#   - streaming/cdc_apply.py `stream_cdc_apply` (watermarked keyed
-#     changelog materialization; oracle `_events_ops_oracle` +
-#     parity/crash tests in tests/test_cdc_apply.py);
-#   - streaming/ann_ingest.py `stream_ann_ingest` (exactly-once
-#     micro-batch IVF index publishes + pruned query; full-value
-#     oracle ORACLE_SQL + parity/crash/plan tests in
-#     tests/test_stream_ann_ingest.py);
-#   - streaming/profile_monitor.py `stream_profile` (mergeable
-#     per-batch column partials -> live profile; exact-field oracle
-#     ORACLE_SQL + tolerance/crash tests in tests/test_stream_profile.py);
-#   - streaming/temporal_join.py `stream_temporal_join`
-#     (processing-time temporal join against the CDC dimension —
-#     Flink's FOR SYSTEM_TIME AS OF made deterministic by drop
-#     boundaries; full-value oracle ORACLE_SQL + semantics/crash tests
-#     in tests/test_temporal_join.py);
-#   - streaming/scd2_stream.py `stream_scd2` (the changelog's full
-#     TYPE-2 history maintained as per-batch deltas with
-#     last-writer-wins reads and shadow-then-delete compaction — the
-#     versioned table event-time temporal joins read; full-value
-#     oracle scd2_oracle() + semantics/crash/compaction tests in
-#     tests/test_scd2_stream.py);
-#   - streaming/event_temporal_join.py `stream_event_temporal_join`
-#     (Flink's watermark-synchronized EVENT-TIME temporal join: probes
-#     buffer until min(dim, probe) watermark passes their own event
-#     time, then join the SCD2 version valid AT that time — late dim
-#     versions splice in before emission; full-value oracle incl. the
-#     emission-batch schedule + splice/crash/bounded-buffer tests in
-#     tests/test_event_temporal_join.py);
-#   - streaming/retract.py `stream_topn_retract` (Flink's Rank operator
-#     over an UPDATE stream emitted as the RowKind changelog
-#     (+I/-U/+U/-D, toRetractStream semantics) — the query class
-#     Spark's own streaming cannot sink transactionally; full-value
-#     snapshot-diff oracle + re-admission/rank-slide/crash fixtures in
-#     tests/test_retract_topn.py);
-#   - operators/cep.py `match_recognize` (SQL:2016 MATCH_RECOGNIZE /
-#     Flink CEP: classify -> per-key symbol string -> ONE Arrow-batched
-#     regex scan, greedy non-overlapping, ONE ROW PER MATCH measures;
-#     full-value window-function oracle + quantifier/overlap fixtures
-#     in tests/test_cep.py);
-#   - streaming/stream_cep.py `stream_match_recognize` (incremental
-#     CEP: frozen-prefix scan from per-key consumed offsets,
-#     watermark-gated emission — fixed-tail matches emit when the
-#     watermark passes their end, open-tail matches stay pending and
-#     absorb late splices; flush total equals the batch scan over
-#     admitted rows, which is the oracle; fixtures + parity in
-#     tests/test_stream_cep.py);
-#   - operators/expectations.py `data_expectations` (declarative
-#     data-contract rules compiled to fused per-table scans +
-#     anti-join FK counts; every count DuckDB-replayed,
-#     tests/test_expectations.py);
-#   - streaming/cumulate.py `cumulate_windows` + `stream_cumulate`
-#     (Flink's CUMULATE windowing TVF as step-tumble partials +
-#     densified spine + ONE running-merge fold — never the size/step-x
-#     input explosion; the streaming form runs stage 1 on the real
-#     engine over out-of-order drops; full-value oracles
-#     cumulate_windows_sql()/stream_cumulate_sql() pre-validated at
-#     sf0.001 AND sf0.01 in tests/test_cumulate.py);
-#   - streaming/over_agg.py `stream_over_agg` (Flink's event-time OVER
-#     aggregation: per-row preceding-range COUNT/SUM emitted when the
-#     watermark passes the row's event time; preceding-range context +
-#     pending buffer state, exactly Flink's OVER-window state shape;
-#     full-value oracle stream_over_agg_sql() pre-validated at sf0.001
-#     AND sf0.01 in tests/test_over_agg.py);
-#   - operators/text.py `pii_scrub` (per-doc email/phone/IP/card PII
-#     audit + tag redaction with octet and Luhn validation folds —
-#     zero-shuffle expression algebra; full-value oracle pii_scrub_sql()
-#     pre-validated at sf0.001 AND sf0.01 in tests/test_pii_scrub.py);
-#   - streaming/over_agg.py `stream_over_rows` (the ROWS-frame OVER
-#     twin: previous-n-rows COUNT/SUM over the (ts, row_id) total
-#     order, count-bounded context tail; with stream_over_agg this
-#     completes Flink's OVER-window class; oracle
-#     stream_over_rows_sql() pre-validated in tests/test_over_agg.py);
-#   - `stream_window_dedup` (Flink's Window Deduplication TVF:
-#     keep-first per window+key by event time as an argmin AGGREGATE
-#     on the real engine — one winner row of state per open
-#     window+key; oracle stream_window_dedup_sql() pre-validated at
-#     sf0.001 AND sf0.01 in tests/test_window_dedup.py);
-#   - `stream_session_dynamic` (Flink's session gap EXTRACTOR: per-row
-#     gap by event_type through Spark's native dynamic session_window;
-#     merge comparator pinned empirically — touching merges, end =
-#     max(ts+gap); oracle stream_session_dynamic_sql() pre-validated
-#     at sf0.001 AND sf0.01 in tests/test_window_dedup.py);
-#   - `stream_window_join` (Flink's WINDOW JOIN TVF, completing the
-#     windowing-TVF family: errors x clicks on (1-day window, user) as
-#     two real watermarked runs, inner + left_outer tagged; outer NULL
-#     rows emit at window close under the global watermark; oracle
-#     stream_window_join_sql() pre-validated at sf0.001 AND sf0.01 in
-#     tests/test_window_dedup.py);
-#   - streaming/quota.py `stream_source_quota` (the ingest-side form
-#     of the registered source_token_cap: first-come-first-served
-#     per-source token-budget admission against a carried consumed
-#     counter — |sources| rows of broadcast state; id-ordered drops
-#     make it bit-equal to one batch prefix pass, which is the oracle
-#     stream_source_quota_sql(), pre-validated at sf0.001 AND sf0.01
-#     in tests/test_quota.py).
-# All 28 scheduled names were replica-validated green (rows+schema+
-# hash vs DuckDB at sf0.01, scripts/check_gate.py) in the round-8
-# session that committed this list — the r9 gate cannot stall on them.
-_NEXT_GATE_SCHEDULE: list[str] = [
+    # Round-9 gate (VERDICT r8 items 1-2): the one red row FIRST, then
+    # the committed 28-name rotation, then the 19 round-8 capability
+    # registrations (never-green rule: a first registration sits in the
+    # ACTUAL gate), then 2 capability-freshness re-runs.
+    #
+    # -- the r8 red row, fixed this round (oracle restated as recursive
+    # CTEs; quantization floor(x*1e6+0.5) boundary-hardened;
+    # tests/test_decision_margins.py pins the margins) --
+    "burst_detection",
+    # -- the 28 committed rotations (r6-window names + the 3
+    # re-registered subquery shapes + the two r8 displacements) --
     "activity_islands", "asof_join", "avro_file_roundtrip",
     "cold_customers", "corr_avg_subquery", "cte_query",
     "decontaminate", "exists_orders", "filter_project", "heavy_hitters",
@@ -9797,6 +10313,53 @@ _NEXT_GATE_SCHEDULE: list[str] = [
     "scd2_history", "sessionize", "sort_limit", "stream_dedup",
     "stream_sessions_stateful", "tfidf", "tpch_q18_big_orders",
     "tpch_q3_shipping",
+    # -- the 19 round-8 capability registrations (Flink streaming SQL
+    # surface + PII scrub + expectations; every oracle replica-validated
+    # at sf0.001 AND sf0.01 before this rotation landed) --
+    "stream_scd2", "stream_cdc_apply", "stream_temporal_join",
+    "stream_event_temporal_join", "stream_topn_retract",
+    "match_recognize", "stream_match_recognize", "stream_ann_ingest",
+    "stream_profile", "data_expectations", "cumulate_windows",
+    "stream_cumulate", "stream_over_agg", "stream_over_rows",
+    "stream_window_dedup", "stream_session_dynamic",
+    "stream_window_join", "stream_source_quota", "pii_scrub",
+    # -- the round-9 stretch registration (VERDICT r8 item 7, Flink
+    # withIdleness; never-green: actual-gate-bound) --
+    "stream_idle_watermark",
+    # -- 1 capability-freshness slot: the UDF/UDAF/UDTF SURVEY §2.2 row
+    # rests on r6 evidence, which falls OUT of the 3-artifact window
+    # the moment CORRECTNESS_r09 lands — re-run a representative (the
+    # multimodal row stays in-window via multimodal_meta above;
+    # frame_sample rides the r10 schedule) --
+    "grouped_agg_udf",
+]
+
+# Next round's committed gate (round 10). When CORRECTNESS_r09 lands the
+# evidence window becomes {r7, r8, r9}: the 33 names below — whose most
+# recent green is the r6 artifact (the TPC-H per-query cohort that last
+# ran individually there, the multimodal/UDTF/mix/audit operators, and
+# zorder_write) — fall out of the window and rotate here. 33 names
+# against 50 slots leaves 17 slots of round-10 slack for new
+# registrations (e.g. the per-partition watermark idleness stretch,
+# VERDICT r8 item 7) or further freshness re-runs. With the round-9
+# gate registering all 19 staged round-8 capability names, the staging
+# ledger stays PAID: zero BENCH_ONLY names without driver or
+# suite-embedded evidence. (grouped_agg_udf and frame_sample are NOT
+# here: they run in the round-9 gate's two freshness slots, so their
+# §2.2 capability rows stay in-window without waiting for r10.)
+_NEXT_GATE_SCHEDULE: list[str] = [
+    "ann_ivf_variants", "audio_features", "contamination_audit",
+    "corpus_mix", "embedding_quantize", "frame_sample",
+    "importance_weights",
+    "incremental_neardup", "pii_redact", "pmi_collocations",
+    "source_token_cap", "stream_stream_joins", "temperature_mix",
+    "text_clean", "time_decay_score", "top_bigrams", "tpch_q10_returns",
+    "tpch_q11_important_stock", "tpch_q12_priority", "tpch_q13_custdist",
+    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive", "tpch_q20_promotion_stock", "tpch_q21_waiting",
+    "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier",
+    "tpch_q6_forecast", "tpch_q7_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "udtf_sentences", "zorder_write",
 ]
 
 

@@ -36,10 +36,12 @@ implements the operator with the round-8 foreachBatch state machine:
 Why emitted aggregates are complete: a row e emits at batch k with
 e.ts <= W_k. Every admitted row in e's range has ts <= e.ts; it was
 admitted at some batch <= k (admission later would require
-ts > W_k >= e.ts), so it is in the emit set, the context tail, or the
-carried pending of batch k — all three feed the window scan. Rows the
-watermark dropped are absent from BOTH the output and other rows'
-aggregates, exactly Flink's late-row semantics.
+ts > W_k >= e.ts), so it is in the emit set or the context tail of
+batch k — the two sets the window scan runs over. Carried pending rows
+(ts > W_k) are provably OUTSIDE every emitted row's preceding range
+(their ts exceeds W_k >= e.ts) and are therefore correctly excluded
+from the scan. Rows the watermark dropped are absent from BOTH the
+output and other rows' aggregates, exactly Flink's late-row semantics.
 
 This is Flink's own state shape for OVER windows: per key, the rows
 inside the preceding range of the stream head (context) plus the

@@ -18,6 +18,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import (
+    stream_cdc_apply_sql as _events_ops_oracle,
+)
 from flink_kafka_table_api_spark.streaming.cdc_apply import stream_cdc_apply
 
 SF = "/root/testdata/sf0.001"
@@ -102,49 +105,6 @@ def test_version_tail_is_bounded(spark, tmp_path):
     )
     versions = sorted(os.listdir(os.path.join(state, "state")))
     assert versions == ["batch-3", "batch-4"]
-
-
-def _events_ops_oracle(delay_days: int = 2) -> str:
-    """The replay the round-9 registration will use: events as a
-    changelog (key=user_id, 'error'=delete, everything else=upsert),
-    the stream_late_events chunk rule (day terciles, %37 one drop late,
-    %61 two drops late), admission op_ts > max(op_ts over earlier
-    chunks) - delay, per-key argmax by (op_ts, op_id), tombstones out."""
-    return f"""
-    WITH ops AS (
-      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
-             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-             value,
-             datediff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
-                      CAST(ts AS DATE)) AS d_idx
-      FROM events
-    ),
-    chun AS (
-      SELECT *, LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
-             + (CASE WHEN op_id % 61 = 0 THEN 2
-                     WHEN op_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
-      FROM ops
-    ),
-    mx AS (SELECT chunk, MAX(op_ts) AS mts FROM chun GROUP BY chunk),
-    adm AS (
-      SELECT c.* FROM chun c
-      WHERE c.op_ts > COALESCE(
-        (SELECT MAX(m.mts) FROM mx m WHERE m.chunk < c.chunk)
-          - INTERVAL {delay_days} DAY,
-        TIMESTAMP '1970-01-01')
-    ),
-    win AS (
-      SELECT key, op_id AS last_op_id, op_ts AS last_op_ts,
-             op AS last_op, value AS last_value,
-             row_number() OVER (PARTITION BY key
-                                ORDER BY op_ts DESC, op_id DESC) AS rn,
-             COUNT(*) OVER (PARTITION BY key) AS n_ops
-      FROM adm
-    )
-    SELECT key, last_op_id, last_op_ts, last_op, last_value,
-           CAST(n_ops AS BIGINT) AS n_ops
-    FROM win WHERE rn = 1 AND last_op <> 'D'
-    """
 
 
 def test_oracle_parity_on_testdata(spark):

@@ -15,6 +15,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import (
+    match_recognize_sql as oracle_sql,
+)
 from flink_kafka_table_api_spark.operators.cep import (
     compile_pattern,
     match_recognize,
@@ -104,46 +107,6 @@ def test_pattern_validation():
     with pytest.raises(ValueError):
         compile_pattern("A (B|C)", ["A", "B", "C"])  # unsupported token
     assert compile_pattern("A B{2,3} C", ["A", "B", "C"]) == "AB{2,3}C"
-
-
-def oracle_sql() -> str:
-    """The replay a gate registration will use — the SAME matches found
-    by a window-function algorithm (no regex, no NFA): classify rows,
-    then a purchase row closes a match iff the last non-click row
-    before it is a view at distance >= 2 (so the run between is all
-    clicks, i.e. PATTERN (view click+ purchase) with greedy click+ and
-    skip-past-last-row, which never overlaps for disjoint classes)."""
-    return """
-    WITH seq AS (
-      SELECT user_id, event_id, ts, value,
-             CASE WHEN event_type = 'view' THEN 'A'
-                  WHEN event_type = 'click' THEN 'B'
-                  WHEN event_type = 'purchase' THEN 'C'
-                  ELSE '.' END AS ch,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
-      FROM events
-    ),
-    nb AS (
-      SELECT *,
-             MAX(CASE WHEN ch <> 'B' THEN rn END) OVER (
-               PARTITION BY user_id ORDER BY rn
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS j
-      FROM seq
-    ),
-    m AS (
-      SELECT c.user_id, c.j, c.rn AS i, a.ts AS start_ts, c.ts AS end_ts
-      FROM nb c JOIN seq a ON a.user_id = c.user_id AND a.rn = c.j
-      WHERE c.ch = 'C' AND a.ch = 'A' AND c.rn - c.j >= 2
-    )
-    SELECT m.user_id, m.start_ts, m.end_ts,
-           CAST(m.i - m.j - 1 AS BIGINT) AS n_clicks,
-           CAST(SUM(CAST(b.value AS DECIMAL(25,6))) AS DOUBLE)
-             AS click_value
-    FROM m JOIN seq b
-      ON b.user_id = m.user_id AND b.rn > m.j AND b.rn < m.i
-    GROUP BY m.user_id, m.start_ts, m.end_ts, m.i, m.j
-    """
 
 
 def spark_twin(spark, sf: str):

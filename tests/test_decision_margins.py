@@ -118,3 +118,131 @@ def test_burst_detection_cost_margins(sf):
                 )
     # keep the measured floor visible in -v runs
     assert min_margin > BURST_BAND
+
+
+# ---------------------------------------------------------------------------
+# The other decision-typed registered queries, audited the same way.
+#
+# NOT audited, with reasons (VERDICT r8 item 4 asks for a documented
+# adjudication of each):
+# - skyline_parts: dominance tests compare STORED parquet doubles and
+#   exact integer counts — no transcendental enters any comparison, and
+#   IEEE comparisons of identical bit patterns are engine-independent.
+# - dedup keep/drop decisions (exact/minhash/simhash/containment):
+#   thresholds compare integer hash matches and exact integer-ratio
+#   Jaccard fractions (single IEEE divisions of integers) — again no
+#   transcendental, deterministic across engines.
+# - ewma_control / holt_forecast etc.: float OUTPUT columns go through
+#   the harness's %.6g normalization (tolerant); their booleans
+#   (in_control) compare integer-quantized values like cusum below.
+# ---------------------------------------------------------------------------
+
+CUSUM_BAND = 1e-4  # measured floors: 9.75e-4 (sf0.001), 2.21e-3 (sf0.01)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_cusum_drift_quantization_margins(sf):
+    """cusum_drift quantizes z = (c - mean)/sd to micro-units with
+    round(); mean/sd derive from exact integer sums via IEEE div/sqrt
+    (engine-identical), so the only cross-engine hazard is the rounding
+    of a value whose shortest decimal repr straddles .5 (the Spark
+    BigDecimal.valueOf hazard). Assert every z*1e6 sits > band from the
+    .5 line at both gate SFs."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    rows = con.execute("""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    cal AS (
+      SELECT g.grp, CAST(u.day AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) g,
+           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span) u
+    ),
+    full_ AS (
+      SELECT cal.grp, cal.day, COALESCE(d.c, 0) AS c
+      FROM cal LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
+    ),
+    stats AS (
+      SELECT grp, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean,
+             sqrt(greatest(CAST(SUM(c*c) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 0.0)) AS sd
+      FROM full_ GROUP BY grp
+    )
+    SELECT (CAST(f.c AS DOUBLE) - s.mean) / s.sd * 1000000.0 AS x
+    FROM full_ f JOIN stats s ON f.grp = s.grp WHERE s.sd > 0
+    """).fetchall()
+    assert rows
+    for (x,) in rows:
+        m = _boundary_margin(x)
+        assert m > CUSUM_BAND, (
+            f"cusum z quantization input {x!r} sits {m:.3g} from .5"
+        )
+
+
+MK_ROUND9_BAND = 1e-3   # measured floors: 0.049 / 0.0425 (in 1e-9 units)
+MK_ALPHA_BAND = 1e-3    # measured floors: 0.252 / 0.708 (z units)
+MK_ALPHA = 1.959963984540054
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_mann_kendall_trend_margins(sf):
+    """mann_kendall's trend flag compares round(z, 9) to alpha_z. S and
+    var are exact integers; sd = sqrt(var/18) and the division are
+    engine-identical IEEE ops, so the hazards are (a) the round(z, 9)
+    repr boundary and (b) a z sitting ON alpha_z. Replay the statistic
+    exactly (integer S over the calendar-filled daily counts, the
+    operator's tie-corrected variance and continuity correction) and
+    assert both margins at both gate SFs."""
+    import datetime
+    from collections import Counter
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    daily = con.execute("""
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    """).fetchall()
+    days = sorted({r[1] for r in daily})
+    d0, d1 = min(days), max(days)
+    allday = [d0 + datetime.timedelta(days=i)
+              for i in range((d1 - d0).days + 1)]
+    cnt = {(r[0], r[1]): r[2] for r in daily}
+    checked = 0
+    for grp in sorted({r[0] for r in daily}):
+        xs = [cnt.get((grp, d), 0) for d in allday]
+        n = len(xs)
+        s_stat = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n) for j in range(i + 1, n)
+        )
+        ties = Counter(xs)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        if var18 <= 0:
+            continue
+        sd = math.sqrt(var18 / 18.0)
+        z = ((s_stat - 1) / sd if s_stat > 0
+             else ((s_stat + 1) / sd if s_stat < 0 else 0.0))
+        m9 = _boundary_margin(z * 1e9)
+        assert m9 > MK_ROUND9_BAND, (
+            f"{grp}: z*1e9 {z * 1e9!r} sits {m9:.3g} from its round(9) "
+            "boundary"
+        )
+        zr = round(z * 1e9) / 1e9
+        ma = abs(abs(zr) - MK_ALPHA)
+        assert ma > MK_ALPHA_BAND, (
+            f"{grp}: rounded z {zr!r} sits {ma:.3g} from alpha_z"
+        )
+        checked += 1
+    assert checked > 0

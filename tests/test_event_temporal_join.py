@@ -21,6 +21,9 @@ import duckdb
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import (
+    stream_event_temporal_join_sql as oracle_sql,
+)
 from flink_kafka_table_api_spark.streaming.event_temporal_join import (
     stream_event_temporal_join,
 )
@@ -144,78 +147,6 @@ def test_pending_buffer_is_bounded(spark, tmp_path):
     _run(spark, state)
     last = spark.read.parquet(os.path.join(state, "pending", "batch-2"))
     assert [r.probe_id for r in last.collect()] == [5]
-
-
-def oracle_sql(dim_delay_days: int = 2, probe_delay_days: int = 1) -> str:
-    """The replay a gate registration will use: events as both the
-    changelog (the scd2_oracle derivation, %61/%37 chunk shifts) and
-    the probe stream (%53/%41 shifts), per-side admission, per-batch
-    emission horizons H_k = min(W_dim_k, W_probe_k), emission batch =
-    first k >= arrival chunk with H_k >= probe_ts (else 3, the flush),
-    and the point-in-time join against the LEAD-chained history."""
-    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
-    nat = f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 AS BIGINT), 2)"
-    return f"""
-    WITH ops AS (
-      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
-             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-             value,
-             LEAST({nat} + (CASE WHEN event_id % 61 = 0 THEN 2
-                                 WHEN event_id % 37 = 0 THEN 1
-                                 ELSE 0 END), 2) AS chunk
-      FROM events
-    ),
-    probes AS (
-      SELECT event_id AS probe_id, ts AS probe_ts, user_id AS key,
-             LEAST({nat} + (CASE WHEN event_id % 53 = 0 THEN 2
-                                 WHEN event_id % 41 = 0 THEN 1
-                                 ELSE 0 END), 2) AS chunk
-      FROM events
-    ),
-    dmx AS (SELECT chunk, MAX(op_ts) AS m FROM ops GROUP BY chunk),
-    pmx AS (SELECT chunk, MAX(probe_ts) AS m FROM probes GROUP BY chunk),
-    adm_ops AS (
-      SELECT o.* FROM ops o
-      WHERE o.op_ts > COALESCE(
-        (SELECT MAX(m) FROM dmx WHERE chunk < o.chunk)
-          - INTERVAL {dim_delay_days} DAY,
-        TIMESTAMP '1970-01-01')
-    ),
-    adm_probes AS (
-      SELECT p.* FROM probes p
-      WHERE p.probe_ts > COALESCE(
-        (SELECT MAX(m) FROM pmx WHERE chunk < p.chunk)
-          - INTERVAL {probe_delay_days} DAY,
-        TIMESTAMP '1970-01-01')
-    ),
-    horiz AS (
-      SELECT k.k, LEAST(
-        (SELECT MAX(m) FROM dmx WHERE chunk <= k.k)
-          - INTERVAL {dim_delay_days} DAY,
-        (SELECT MAX(m) FROM pmx WHERE chunk <= k.k)
-          - INTERVAL {probe_delay_days} DAY) AS h
-      FROM (VALUES (0), (1), (2)) AS k(k)
-    ),
-    emit AS (
-      SELECT p.probe_id, p.probe_ts, p.key,
-             COALESCE((SELECT MIN(h.k) FROM horiz h
-                       WHERE h.k >= p.chunk AND h.h >= p.probe_ts),
-                      3) AS batch_id
-      FROM adm_probes p
-    ),
-    chain AS (
-      SELECT key, op_id, op, value, op_ts AS effective_from,
-             LEAD(op_ts) OVER (PARTITION BY key
-                               ORDER BY op_ts, op_id) AS effective_to
-      FROM adm_ops
-    )
-    SELECT e.probe_id, e.probe_ts, e.key, c.value AS dim_value,
-           c.op_id AS dim_op_id, CAST(e.batch_id AS BIGINT) AS batch_id
-    FROM emit e LEFT JOIN chain c
-      ON c.op = 'U' AND e.key = c.key
-         AND c.effective_from <= e.probe_ts
-         AND (c.effective_to IS NULL OR e.probe_ts < c.effective_to)
-    """
 
 
 def spark_twin(spark, sf: str, state: str):

@@ -11,6 +11,9 @@ import duckdb
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import (
+    data_expectations_sql as oracle_sql,
+)
 from flink_kafka_table_api_spark.operators.expectations import (
     TESTDATA_CONTRACT,
     expectations_report,
@@ -99,56 +102,6 @@ def test_multi_rule_table_is_scanned_once(spark):
 
 
 RULES = TESTDATA_CONTRACT
-
-
-def oracle_sql() -> str:
-    """The replay a gate registration will use: one UNION ALL branch
-    per rule, counts via CASE / COUNT DISTINCT / NOT EXISTS."""
-    def row(rule, table, column, n):
-        return f"""
-        SELECT '{rule}' AS rule, '{table}' AS "table",
-               '{column}' AS "column",
-               CAST(({n}) AS BIGINT) AS n_violations,
-               ({n}) = 0 AS passed
-        """
-    parts = [
-        row("not_null", "orders", "o_custkey",
-            "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)"),
-        row("not_null", "events", "user_id",
-            "(SELECT COUNT(*) FROM events WHERE user_id IS NULL)"),
-        row("unique", "orders", "o_orderkey",
-            "(SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) "
-            "FROM orders)"),
-        row("unique", "part", "p_partkey",
-            "(SELECT COUNT(p_partkey) - COUNT(DISTINCT p_partkey) "
-            "FROM part)"),
-        row("accepted_values", "orders", "o_orderstatus",
-            "(SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT "
-            "NULL AND o_orderstatus NOT IN ('O', 'F', 'P'))"),
-        row("accepted_values", "events", "event_type",
-            "(SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL "
-            "AND event_type NOT IN "
-            "('click', 'purchase', 'error', 'signup', 'view'))"),
-        row("in_range", "lineitem", "l_quantity",
-            "(SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT "
-            "NULL AND (l_quantity < 1.0 OR l_quantity > 50.0))"),
-        row("in_range", "events", "value",
-            "(SELECT COUNT(*) FROM events WHERE value IS NOT NULL AND "
-            "(value < 0.0 OR value > 1000000.0))"),
-        row("relationship", "orders", "o_custkey->customer.c_custkey",
-            "(SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT "
-            "NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE "
-            "c.c_custkey = o.o_custkey))"),
-        row("relationship", "lineitem", "l_partkey->part.p_partkey",
-            "(SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT "
-            "NULL AND NOT EXISTS (SELECT 1 FROM part p WHERE "
-            "p.p_partkey = l.l_partkey))"),
-        row("relationship", "nation", "n_regionkey->region.r_regionkey",
-            "(SELECT COUNT(*) FROM nation n WHERE n.n_regionkey IS NOT "
-            "NULL AND NOT EXISTS (SELECT 1 FROM region r WHERE "
-            "r.r_regionkey = n.n_regionkey))"),
-    ]
-    return " UNION ALL ".join(parts)
 
 
 def spark_twin(spark, sf: str):

@@ -17,6 +17,9 @@ import duckdb
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import (
+    stream_topn_retract_sql as oracle_sql,
+)
 from flink_kafka_table_api_spark.streaming.retract import (
     apply_changelog,
     stream_topn_retract,
@@ -94,67 +97,6 @@ def test_crash_replay_is_clean(spark, tmp_path):
     shutil.rmtree(os.path.join(state, "ckpt"))
     got = _got(_run(spark, state))
     assert got == want == EXPECTED
-
-
-def oracle_sql(n: int = 10) -> str:
-    """The replay a gate registration will use: events as the update
-    stream (key=user_id, natural day terciles), per-batch cumulative
-    DECIMAL(25,6) sums, ROW_NUMBER ranking, consecutive-snapshot diff
-    into RowKind ops."""
-    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
-    nat = (
-        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
-        "AS BIGINT), 2)"
-    )
-    return f"""
-    WITH rows_ AS (
-      SELECT user_id AS key, value, {nat} AS chunk FROM events
-    ),
-    snaps AS (
-      SELECT k.k, r.key,
-             CAST(SUM(CAST(r.value AS DECIMAL(25,6)))
-                  AS DECIMAL(25,6)) AS total
-      FROM (VALUES (0), (1), (2)) AS k(k)
-      JOIN rows_ r ON r.chunk <= k.k
-      GROUP BY k.k, r.key
-    ),
-    topn AS (
-      SELECT * FROM (
-        SELECT k, key, total,
-               ROW_NUMBER() OVER (PARTITION BY k
-                                  ORDER BY total DESC, key) AS rnk
-        FROM snaps)
-      WHERE rnk <= {n}
-    ),
-    paired AS (
-      SELECT COALESCE(n.k, o.k + 1) AS batch_id,
-             COALESCE(n.key, o.key) AS key,
-             o.total AS ototal, o.rnk AS ornk,
-             n.total AS ntotal, n.rnk AS nrnk
-      FROM topn n
-      FULL OUTER JOIN topn o ON o.k = n.k - 1 AND o.key = n.key
-      WHERE COALESCE(n.k, o.k + 1) <= 2
-    )
-    SELECT '+I' AS op, key, CAST(ntotal AS DOUBLE) AS total,
-           nrnk AS rnk, CAST(batch_id AS BIGINT) AS batch_id
-    FROM paired WHERE ornk IS NULL
-    UNION ALL
-    SELECT '-D', key, CAST(ototal AS DOUBLE), ornk,
-           CAST(batch_id AS BIGINT)
-    FROM paired WHERE nrnk IS NULL
-    UNION ALL
-    SELECT '-U', key, CAST(ototal AS DOUBLE), ornk,
-           CAST(batch_id AS BIGINT)
-    FROM paired
-    WHERE ornk IS NOT NULL AND nrnk IS NOT NULL
-      AND (ototal <> ntotal OR ornk <> nrnk)
-    UNION ALL
-    SELECT '+U', key, CAST(ntotal AS DOUBLE), nrnk,
-           CAST(batch_id AS BIGINT)
-    FROM paired
-    WHERE ornk IS NOT NULL AND nrnk IS NOT NULL
-      AND (ototal <> ntotal OR ornk <> nrnk)
-    """
 
 
 def spark_twin(spark, sf: str, state: str, n: int = 10):

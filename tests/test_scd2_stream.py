@@ -19,6 +19,9 @@ import duckdb
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import (
+    stream_scd2_sql as scd2_oracle,
+)
 from flink_kafka_table_api_spark.streaming.scd2_stream import stream_scd2
 
 SF = "/root/testdata/sf0.001"
@@ -137,50 +140,6 @@ def test_compaction_is_equivalent_and_bounds_the_chain(spark, tmp_path):
     d1 = spark.read.parquet(os.path.join(hist, "batch_id=1"))
     assert {r[0] for r in d1.select("key").distinct().collect()} \
         >= {1, 2, 4}
-
-
-def scd2_oracle(delay_days: int = 2) -> str:
-    """The replay the round-9/10 registration will use: events as a
-    changelog (the cdc_apply derivation), the stream_late_events chunk
-    rule, admission op_ts > max(op_ts over earlier chunks) - delay,
-    then LEAD-window interval chaining; deletes close intervals and
-    emit no row."""
-    return f"""
-    WITH ops AS (
-      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
-             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-             value,
-             datediff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
-                      CAST(ts AS DATE)) AS d_idx
-      FROM events
-    ),
-    chun AS (
-      SELECT *, LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
-             + (CASE WHEN op_id % 61 = 0 THEN 2
-                     WHEN op_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
-      FROM ops
-    ),
-    mx AS (SELECT chunk, MAX(op_ts) AS mts FROM chun GROUP BY chunk),
-    adm AS (
-      SELECT c.* FROM chun c
-      WHERE c.op_ts > COALESCE(
-        (SELECT MAX(m.mts) FROM mx m WHERE m.chunk < c.chunk)
-          - INTERVAL {delay_days} DAY,
-        TIMESTAMP '1970-01-01')
-    ),
-    chain AS (
-      SELECT key, op_id, op, value,
-             op_ts AS effective_from,
-             LEAD(op_ts) OVER (PARTITION BY key
-                               ORDER BY op_ts, op_id) AS effective_to,
-             (LEAD(op_ts) OVER (PARTITION BY key
-                                ORDER BY op_ts, op_id) IS NULL)
-               AS is_current
-      FROM adm
-    )
-    SELECT key, op_id, value, effective_from, effective_to, is_current
-    FROM chain WHERE op = 'U'
-    """
 
 
 def test_oracle_parity_on_testdata(spark, tmp_path):

@@ -17,57 +17,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
-from flink_kafka_table_api_spark.functions.vector import cosine_sql
+from flink_kafka_table_api_spark.queries import stream_ann_ingest_sql
 from flink_kafka_table_api_spark.operators import similarity as sim
 from flink_kafka_table_api_spark.streaming.ann_ingest import stream_ann_ingest
 
 SF = "/root/testdata/sf0.001"
 N_CHUNKS = 3
 
-_COS_VC = cosine_sql("v.embedding", "c.c_emb")
-_COS_QC = cosine_sql("q.q_emb", "c.c_emb")
-_COS_VQ = cosine_sql("v.embedding", "q.q_emb")
-
-# The replay the round-9 registration will use: fixed vec_id<8 centroids,
-# arg_min coarse assignment over the WHOLE corpus (assignment is a
-# stateless per-row function, so the accumulated streaming index equals
-# the batch assignment exactly), driver-literal routing of the vec_id=0
-# query to its nearest centroid, exact round-6 cosine re-rank within the
-# probed cluster, plus rowcount conservation across every published batch.
-ORACLE_SQL = f"""
-WITH centroids AS (
-  SELECT vec_id AS c_id, embedding AS c_emb
-  FROM embeddings WHERE vec_id < 8
-), assign AS (
-  SELECT v.vec_id, arg_min(c.c_id, 1 - {_COS_VC}) AS cluster
-  FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
-), q AS (
-  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
-), probe AS (
-  SELECT c.c_id FROM centroids c CROSS JOIN q
-  ORDER BY 1 - {_COS_QC}, c.c_id LIMIT 1
-), topk AS (
-  SELECT v.vec_id, round({_COS_VQ}, 6) AS score
-  FROM embeddings v
-  JOIN assign a ON v.vec_id = a.vec_id
-  JOIN probe p ON a.cluster = p.c_id
-  CROSS JOIN q
-  ORDER BY score DESC, v.vec_id LIMIT 10
-), assign_d AS (
-  SELECT v.vec_id, v.vec_id % {N_CHUNKS} AS chunk,
-         round(MIN(1 - {_COS_VC}), 6) AS dist
-  FROM embeddings v CROSS JOIN centroids c GROUP BY v.vec_id
-)
-SELECT 'topk' AS block, vec_id, score FROM topk
-UNION ALL
-SELECT 'n_indexed' AS block,
-       (SELECT COUNT(*) FROM embeddings) AS vec_id,
-       CAST(NULL AS DOUBLE) AS score
-UNION ALL
-SELECT 'drift' AS block, chunk AS vec_id,
-       CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS DOUBLE) AS score
-FROM assign_d GROUP BY chunk
-"""
+# The full-value replay moved to queries.py for the round-9
+# registration (assignment + routing + re-rank + conservation).
+ORACLE_SQL = stream_ann_ingest_sql(n_chunks=N_CHUNKS)
 
 
 def _chunked(spark):

@@ -18,6 +18,9 @@ import duckdb
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import (
+    stream_match_recognize_sql as oracle_sql,
+)
 from flink_kafka_table_api_spark.streaming.stream_cep import (
     stream_match_recognize,
 )
@@ -133,60 +136,6 @@ def test_crash_replay_is_clean(spark, tmp_path):
     shutil.rmtree(os.path.join(state, "ckpt"))
     got = _got(_run(spark, _rows(spark, FIXTURE), state))
     assert got == want == EXPECTED
-
-
-def oracle_sql() -> str:
-    """The replay a gate registration will use: watermark admission
-    (the scd2 chunk rule), then the SAME window-function funnel
-    detection as the batch CEP oracle — because the flush makes the
-    streamed total equal the batch scan over admitted rows."""
-    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
-    nat = (
-        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
-        "AS BIGINT), 2)"
-    )
-    return f"""
-    WITH raw AS (
-      SELECT event_id, ts, user_id, event_type, value,
-             LEAST({nat} + (CASE WHEN event_id % 61 = 0 THEN 2
-                                 WHEN event_id % 37 = 0 THEN 1
-                                 ELSE 0 END), 2) AS chunk
-      FROM events
-    ),
-    mx AS (SELECT chunk, MAX(ts) AS m FROM raw GROUP BY chunk),
-    adm AS (
-      SELECT r.* FROM raw r
-      WHERE r.ts > COALESCE(
-        (SELECT MAX(m) FROM mx WHERE chunk < r.chunk)
-          - INTERVAL 2 DAY,
-        TIMESTAMP '1970-01-01')
-    ),
-    seq AS (
-      SELECT user_id, event_id, ts, value,
-             CASE WHEN event_type = 'view' THEN 'A'
-                  WHEN event_type = 'click' THEN 'B'
-                  WHEN event_type = 'purchase' THEN 'C'
-                  ELSE '.' END AS ch,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
-      FROM adm
-    ),
-    nb AS (
-      SELECT *,
-             MAX(CASE WHEN ch <> 'B' THEN rn END) OVER (
-               PARTITION BY user_id ORDER BY rn
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS j
-      FROM seq
-    ),
-    m AS (
-      SELECT c.user_id, c.j, c.rn AS i, a.ts AS start_ts, c.ts AS end_ts
-      FROM nb c JOIN seq a ON a.user_id = c.user_id AND a.rn = c.j
-      WHERE c.ch = 'C' AND a.ch = 'A' AND c.rn - c.j >= 2
-    )
-    SELECT m.user_id, m.start_ts, m.end_ts,
-           CAST(m.i - m.j - 1 AS BIGINT) AS n_clicks
-    FROM m
-    """
 
 
 def spark_twin(spark, sf: str, state: str):

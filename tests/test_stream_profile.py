@@ -17,6 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import stream_profile_sql
 from flink_kafka_table_api_spark.streaming.profile_monitor import (
     EVENTS_SPEC,
     _sketch_input,
@@ -27,36 +28,9 @@ SF = "/root/testdata/sf0.001"
 N_CHUNKS = 4
 
 
-def _col_block(col: str, kind: str) -> str:
-    n_null = f"COUNT(*) - COUNT({col})"
-    if kind in ("long", "double"):
-        mn, mx = (f"MIN(CAST({col} AS DOUBLE))", f"MAX(CAST({col} AS DOUBLE))")
-        ms = xs = "CAST(NULL AS VARCHAR)"
-    elif kind == "ts":
-        mn = mx = "CAST(NULL AS DOUBLE)"
-        ms = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S.%f')"
-        xs = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S.%f')"
-    else:
-        mn = mx = "CAST(NULL AS DOUBLE)"
-        ms, xs = f"MIN({col})", f"MAX({col})"
-    return f"""
-    SELECT '{col}' AS column, COUNT(*) AS n_rows,
-           CAST({n_null} AS BIGINT) AS n_null,
-           {mn} AS min_num, {mx} AS max_num,
-           {ms} AS min_str, {xs} AS max_str,
-           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS distinct_exact,
-           TRUE AS within_tolerance
-    FROM events"""
-
-
-# The replay the round-9 registration will use: exact per-column
-# counts/nulls/ranges/distincts over the whole corpus, plus the literal
-# TRUE the Spark side must earn via the HLL++ 4-sigma tolerance
-# (the approx_distinct precedent — the estimate itself is
-# engine-specific, its accuracy contract is not).
-ORACLE_SQL = "\nUNION ALL\n".join(
-    _col_block(c, k) for c, k in EVENTS_SPEC
-)
+# The exact per-column replay moved to queries.py for the round-9
+# registration (one UNION branch per EVENTS_SPEC column).
+ORACLE_SQL = stream_profile_sql()
 
 
 def _chunked(spark):

@@ -17,6 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.catalog import read_table
+from flink_kafka_table_api_spark.queries import stream_temporal_join_sql
 from flink_kafka_table_api_spark.streaming.temporal_join import (
     stream_temporal_join,
 )
@@ -113,51 +114,10 @@ def _events_fixture(spark):
     return ops, probes
 
 
-ORACLE_SQL = """
-WITH base AS (
-  SELECT event_id, ts, user_id, event_type, value,
-         datediff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
-                  CAST(ts AS DATE)) AS d_idx
-  FROM events
-),
-ops AS (
-  SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
-         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-         value,
-         LEAST(LEAST(CAST(d_idx // 10 AS BIGINT), 2)
-           + (CASE WHEN event_id % 61 = 0 THEN 2
-                   WHEN event_id % 37 = 0 THEN 1 ELSE 0 END), 2) AS chunk
-  FROM base
-),
-mx AS (SELECT chunk, MAX(op_ts) AS mts FROM ops GROUP BY chunk),
-adm AS (
-  SELECT o.* FROM ops o
-  WHERE o.op_ts > COALESCE(
-    (SELECT MAX(m.mts) FROM mx m WHERE m.chunk < o.chunk)
-      - INTERVAL 2 DAY,
-    TIMESTAMP '1970-01-01')
-),
-probes AS (
-  SELECT event_id AS probe_id, ts AS probe_ts, user_id AS key,
-         LEAST(CAST(d_idx // 10 AS BIGINT), 2) AS pk
-  FROM base
-),
-cand AS (
-  SELECT p.probe_id, a.op, a.value, a.op_id,
-         row_number() OVER (PARTITION BY p.probe_id
-                            ORDER BY a.op_ts DESC, a.op_id DESC) AS rn
-  FROM probes p JOIN adm a ON a.key = p.key AND a.chunk <= p.pk
-),
-win AS (
-  SELECT probe_id,
-         CASE WHEN op <> 'D' THEN value END AS dim_value,
-         CASE WHEN op <> 'D' THEN op_id END AS dim_op_id
-  FROM cand WHERE rn = 1
-)
-SELECT p.probe_id, p.probe_ts, p.key, w.dim_value, w.dim_op_id,
-       CAST(p.pk AS BIGINT) AS batch_id
-FROM probes p LEFT JOIN win w ON w.probe_id = p.probe_id
-"""
+# The processing-time replay moved to queries.py for the round-9
+# registration; ORACLE_SQL_EVENT below stays test-only (the
+# semantics='event' variant is not a registered gate form).
+ORACLE_SQL = stream_temporal_join_sql()
 
 
 def test_oracle_parity_on_testdata(spark, tmp_path):
