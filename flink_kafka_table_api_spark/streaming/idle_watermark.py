@@ -83,6 +83,35 @@ _PENDING_SCHEMA = (
 )
 
 
+def window_partials(admitted: DataFrame, window: str) -> DataFrame:
+    """Per-(source, tumbling window) DECIMAL partials of one batch —
+    one map-side-partial keyed aggregate, order-free by construction."""
+    return admitted.select(
+        "source",
+        F.window("ts", window).alias("__w"),
+        F.col("value").cast(DEC).alias("__v"),
+    ).groupBy(
+        "source",
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("__v").cast("decimal(25,6)").alias("sum_value"),
+    )
+
+
+def merge_pending(pending: DataFrame, partial: DataFrame) -> DataFrame:
+    """Fold a batch's partials into the carried pending store: union +
+    re-aggregate (decimal sums are order-free), NO join node — pending
+    state stays |windows in flight| rows."""
+    return pending.unionByName(partial).groupBy(
+        "source", "window_start", "window_end"
+    ).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_value").cast("decimal(25,6)").alias("sum_value"),
+    )
+
+
 def stream_idle_watermark(
     spark: SparkSession,
     rows_chunked: DataFrame,
@@ -176,26 +205,9 @@ def stream_idle_watermark(
             ).first()[0]
             wm = cand if wm is None else max(wm, cand)
         # 4. MERGE — order-free decimal partials into the pending store
-        partial = admitted.select(
-            "source",
-            F.window("ts", window).alias("__w"),
-            F.col("value").cast(DEC).alias("__v"),
-        ).groupBy(
-            "source",
-            F.col("__w.start").alias("window_start"),
-            F.col("__w.end").alias("window_end"),
-        ).agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.sum("__v").cast("decimal(25,6)").alias("sum_value"),
-        )
-        merged = (
-            _pending_after(batch_id - 1).unionByName(partial)
-            .groupBy("source", "window_start", "window_end")
-            .agg(
-                F.sum("n_events").cast("long").alias("n_events"),
-                F.sum("sum_value").cast("decimal(25,6)")
-                .alias("sum_value"),
-            )
+        merged = merge_pending(
+            _pending_after(batch_id - 1),
+            window_partials(admitted, window),
         ).persist()
         # 5. EMIT / CARRY split on the new watermark
         ready = (

@@ -979,3 +979,30 @@ def test_over_range_agg_is_banded_not_per_key(spark):
     ]
     assert any("__bin" in ln for ln in window_exchanges), window_exchanges
     assert "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_idle_watermark_merge_is_union_fold_no_join(spark):
+    """stream_idle_watermark's per-batch state fold (the 100 TB
+    property): batch partials are ONE map-side-partial keyed aggregate,
+    and the pending-store merge is union + re-aggregate — no join node,
+    so state stays |windows in flight| rows and the shuffle carries
+    aggregates, never data rows."""
+    from flink_kafka_table_api_spark.streaming.idle_watermark import (
+        _PENDING_SCHEMA,
+        merge_pending,
+        window_partials,
+    )
+
+    rows = spark.createDataFrame(
+        [("A", "2024-01-01 00:00:00", 1.0)],
+        "source string, ts string, value double",
+    ).select("source", F.to_timestamp("ts").alias("ts"), "value")
+    partial = window_partials(rows, "1 day")
+    p_plan = _plan(partial)
+    assert "partial_count(1)" in p_plan        # map-side combine
+    merged = merge_pending(
+        spark.createDataFrame([], _PENDING_SCHEMA), partial
+    )
+    m_plan = _plan(merged)
+    assert "Join" not in m_plan                 # union + fold only
+    assert "Union" in m_plan
