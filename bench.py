@@ -191,6 +191,13 @@ HEADLINE = [
     # withIdleness — per-source watermarks, idle-source-excluded
     # min-combine, windows finalize without the silent source
     "stream_idle_watermark",   # multi-source wm combine + idle exclusion
+    # round-9 staged for the round-10 gate: Flink FLIP-182 watermark
+    # alignment — the fast source throttled to group-min + drift,
+    # deferred rows re-judged per batch, nothing dropped
+    "stream_watermark_alignment",  # aligned admission + deferral trace
+    # round-9 staged for the round-10 gate: Flink's update-mode GROUP BY
+    # (retraction-handling aggregate over an upsert/delete changelog)
+    "stream_agg_retract",      # RowKind changelog of group aggregates
 ]
 
 

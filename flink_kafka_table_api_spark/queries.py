@@ -8589,6 +8589,234 @@ def q_stream_idle_watermark(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_watermark_alignment_sql(
+    *, delay_days: int = 2, drift_days: int = 3
+) -> str:
+    """Oracle for `stream_watermark_alignment`
+    (streaming/watermark_alignment.py): events as a 5-source stream
+    where 'click' delivers one tercile EARLY (chunk = max(tercile-1, 0)
+    — the firehose source that ran ahead), others natural terciles.
+    Unrolls the three batch layers: batch 0 unthrottled; A_k =
+    min(admitted maxima through k-1) + drift gates each later batch;
+    fresh arrivals behind W_{k-1} = min maxima - delay drop (lateness
+    contract); gated rows DEFER and re-judge next batch; flush = 3.
+    Emission batch = max(first k whose aligned watermark passed
+    window_end, the window's last admit batch)."""
+    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+    nat = (
+        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
+        "AS BIGINT), 2)"
+    )
+    dl = f"INTERVAL {delay_days} DAY"
+    dr = f"INTERVAL {drift_days} DAY"
+    return f"""
+    WITH rows_ AS (
+      SELECT event_type AS source, ts, value,
+             CASE WHEN event_type = 'click'
+                  THEN GREATEST({nat} - 1, 0) ELSE {nat} END AS c
+      FROM events
+    ),
+    m0 AS (
+      SELECT source, MAX(ts) AS m FROM rows_ WHERE c = 0 GROUP BY source
+    ),
+    s0 AS (SELECT MIN(m) AS mn FROM m0),
+    b1 AS (
+      SELECT r.*, (r.ts <= (SELECT mn FROM s0) + {dr}) AS take1
+      FROM rows_ r
+      WHERE r.c = 1 AND r.ts > (SELECT mn FROM s0) - {dl}
+    ),
+    m1 AS (
+      SELECT m0.source, GREATEST(m0.m, COALESCE(t1.m, m0.m)) AS m
+      FROM m0 LEFT JOIN (
+        SELECT source, MAX(ts) AS m FROM b1 WHERE take1 GROUP BY source
+      ) t1 USING (source)
+    ),
+    s1 AS (SELECT MIN(m) AS mn FROM m1),
+    b2 AS (
+      SELECT source, ts, value FROM rows_
+      WHERE c = 2 AND ts > (SELECT mn FROM s1) - {dl}
+      UNION ALL
+      SELECT source, ts, value FROM b1 WHERE NOT take1
+    ),
+    b2t AS (
+      SELECT *, (ts <= (SELECT mn FROM s1) + {dr}) AS take2 FROM b2
+    ),
+    m2 AS (
+      SELECT m1.source, GREATEST(m1.m, COALESCE(t2.m, m1.m)) AS m
+      FROM m1 LEFT JOIN (
+        SELECT source, MAX(ts) AS m FROM b2t WHERE take2 GROUP BY source
+      ) t2 USING (source)
+    ),
+    s2 AS (SELECT MIN(m) AS mn FROM m2),
+    adm AS (
+      SELECT source, ts, value, 0 AS t FROM rows_ WHERE c = 0
+      UNION ALL
+      SELECT source, ts, value, 1 FROM b1 WHERE take1
+      UNION ALL
+      SELECT source, ts, value, 2 FROM b2t WHERE take2
+      UNION ALL
+      SELECT source, ts, value, 3 FROM b2t WHERE NOT take2
+    ),
+    wk AS (
+      SELECT 0 AS k, (SELECT mn FROM s0) - {dl} AS w
+      UNION ALL SELECT 1, (SELECT mn FROM s1) - {dl}
+      UNION ALL SELECT 2, (SELECT mn FROM s2) - {dl}
+    ),
+    wagg AS (
+      SELECT source,
+             CAST(CAST(ts AS DATE) AS TIMESTAMP) AS window_start,
+             CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+               AS window_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               AS sum_value,
+             MAX(t) AS last_adm
+      FROM adm GROUP BY 1, 2, 3
+    )
+    SELECT source, window_start, window_end, n_events, sum_value,
+           CAST(GREATEST(
+             COALESCE((SELECT MIN(k) FROM wk
+                       WHERE w >= wagg.window_end), 3),
+             last_adm) AS BIGINT) AS batch_id
+    FROM wagg
+    """
+
+
+def stream_agg_retract_sql() -> str:
+    """Oracle for `stream_agg_retract`
+    (streaming/agg_retract.py): events as an upsert/delete changelog
+    (key=user_id, grp=event_type, 'error'=delete) in natural day
+    terciles; per-batch snapshots = per-key argmax by (op_ts, op_id)
+    over chunks <= k, live keys aggregated per grp with DECIMAL sums;
+    consecutive snapshots diffed into the RowKind changelog (the
+    stream_topn_retract oracle shape)."""
+    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+    nat = (
+        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
+        "AS BIGINT), 2)"
+    )
+    return f"""
+    WITH ops AS (
+      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
+             event_type AS grp,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value, {nat} AS chunk
+      FROM events
+    ),
+    snapw AS (
+      SELECT kk.k, o.key, o.grp, o.op, o.value,
+             row_number() OVER (PARTITION BY kk.k, o.key
+                                ORDER BY o.op_ts DESC, o.op_id DESC)
+               AS rn
+      FROM (VALUES (0), (1), (2)) AS kk(k)
+      JOIN ops o ON o.chunk <= kk.k
+    ),
+    snaps AS (
+      SELECT k, grp, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                  AS DECIMAL(25,6)) AS total
+      FROM snapw WHERE rn = 1 AND op <> 'D'
+      GROUP BY k, grp
+    ),
+    paired AS (
+      SELECT COALESCE(n.k, o.k + 1) AS batch_id,
+             COALESCE(n.grp, o.grp) AS grp,
+             o.n_keys AS onk, o.total AS ot,
+             n.n_keys AS nnk, n.total AS nt
+      FROM snaps n
+      FULL OUTER JOIN snaps o ON o.k = n.k - 1 AND o.grp = n.grp
+      WHERE COALESCE(n.k, o.k + 1) <= 2
+    )
+    SELECT '+I' AS op, grp, nnk AS n_keys, CAST(nt AS DOUBLE) AS total,
+           CAST(batch_id AS BIGINT) AS batch_id
+    FROM paired WHERE onk IS NULL
+    UNION ALL
+    SELECT '-D', grp, onk, CAST(ot AS DOUBLE), CAST(batch_id AS BIGINT)
+    FROM paired WHERE nnk IS NULL
+    UNION ALL
+    SELECT '-U', grp, onk, CAST(ot AS DOUBLE), CAST(batch_id AS BIGINT)
+    FROM paired
+    WHERE onk IS NOT NULL AND nnk IS NOT NULL
+      AND (onk <> nnk OR ot <> nt)
+    UNION ALL
+    SELECT '+U', grp, nnk, CAST(nt AS DOUBLE), CAST(batch_id AS BIGINT)
+    FROM paired
+    WHERE onk IS NOT NULL AND nnk IS NOT NULL
+      AND (onk <> nnk OR ot <> nt)
+    """
+
+
+@bench_query("stream_agg_retract")
+def q_stream_agg_retract(spark: SparkSession, sf: str) -> DataFrame:
+    """Retract-mode GROUP BY over an UPDATE stream
+    (streaming/agg_retract.py, round-9 capability): events as an
+    upsert/delete changelog (key=user_id, grp/value are attributes of
+    the key's CURRENT version; 'error'=delete) in 3 natural-tercile
+    drops; per-grp COUNT/SUM of live keys emitted as the RowKind
+    changelog — a key's new version retracts its old contribution from
+    its old group (Flink's updating-source aggregate semantics, which
+    append-style folding gets wrong). BENCH twin staged for a round-10
+    gate slot with the snapshot-diff oracle stream_agg_retract_sql,
+    pre-validated at sf0.001 AND sf0.01 in tests/test_agg_retract.py."""
+    from flink_kafka_table_api_spark.streaming.agg_retract import (
+        stream_agg_retract,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    ops = ev.select(
+        F.col("event_id").alias("op_id"),
+        F.col("ts").cast("timestamp").alias("op_ts"),
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("grp"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        "value",
+        natural.cast("int").alias("__chunk"),
+    )
+    state = _scratch_dir("aggretract", sf)
+    return stream_agg_retract(spark, ops, state, n_chunks=3)
+
+
+@bench_query("stream_watermark_alignment")
+def q_stream_watermark_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark ALIGNMENT across sources
+    (streaming/watermark_alignment.py, round-9 capability — Flink
+    FLIP-182 withWatermarkAlignment, the throttling complement of
+    stream_idle_watermark's idleness): events as 5 sources where
+    'click' delivers one tercile EARLY (the source that ran ahead);
+    with drift = 3 days its far-future rows DEFER across batches until
+    the group's minimum advances — nothing drops, the per-window
+    batch_id and the per-batch deferred counts are the throttle trace.
+    BENCH twin staged for a round-10 gate slot with the unrolled
+    admission replay (stream_watermark_alignment_sql), pre-validated at
+    sf0.001 AND sf0.01 in tests/test_watermark_alignment.py."""
+    from flink_kafka_table_api_spark.streaming.watermark_alignment import (
+        stream_watermark_alignment,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    chunk = F.when(
+        F.col("event_type") == "click",
+        F.greatest(natural - 1, F.lit(0)),
+    ).otherwise(natural)
+    rows = ev.select(
+        F.col("event_type").alias("source"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        chunk.cast("int").alias("__chunk"),
+    )
+    state = _scratch_dir("wmalign", sf)
+    return stream_watermark_alignment(
+        spark, rows, state, n_chunks=3, delay="2 days", drift="3 days",
+    )
+
+
 def pii_scrub_sql() -> str:
     """Oracle for `pii_scrub` (operators/text.py): the deterministic
     PII injection (docs with doc_id % 3 <> 0 get an email + dotted quad
@@ -10344,9 +10572,22 @@ _PRIORITY: list[str] = [
 # VERDICT r8 item 7) or further freshness re-runs. With the round-9
 # gate registering all 19 staged round-8 capability names, the staging
 # ledger stays PAID: zero BENCH_ONLY names without driver or
-# suite-embedded evidence. (grouped_agg_udf and frame_sample are NOT
-# here: they run in the round-9 gate's two freshness slots, so their
-# §2.2 capability rows stay in-window without waiting for r10.)
+# suite-embedded evidence. (frame_sample rides this schedule;
+# grouped_agg_udf runs in the round-9 gate's freshness slot.) ONE new
+# round-9-built capability is staged for a round-10 slot:
+# `stream_watermark_alignment` (streaming/watermark_alignment.py,
+# Flink FLIP-182 — the throttling complement of the registered
+# stream_idle_watermark), BENCH twin + unrolled-admission oracle
+# pre-validated at sf0.001 AND sf0.01 in
+# tests/test_watermark_alignment.py; register it as @query with a gate
+# slot in round 10. SECOND staged round-9 capability:
+# `stream_agg_retract` (streaming/agg_retract.py, Flink's update-mode
+# GROUP BY — retraction-handling aggregate over an upsert/delete
+# changelog, completing the update-mode class with
+# stream_topn_retract), BENCH twin + snapshot-diff oracle pre-validated
+# at sf0.001 AND sf0.01 in tests/test_agg_retract.py; round-10 slot
+# math: 33 rotations + frame_sample + alignment + agg_retract = 36 of
+# 50 slots.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "ann_ivf_variants", "audio_features", "contamination_audit",
     "corpus_mix", "embedding_quantize", "frame_sample",

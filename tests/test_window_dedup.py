@@ -11,14 +11,17 @@ import duckdb
 
 from flink_kafka_table_api_spark.queries import (
     BENCH_ONLY,
+    QUERIES,
     stream_window_dedup_sql,
 )
+
+RUNNABLE = {**BENCH_ONLY, **QUERIES}
 
 SF = "/root/testdata/sf0.001"
 
 
 def test_oracle_parity_on_testdata(spark):
-    out = BENCH_ONLY["stream_window_dedup"](spark, SF)
+    out = RUNNABLE["stream_window_dedup"](spark, SF)
     got = sorted(tuple(str(x) for x in r) for r in out.collect())
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
@@ -83,7 +86,7 @@ def test_dynamic_session_oracle_parity(spark):
         stream_session_dynamic_sql,
     )
 
-    out = BENCH_ONLY["stream_session_dynamic"](spark, SF)
+    out = RUNNABLE["stream_session_dynamic"](spark, SF)
     got = sorted(tuple(str(x) for x in r) for r in out.collect())
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
@@ -120,7 +123,7 @@ def test_window_join_oracle_parity(spark):
     while trailing-window unmatched errors stay withheld."""
     from flink_kafka_table_api_spark.queries import stream_window_join_sql
 
-    out = BENCH_ONLY["stream_window_join"](spark, SF)
+    out = RUNNABLE["stream_window_join"](spark, SF)
     got = sorted(tuple(str(x) for x in r) for r in out.collect())
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
