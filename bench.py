@@ -198,6 +198,9 @@ HEADLINE = [
     # round-9 staged for the round-10 gate: Flink's update-mode GROUP BY
     # (retraction-handling aggregate over an upsert/delete changelog)
     "stream_agg_retract",      # RowKind changelog of group aggregates
+    # round-9 staged for the round-10 gate: rank-statistic monitoring
+    # via mergeable fixed-bin histogram state (p50/p90/p99 per batch)
+    "stream_quantile_monitor", # histogram fold + cumulative rank read
 ]
 
 

@@ -8682,6 +8682,97 @@ def stream_watermark_alignment_sql(
     """
 
 
+def stream_quantile_monitor_sql(*, n_bins: int = 64) -> str:
+    """Oracle for `stream_quantile_monitor`
+    (streaming/quantile_monitor.py): documents' text length monitored
+    over 3 doc_id-tercile drops; [lo, hi] calibrated from drop 0, fixed
+    bins, per-batch cumulative rank selection for q in (0.5, 0.9,
+    0.99). Every arithmetic step is IEEE add/sub/mul/div/floor on
+    identical inputs — full-value, no tolerance."""
+    return f"""
+    WITH prm AS (
+      SELECT MIN(doc_id) AS m0,
+             CAST(CEIL((MAX(doc_id) - MIN(doc_id) + 1) / 3.0)
+                  AS BIGINT) AS wid
+      FROM documents
+    ),
+    vals AS (
+      SELECT CAST(length(text) AS DOUBLE) AS v,
+             LEAST(CAST(FLOOR((doc_id - prm.m0) / prm.wid) AS BIGINT),
+                   2) AS c
+      FROM documents, prm
+    ),
+    cal AS (
+      SELECT MIN(v) AS lo, MAX(v) AS hi,
+             (MAX(v) - MIN(v)) / {n_bins} AS w
+      FROM vals WHERE c = 0
+    ),
+    binned AS (
+      SELECT kk.k,
+             CAST(LEAST(GREATEST(FLOOR((v - cal.lo) / cal.w), 0),
+                        {n_bins - 1}) AS INT) AS bin
+      FROM vals, cal, (VALUES (0), (1), (2)) AS kk(k)
+      WHERE vals.c <= kk.k
+    ),
+    hist AS (
+      SELECT k, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY k, bin
+    ),
+    cum AS (
+      SELECT k, bin, n,
+             SUM(n) OVER (PARTITION BY k ORDER BY bin) AS cumn,
+             SUM(n) OVER (PARTITION BY k) AS total
+      FROM hist
+    ),
+    qs AS (
+      SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS q
+    ),
+    sel AS (
+      SELECT c.k, qs.q, c.total AS n_seen, MIN(c.bin) AS bin_idx
+      FROM cum c JOIN qs
+        ON c.cumn >= GREATEST(1, CEIL(qs.q * c.total))
+      GROUP BY c.k, qs.q, c.total
+    )
+    SELECT CAST(k AS BIGINT) AS batch_id, q,
+           CAST(n_seen AS BIGINT) AS n_seen,
+           CAST(bin_idx AS INT) AS bin_idx,
+           cal.lo + bin_idx * cal.w AS q_lo,
+           cal.w AS bin_width
+    FROM sel, cal
+    """
+
+
+@bench_query("stream_quantile_monitor")
+def q_stream_quantile_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming rank-statistic monitor
+    (streaming/quantile_monitor.py, round-9 capability): p50/p90/p99 of
+    document length per micro-batch via mergeable fixed-bin histogram
+    state (n_bins longs regardless of stream age) — the drift signal a
+    data-quality pager fires on, with the error bar (bin width) emitted
+    alongside. BENCH twin staged for a round-10 gate slot with the
+    full-value replay stream_quantile_monitor_sql, pre-validated at
+    sf0.001 AND sf0.01 in tests/test_quantile_monitor.py."""
+    from flink_kafka_table_api_spark.streaming.quantile_monitor import (
+        stream_quantile_monitor,
+    )
+
+    d = _t(spark, sf, "documents")
+    prm = d.agg(
+        F.min("doc_id").alias("m0"),
+        F.ceil((F.max("doc_id") - F.min("doc_id") + 1) / 3.0)
+        .cast("long").alias("w"),
+    ).first()
+    rows = d.select(
+        F.length("text").cast("double").alias("value"),
+        F.least(
+            F.floor((F.col("doc_id") - F.lit(prm.m0)) / F.lit(prm.w)),
+            F.lit(2),
+        ).cast("int").alias("__chunk"),
+    )
+    state = _scratch_dir("qmon", sf)
+    return stream_quantile_monitor(spark, rows, state, n_chunks=3)
+
+
 def stream_agg_retract_sql() -> str:
     """Oracle for `stream_agg_retract`
     (streaming/agg_retract.py): events as an upsert/delete changelog
@@ -10585,8 +10676,13 @@ _PRIORITY: list[str] = [
 # GROUP BY — retraction-handling aggregate over an upsert/delete
 # changelog, completing the update-mode class with
 # stream_topn_retract), BENCH twin + snapshot-diff oracle pre-validated
-# at sf0.001 AND sf0.01 in tests/test_agg_retract.py; round-10 slot
-# math: 33 rotations + frame_sample + alignment + agg_retract = 36 of
+# at sf0.001 AND sf0.01 in tests/test_agg_retract.py. THIRD staged
+# capability: `stream_quantile_monitor`
+# (streaming/quantile_monitor.py, per-batch p50/p90/p99 from mergeable
+# fixed-bin histogram state — the rank-statistic monitor
+# stream_profile lacks), full-value oracle pre-validated at both SFs
+# in tests/test_quantile_monitor.py. Round-10 slot math: 33 rotations
+# + frame_sample + alignment + agg_retract + quantile_monitor = 37 of
 # 50 slots.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "ann_ivf_variants", "audio_features", "contamination_audit",

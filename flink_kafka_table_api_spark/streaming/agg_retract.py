@@ -52,6 +52,11 @@ per-batch merge shuffles O(batch + touched state) rows on the key, the
 aggregate is map-side-combined per grp, and the diff is |groups| rows.
 Nothing re-reads the stream; nothing is O(stream age).
 
+Reference anchor: the reference pipeline's insert-only aggregation is
+the degenerate case of this operator (TransactionProcessor.java:192 —
+append stream, no retraction); the update-mode semantics generalized
+here are Flink's public toChangelogStream/toRetractStream surface.
+
 DuckDB oracle: `stream_agg_retract_sql` (queries.py).
 """
 

@@ -60,6 +60,13 @@ plus a broadcast-size read of carried state. At 100 TB this is Flink's
 own per-partition watermark state, expressed as data instead of
 operator internals.
 
+Reference anchor: the reference is a single-source continuous-insert
+Flink pipeline (TransactionProcessor.java:192,215-223) whose watermark
+strategy is the public Table API's per-source default; this module
+generalizes that lifecycle to the MULTI-source combination rules the
+same public API exposes (withIdleness — Flink docs, "Dealing With Idle
+Sources").
+
 DuckDB oracle: `stream_idle_watermark_sql` (queries.py) replays
 chunk-by-chunk admission, per-source cumulative maxima, the
 active-set min-combine, and emission batches, relationally.

@@ -1,0 +1,200 @@
+"""Streaming quantile monitor: mergeable histogram state -> per-batch
+rank statistics (built round 9, staged for a round-10 gate slot).
+
+`streaming/profile_monitor.py` tracks counts/nulls/ranges/distincts;
+the monitoring signal it cannot answer is a RANK statistic — "did p99
+document length drift this batch?" — the number a data-quality pager
+actually fires on. Production systems track streaming quantiles with
+mergeable sketches (t-digest, KLL); their split/merge internals are
+engine- and seed-specific, so a cross-engine full-value oracle is
+impossible. The deterministic alternative with the same state shape and
+merge algebra is a FIXED-BIN histogram: counts are exactly mergeable
+(addition), the quantile read is integer rank selection over the
+cumulative histogram, and the accuracy contract is explicit — the
+reported quantile is the lower edge of the selected bin, correct to one
+bin width (which is also emitted, so the consumer knows the error bar).
+
+  per micro-batch k (foreachBatch, marker-committed — the sibling
+  recipe):
+    1. CALIBRATE (batch 0 only): [lo, hi] = the first drop's min/max;
+       bin width w = (hi - lo) / n_bins, carried in the offsets json.
+       Later values OUTSIDE the calibrated range clamp into the edge
+       bins — the standing fixed-sketch trade (a t-digest re-centers,
+       a fixed histogram saturates; the clamp counts are visible in the
+       edge bins, and the monitor's job is drift DETECTION, which
+       saturation screams about);
+    2. PARTIAL:  per-bin counts of the batch — ONE map-side-combined
+       aggregate of bin = clamp(floor((v - lo) / w), 0, n_bins - 1);
+       floor of an IEEE division of identical doubles is engine-exact
+       (no transcendental enters — the burst_detection class does not
+       arise);
+    3. MERGE:    carried histogram + partial, union + sum per bin —
+       n_bins rows of state, the same fold shape every sibling uses;
+    4. EMIT:     for each q in `quantiles`: target rank ceil(q * n),
+       selected bin = first bin whose cumulative count reaches it;
+       one row (batch_id, q, n_seen, bin_idx, q_lo = lo + bin * w,
+       bin_width) per quantile per batch — the monitor's time series;
+    5. PUBLISH hist/batch-k + out/batch-k + offsets, marker LAST.
+
+At 100 TB: state is n_bins longs regardless of stream age; the
+per-batch work is one narrow scan into a 64-cell aggregate; the merge
+shuffles bins, not rows. This is the profile_monitor posture with rank
+reads.
+
+DuckDB oracle: `stream_quantile_monitor_sql` (queries.py) replays the
+calibration, binning, cumulative selection, and emission exactly —
+every arithmetic step is IEEE add/sub/mul/div/floor on identical
+inputs, so the oracle is full-value with NO tolerance needed.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+
+_HIST_SCHEMA = "bin int, n long"
+_OUT_SCHEMA = (
+    "batch_id long, q double, n_seen long, bin_idx int, q_lo double, "
+    "bin_width double"
+)
+
+
+def stream_quantile_monitor(
+    spark: SparkSession,
+    rows_chunked: DataFrame,
+    state_dir: str,
+    *,
+    n_chunks: int,
+    n_bins: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    value_col: str = "value",
+    chunk_col: str = "__chunk",
+    keep_versions: int = 3,
+) -> DataFrame:
+    """Monitor rank statistics of `value_col` over `n_chunks` drops:
+    per batch, fold the drop into the carried fixed-bin histogram and
+    emit (batch_id, q, n_seen, bin_idx, q_lo, bin_width) per requested
+    quantile. Deterministic given the drop boundaries."""
+    src = stage_chunked_by(
+        rows_chunked.select(
+            F.col(value_col).cast("double").alias("value"),
+            F.col(chunk_col).alias("__chunk"),
+        ),
+        os.path.join(state_dir, "src"),
+        chunk_col=chunk_col, n_chunks=n_chunks, columns=["value"],
+    )
+    out_dir = os.path.join(state_dir, "out")
+    hist_dir = os.path.join(state_dir, "hist")
+    meta_dir = os.path.join(state_dir, "offsets")
+    marker_dir = os.path.join(state_dir, "commits")
+
+    def _meta_after(batch_id: int) -> dict | None:
+        p = os.path.join(meta_dir, f"batch-{batch_id}.json")
+        if batch_id < 0 or not os.path.exists(p):
+            return None
+        return json.load(open(p))
+
+    def _hist_after(batch_id: int) -> DataFrame:
+        p = os.path.join(hist_dir, f"batch-{batch_id}")
+        if batch_id < 0 or not os.path.isdir(p):
+            return spark.createDataFrame([], _HIST_SCHEMA)
+        return spark.read.schema(_HIST_SCHEMA).parquet(p)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        os.makedirs(meta_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replay of a committed batch: no-op
+        for d in (out_dir, hist_dir):
+            shutil.rmtree(
+                os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
+            )
+        meta = _meta_after(batch_id - 1)
+        if meta is None:
+            mm = batch.agg(
+                F.min("value").alias("lo"), F.max("value").alias("hi")
+            ).first()
+            lo = float(mm["lo"]) if mm["lo"] is not None else 0.0
+            hi = float(mm["hi"]) if mm["hi"] is not None else 1.0
+            w = (hi - lo) / n_bins if hi > lo else 1.0
+            meta = {"lo": lo, "hi": hi, "w": w}
+        lo, w = meta["lo"], meta["w"]
+        bin_col = F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.lit(lo)) / F.lit(w)),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        partial = batch.select(bin_col.alias("bin")).groupBy("bin").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        merged = (
+            _hist_after(batch_id - 1).unionByName(partial)
+            .groupBy("bin").agg(F.sum("n").cast("long").alias("n"))
+        ).persist()
+        # bounded state: n_bins rows — the quantile read is driver-side
+        # integer selection over a 64-cell list (documented bounded
+        # collect, the quota.py precedent)
+        cells = sorted(
+            (r["bin"], r["n"]) for r in merged.collect()
+        )
+        n_seen = sum(n for _, n in cells)
+        rows = []
+        for q in quantiles:
+            target = max(1, math.ceil(q * n_seen)) if n_seen else 0
+            cum, sel = 0, (n_bins - 1)
+            for b, n in cells:
+                cum += n
+                if cum >= target:
+                    sel = b
+                    break
+            rows.append((
+                batch_id, float(q), n_seen, int(sel),
+                lo + sel * w, float(w),
+            ))
+        spark.createDataFrame(rows, _OUT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch-{batch_id}"))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(hist_dir, f"batch-{batch_id}")
+        )
+        merged.unpersist()
+        json.dump(meta, open(
+            os.path.join(meta_dir, f"batch-{batch_id}.json"), "w"
+        ))
+        open(marker, "w").close()
+        old = batch_id - keep_versions
+        if old >= 0:
+            shutil.rmtree(os.path.join(hist_dir, f"batch-{old}"),
+                          ignore_errors=True)
+
+    stream = (
+        spark.readStream
+        .schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    return (
+        spark.read.schema(_OUT_SCHEMA)
+        .option("recursiveFileLookup", "true").parquet(out_dir)
+        .select("batch_id", "q", "n_seen", "bin_idx", "q_lo",
+                "bin_width")
+    )

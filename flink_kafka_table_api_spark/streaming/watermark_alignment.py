@@ -64,6 +64,10 @@ bounded by how far ahead a source runs within one drop, and the
 per-batch work is one keyed partial aggregate + a union-fold merge —
 never O(stream age).
 
+Reference anchor: same lifecycle generalization as idle_watermark
+(TransactionProcessor.java:192,215-223); the alignment rule itself is
+Flink's public FLIP-182 / withWatermarkAlignment surface.
+
 DuckDB oracle: `stream_watermark_alignment_sql` (queries.py) unrolls
 the three batch layers (A_1 from batch-0 maxima, A_2 from batch-1
 maxima) so each row's admit batch is a CASE over its ts against the
