@@ -161,9 +161,22 @@ def stream_quantile_monitor(
                 batch_id, float(q), n_seen, int(sel),
                 lo + sel * w, float(w),
             ))
-        spark.createDataFrame(rows, _OUT_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"batch-{batch_id}"))
+        # |quantiles| rows: write driver-side via Arrow instead of
+        # spinning a Spark job for a 3-row DataFrame each batch
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "batch_id": pa.array([r[0] for r in rows], pa.int64()),
+            "q": pa.array([r[1] for r in rows], pa.float64()),
+            "n_seen": pa.array([r[2] for r in rows], pa.int64()),
+            "bin_idx": pa.array([r[3] for r in rows], pa.int32()),
+            "q_lo": pa.array([r[4] for r in rows], pa.float64()),
+            "bin_width": pa.array([r[5] for r in rows], pa.float64()),
+        })
+        bdir = os.path.join(out_dir, f"batch-{batch_id}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
         merged.write.mode("overwrite").parquet(
             os.path.join(hist_dir, f"batch-{batch_id}")
         )
