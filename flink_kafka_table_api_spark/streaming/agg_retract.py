@@ -82,13 +82,17 @@ _OUT_SCHEMA = (
 
 
 def _winners(ops: DataFrame) -> DataFrame:
-    w = Window.partitionBy("key").orderBy(
-        F.col("op_ts").desc(), F.col("op_id").desc()
-    )
-    return (
-        ops.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("key", "op_id", "op_ts", "grp", "op", "value")
+    """Per-key argmax by (op_ts, op_id) as a max_by HASH aggregate (the
+    cdc_apply recipe) — partial-agg friendly, so a celebrity key
+    combines map-side instead of sorting its whole history in one task
+    (a row_number window would be sort-based)."""
+    pick = F.max_by(
+        F.struct("op_id", "op_ts", "grp", "op", "value"),
+        F.struct("op_ts", "op_id"),
+    ).alias("__w")
+    return ops.groupBy("key").agg(pick).select(
+        "key", "__w.op_id", "__w.op_ts", "__w.grp", "__w.op",
+        "__w.value",
     )
 
 
