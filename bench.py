@@ -201,6 +201,10 @@ HEADLINE = [
     # round-9 staged for the round-10 gate: rank-statistic monitoring
     # via mergeable fixed-bin histogram state (p50/p90/p99 per batch)
     "stream_quantile_monitor", # histogram fold + cumulative rank read
+    # round-9 staged for the round-10 gate: Flink allowedLateness +
+    # sideOutputLateData — corrections within the allowance, quarantine
+    # beyond it, emergent state eviction at end + allowed
+    "stream_allowed_lateness", # -U/+U re-fires + LATE side output
 ]
 
 

@@ -8773,6 +8773,142 @@ def q_stream_quantile_monitor(spark: SparkSession, sf: str) -> DataFrame:
     return stream_quantile_monitor(spark, rows, state, n_chunks=3)
 
 
+def stream_allowed_lateness_sql(
+    *, delay_days: int = 2, allowed_days: int = 12
+) -> str:
+    """Oracle for `stream_allowed_lateness`
+    (streaming/allowed_lateness.py): events in day-tercile drops with
+    the %37/%61 late shifts; per-chunk monotone watermark from
+    delivered maxima; classification against W_{k-1} and
+    W_{k-1} - allowed; first fire at max(watermark-pass batch, first
+    admitted arrival) — a window whose pass precedes its first
+    late-allowed arrival fires when the row lands; '-U'/'+U'
+    correction pairs at every later batch that delivers an admitted
+    row to a fired window; quarantined rows aggregate per (window,
+    arrival batch) as 'LATE'; never-fired windows flush as batch 3."""
+    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+    nat = (
+        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
+        "AS BIGINT), 2)"
+    )
+    dl = f"INTERVAL {delay_days} DAY"
+    al = f"INTERVAL {allowed_days} DAY"
+    return f"""
+    WITH rows_ AS (
+      SELECT ts, value,
+             LEAST({nat} + (CASE WHEN event_id % 61 = 0 THEN 2
+                                 WHEN event_id % 37 = 0 THEN 1
+                                 ELSE 0 END), 2) AS c
+      FROM events
+    ),
+    mx AS (SELECT c AS k, MAX(ts) AS m FROM rows_ GROUP BY c),
+    wk AS (
+      SELECT kk.k, MAX(m.m) - {dl} AS w
+      FROM (VALUES (0), (1), (2)) AS kk(k)
+      JOIN mx m ON m.k <= kk.k
+      GROUP BY kk.k
+    ),
+    cls AS (
+      SELECT r.ts, r.value, r.c,
+             CAST(CAST(r.ts AS DATE) AS TIMESTAMP) AS ws,
+             CAST(CAST(r.ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+               AS we,
+             (r.c = 0 OR r.ts >
+                (SELECT w FROM wk WHERE k = r.c - 1) - {al}) AS adm
+      FROM rows_ r
+    ),
+    aggj AS (
+      SELECT a.ws, a.we, kk.k AS j,
+             CAST(COUNT(*) FILTER (WHERE a.c <= kk.k) AS BIGINT) AS n,
+             CAST(SUM(CAST(a.value AS DECIMAL(25,6)))
+                  FILTER (WHERE a.c <= kk.k) AS DECIMAL(25,6)) AS sv,
+             COUNT(*) FILTER (WHERE a.c = kk.k) AS arr
+      FROM cls a CROSS JOIN (VALUES (0), (1), (2)) AS kk(k)
+      WHERE a.adm
+      GROUP BY a.ws, a.we, kk.k
+    ),
+    fw AS (
+      SELECT x.ws, x.we,
+             CASE WHEN pass IS NULL THEN CAST(3 AS BIGINT)
+                  ELSE GREATEST(pass, c0) END AS ff
+      FROM (
+        SELECT ws, we, MIN(c) AS c0,
+               (SELECT MIN(k) FROM wk WHERE wk.w >= cls.we) AS pass
+        FROM cls WHERE adm GROUP BY ws, we
+      ) x(ws, we, c0, pass)
+    )
+    SELECT 'LATE' AS op, ws AS window_start, we AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                AS DECIMAL(25,6)) AS DOUBLE) AS sum_value,
+           CAST(c AS BIGINT) AS batch_id
+    FROM cls WHERE NOT adm GROUP BY ws, we, c
+    UNION ALL
+    SELECT '+I', a.ws, a.we, a.n, CAST(a.sv AS DOUBLE),
+           CAST(f.ff AS BIGINT)
+    FROM aggj a JOIN fw f ON a.ws = f.ws AND a.we = f.we
+    WHERE f.ff <= 2 AND a.j = f.ff
+    UNION ALL
+    SELECT '+I', a.ws, a.we, a.n, CAST(a.sv AS DOUBLE),
+           CAST(3 AS BIGINT)
+    FROM aggj a JOIN fw f ON a.ws = f.ws AND a.we = f.we
+    WHERE f.ff = 3 AND a.j = 2
+    UNION ALL
+    SELECT '-U', cur.ws, cur.we, prev.n, CAST(prev.sv AS DOUBLE),
+           CAST(cur.j AS BIGINT)
+    FROM aggj cur
+    JOIN aggj prev ON prev.ws = cur.ws AND prev.we = cur.we
+                  AND prev.j = cur.j - 1
+    JOIN fw f ON cur.ws = f.ws AND cur.we = f.we
+    WHERE cur.j > f.ff AND cur.arr > 0
+    UNION ALL
+    SELECT '+U', cur.ws, cur.we, cur.n, CAST(cur.sv AS DOUBLE),
+           CAST(cur.j AS BIGINT)
+    FROM aggj cur
+    JOIN fw f ON cur.ws = f.ws AND cur.we = f.we
+    WHERE cur.j > f.ff AND cur.arr > 0
+    """
+
+
+@bench_query("stream_allowed_lateness")
+def q_stream_allowed_lateness(spark: SparkSession, sf: str) -> DataFrame:
+    """Allowed lateness + late-data side output
+    (streaming/allowed_lateness.py, round-9 capability — Flink's
+    allowedLateness/sideOutputLateData): events in 3 out-of-order
+    drops (%37/%61 shifts), 1-day windows under a 2-day watermark with
+    a 12-day allowance sized to the drop cadence (one-tercile-late rows
+    straddle it: the newer ones RE-FIRE their window as a '-U'/'+U'
+    correction pair, the older ones and every two-tercile-late row land
+    in the 'LATE' side output instead of vanishing — both paths live,
+    asserted in the tests). BENCH twin staged for a round-10 gate
+    slot with the classification+schedule replay
+    stream_allowed_lateness_sql, pre-validated at sf0.001 AND sf0.01 in
+    tests/test_allowed_lateness.py."""
+    from flink_kafka_table_api_spark.streaming.allowed_lateness import (
+        stream_allowed_lateness,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    shift = (
+        F.when(F.col("event_id") % 61 == 0, F.lit(2))
+        .when(F.col("event_id") % 37 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    rows = ev.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        F.least(natural + shift, F.lit(2)).cast("int").alias("__chunk"),
+    )
+    state = _scratch_dir("allowlate", sf)
+    return stream_allowed_lateness(
+        spark, rows, state, n_chunks=3, delay="2 days",
+        allowed="12 days",
+    )
+
+
 def stream_agg_retract_sql() -> str:
     """Oracle for `stream_agg_retract`
     (streaming/agg_retract.py): events as an upsert/delete changelog
@@ -10681,9 +10817,15 @@ _PRIORITY: list[str] = [
 # (streaming/quantile_monitor.py, per-batch p50/p90/p99 from mergeable
 # fixed-bin histogram state — the rank-statistic monitor
 # stream_profile lacks), full-value oracle pre-validated at both SFs
-# in tests/test_quantile_monitor.py. Round-10 slot math: 33 rotations
-# + frame_sample + alignment + agg_retract + quantile_monitor = 37 of
-# 50 slots.
+# in tests/test_quantile_monitor.py. FOURTH staged capability:
+# `stream_allowed_lateness` (streaming/allowed_lateness.py — Flink's
+# allowedLateness + sideOutputLateData: '-U'/'+U' correction re-fires
+# for late-but-allowed rows, a 'LATE' side output beyond the
+# allowance, emergent state eviction at end + allowed; every op class
+# live on the gate corpus), oracle pre-validated at both SFs in
+# tests/test_allowed_lateness.py. Round-10 slot math: 33 rotations +
+# frame_sample + alignment + agg_retract + quantile_monitor +
+# allowed_lateness = 38 of 50 slots.
 _NEXT_GATE_SCHEDULE: list[str] = [
     "ann_ivf_variants", "audio_features", "contamination_audit",
     "corpus_mix", "embedding_quantize", "frame_sample",
