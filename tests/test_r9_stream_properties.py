@@ -47,9 +47,6 @@ def _al_reference(rows):
             adm.append((c, ts, v))
         else:
             late.append((c, ts, v))
-    out = []
-    for c, ts, v in late:
-        out.append(("LATE", ts.date(), c))
     # group LATE per (window, batch) with aggregates
     lateagg = defaultdict(lambda: [0, 0.0])
     for c, ts, v in late:
@@ -190,3 +187,160 @@ def test_agg_retract_matches_python_replay(spark, raw):
         for r in out.collect()
     )
     assert got == _ar_reference(ops)
+
+
+# ---------------------------------------------------------------------------
+# idle watermark: active-set min-combine + admission/emission schedule
+# ---------------------------------------------------------------------------
+
+def _iw_reference(rows):
+    """Pure-Python replay of stream_idle_watermark (delay 1 day, 1-day
+    windows, idleness on, 3 chunks). rows: (chunk, source, ts, value)."""
+    max_seen, w_list, wprev = {}, [], None
+    admitted = []
+    for k in range(3):
+        batch = [(s, ts, v) for c, s, ts, v in rows if c == k]
+        admitted += [
+            (k, s, ts, v) for s, ts, v in batch
+            if wprev is None or ts > wprev
+        ]
+        active = set()
+        for s, ts, v in batch:
+            active.add(s)
+            if s not in max_seen or ts > max_seen[s]:
+                max_seen[s] = ts
+        wk = wprev
+        if active:
+            cand = min(max_seen[s] for s in active) - DAY
+            wk = cand if wk is None else max(wk, cand)
+        w_list.append(wk)
+        wprev = wk
+    windows = defaultdict(list)
+    for k, s, ts, v in admitted:
+        windows[(s, ts.date())].append((k, v))
+    emissions = []
+    for (s, d), wrows in windows.items():
+        w_end = dt.datetime.combine(d, dt.time()) + DAY
+        passed = [k for k in range(3)
+                  if w_list[k] is not None and w_list[k] >= w_end]
+        b = min(passed) if passed else 3
+        emissions.append((
+            s, str(d), len(wrows), sum(v for _, v in wrows), b,
+        ))
+    return sorted(emissions)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # chunk
+            st.sampled_from(["A", "B"]),               # source
+            st.integers(min_value=0, max_value=120),   # hour offset
+            st.integers(min_value=0, max_value=9),     # value
+        ),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_idle_watermark_matches_python_replay(spark, raw):
+    rows = [(c, s, BASE + dt.timedelta(hours=h), float(v))
+            for c, s, h, v in raw]
+    df = spark.createDataFrame(
+        rows, "c int, source string, ts timestamp, value double",
+    ).select("source", "ts", "value", F.col("c").alias("__chunk"))
+    from flink_kafka_table_api_spark.streaming.idle_watermark import (
+        stream_idle_watermark,
+    )
+    out = stream_idle_watermark(
+        spark, df, tempfile.mkdtemp(prefix="fkta_iwprop_"),
+        n_chunks=3, delay="1 day",
+    )
+    got = sorted(
+        (r.source, str(r.window_start)[:10], r.n_events, r.sum_value,
+         r.batch_id)
+        for r in out.collect()
+    )
+    assert got == _iw_reference(rows)
+
+
+# ---------------------------------------------------------------------------
+# watermark alignment: lateness + gating + deferral + two-condition emission
+# ---------------------------------------------------------------------------
+
+def _wa_reference(rows):
+    """Pure-Python SIMULATION of stream_watermark_alignment (delay 1
+    day, drift 1 day, 1-day windows, 3 chunks) — an independent
+    implementation of the same state machine."""
+    max_adm = {}
+    deferred = []
+    pending = {}
+    fired = set()
+    emissions = []
+    for k in range(3):
+        batch = [(s, ts, v) for c, s, ts, v in rows if c == k]
+        if max_adm:
+            wprev = min(max_adm.values()) - DAY
+            batch = [(s, ts, v) for s, ts, v in batch if ts > wprev]
+        avail = batch + deferred
+        if max_adm:
+            a_k = min(max_adm.values()) + DAY
+            admitted = [(s, ts, v) for s, ts, v in avail if ts <= a_k]
+            deferred = [(s, ts, v) for s, ts, v in avail if ts > a_k]
+        else:
+            admitted, deferred = avail, []
+        for s, ts, v in admitted:
+            if s not in max_adm or ts > max_adm[s]:
+                max_adm[s] = ts
+        for s, ts, v in admitted:
+            key = (s, ts.date())
+            n, sv = pending.get(key, (0, 0.0))
+            pending[key] = (n + 1, sv + v)
+        wk = min(max_adm.values()) - DAY if max_adm else None
+        blocked = {(s, ts.date()) for s, ts, v in deferred}
+        if wk is not None:
+            for key in sorted(pending):
+                s, d = key
+                w_end = dt.datetime.combine(d, dt.time()) + DAY
+                if w_end <= wk and key not in blocked:
+                    n, sv = pending.pop(key)
+                    emissions.append((s, str(d), n, sv, k))
+    for s, ts, v in deferred:
+        key = (s, ts.date())
+        n, sv = pending.get(key, (0, 0.0))
+        pending[key] = (n + 1, sv + v)
+    for (s, d), (n, sv) in pending.items():
+        emissions.append((s, str(d), n, sv, 3))
+    return sorted(emissions)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # chunk
+            st.sampled_from(["A", "B"]),               # source
+            st.integers(min_value=0, max_value=120),   # hour offset
+            st.integers(min_value=0, max_value=9),     # value
+        ),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_watermark_alignment_matches_python_replay(spark, raw):
+    rows = [(c, s, BASE + dt.timedelta(hours=h), float(v))
+            for c, s, h, v in raw]
+    df = spark.createDataFrame(
+        rows, "c int, source string, ts timestamp, value double",
+    ).select("source", "ts", "value", F.col("c").alias("__chunk"))
+    from flink_kafka_table_api_spark.streaming.watermark_alignment import (
+        stream_watermark_alignment,
+    )
+    out = stream_watermark_alignment(
+        spark, df, tempfile.mkdtemp(prefix="fkta_waprop_"),
+        n_chunks=3, delay="1 day", drift="1 day",
+    )
+    got = sorted(
+        (r.source, str(r.window_start)[:10], r.n_events, r.sum_value,
+         r.batch_id)
+        for r in out.collect()
+    )
+    assert got == _wa_reference(rows)
