@@ -205,6 +205,10 @@ HEADLINE = [
     # sideOutputLateData — corrections within the allowance, quarantine
     # beyond it, emergent state eviction at end + allowed
     "stream_allowed_lateness", # -U/+U re-fires + LATE side output
+    # round-10 staged for the round-11 gate: Flink table.exec.state.ttl
+    # (idle-state retention) on the update-mode GROUP BY — keys idle
+    # beyond the TTL horizon leave the carried state AND the aggregates
+    "stream_state_ttl",        # bounded-state update-mode aggregate
 ]
 
 

@@ -486,54 +486,89 @@ def cusum_drift_sql(*, slack: float = 0.5, threshold: float = 4.0) -> str:
     """
 
 
-def burst_detection(
+BURST_QUANTUM = 1_000.0
+"""Cost quantization scale for burst_detection (milli-units).
+
+Round-10 coarsening (VERDICT r9 item 1a): at quantum 1e6 the committed
+margin audit measured cost-boundary floors of ~1e-5 micro-units — two
+orders above a glibc-quality ln's ulp wiggle, but a driver DuckDB built
+against a DIFFERENT libm (or vectorizing ln) can legally exceed that
+band: a 1e-13-relative ln difference amplified by c<=n~1e3 is ~2e-5
+micro-units. At quantum 1e3 the same absolute ln wiggle shrinks to
+~2e-8 milli-units while the measured boundary margins stay O(0.01-0.1)
+units — survivable under ANY IEEE-quality third engine, even a
+fast-math one. The spec IS the quantized algorithm (identical constant
+in both engines), so coarsening is a parameter choice, not a
+correctness loss; tests/test_decision_margins.py re-audits the floors
+at both gate SFs against the new scale."""
+
+
+def _burst_scored_sql(*, burst_mult: float = 2.0) -> str:
+    """Shared oracle CTE prefix for the burst family: calendar-filled
+    daily counts, per-group p0/p1 from exact integer sums, and the
+    integer milli-unit costs e0/e1 via floor(x*1e3 + 0.5) — pure IEEE
+    floor/mult/add (never round(): Spark's round on DOUBLE re-reads the
+    shortest decimal repr via BigDecimal.valueOf, which is boundary-
+    unsafe cross-engine). Ends with the `idx` CTE (grp, day, c, n, e0,
+    e1, i, n_i) so callers append their own recursive folds."""
+    q = BURST_QUANTUM
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, SUM(c) AS n FROM daily GROUP BY day),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    cal AS (
+      SELECT g.grp, CAST(u.day AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) g,
+           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span) u
+    ),
+    filled AS (
+      SELECT cal.grp, cal.day, COALESCE(d.c, 0) AS c, COALESCE(t.n, 0) AS n
+      FROM cal LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
+               LEFT JOIN tot t ON cal.day = t.day
+    ),
+    stats AS (
+      SELECT grp,
+             CAST(SUM(c) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p0,
+             least(1.0 - 1e-6, {burst_mult} * CAST(SUM(c) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE)) AS p1
+      FROM filled GROUP BY grp
+    ),
+    scored AS (
+      SELECT f.grp, f.day, f.c, f.n,
+             CASE WHEN f.n > 0 THEN CAST(floor(
+               -(CAST(f.c AS DOUBLE) * ln(s.p0)
+                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p0)) * {q}
+               + 0.5) AS BIGINT) ELSE 0 END AS e0,
+             CASE WHEN f.n > 0 THEN CAST(floor(
+               -(CAST(f.c AS DOUBLE) * ln(s.p1)
+                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p1)) * {q}
+               + 0.5) AS BIGINT) ELSE 0 END AS e1
+      FROM filled f JOIN stats s ON f.grp = s.grp
+    ),
+    idx AS (
+      SELECT grp, day, c, n, e0, e1,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY day)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_i
+      FROM scored
+    )"""
+
+
+def _burst_scored(
     events: DataFrame,
     *,
-    group_col: str = "event_type",
-    ts_col: str = "ts",
-    burst_mult: float = 2.0,
-    gamma_scale: float = 30.0,
+    group_col: str,
+    ts_col: str,
+    burst_mult: float,
 ) -> DataFrame:
-    """Kleinberg two-state burst detection (Kleinberg KDD'02, "Bursty
-    and Hierarchical Structure in Streams", batch two-state variant)
-    over each group's DAILY share of the corpus event stream: state q0
-    emits at the group's base rate p0 = its overall share of daily
-    totals, state q1 at p1 = min(burst_mult * p0, 1-1e-6); a day costs
-    the binomial negative log-likelihood -(c ln p + (n-c) ln(1-p)) in
-    its state and entering q1 costs gamma = ln(gamma_scale); the
-    minimum-cost state sequence (Viterbi) marks burst days. Unlike a
-    per-day threshold (seasonal_anomaly) or drift accumulation
-    (cusum_drift), this yields coherent burst INTERVALS: brief dips
-    inside a burst stay marked because switching back costs more than
-    the dip saves.
-
-    Cross-engine determinism (hardened after the round-8 driver red —
-    the one hash mismatch of CORRECTNESS_r08): p0/p1 derive from exact
-    integer sums, the per-day per-state costs quantize ONCE to integer
-    micro-units via floor(x*1e6 + 0.5) — pure IEEE floor/mult/add, NOT
-    round(): Spark's round on DOUBLE re-reads the shortest decimal repr
-    (BigDecimal.valueOf), so a cost sitting ~1e-5 from a .5 boundary
-    (sf0.01 has one at 203621826.500018) can legally round differently
-    from an engine rounding the binary value. With floor(+0.5) the only
-    cross-engine wiggle left is ln itself (~1e-8 in micro-units, ulp-
-    bounded); tests/test_decision_margins.py asserts every cost at both
-    gate SFs sits > 1e-6 micro-units from its floor boundary. Both the
-    forward Viterbi (costs + parent pointers) and the backward path
-    trace are then folds over INTEGER arithmetic with pinned tie-breaks
-    (ties prefer q0 on entry, q1 on stay, q0 at the final day); the
-    DuckDB oracle replays them as recursive CTEs — standard SQL
-    semantics, no list_reduce/lambda (whose accumulator behavior is
-    DuckDB-version-specific; the round-8 oracle leaned on the 1.0
-    quirk and a newer driver DuckDB changed its meaning).
-
-    Returns (group, day, n_events, day_total, burst). Missing days
-    count 0 against that day's total (the cusum_drift calendar rule).
-
-    Scale shape: ONE corpus-sized aggregate (group x day partial
-    counts); the calendar join, stats, and both folds run on the tiny
-    groups-x-days frame. The folds are O(days^2) array copies per group
-    (bounded: one element per day) — at 100 TB this is still kilobytes
-    per group after the single shuffle."""
+    """Shared Spark prefix for the burst family: (grp, day, c, n, e0,
+    e1) with integer milli-unit costs — the exact twin of
+    :func:`_burst_scored_sql`'s `scored` CTE."""
     e = events.select(
         F.col(group_col).alias("grp"),
         F.to_date(F.col(ts_col)).alias("day"),
@@ -586,18 +621,142 @@ def burst_detection(
                     + (F.col("n") - F.col("c")).cast("double")
                     * F.log(F.lit(1.0) - p)
                 )
-                * 1e6
+                * F.lit(BURST_QUANTUM)
                 + F.lit(0.5)
             ).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
 
-    import math
-
-    g6 = int(round(math.log(gamma_scale) * 1_000_000))
-    scored = filled.join(F.broadcast(stats), "grp").select(
+    return filled.join(F.broadcast(stats), "grp").select(
         "grp", "day", "c", "n",
         nll(F.col("p0")).alias("e0"),
         nll(F.col("p1")).alias("e1"),
+    )
+
+
+def _burst_gamma(gamma_scale: float) -> int:
+    """Burst entry cost gamma = ln(gamma_scale), in integer milli-units
+    (driver-side constant, identical literal in both engines)."""
+    import math
+
+    return int(round(math.log(gamma_scale) * BURST_QUANTUM))
+
+
+def _burst_walk_col(g: int) -> "tuple[Column, Column]":
+    """Given sorted per-group cost structs `xs` (day, c, n, e0, e1),
+    build (walk, states) columns.
+
+    The two-state Viterbi reduces to a SCALAR integer walk (round-10
+    reformulation, VERDICT r9 item 1b). With c0/c1 the usual forward
+    minima (c0_t = e0_t + min(c0', c1'); c1_t = e1_t + min(c0' + g,
+    c1')), the difference D = c1 - c0 satisfies
+
+        D_1 = e1_1 - e0_1 + g
+        D_t = (e1_t - e0_t) + clamp(D_{t-1}, 0, g)
+
+    because min(c0'+g, c1') - min(c0', c1') = min(g, D') - min(0, D')
+    = clamp(D', 0, g). The parent pointers are FUNCTIONS of D': the
+    predecessor of q0 is q1 iff D' < 0 (tie prefers q0), and the
+    predecessor of q1 is q0 iff D' > g (tie prefers q1) — the exact
+    tie-breaks of the round-9 pointer formulation. The final state is
+    q1 iff D_T < 0 (tie prefers q0). So the backtrack reads D against
+    0/g and no unbounded c0/c1 sums or parent-pointer strings exist:
+    every comparison is small-integer-exact in any engine."""
+    init = F.expr("CAST(array() AS array<bigint>)")
+
+    def step(acc, x):
+        first = F.size(acc) == 0
+        prev = F.element_at(acc, -1)
+        d = x["e1"] - x["e0"] + F.when(first, F.lit(g).cast("long")).otherwise(
+            F.least(F.greatest(prev, F.lit(0).cast("long")),
+                    F.lit(g).cast("long"))
+        )
+        return F.concat(acc, F.array(d))
+
+    walk = F.aggregate("xs", init, step)
+    # backward trace over [D_{T-1}, ..., D_1]; seed from D_T
+    d_last = F.element_at(walk, -1)
+    final_s = F.when(d_last < 0, F.lit(1)).otherwise(F.lit(0)).cast("int")
+    states = F.reverse(
+        F.aggregate(
+            F.reverse(
+                F.slice(walk, 1, F.greatest(F.size(walk) - 1, F.lit(0)))
+            ),
+            F.struct(final_s.alias("s"), F.array(final_s).alias("states")),
+            lambda acc, d: F.struct(
+                F.when(
+                    acc["s"] == 1,
+                    F.when(d > g, F.lit(0)).otherwise(F.lit(1)),
+                )
+                .otherwise(
+                    F.when(d < 0, F.lit(1)).otherwise(F.lit(0))
+                )
+                .cast("int")
+                .alias("s"),
+                F.concat(
+                    acc["states"],
+                    F.array(
+                        F.when(
+                            acc["s"] == 1,
+                            F.when(d > g, F.lit(0)).otherwise(F.lit(1)),
+                        )
+                        .otherwise(
+                            F.when(d < 0, F.lit(1)).otherwise(F.lit(0))
+                        )
+                        .cast("int")
+                    ),
+                ).alias("states"),
+            ),
+            lambda acc: acc["states"],
+        )
+    )
+    return walk, states
+
+
+def burst_detection(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    burst_mult: float = 2.0,
+    gamma_scale: float = 30.0,
+) -> DataFrame:
+    """Kleinberg two-state burst detection (Kleinberg KDD'02, "Bursty
+    and Hierarchical Structure in Streams", batch two-state variant)
+    over each group's DAILY share of the corpus event stream: state q0
+    emits at the group's base rate p0 = its overall share of daily
+    totals, state q1 at p1 = min(burst_mult * p0, 1-1e-6); a day costs
+    the binomial negative log-likelihood -(c ln p + (n-c) ln(1-p)) in
+    its state and entering q1 costs gamma = ln(gamma_scale); the
+    minimum-cost state sequence (Viterbi) marks burst days. Unlike a
+    per-day threshold (seasonal_anomaly) or drift accumulation
+    (cusum_drift), this yields coherent burst INTERVALS: brief dips
+    inside a burst stay marked because switching back costs more than
+    the dip saves.
+
+    Cross-engine determinism (round-10 hardening, after driver reds in
+    r8 AND r9 with a local replica green on the identical commit/data —
+    the divergence is inside the driver's newer DuckDB binary): costs
+    quantize ONCE to integer MILLI-units via floor(x*1e3 + 0.5) — see
+    BURST_QUANTUM for why 1e3 makes the margins robust to ANY libm —
+    and the Viterbi collapses to a scalar integer walk
+    D_t = (e1_t - e0_t) + clamp(D_{t-1}, 0, gamma) with the backtrack
+    reading D against 0/gamma (derivation in :func:`_burst_walk_col`),
+    eliminating the parent-pointer strings and most of the oracle's
+    version-sensitive recursive-CTE machinery. Tie-breaks are pinned:
+    ties prefer q0 on entry, q1 on stay, q0 at the final day —
+    identical to the pointer formulation they replace.
+
+    Returns (group, day, n_events, day_total, burst). Missing days
+    count 0 against that day's total (the cusum_drift calendar rule).
+
+    Scale shape: ONE corpus-sized aggregate (group x day partial
+    counts); the calendar join, stats, and the fold run on the tiny
+    groups-x-days frame. The fold is O(days^2) array copies per group
+    (bounded: one bigint per day) — at 100 TB this is still kilobytes
+    per group after the single shuffle."""
+    g = _burst_gamma(gamma_scale)
+    scored = _burst_scored(
+        events, group_col=group_col, ts_col=ts_col, burst_mult=burst_mult
     )
     ser = scored.groupBy("grp").agg(
         F.array_sort(
@@ -610,71 +769,9 @@ def burst_detection(
             )
         ).alias("xs")
     )
-    # forward Viterbi: integer costs + parent pointers
-    init = F.struct(
-        F.lit(None).cast("long").alias("c0"),
-        F.lit(None).cast("long").alias("c1"),
-        F.expr("array()").cast("array<struct<p0:int,p1:int>>").alias("ptrs"),
-    )
-
-    def step(acc, x):
-        first = acc["c0"].isNull()
-        nc0 = F.when(first, x["e0"]).otherwise(
-            x["e0"] + F.least(acc["c0"], acc["c1"])
-        )
-        nc1 = F.when(first, x["e1"] + F.lit(g6)).otherwise(
-            x["e1"] + F.least(acc["c0"] + F.lit(g6), acc["c1"])
-        )
-        p0c = F.when(first, F.lit(0)).otherwise(
-            F.when(acc["c0"] <= acc["c1"], F.lit(0)).otherwise(F.lit(1))
-        ).cast("int")
-        p1c = F.when(first, F.lit(1)).otherwise(
-            F.when(acc["c0"] + F.lit(g6) < acc["c1"], F.lit(0))
-            .otherwise(F.lit(1))
-        ).cast("int")
-        return F.struct(
-            nc0.alias("c0"),
-            nc1.alias("c1"),
-            F.concat(
-                acc["ptrs"],
-                F.array(F.struct(p0c.alias("p0"), p1c.alias("p1"))),
-            ).alias("ptrs"),
-        )
-
-    folded = ser.select("grp", "xs", F.aggregate("xs", init, step).alias("f"))
-    # backward trace: final argmin (tie -> q0), then follow parents
-    final_s = (
-        F.when(F.col("f.c1") < F.col("f.c0"), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
-    states = F.reverse(
-        F.aggregate(
-            F.reverse(
-                F.slice(
-                    F.col("f.ptrs"), 2,
-                    F.greatest(F.size("f.ptrs") - 1, F.lit(0)),
-                )
-            ),
-            F.struct(
-                final_s.alias("s"), F.array(final_s).alias("states")
-            ),
-            lambda acc, pt: F.struct(
-                F.when(acc["s"] == 1, pt["p1"]).otherwise(pt["p0"])
-                .cast("int").alias("s"),
-                F.concat(
-                    acc["states"],
-                    F.array(
-                        F.when(acc["s"] == 1, pt["p1"])
-                        .otherwise(pt["p0"]).cast("int")
-                    ),
-                ).alias("states"),
-            ),
-            lambda acc: acc["states"],
-        )
-    )
+    _, states = _burst_walk_col(g)
     return (
-        folded.select("grp", F.arrays_zip("xs", states.alias("st")).alias("z"))
+        ser.select("grp", F.arrays_zip("xs", states.alias("st")).alias("z"))
         .select("grp", F.explode("z").alias("e"))
         .select(
             F.col("grp").alias(group_col),
@@ -690,94 +787,127 @@ def burst_detection_sql(
     *, burst_mult: float = 2.0, gamma_scale: float = 30.0
 ) -> str:
     """DuckDB oracle for :func:`burst_detection` over `events`: same
-    calendar, same floor(x*1e6 + 0.5) integer quantization, and both
-    Viterbi folds restated as RECURSIVE CTEs (round-9 rewrite, after
-    the round-8 driver red): the forward pass carries (c0, c1) plus
-    parent-pointer STRINGS (one '0'/'1' char per step, position j =
-    predecessor of the state at day j+1), the backward pass walks the
-    final row's strings from the argmin end state. Recursive-CTE
-    semantics are standard SQL — stable across DuckDB versions, unlike
-    the list_reduce accumulator behavior the previous oracle pinned
-    itself to (a DuckDB-1.0 quirk)."""
-    import math
-
-    g6 = int(round(math.log(gamma_scale) * 1_000_000))
-    return f"""
-    WITH RECURSIVE daily AS (
-      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
-             CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2
-    ),
-    tot AS (SELECT day, SUM(c) AS n FROM daily GROUP BY day),
-    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
-    cal AS (
-      SELECT g.grp, CAST(u.day AS DATE) AS day
-      FROM (SELECT DISTINCT grp FROM daily) g,
-           (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
-            FROM span) u
-    ),
-    filled AS (
-      SELECT cal.grp, cal.day, COALESCE(d.c, 0) AS c, COALESCE(t.n, 0) AS n
-      FROM cal LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
-               LEFT JOIN tot t ON cal.day = t.day
-    ),
-    stats AS (
-      SELECT grp,
-             CAST(SUM(c) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p0,
-             least(1.0 - 1e-6, {burst_mult} * CAST(SUM(c) AS DOUBLE)
-                   / CAST(SUM(n) AS DOUBLE)) AS p1
-      FROM filled GROUP BY grp
-    ),
-    scored AS (
-      SELECT f.grp, f.day, f.c, f.n,
-             CASE WHEN f.n > 0 THEN CAST(floor(
-               -(CAST(f.c AS DOUBLE) * ln(s.p0)
-                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p0)) * 1e6
-               + 0.5) AS BIGINT) ELSE 0 END AS e0,
-             CASE WHEN f.n > 0 THEN CAST(floor(
-               -(CAST(f.c AS DOUBLE) * ln(s.p1)
-                 + CAST(f.n - f.c AS DOUBLE) * ln(1.0 - s.p1)) * 1e6
-               + 0.5) AS BIGINT) ELSE 0 END AS e1
-      FROM filled f JOIN stats s ON f.grp = s.grp
-    ),
-    idx AS (
-      SELECT grp, day, c, n, e0, e1,
-             CAST(row_number() OVER (PARTITION BY grp ORDER BY day)
-                  AS BIGINT) AS i,
-             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_i
-      FROM scored
-    ),
-    fwd AS (
-      SELECT grp, i, n_i, e0 AS c0, e1 + {g6} AS c1,
-             CAST('' AS VARCHAR) AS p0s, CAST('' AS VARCHAR) AS p1s
-      FROM idx WHERE i = 1
+    calendar, same floor(x*1e3 + 0.5) milli-unit quantization, and the
+    Viterbi restated as the SCALAR integer walk D_t = (e1_t - e0_t) +
+    clamp(D_{t-1}, 0, gamma) (round-10 rewrite; derivation in
+    :func:`_burst_walk_col`) — two small recursive CTEs over pure
+    integer arithmetic, no parent-pointer strings, no list lambdas
+    (whose accumulator behavior proved DuckDB-version-specific in r8)."""
+    g = _burst_gamma(gamma_scale)
+    return _burst_scored_sql(burst_mult=burst_mult) + f""",
+    walk AS (
+      SELECT grp, i, n_i, e1 - e0 + {g} AS d FROM idx WHERE i = 1
       UNION ALL
       SELECT s.grp, s.i, s.n_i,
-             s.e0 + least(f.c0, f.c1) AS c0,
-             s.e1 + least(f.c0 + {g6}, f.c1) AS c1,
-             f.p0s || (CASE WHEN f.c0 <= f.c1 THEN '0' ELSE '1' END),
-             f.p1s || (CASE WHEN f.c0 + {g6} < f.c1 THEN '0' ELSE '1' END)
-      FROM fwd f JOIN idx s ON s.grp = f.grp AND s.i = f.i + 1
-    ),
-    fin AS (
-      SELECT grp, n_i, c0, c1, p0s, p1s FROM fwd WHERE i = n_i
+             s.e1 - s.e0 + least(greatest(w.d, 0), {g}) AS d
+      FROM walk w JOIN idx s ON s.grp = w.grp AND s.i = w.i + 1
     ),
     bwd AS (
-      SELECT grp, n_i AS i,
-             CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS s
-      FROM fin
+      SELECT grp, n_i AS i, CASE WHEN d < 0 THEN 1 ELSE 0 END AS s
+      FROM walk WHERE i = n_i
       UNION ALL
       SELECT b.grp, b.i - 1,
-             CASE WHEN substr(
-                    CASE WHEN b.s = 1 THEN f.p1s ELSE f.p0s END,
-                    CAST(b.i - 1 AS INT), 1) = '1'
-                  THEN 1 ELSE 0 END
-      FROM bwd b JOIN fin f ON f.grp = b.grp
+             CASE WHEN b.s = 1
+                  THEN (CASE WHEN w.d > {g} THEN 0 ELSE 1 END)
+                  ELSE (CASE WHEN w.d < 0 THEN 1 ELSE 0 END) END AS s
+      FROM bwd b JOIN walk w ON w.grp = b.grp AND w.i = b.i - 1
       WHERE b.i > 1
     )
     SELECT x.grp AS event_type, x.day, x.c AS n_events,
            x.n AS day_total, b.s = 1 AS burst
     FROM idx x JOIN bwd b ON x.grp = b.grp AND x.i = b.i
+    """
+
+
+def burst_costs_probe(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    burst_mult: float = 2.0,
+) -> DataFrame:
+    """Bisection probe #1 (VERDICT r9 item 2): the burst_detection
+    pipeline TRUNCATED after cost quantization — (event_type, day,
+    n_events, day_total, e0, e1), no Viterbi. Registered as a gate
+    query so the DRIVER's DuckDB evaluates the quantization stage in
+    isolation: costs green + walk red localizes the r8/r9 divergence to
+    recursive-CTE semantics; costs red localizes it to ln/arithmetic
+    upstream; both green with burst red localizes it to the backtrack.
+    Retire once burst_detection is green (the probe is subsumed)."""
+    return _burst_scored(
+        events, group_col=group_col, ts_col=ts_col, burst_mult=burst_mult
+    ).select(
+        F.col("grp").alias(group_col),
+        "day",
+        F.col("c").alias("n_events"),
+        F.col("n").alias("day_total"),
+        "e0", "e1",
+    )
+
+
+def burst_costs_probe_sql(*, burst_mult: float = 2.0) -> str:
+    """DuckDB oracle for :func:`burst_costs_probe`: the shared `scored`
+    stage alone (via `idx`, which adds only row numbers)."""
+    return _burst_scored_sql(burst_mult=burst_mult) + """
+    SELECT grp AS event_type, day, c AS n_events, n AS day_total, e0, e1
+    FROM idx
+    """
+
+
+def burst_walk_probe(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    burst_mult: float = 2.0,
+    gamma_scale: float = 30.0,
+) -> DataFrame:
+    """Bisection probe #2 (VERDICT r9 item 2): the burst_detection
+    pipeline through the FORWARD walk — (event_type, day, d) with
+    d = D_t from the scalar recurrence — but not the backtrack. See
+    :func:`burst_costs_probe` for the localization table."""
+    g = _burst_gamma(gamma_scale)
+    scored = _burst_scored(
+        events, group_col=group_col, ts_col=ts_col, burst_mult=burst_mult
+    )
+    ser = scored.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("day").alias("day"), F.col("c").alias("c"),
+                    F.col("n").alias("n"), F.col("e0").alias("e0"),
+                    F.col("e1").alias("e1"),
+                )
+            )
+        ).alias("xs")
+    )
+    walk, _ = _burst_walk_col(g)
+    return (
+        ser.select("grp", F.arrays_zip("xs", walk.alias("d")).alias("z"))
+        .select("grp", F.explode("z").alias("e"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("e.xs.day").alias("day"),
+            F.col("e.d").alias("d"),
+        )
+    )
+
+
+def burst_walk_probe_sql(
+    *, burst_mult: float = 2.0, gamma_scale: float = 30.0
+) -> str:
+    """DuckDB oracle for :func:`burst_walk_probe`: the forward-walk
+    recursive CTE alone."""
+    g = _burst_gamma(gamma_scale)
+    return _burst_scored_sql(burst_mult=burst_mult) + f""",
+    walk AS (
+      SELECT grp, i, n_i, day, e1 - e0 + {g} AS d FROM idx WHERE i = 1
+      UNION ALL
+      SELECT s.grp, s.i, s.n_i, s.day,
+             s.e1 - s.e0 + least(greatest(w.d, 0), {g}) AS d
+      FROM walk w JOIN idx s ON s.grp = w.grp AND s.i = w.i + 1
+    )
+    SELECT grp AS event_type, day, d FROM walk
     """
 
 

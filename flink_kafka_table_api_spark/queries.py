@@ -6256,7 +6256,7 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
 # staging ledger, so these registered in round 7 or sit in the
 # committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@query("dup_ngram_coverage", tx.dup_ngram_coverage_sql(n=2))
+@retired_query("dup_ngram_coverage", tx.dup_ngram_coverage_sql(n=2))
 def q_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher duplicate-2-gram coverage over documents (operators/
     text.py `dup_ngram_coverage`): one zero-shuffle codegen'd projection
@@ -6464,41 +6464,75 @@ def graph_suite_sql() -> str:
 
     lpa = label_propagation_sql(_triangle_edges_sql(), iterations=4)
     core = kcore_sql(_twotier_edges_sql(), k=4, max_rounds=4)
+    nul_link = (
+        "CAST(NULL AS BIGINT) AS node_v, "
+        "CAST(NULL AS BIGINT) AS common_neighbors, "
+        "CAST(NULL AS BIGINT) AS deg_u, CAST(NULL AS BIGINT) AS deg_v, "
+        "CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS DOUBLE) AS aa_score"
+    )
     return f"""
     SELECT 'pagerank' AS block, node, rank,
            CAST(NULL AS BIGINT) AS n_triangles, CAST(NULL AS BIGINT) AS label,
-           CAST(NULL AS BIGINT) AS degree
+           CAST(NULL AS BIGINT) AS degree, {nul_link}
     FROM ({_oracle_of("pagerank")})
     UNION ALL
-    SELECT 'triangles', node, CAST(NULL AS DOUBLE), n_triangles, NULL, NULL
+    SELECT 'triangles', node, CAST(NULL AS DOUBLE), n_triangles, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL
     FROM ({_oracle_of("triangle_count")})
     UNION ALL
-    SELECT 'lpa', node, CAST(NULL AS DOUBLE), NULL, label, NULL
+    SELECT 'lpa', node, CAST(NULL AS DOUBLE), NULL, label, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL
     FROM ({lpa})
     UNION ALL
-    SELECT 'kcore', node, CAST(NULL AS DOUBLE), NULL, NULL, degree
+    SELECT 'kcore', node, CAST(NULL AS DOUBLE), NULL, NULL, degree,
+           NULL, NULL, NULL, NULL, NULL, NULL
     FROM ({core})
+    UNION ALL
+    SELECT 'link_cn', node_u, CAST(NULL AS DOUBLE), NULL, NULL, NULL,
+           node_v, common_neighbors, deg_u, deg_v, jaccard,
+           CAST(NULL AS DOUBLE)
+    FROM ({_oracle_of("link_prediction")})
+    UNION ALL
+    SELECT 'link_aa', node_u, CAST(NULL AS DOUBLE), NULL, NULL, NULL,
+           node_v, common_neighbors, NULL, NULL, CAST(NULL AS DOUBLE),
+           aa_score
+    FROM ({_oracle_of("adamic_adar")})
     """
 
 
-@query("graph_suite", graph_suite_sql())
+# NOTE: graph_suite registers LATE (beside the spec-driven suite loop,
+# end of module): its round-10 extension composes the retired
+# link_prediction / adamic_adar oracles, whose @retired_query
+# declarations — and the _two_gen_edges_sql builder they share — are
+# defined further down this module.
 def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Consolidation (registered round 7): the graph family (pagerank /
     triangle_count / label_propagation) as ONE tagged multi-assert query
     — each block runs its existing gate/bench construction unchanged and
     the union NULL-pads the per-block value columns. When registered it
     retired pagerank + triangle_count (round 7) and absorbs
-    label_propagation's and kcore's registrations — their values are
-    hash-checked inside this suite's gate row. Pre-validated vs
-    graph_suite_sql() in tests/test_r8_prevalidated.py."""
+    label_propagation's and kcore's registrations; round 10 retires
+    link_prediction + adamic_adar into it the same way (the two
+    link-prediction scorers over the shared two-generator graph) — all
+    component values are hash-checked inside this suite's gate row.
+    Pre-validated vs graph_suite_sql() in tests/test_r8_prevalidated.py
+    (original blocks) and tests/test_suite_levers.py (extended)."""
     from flink_kafka_table_api_spark.caching import tracked_persist
     from flink_kafka_table_api_spark.operators.graph import (
+        adamic_adar_scores,
+        common_neighbor_scores,
         kcore,
         label_propagation,
         triangle_count,
     )
 
     nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    link_pad = [
+        nul("long").alias("node_v"),
+        nul("long").alias("common_neighbors"),
+        nul("long").alias("deg_u"), nul("long").alias("deg_v"),
+        nul("double").alias("jaccard"), nul("double").alias("aa_score"),
+    ]
     pr = q_pagerank(spark, sf).select(
         F.lit("pagerank").alias("block"),
         "node",
@@ -6506,6 +6540,7 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         nul("long").alias("n_triangles"),
         nul("long").alias("label"),
         nul("long").alias("degree"),
+        *link_pad,
     )
     # the triangle and LPA blocks share the ring-with-chords relation:
     # build (and persist) it ONCE — the per-block wrappers would each
@@ -6518,6 +6553,7 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         "n_triangles",
         nul("long").alias("label"),
         nul("long").alias("degree"),
+        *link_pad,
     )
     lp = label_propagation(edges, iterations=4, checkpoint_every=4).select(
         F.lit("lpa").alias("block"),
@@ -6526,6 +6562,7 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         nul("long").alias("n_triangles"),
         "label",
         nul("long").alias("degree"),
+        *link_pad,
     )
     # k-core runs on the two-tier graph where the bounded-round peel is
     # structurally convergent (see _twotier_edges)
@@ -6536,8 +6573,37 @@ def q_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
         nul("long").alias("n_triangles"),
         nul("long").alias("label"),
         "degree",
+        *link_pad,
     )
-    return pr.unionAll(tr).unionAll(lp).unionAll(co)
+    # the two link-prediction blocks share the two-generator relation:
+    # build it once (the edges-persist reasoning above)
+    tg = tracked_persist(_two_gen_edges(spark, sf))
+    cn = common_neighbor_scores(tg, top_k=100).select(
+        F.lit("link_cn").alias("block"),
+        F.col("node_u").alias("node"),
+        nul("double").alias("rank"),
+        nul("long").alias("n_triangles"),
+        nul("long").alias("label"),
+        nul("long").alias("degree"),
+        "node_v", "common_neighbors", "deg_u", "deg_v", "jaccard",
+        nul("double").alias("aa_score"),
+    )
+    aa = adamic_adar_scores(tg, top_k=100).select(
+        F.lit("link_aa").alias("block"),
+        F.col("node_u").alias("node"),
+        nul("double").alias("rank"),
+        nul("long").alias("n_triangles"),
+        nul("long").alias("label"),
+        nul("long").alias("degree"),
+        "node_v", "common_neighbors",
+        nul("long").alias("deg_u"), nul("long").alias("deg_v"),
+        nul("double").alias("jaccard"),
+        "aa_score",
+    )
+    return (
+        pr.unionAll(tr).unionAll(lp).unionAll(co).unionAll(cn)
+        .unionAll(aa)
+    )
 
 
 def stream_windows_sql() -> str:
@@ -8626,10 +8692,14 @@ def stream_watermark_alignment_sql(
       WHERE r.c = 1 AND r.ts > (SELECT mn FROM s0) - {dl}
     ),
     m1 AS (
-      SELECT m0.source, GREATEST(m0.m, COALESCE(t1.m, m0.m)) AS m
-      FROM m0 LEFT JOIN (
+      -- union-fold, not LEFT JOIN from m0 (ADVICE r9): a source whose
+      -- FIRST delivery is chunk 1 must enter the min-combine the batch
+      -- it is seen, exactly as the engine admits it
+      SELECT source, MAX(m) AS m FROM (
+        SELECT source, m FROM m0
+        UNION ALL
         SELECT source, MAX(ts) AS m FROM b1 WHERE take1 GROUP BY source
-      ) t1 USING (source)
+      ) u GROUP BY source
     ),
     s1 AS (SELECT MIN(m) AS mn FROM m1),
     b2 AS (
@@ -8642,10 +8712,11 @@ def stream_watermark_alignment_sql(
       SELECT *, (ts <= (SELECT mn FROM s1) + {dr}) AS take2 FROM b2
     ),
     m2 AS (
-      SELECT m1.source, GREATEST(m1.m, COALESCE(t2.m, m1.m)) AS m
-      FROM m1 LEFT JOIN (
+      SELECT source, MAX(m) AS m FROM (
+        SELECT source, m FROM m1
+        UNION ALL
         SELECT source, MAX(ts) AS m FROM b2t WHERE take2 GROUP BY source
-      ) t2 USING (source)
+      ) u GROUP BY source
     ),
     s2 AS (SELECT MIN(m) AS mn FROM m2),
     adm AS (
@@ -8703,8 +8774,11 @@ def stream_quantile_monitor_sql(*, n_bins: int = 64) -> str:
       FROM documents, prm
     ),
     cal AS (
+      -- degenerate-calibration guard mirrors the engine (ADVICE r9):
+      -- all-equal batch-0 values fall back to width 1.0, never 0
       SELECT MIN(v) AS lo, MAX(v) AS hi,
-             (MAX(v) - MIN(v)) / {n_bins} AS w
+             CASE WHEN MAX(v) > MIN(v)
+                  THEN (MAX(v) - MIN(v)) / {n_bins} ELSE 1.0 END AS w
       FROM vals WHERE c = 0
     ),
     binned AS (
@@ -8742,14 +8816,14 @@ def stream_quantile_monitor_sql(*, n_bins: int = 64) -> str:
     """
 
 
-@bench_query("stream_quantile_monitor")
+@query("stream_quantile_monitor", stream_quantile_monitor_sql())
 def q_stream_quantile_monitor(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming rank-statistic monitor
     (streaming/quantile_monitor.py, round-9 capability): p50/p90/p99 of
     document length per micro-batch via mergeable fixed-bin histogram
     state (n_bins longs regardless of stream age) — the drift signal a
     data-quality pager fires on, with the error bar (bin width) emitted
-    alongside. BENCH twin staged for a round-10 gate slot with the
+    alongside. Registered in the round-10 gate (never-green rule) with the
     full-value replay stream_quantile_monitor_sql, pre-validated at
     sf0.001 AND sf0.01 in tests/test_quantile_monitor.py."""
     from flink_kafka_table_api_spark.streaming.quantile_monitor import (
@@ -8870,7 +8944,7 @@ def stream_allowed_lateness_sql(
     """
 
 
-@bench_query("stream_allowed_lateness")
+@query("stream_allowed_lateness", stream_allowed_lateness_sql())
 def q_stream_allowed_lateness(spark: SparkSession, sf: str) -> DataFrame:
     """Allowed lateness + late-data side output
     (streaming/allowed_lateness.py, round-9 capability — Flink's
@@ -8880,8 +8954,8 @@ def q_stream_allowed_lateness(spark: SparkSession, sf: str) -> DataFrame:
     straddle it: the newer ones RE-FIRE their window as a '-U'/'+U'
     correction pair, the older ones and every two-tercile-late row land
     in the 'LATE' side output instead of vanishing — both paths live,
-    asserted in the tests). BENCH twin staged for a round-10 gate
-    slot with the classification+schedule replay
+    asserted in the tests). Registered in the round-10 gate (never-green rule) with the
+    classification+schedule replay
     stream_allowed_lateness_sql, pre-validated at sf0.001 AND sf0.01 in
     tests/test_allowed_lateness.py."""
     from flink_kafka_table_api_spark.streaming.allowed_lateness import (
@@ -8973,7 +9047,7 @@ def stream_agg_retract_sql() -> str:
     """
 
 
-@bench_query("stream_agg_retract")
+@query("stream_agg_retract", stream_agg_retract_sql())
 def q_stream_agg_retract(spark: SparkSession, sf: str) -> DataFrame:
     """Retract-mode GROUP BY over an UPDATE stream
     (streaming/agg_retract.py, round-9 capability): events as an
@@ -8982,8 +9056,8 @@ def q_stream_agg_retract(spark: SparkSession, sf: str) -> DataFrame:
     drops; per-grp COUNT/SUM of live keys emitted as the RowKind
     changelog — a key's new version retracts its old contribution from
     its old group (Flink's updating-source aggregate semantics, which
-    append-style folding gets wrong). BENCH twin staged for a round-10
-    gate slot with the snapshot-diff oracle stream_agg_retract_sql,
+    append-style folding gets wrong). Registered in the round-10 gate (never-green rule) with the
+    snapshot-diff oracle stream_agg_retract_sql,
     pre-validated at sf0.001 AND sf0.01 in tests/test_agg_retract.py."""
     from flink_kafka_table_api_spark.streaming.agg_retract import (
         stream_agg_retract,
@@ -9007,7 +9081,122 @@ def q_stream_agg_retract(spark: SparkSession, sf: str) -> DataFrame:
     return stream_agg_retract(spark, ops, state, n_chunks=3)
 
 
-@bench_query("stream_watermark_alignment")
+def stream_state_ttl_sql(*, ttl_days: int = 1) -> str:
+    """Oracle for `stream_state_ttl` (streaming/state_ttl.py): the
+    stream_agg_retract snapshot-diff replay plus ONE predicate — the
+    event-time TTL cutoff. Per batch k the clock is the delivered
+    maximum op_ts through chunk k; a key's argmax winner contributes
+    only if op_ts > clock_k - ttl (strict: a key exactly at the cutoff
+    is evicted, Flink's fired-retention-timer rule). The merge-then-
+    evict engine order is equivalent to this filter formulation by the
+    monotone-cutoff argument in the module docstring."""
+    d0 = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+    nat = (
+        f"LEAST(CAST(datediff('day', {d0}, CAST(ts AS DATE)) // 10 "
+        "AS BIGINT), 2)"
+    )
+    return f"""
+    WITH ops AS (
+      SELECT event_id AS op_id, ts AS op_ts, user_id AS key,
+             event_type AS grp,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value, {nat} AS chunk
+      FROM events
+    ),
+    ck AS (
+      SELECT kk.k, MAX(o.op_ts) AS clock
+      FROM (VALUES (0), (1), (2)) AS kk(k)
+      JOIN ops o ON o.chunk <= kk.k
+      GROUP BY kk.k
+    ),
+    snapw AS (
+      SELECT kk.k, o.key, o.grp, o.op, o.op_ts, o.value,
+             row_number() OVER (PARTITION BY kk.k, o.key
+                                ORDER BY o.op_ts DESC, o.op_id DESC)
+               AS rn
+      FROM (VALUES (0), (1), (2)) AS kk(k)
+      JOIN ops o ON o.chunk <= kk.k
+    ),
+    snaps AS (
+      SELECT s.k, s.grp, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CAST(s.value AS DECIMAL(25,6)))
+                  AS DECIMAL(25,6)) AS total
+      FROM snapw s JOIN ck ON ck.k = s.k
+      WHERE s.rn = 1 AND s.op <> 'D'
+        AND s.op_ts > ck.clock - INTERVAL {ttl_days} DAY
+      GROUP BY s.k, s.grp
+    ),
+    paired AS (
+      SELECT COALESCE(n.k, o.k + 1) AS batch_id,
+             COALESCE(n.grp, o.grp) AS grp,
+             o.n_keys AS onk, o.total AS ot,
+             n.n_keys AS nnk, n.total AS nt
+      FROM snaps n
+      FULL OUTER JOIN snaps o ON o.k = n.k - 1 AND o.grp = n.grp
+      WHERE COALESCE(n.k, o.k + 1) <= 2
+    )
+    SELECT '+I' AS op, grp, nnk AS n_keys, CAST(nt AS DOUBLE) AS total,
+           CAST(batch_id AS BIGINT) AS batch_id
+    FROM paired WHERE onk IS NULL
+    UNION ALL
+    SELECT '-D', grp, onk, CAST(ot AS DOUBLE), CAST(batch_id AS BIGINT)
+    FROM paired WHERE nnk IS NULL
+    UNION ALL
+    SELECT '-U', grp, onk, CAST(ot AS DOUBLE), CAST(batch_id AS BIGINT)
+    FROM paired
+    WHERE onk IS NOT NULL AND nnk IS NOT NULL
+      AND (onk <> nnk OR ot <> nt)
+    UNION ALL
+    SELECT '+U', grp, nnk, CAST(nt AS DOUBLE), CAST(batch_id AS BIGINT)
+    FROM paired
+    WHERE onk IS NOT NULL AND nnk IS NOT NULL
+      AND (onk <> nnk OR ot <> nt)
+    """
+
+
+@bench_query("stream_state_ttl")
+def q_stream_state_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key state TTL on the update-mode GROUP BY
+    (streaming/state_ttl.py, round-10 capability — Flink's
+    table.exec.state.ttl / StateTtlConfig idle-state retention,
+    replayed deterministically as event-time TTL against the delivered
+    high-watermark): the stream_agg_retract pipeline with keys idle
+    beyond 1 day of the clock EVICTED from carried state — the
+    bounded-state guarantee for a year-old pipeline (state ∝ churn
+    horizon, not key history). The 1-day TTL is sized to the corpus:
+    measured idle gaps between a key's last op and the delivered
+    maximum run 1-3 days (17/150 keys idle >= 1 day at sf0.01, 1/15 at
+    sf0.001, NONE >= 3 days), so 1 day keeps both paths live — most
+    keys survive, some age out — at both gate SFs (asserted in the
+    tests against the TTL-less sibling's snapshots). BENCH
+    twin staged for a round-11 gate slot with the snapshot-diff+cutoff
+    oracle stream_state_ttl_sql, pre-validated at sf0.001 AND sf0.01
+    in tests/test_state_ttl.py."""
+    from flink_kafka_table_api_spark.streaming.state_ttl import (
+        stream_agg_state_ttl,
+    )
+
+    ev = _t(spark, sf, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
+    natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
+    ops = ev.select(
+        F.col("event_id").alias("op_id"),
+        F.col("ts").cast("timestamp").alias("op_ts"),
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("grp"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        "value",
+        natural.cast("int").alias("__chunk"),
+    )
+    state = _scratch_dir("aggttl", sf)
+    return stream_agg_state_ttl(
+        spark, ops, state, n_chunks=3, ttl="1 day"
+    )
+
+
+@query("stream_watermark_alignment", stream_watermark_alignment_sql())
 def q_stream_watermark_alignment(spark: SparkSession, sf: str) -> DataFrame:
     """Watermark ALIGNMENT across sources
     (streaming/watermark_alignment.py, round-9 capability — Flink
@@ -9017,8 +9206,8 @@ def q_stream_watermark_alignment(spark: SparkSession, sf: str) -> DataFrame:
     with drift = 3 days its far-future rows DEFER across batches until
     the group's minimum advances — nothing drops, the per-window
     batch_id and the per-batch deferred counts are the throttle trace.
-    BENCH twin staged for a round-10 gate slot with the unrolled
-    admission replay (stream_watermark_alignment_sql), pre-validated at
+    Registered in the round-10 gate (never-green rule) with the
+    unrolled admission replay (stream_watermark_alignment_sql), pre-validated at
     sf0.001 AND sf0.01 in tests/test_watermark_alignment.py."""
     from flink_kafka_table_api_spark.streaming.watermark_alignment import (
         stream_watermark_alignment,
@@ -9119,7 +9308,7 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("gazetteer_tag", tx.gazetteer_tag_sql({"spark": "ENGINE", "join": "OP", "hash join": "OP2", "table scan merge": "OP3", "customer": "ENTITY"}))
+@retired_query("gazetteer_tag", tx.gazetteer_tag_sql({"spark": "ENGINE", "join": "OP", "hash join": "OP2", "table scan merge": "OP3", "customer": "ENTITY"}))
 def q_gazetteer_tag(spark: SparkSession, sf: str) -> DataFrame:
     """Dictionary entity tagging (operators/text.py `gazetteer_tag`)
     over a 5-term, mixed-width gazetteer on the documents corpus."""
@@ -9532,7 +9721,7 @@ def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     return seasonal_anomaly(_t(spark, sf, "events"))
 
 
-@query("link_prediction", gr.common_neighbor_scores_sql(_two_gen_edges_sql(), top_k=100))
+@retired_query("link_prediction", gr.common_neighbor_scores_sql(_two_gen_edges_sql(), top_k=100))
 def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     """Common-neighbor/Jaccard link prediction (operators/graph.py
     `common_neighbor_scores`, top-100) over the two-generator
@@ -9572,7 +9761,7 @@ def q_winnow_matches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("adamic_adar", gr.adamic_adar_scores_sql(_two_gen_edges_sql(), top_k=100))
+@retired_query("adamic_adar", gr.adamic_adar_scores_sql(_two_gen_edges_sql(), top_k=100))
 def q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
     """Adamic-Adar degree-weighted link prediction (operators/graph.py
     `adamic_adar_scores`, top-100) over the two-generator bounded-degree
@@ -9826,7 +10015,7 @@ def q_dedup_suite(spark: SparkSession, sf: str) -> DataFrame:
 # staging ledger, so these registered in round 7 or sit in the
 # committed round-8 gate (_NEXT_GATE_SCHEDULE note below).
 
-@query("readability", tx.readability_scores_sql())
+@retired_query("readability", tx.readability_scores_sql())
 def q_readability(spark: SparkSession, sf: str) -> DataFrame:
     """Flesch Reading Ease + Flesch-Kincaid grade per document
     (operators/text.py `readability_scores`): three integer counts
@@ -9862,14 +10051,43 @@ def q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
 def q_burst_detection(spark: SparkSession, sf: str) -> DataFrame:
     """Kleinberg two-state burst intervals over daily event shares
     (operators/timeseries.py `burst_detection`): one corpus-sized daily
-    aggregate, then integer-quantized Viterbi folds (forward costs +
-    parent pointers, backward trace) on the tiny groups-x-days
-    calendar."""
+    aggregate, then an integer-quantized scalar Viterbi walk
+    D_t = (e1-e0) + clamp(D_{t-1}, 0, gamma) on the tiny groups-x-days
+    calendar (round-10 reformulation; quantum 1e3)."""
     from flink_kafka_table_api_spark.operators.timeseries import (
         burst_detection,
     )
 
     return burst_detection(_t(spark, sf, "events"))
+
+
+@query("burst_costs_probe", tsr.burst_costs_probe_sql())
+def q_burst_costs_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-environment bisection probe #1 (VERDICT r9 item 2): the
+    burst_detection pipeline truncated after integer cost quantization
+    — no Viterbi. Green here + burst red localizes the 2-round driver
+    divergence downstream of ln/floor; red here localizes it upstream.
+    Retire once burst_detection lands a green driver row."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        burst_costs_probe,
+    )
+
+    return burst_costs_probe(_t(spark, sf, "events"))
+
+
+@query("burst_walk_probe", tsr.burst_walk_probe_sql())
+def q_burst_walk_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-environment bisection probe #2 (VERDICT r9 item 2): the
+    burst pipeline through the forward scalar walk (recursive-CTE side)
+    but not the backtrack. With probe #1 this converts the driver's
+    one-bit hash signal into a stage-level diagnosis: costs green +
+    walk red -> recursive-CTE semantics; both green + burst red ->
+    backtrack. Retire once burst_detection is green."""
+    from flink_kafka_table_api_spark.operators.timeseries import (
+        burst_walk_probe,
+    )
+
+    return burst_walk_probe(_t(spark, sf, "events"))
 
 
 def _cluster_silhouette_oracle() -> str:
@@ -10488,6 +10706,11 @@ _SUITE_SPECS = {
         ("text_quality", [("doc_id", "BIGINT"), ("n_tokens", "INTEGER"), ("mean_word_len", "DOUBLE"), ("stopword_ratio", "DOUBLE"), ("alnum_ratio", "DOUBLE"), ("quality_score", "DOUBLE"), ("n_grams", "BIGINT"), ("repetition_ratio", "DOUBLE")]),
         ("char_entropy", [("doc_id", "BIGINT"), ("n_chars", "BIGINT"), ("distinct_chars", "BIGINT"), ("entropy", "DOUBLE")]),
         ("token_count", [("doc_id", "BIGINT"), ("n_tokens", "BIGINT"), ("n_distinct", "BIGINT"), ("n_bpe_ish", "BIGINT")]),
+        # round-10 retirements (VERDICT r9 item 4): three more narrow
+        # per-document passes over the same documents scan
+        ("dup_ngram_coverage", [("doc_id", "BIGINT"), ("n_tokens", "BIGINT"), ("n_grams", "BIGINT"), ("dup_grams", "BIGINT"), ("dup_gram_occurrences", "BIGINT"), ("covered_tokens", "BIGINT"), ("dup_token_frac", "DOUBLE"), ("dup_char_frac", "DOUBLE")]),
+        ("readability", [("doc_id", "BIGINT"), ("n_words", "BIGINT"), ("n_sentences", "BIGINT"), ("n_syllables", "BIGINT"), ("flesch_reading_ease", "DOUBLE"), ("fk_grade", "DOUBLE")]),
+        ("gazetteer_tag", [("doc_id", "BIGINT"), ("term", "VARCHAR"), ("entity_type", "VARCHAR"), ("n_mentions", "BIGINT"), ("first_pos", "BIGINT")]),
     ],
     "approx_suite": [
         ("approx_distinct", [("event_type", "VARCHAR"), ("exact_users", "BIGINT"), ("within_tolerance", "BOOLEAN")]),
@@ -10647,7 +10870,11 @@ _SUITE_DOCS = {
         "after equi_depth_bins registers in r11)",
     "text_stats_suite": "per-document narrow text-stat passes (lang_id "
         "+ text_quality + char_entropy + token_count — zero-shuffle "
-        "projections over the same scan; 4 -> 1, registered r7)",
+        "projections over the same scan; 4 -> 1, registered r7; "
+        "round 10 retires dup_ngram_coverage + readability + "
+        "gazetteer_tag into it — 7 -> 1 — and the extended suite takes "
+        "an r10 gate slot so its new composed oracle earns driver "
+        "evidence immediately)",
     "approx_suite": "quantile/cardinality estimation family "
         "(HLL-tolerance + approx-percentile-tolerance + exact "
         "percentiles; 3 -> 1, registered r7)",
@@ -10708,6 +10935,11 @@ def _make_suite_query(suite: str):
 for _suite_name in _SUITE_SPECS:
     query(_suite_name, _suite_sql(_suite_name))(_make_suite_query(_suite_name))
 
+# graph_suite registers here rather than beside its definition: its
+# round-10 extension (link_prediction + adamic_adar retiring into it,
+# VERDICT r9 item 4) composes retired oracles declared mid-module.
+query("graph_suite", graph_suite_sql())(q_graph_suite)
+
 
 # ---------------------------------------------------------------------------
 # Driver contract surface
@@ -10725,108 +10957,36 @@ for _suite_name in _SUITE_SPECS:
 # gate (a schedule slot is not evidence), and that the two lists don't
 # overlap.
 #
-# Round-8 gate (VERDICT r7 items 1-3, finishing the ledger):
-#   - FIRST, the reference flagship approved_transactions — the r7
-#     rotation's off-by-one (24 r4-stale names, 23 scheduled; the
-#     coverage tripwire went RED the moment CORRECTNESS_r07 landed) —
-#     then the other 22 surviving r4-stale names from the committed r7
-#     schedule (stream_tumbling vacates its slot: it retires into the
-#     stream_windows consolidation registering below, its oracle
-#     composed verbatim and hash-checked every round the suite runs);
-#   - then the FINAL registration cohort (never-green rule: a new name
-#     sits in the actual gate): stream_windows (deferred from r7 so
-#     stream_session / stream_sliding could earn fresh r7 evidence
-#     first — they retire into it now), stream_curation (the round-7
-#     incremental streaming curation pipeline, VERDICT r6 item 6), and
-#     the 25 remaining pre-validated standalone operators. After this
-#     gate the staging ledger is PAID: zero BENCH_ONLY names without
-#     driver or suite-embedded evidence, one round ahead of the r9
-#     deadline. (label_propagation / equi_depth_bins / winnowing ride
-#     inside graph_suite / binning_suite / fingerprint_suite — their
-#     oracles are hash-checked by those suites' green rows.)
-# 1 + 20 + 2 + 25 + 2 = 50 exactly (activity_islands and
-# avro_file_roundtrip displaced to r9 to fund the two round-8
-# capability registrations).
+# Round-10 slot math (VERDICT r9 item 3): 1 burst_detection (2-round
+# never-green, slot 1) + 2 bisection probes + 34 committed rotations
+# + 4 staged round-9 capability registrations + 9 r7-stale freshness
+# slots = 50 exactly. The 9 freshness picks favor consolidation suites
+# (one green row re-certifies every composed component oracle) and
+# include the two suites EXTENDED by this round's retirements, so
+# their new composed SQL earns driver evidence the same round it
+# changes. (Historical gate compositions r7-r9 live in git history.)
 _PRIORITY: list[str] = [
-    # Round-9 gate (VERDICT r8 items 1-2): the one red row FIRST, then
-    # the committed 28-name rotation, then the 19 round-8 capability
+    # Round-10 gate (VERDICT r9 items 1-3): the 2-round never-green red
+    # FIRST, its two bisection probes right behind it, then the 34
+    # committed rotations, the 4 staged round-9 capability
     # registrations (never-green rule: a first registration sits in the
-    # ACTUAL gate), then 2 capability-freshness re-runs.
+    # ACTUAL gate), and 9 freshness slots for the oldest r7-stale names
+    # (the consolidation suites — one green suite row re-certifies
+    # every oracle composed into it — plus the streaming flagship and
+    # the decision-typed cusum relative of burst).
     #
-    # -- the r8 red row, fixed this round (oracle restated as recursive
-    # CTEs; quantization floor(x*1e6+0.5) boundary-hardened;
-    # tests/test_decision_margins.py pins the margins) --
+    # -- the r8+r9 red row, rewritten this round: quantum 1e6 -> 1e3
+    # (BURST_QUANTUM rationale) and the Viterbi reduced to a scalar
+    # integer walk in BOTH engines (VERDICT r9 items 1a/1b) --
     "burst_detection",
-    # -- the 28 committed rotations (r6-window names + the 3
-    # re-registered subquery shapes + the two r8 displacements) --
-    "activity_islands", "asof_join", "avro_file_roundtrip",
-    "cold_customers", "corr_avg_subquery", "cte_query",
-    "decontaminate", "exists_orders", "filter_project", "heavy_hitters",
-    "hierarchy_rollup", "jl_projection", "leakage_safe_split",
-    "multimodal_meta", "ngram_jaccard", "not_null_audit",
-    "pack_sequences", "predicates", "range_join", "salted_join",
-    "scd2_history", "sessionize", "sort_limit", "stream_dedup",
-    "stream_sessions_stateful", "tfidf", "tpch_q18_big_orders",
-    "tpch_q3_shipping",
-    # -- the 19 round-8 capability registrations (Flink streaming SQL
-    # surface + PII scrub + expectations; every oracle replica-validated
-    # at sf0.001 AND sf0.01 before this rotation landed) --
-    "stream_scd2", "stream_cdc_apply", "stream_temporal_join",
-    "stream_event_temporal_join", "stream_topn_retract",
-    "match_recognize", "stream_match_recognize", "stream_ann_ingest",
-    "stream_profile", "data_expectations", "cumulate_windows",
-    "stream_cumulate", "stream_over_agg", "stream_over_rows",
-    "stream_window_dedup", "stream_session_dynamic",
-    "stream_window_join", "stream_source_quota", "pii_scrub",
-    # -- the round-9 stretch registration (VERDICT r8 item 7, Flink
-    # withIdleness; never-green: actual-gate-bound) --
-    "stream_idle_watermark",
-    # -- 1 capability-freshness slot: the UDF/UDAF/UDTF SURVEY §2.2 row
-    # rests on r6 evidence, which falls OUT of the 3-artifact window
-    # the moment CORRECTNESS_r09 lands — re-run a representative (the
-    # multimodal row stays in-window via multimodal_meta above;
-    # frame_sample rides the r10 schedule) --
-    "grouped_agg_udf",
-]
-
-# Next round's committed gate (round 10). When CORRECTNESS_r09 lands the
-# evidence window becomes {r7, r8, r9}: the 33 names below — whose most
-# recent green is the r6 artifact (the TPC-H per-query cohort that last
-# ran individually there, the multimodal/UDTF/mix/audit operators, and
-# zorder_write) — fall out of the window and rotate here. 33 names
-# against 50 slots leaves 17 slots of round-10 slack for new
-# registrations (e.g. the per-partition watermark idleness stretch,
-# VERDICT r8 item 7) or further freshness re-runs. With the round-9
-# gate registering all 19 staged round-8 capability names, the staging
-# ledger stays PAID: zero BENCH_ONLY names without driver or
-# suite-embedded evidence. (frame_sample rides this schedule;
-# grouped_agg_udf runs in the round-9 gate's freshness slot.) ONE new
-# round-9-built capability is staged for a round-10 slot:
-# `stream_watermark_alignment` (streaming/watermark_alignment.py,
-# Flink FLIP-182 — the throttling complement of the registered
-# stream_idle_watermark), BENCH twin + unrolled-admission oracle
-# pre-validated at sf0.001 AND sf0.01 in
-# tests/test_watermark_alignment.py; register it as @query with a gate
-# slot in round 10. SECOND staged round-9 capability:
-# `stream_agg_retract` (streaming/agg_retract.py, Flink's update-mode
-# GROUP BY — retraction-handling aggregate over an upsert/delete
-# changelog, completing the update-mode class with
-# stream_topn_retract), BENCH twin + snapshot-diff oracle pre-validated
-# at sf0.001 AND sf0.01 in tests/test_agg_retract.py. THIRD staged
-# capability: `stream_quantile_monitor`
-# (streaming/quantile_monitor.py, per-batch p50/p90/p99 from mergeable
-# fixed-bin histogram state — the rank-statistic monitor
-# stream_profile lacks), full-value oracle pre-validated at both SFs
-# in tests/test_quantile_monitor.py. FOURTH staged capability:
-# `stream_allowed_lateness` (streaming/allowed_lateness.py — Flink's
-# allowedLateness + sideOutputLateData: '-U'/'+U' correction re-fires
-# for late-but-allowed rows, a 'LATE' side output beyond the
-# allowance, emergent state eviction at end + allowed; every op class
-# live on the gate corpus), oracle pre-validated at both SFs in
-# tests/test_allowed_lateness.py. Round-10 slot math: 33 rotations +
-# frame_sample + alignment + agg_retract + quantile_monitor +
-# allowed_lateness = 38 of 50 slots.
-_NEXT_GATE_SCHEDULE: list[str] = [
+    # -- driver-environment bisection probes (VERDICT r9 item 2): the
+    # quantization stage alone, then the forward walk alone — the
+    # driver's one-bit hash signal becomes a stage-level diagnosis.
+    # RETIRE both once burst_detection lands a green driver row --
+    "burst_costs_probe", "burst_walk_probe",
+    # -- the 34 committed rotations (r6-freshest names: the TPC-H
+    # per-query cohort, multimodal/UDTF/mix/audit operators,
+    # zorder_write) --
     "ann_ivf_variants", "audio_features", "contamination_audit",
     "corpus_mix", "embedding_quantize", "frame_sample",
     "importance_weights",
@@ -10839,6 +10999,67 @@ _NEXT_GATE_SCHEDULE: list[str] = [
     "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier",
     "tpch_q6_forecast", "tpch_q7_volume", "tpch_q8_market_share",
     "tpch_q9_product_profit", "udtf_sentences", "zorder_write",
+    # -- the 4 round-9-built capabilities, first registrations
+    # (both-SF oracle parity committed in tests/test_watermark_alignment
+    # .py, test_agg_retract.py, test_quantile_monitor.py,
+    # test_allowed_lateness.py + the r10 registration parity file) --
+    "stream_watermark_alignment", "stream_agg_retract",
+    "stream_quantile_monitor", "stream_allowed_lateness",
+    # -- 9 freshness slots from the 48-name r7-stale pool (the rest
+    # ride _NEXT_GATE_SCHEDULE): the widest consolidation suites —
+    # including the two EXTENDED this round by retirements
+    # (graph_suite absorbs link_prediction + adamic_adar;
+    # text_stats_suite absorbs dup_ngram_coverage + readability +
+    # gazetteer_tag), whose new composed oracles must earn driver
+    # evidence immediately — plus the streaming flagship and
+    # cusum_drift (decision-typed — keep its margin-audited family
+    # under fresh driver evidence while burst re-lands) --
+    "stream_approved", "cusum_drift", "dedup_suite", "join_suite",
+    "window_suite", "graph_suite", "tpch_scalar_suite",
+    "subquery_suite", "text_stats_suite",
+]
+
+# Next round's committed gate (round 11, VERDICT r9 item 4). When
+# CORRECTNESS_r10 lands the evidence window becomes {r8, r9, r10}: the
+# 34 names below — the r7-stale pool minus the 9 that run in THIS
+# round's gate freshness slots and minus the 5 that RETIRED into
+# gate-resident suites this round (VERDICT r9 item 4: the registry
+# outgrew the 3-round x 50-slot green window, so standalone stragglers
+# fold into the _suite_sql mechanism: link_prediction + adamic_adar
+# -> graph_suite, dup_ngram_coverage + readability + gazetteer_tag ->
+# text_stats_suite) — fall out of the window and rotate here. 34 names
+# against 50 slots leaves ~16 slots of round-11 slack for new
+# registrations (any round-10-built capability stages as a BENCH twin
+# and takes an actual r11 gate slot under the never-green rule). ONE
+# round-10-built capability is staged for such a slot:
+# `stream_state_ttl` (streaming/state_ttl.py — Flink's
+# table.exec.state.ttl idle-state retention on the update-mode GROUP
+# BY, replayed deterministically as event-time TTL against the
+# delivered high-watermark; bounded-state guarantee: carried state ∝
+# keys active within the horizon), BENCH twin + snapshot-diff+cutoff
+# oracle pre-validated at sf0.001 AND sf0.01 in
+# tests/test_state_ttl.py; register it as @query with an r11 gate
+# slot. If burst_detection goes green in CORRECTNESS_r10, the two
+# bisection probes RETIRE in r11 (drop their @query registrations —
+# the rewritten burst subsumes them), freeing 2 more slots.
+_NEXT_GATE_SCHEDULE: list[str] = [
+    # (adamic_adar / link_prediction / dup_ngram_coverage / readability
+    # / gazetteer_tag left this list by RETIRING into graph_suite /
+    # text_stats_suite — both suites run in THIS round's gate;
+    # funcs_suite joined it after ceding its r10 freshness slot to the
+    # extended text_stats_suite)
+    "agg_suite", "ann_basic_suite", "approx_suite",
+    "binning_suite", "bpe_suite", "chunk_suite", "containment_pairs",
+    "edit_similarity_join",
+    "embedding_dedup_suite", "er_clusters", "event_paths",
+    "exact_dedup_suite", "fingerprint_suite", "frequent_pairs",
+    "funcs_suite", "journey_suite",
+    "llm_curation_suite", "lsh_recall_audit", "nb_scores",
+    "ngram_novelty", "pq_ann", "profile_suite",
+    "retrieval_suite", "sampling_suite", "seasonal_anomaly", "set_ops",
+    "simhash_suite", "source_kl_divergence", "stream_misc_suite",
+    "substring_dups", "vocab_coverage",
+    "weighted_sample", "winnow_matches", "zipf_gini_audit",
 ]
 
 

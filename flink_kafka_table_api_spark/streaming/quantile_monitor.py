@@ -149,8 +149,11 @@ def stream_quantile_monitor(
         )
         n_seen = sum(n for _, n in cells)
         rows = []
-        for q in quantiles:
-            target = max(1, math.ceil(q * n_seen)) if n_seen else 0
+        # empty-input agreement (ADVICE r9): a batch with zero
+        # cumulative values has no rank statistic — emit nothing, as
+        # the oracle's per-batch GROUP BY produces no rows either
+        for q in quantiles if n_seen else ():
+            target = max(1, math.ceil(q * n_seen))
             cum, sel = 0, (n_bins - 1)
             for b, n in cells:
                 cum += n

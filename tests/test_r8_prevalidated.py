@@ -367,7 +367,11 @@ def test_graph_suite_consolidation_matches_composed_oracle(spark):
     assert sdf.columns == [d[0] for d in res.description]
     assert got == want and len(got) > 0
     kinds = {r[0] for r in got}
-    assert kinds == {"pagerank", "triangles", "lpa", "kcore"}
+    # round 10 extended the suite with the two link-prediction
+    # retirements (link_cn = common-neighbor/Jaccard, link_aa =
+    # Adamic-Adar) over the shared two-generator graph
+    assert kinds == {"pagerank", "triangles", "lpa", "kcore",
+                     "link_cn", "link_aa"}
     # the k-core block is non-trivial: the dense tier survives, the
     # ring periphery peels (15 of 150 sf0.001 customers are core nodes)
     assert sum(1 for r in got if r[0] == "kcore") == 15
