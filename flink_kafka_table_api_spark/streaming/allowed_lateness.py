@@ -73,7 +73,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import DEC
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    stage_chunked_by,
+    ts_shift,
+)
 
 _STATE_SCHEMA = (
     "window_start timestamp, window_end timestamp, n_events long, "
@@ -145,10 +148,7 @@ def stream_allowed_lateness(
         return spark.read.schema(_STATE_SCHEMA).parquet(p)
 
     def _ts_minus(iso: str, interval: str) -> str:
-        return spark.sql(
-            f"SELECT CAST(TIMESTAMP '{iso}' - INTERVAL {interval} "
-            "AS STRING)"
-        ).first()[0]
+        return ts_shift(iso, interval)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         os.makedirs(marker_dir, exist_ok=True)

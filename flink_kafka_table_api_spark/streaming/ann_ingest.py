@@ -86,10 +86,16 @@ def assign_with_distance(
     )
     # argmin on the UNROUNDED distance — identical to ivf_assign, so the
     # index stays bit-equal to a batch build; round only the reported
-    # distance (after the min, so rounding can never flip the argmin)
+    # distance (after the min, so rounding can never flip the argmin).
+    # The embedding rides the aggregate (functionally dependent on
+    # vec_id, so first() is exact): the index write used to join this
+    # result BACK to the batch on vec_id just to reattach the embedding
+    # — a second per-batch shuffle join for a column the aggregate can
+    # carry for free (guide §2.2: shuffle once, not twice).
     return scored.groupBy("vec_id").agg(
         F.min_by("c_id", F.col("__dist")).alias("cluster"),
         F.round(F.min("__dist"), 6).alias("dist"),
+        F.first("embedding").alias("embedding"),
     )
 
 
@@ -153,7 +159,7 @@ def stream_ann_ingest(
         )
         assign = assign_with_distance(batch, cents).persist()
         (
-            batch.join(assign.select("vec_id", "cluster"), "vec_id")
+            assign.select("vec_id", "embedding", "cluster")
             .withColumn("qe", sim.int8_quantize("embedding")
                         .cast("array<tinyint>"))
             .withColumn("batch_id", F.lit(batch_id))

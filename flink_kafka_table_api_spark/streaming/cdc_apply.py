@@ -58,7 +58,10 @@ from pyspark.sql import functions as F
 from flink_kafka_table_api_spark.streaming.incremental_dedup import (
     IncrementalDedup,
 )
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    stage_chunked_by,
+    ts_shift,
+)
 
 OPS_COLUMNS = ["op_id", "op_ts", "key", "op", "value"]
 
@@ -161,10 +164,7 @@ def stream_cdc_apply(
             max_seen = mx.isoformat() if mx is not None else None
             wm = None
             if max_seen is not None:
-                wm = spark.sql(
-                    f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL "
-                    f"{delay} AS STRING)"
-                ).first()[0]
+                wm = ts_shift(max_seen, delay)
             json.dump(
                 {"watermark": wm, "max_seen": max_seen},
                 open(seed_meta, "w"),
@@ -207,11 +207,7 @@ def stream_cdc_apply(
         max_seen = max(candidates) if candidates else None
         new_wm = None
         if max_seen is not None:
-            row = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
-                "AS STRING)"
-            ).first()
-            new_wm = row[0]
+            new_wm = ts_shift(max_seen, delay)
         json.dump(
             {"watermark": new_wm, "max_seen": max_seen},
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),

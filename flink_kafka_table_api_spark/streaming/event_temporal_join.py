@@ -83,7 +83,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.streaming.cdc_apply import OPS_COLUMNS
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    stage_chunked_by,
+    ts_shift,
+)
 from flink_kafka_table_api_spark.streaming.scd2_stream import (
     _latest_per_key,
     apply_history_delta,
@@ -97,6 +100,7 @@ OUT_SCHEMA = (
     "dim_value double, dim_op_id long"
 )
 PENDING_SCHEMA = "probe_id long, probe_ts timestamp, key long"
+OPS_SCHEMA = "op_id long, op_ts timestamp, key long, op string, value double"
 
 
 def _enrich(
@@ -176,13 +180,9 @@ def stream_event_temporal_join(
     def wm(max_seen: str | None, delay: str) -> str | None:
         if max_seen is None:
             return None
-        return spark.sql(
-            f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
-            "AS STRING)"
-        ).first()[0]
+        return ts_shift(max_seen, delay)
 
-    def advance(prev_max: str | None, batch: DataFrame, ts_col: str):
-        mx = batch.agg(F.max(ts_col)).first()[0]
+    def advance(prev_max: str | None, mx) -> str | None:
         cands = [m for m in (prev_max,
                              None if mx is None else mx.isoformat())
                  if m is not None]
@@ -208,7 +208,7 @@ def stream_event_temporal_join(
             shutil.rmtree(d, ignore_errors=True)
         prev = meta_after(batch_id - 1)
         # 2. dim side: admit + fold into the SCD2 delta store
-        ops = spark.read.parquet(
+        ops = spark.read.schema(OPS_SCHEMA).parquet(
             os.path.join(ops_src, f"chunk{batch_id:04d}.parquet")
         ).persist()
         dim_admitted = (
@@ -233,10 +233,16 @@ def stream_event_temporal_join(
             probe_admitted if carried is None
             else carried.unionByName(probe_admitted)
         ).persist()
-        # 4. advance both watermarks from rows SEEN
-        dim_max = advance(prev["dim_max_seen"], ops, "op_ts")
-        probe_max = advance(prev["probe_max_seen"], probe_batch,
-                            "probe_ts")
+        # 4. advance both watermarks from rows SEEN — BOTH sides' maxima
+        # in ONE Spark job (a union of two 1-row aggregates; two
+        # separate .first() calls paid two ~150 ms job launches)
+        mx_rows = (
+            ops.agg(F.max("op_ts").alias("m"))
+            .unionAll(probe_batch.agg(F.max("probe_ts").alias("m")))
+            .collect()
+        )
+        dim_max = advance(prev["dim_max_seen"], mx_rows[0][0])
+        probe_max = advance(prev["probe_max_seen"], mx_rows[1][0])
         w_dim = wm(dim_max, dim_delay)
         w_probe = wm(probe_max, probe_delay)
         horizon = (

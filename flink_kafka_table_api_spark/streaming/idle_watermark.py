@@ -82,7 +82,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import DEC
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    stage_chunked_by,
+    ts_shift,
+)
 
 _PENDING_SCHEMA = (
     "source string, window_start timestamp, window_end timestamp, "
@@ -206,10 +209,7 @@ def stream_idle_watermark(
         wm = prev["watermark"]
         if active:
             cand = min(max_seen[s] for s in active)
-            cand = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{cand}' - INTERVAL {delay} "
-                "AS STRING)"
-            ).first()[0]
+            cand = ts_shift(cand, delay)
             wm = cand if wm is None else max(wm, cand)
         # 4. MERGE — order-free decimal partials into the pending store
         merged = merge_pending(

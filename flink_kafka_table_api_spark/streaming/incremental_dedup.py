@@ -71,6 +71,7 @@ class IncrementalDedup:
         threshold: float = 0.5,
         portable: bool = False,
         max_bucket_size: int | None = 256,
+        capture_plans: bool = False,
     ) -> None:
         self.state_dir = state_dir
         self.bands_path = os.path.join(state_dir, "band_index")
@@ -84,6 +85,8 @@ class IncrementalDedup:
         self.threshold = threshold
         self.portable = portable
         self.max_bucket_size = max_bucket_size
+        self.capture_plans = capture_plans
+        self.last_candidate_plan: str | None = None
 
     # -- batch-scoped state layout -------------------------------------
     @staticmethod
@@ -238,13 +241,16 @@ class IncrementalDedup:
             .select("a", "b", "jaccard")
             .withColumn("batch_id", F.lit(batch_id))
         )
-        # plan pin for the skew posture (read by tests, never by the
-        # pipeline): the cap must reach the physical plan as a broadcast
-        # anti-join — cheap to capture, and the only way a test can see
-        # inside a foreachBatch-driven join
-        self.last_candidate_plan = (
-            cand._jdf.queryExecution().executedPlan().toString()
-        )
+        # plan pin for the skew posture (read by tests and the skew
+        # experiment, never by the pipeline): the cap must reach the
+        # physical plan as a broadcast anti-join. Opt-in: forcing
+        # executedPlan() here pays full driver-side planning of the
+        # candidate DAG once per micro-batch (~0.3-1 s at sf0.1), so
+        # only the callers that read the pin ask for it.
+        if self.capture_plans:
+            self.last_candidate_plan = (
+                cand._jdf.queryExecution().executedPlan().toString()
+            )
         # publish: batch-scoped overwrites, marker LAST (the commit point)
         matches.write.mode("overwrite").parquet(
             self._part(self.matches_path, batch_id)

@@ -41,8 +41,56 @@ from __future__ import annotations
 
 import os
 import shutil
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame
+
+_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def interval_micros(delay: str) -> int:
+    """Exact microsecond width of a day-time INTERVAL literal body
+    ('2 days', '90 minutes', '1 day 6 hours'). Raises on calendar units
+    (month/year): the streaming operators only use day-time delays, and
+    only day-time arithmetic is a fixed shift of the UTC wall clock."""
+    toks = delay.strip().lower().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"not a '<n> <unit>' interval: {delay!r}")
+    us = 0
+    for i in range(0, len(toks), 2):
+        unit = toks[i + 1].rstrip("s")
+        if unit not in _UNIT_US:
+            raise ValueError(f"unsupported interval unit in: {delay!r}")
+        us += int(toks[i]) * _UNIT_US[unit]
+    return us
+
+
+def ts_shift(ts: str, delay: str, *, sign: int = -1) -> str:
+    """`CAST(TIMESTAMP '{ts}' ± INTERVAL {delay} AS STRING)` computed
+    driver-side. The streaming operators call this shape once or twice
+    per micro-batch for watermark arithmetic, and the spark.sql round
+    trip it replaces measured ~160 ms each — pure driver gap (guide
+    §1.2/§5.4). Exact equivalence: the session timezone is pinned UTC
+    (session.py) and every delay is a day-time interval, so naive
+    datetime arithmetic computes the same function; the output format
+    replicates Spark's timestampToString (space separator, fractional
+    seconds trimmed of trailing zeros, omitted when zero) — pinned
+    against spark.sql itself by tests/test_ts_shift.py."""
+    dt = datetime.fromisoformat(ts) + sign * timedelta(
+        microseconds=interval_micros(delay)
+    )
+    s = dt.strftime("%Y-%m-%d %H:%M:%S")
+    if dt.microsecond:
+        s += ("." + f"{dt.microsecond:06d}").rstrip("0")
+    return s
 
 
 def stage_chunked_by(
@@ -57,19 +105,46 @@ def stage_chunked_by(
     os.makedirs(out_dir, exist_ok=True)
     from pyspark.sql import functions as F
 
-    for i in range(n_chunks):
-        path = os.path.join(out_dir, f"chunk{i:04d}.parquet")
-        if os.path.exists(path):
-            continue
-        chunk = df.filter(F.col(chunk_col) == i).select(*columns)
-        tmp = path + "__tmp"
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+    paths = [
+        os.path.join(out_dir, f"chunk{i:04d}.parquet") for i in range(n_chunks)
+    ]
+    missing = [i for i in range(n_chunks) if not os.path.exists(paths[i])]
+    if not missing:
+        return out_dir
+    # ONE pass over df staging every chunk (a dynamic-partition write with
+    # the chunk id as the partition key, one shuffle), instead of one
+    # filter+coalesce job per chunk — n_chunks full input scans collapse
+    # into one. repartition by the chunk value puts each chunk in exactly
+    # one task, so each partition directory holds exactly one part file.
+    tmp = os.path.join(out_dir, "__stage_tmp")
+    (
+        df.select(
+            *columns, F.col(chunk_col).cast("int").alias("__stage_chunk")
+        )
+        .repartition(n_chunks, "__stage_chunk")
+        .write.mode("overwrite").partitionBy("__stage_chunk").parquet(tmp)
+    )
+    empty = [
+        i for i in missing
+        if not os.path.isdir(os.path.join(tmp, f"__stage_chunk={i}"))
+    ]
+    if empty:
+        # chunks with zero rows produce no partition directory; stage an
+        # empty file with the data schema so the micro-batch sequence
+        # still replays n_chunks batches (the pre-one-pass behavior)
+        e = df.select(*columns).limit(0).coalesce(1)
+        for i in empty:
+            e.write.mode("overwrite").parquet(
+                os.path.join(tmp, f"__stage_chunk={i}")
+            )
+    for i in missing:
+        d = os.path.join(tmp, f"__stage_chunk={i}")
         part = next(
-            f for f in os.listdir(tmp)
+            f for f in os.listdir(d)
             if f.startswith("part-") and f.endswith(".parquet")
         )
-        os.rename(os.path.join(tmp, part), path)
-        shutil.rmtree(tmp)
+        os.rename(os.path.join(d, part), paths[i])
         t = 1_600_000_000 + i * 60
-        os.utime(path, (t, t))
+        os.utime(paths[i], (t, t))
+    shutil.rmtree(tmp)
     return out_dir

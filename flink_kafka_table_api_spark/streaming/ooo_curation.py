@@ -67,8 +67,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Observation
+
 from flink_kafka_table_api_spark.operators.curation import pack_sequences
-from flink_kafka_table_api_spark.operators.text import with_quality_score
+from flink_kafka_table_api_spark.operators.text import quality_score_col
 from flink_kafka_table_api_spark.streaming.incremental_dedup import (
     IncrementalDedup,
 )
@@ -161,22 +163,28 @@ def stream_curate_pack_ooo(
         # no forced broadcast: one interval's drop side is usually tiny
         # (AQE broadcasts it), but a pathological drop could be large —
         # let the optimizer pick
-        kept = fin.join(dropped.distinct(), "doc_id", "left_anti")
-        scored = with_quality_score(kept).select("doc_id", "quality_score")
-        kept = kept.join(
-            scored.filter(F.col("quality_score") >= quality_threshold)
-            .select("doc_id"),
-            "doc_id",
+        # quality gate as ONE filter column over the anti-join output —
+        # the earlier feature-frame + self-join shape re-executed the
+        # kept pipeline twice per batch for the same rows (identical
+        # score expression, identical rounding); persist: kept feeds
+        # pack_sequences' id-bounds aggregate AND the packed layout
+        kept = (
+            fin.join(dropped.distinct(), "doc_id", "left_anti")
+            .filter(quality_score_col("text") >= quality_threshold)
+            .persist()
         )
         # 6) pack from the carried offset; intervals are disjoint and
-        #    increasing, so the global layout is id-ordered
+        #    increasing, so the global layout is id-ordered. The token
+        #    total rides the write as an observed metric — same value
+        #    the separate agg job computed, one less job per batch.
         packed = pack_sequences(
             kept, budget=budget, start_offset=prev["token_total"]
-        ).persist()
-        new_tokens = packed.agg(F.sum("n_tokens")).first()[0] or 0
-        packed.write.mode("overwrite").parquet(
-            os.path.join(sink, f"batch-{batch_id}")
         )
+        obs = Observation()
+        packed.observe(obs, F.sum("n_tokens").alias("t")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink, f"batch-{batch_id}"))
+        new_tokens = obs.get["t"] or 0
         json.dump(
             {
                 "token_total": int(prev["token_total"] + new_tokens),
@@ -185,7 +193,7 @@ def stream_curate_pack_ooo(
             },
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
         )
-        packed.unpersist()
+        kept.unpersist()
         batch.unpersist()
         open(marker, "w").close()
 

@@ -66,7 +66,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import DEC
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    stage_chunked_by,
+    ts_shift,
+)
 
 ROW_COLUMNS = ["row_id", "ts", "key", "value"]
 _SCHEMA = "row_id long, ts timestamp, key long, value double"
@@ -228,10 +231,7 @@ def stream_over_agg(
         max_seen = max(candidates) if candidates else None
         new_wm = None
         if max_seen is not None:
-            new_wm = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
-                "AS STRING)"
-            ).first()[0]
+            new_wm = ts_shift(max_seen, delay)
         live = live.persist()
         emit = (
             live if new_wm is None
@@ -260,10 +260,7 @@ def stream_over_agg(
         # context tail: emitted rows a future row's range can still reach
         new_context = context.unionByName(emit)
         if new_wm is not None:
-            horizon = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{new_wm}' - INTERVAL "
-                f"{range_seconds} SECONDS AS STRING)"
-            ).first()[0]
+            horizon = ts_shift(new_wm, f"{range_seconds} seconds")
             new_context = new_context.filter(F.col("ts") > horizon)
         new_context.write.mode("overwrite").parquet(
             os.path.join(context_dir, f"batch-{batch_id}")
@@ -403,10 +400,7 @@ def stream_over_rows_agg(
         max_seen = max(candidates) if candidates else None
         new_wm = None
         if max_seen is not None:
-            new_wm = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
-                "AS STRING)"
-            ).first()[0]
+            new_wm = ts_shift(max_seen, delay)
         live = live.persist()
         emit = (
             live if new_wm is None

@@ -74,7 +74,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.streaming.cdc_apply import OPS_COLUMNS
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    stage_chunked_by,
+    ts_shift,
+)
 
 HIST_SCHEMA = (
     "key long, op_id long, op_ts timestamp, op string, value double, "
@@ -246,10 +249,7 @@ def stream_scd2(
         max_seen = max(candidates) if candidates else None
         new_wm = None
         if max_seen is not None:
-            new_wm = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
-                "AS STRING)"
-            ).first()[0]
+            new_wm = ts_shift(max_seen, delay)
         json.dump(
             {"watermark": new_wm, "max_seen": max_seen},
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),

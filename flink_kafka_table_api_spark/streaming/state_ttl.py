@@ -86,7 +86,10 @@ from flink_kafka_table_api_spark.streaming.agg_retract import (
     _STATE_SCHEMA,
     _winners,
 )
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    interval_micros,
+    stage_chunked_by,
+)
 
 
 def stream_agg_state_ttl(
@@ -111,13 +114,9 @@ def stream_agg_state_ttl(
         ops_chunked, os.path.join(state_dir, "src"),
         chunk_col=chunk_col, n_chunks=n_chunks, columns=OPS_COLUMNS,
     )
-    # ttl in exact microseconds, resolved ONCE by the SQL interval
-    # parser (identical to the oracle's INTERVAL arithmetic; session tz
-    # is pinned UTC so the epoch anchor is exact)
-    ttl_us = int(spark.sql(
-        f"SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:00' "
-        f"+ INTERVAL {ttl})"
-    ).first()[0])
+    # ttl in exact microseconds (driver-side day-time interval parse,
+    # pinned against the SQL interval parser by tests/test_ts_shift.py)
+    ttl_us = interval_micros(ttl)
     out_dir = os.path.join(state_dir, "out")
     state_dir_v = os.path.join(state_dir, "state")
     agg_dir = os.path.join(state_dir, "agg")
@@ -152,13 +151,19 @@ def stream_agg_state_ttl(
             .unionByName(batch.select(
                 "key", "op_id", "op_ts", "grp", "op", "value"
             ))
-        ).persist()
+        )
         # CLOCK: delivered high-watermark in exact microseconds (one
-        # scalar off the already-persisted merge — a documented bounded
-        # collect, the idle_watermark.py precedent). The meta file is
-        # load-bearing: eviction removes the rows that carried old
+        # scalar — a documented bounded collect, the idle_watermark.py
+        # precedent). The max over THIS batch alone is enough: prev
+        # clock already dominates every prior row's op_ts (it is the
+        # monotone max over all delivered rows, and carried state is a
+        # subset of those), so max(prev_clock, max(batch)) equals the
+        # max over the whole merge — the batch-only scan replaces a
+        # state+batch scan and lets `merged` flow straight into the
+        # eviction filter without its own persist pass. The meta file
+        # is load-bearing: eviction removes the rows that carried old
         # maxima, so the clock must be carried OUTSIDE the state.
-        mx = merged.agg(
+        mx = batch.agg(
             F.max(F.unix_micros("op_ts")).alias("m")
         ).first()["m"]
         prev_clock = _clock_after(batch_id - 1)
@@ -191,7 +196,6 @@ def stream_agg_state_ttl(
             {"clock_us": clock},
             open(os.path.join(meta_dir, f"batch-{batch_id}.json"), "w"),
         )
-        merged.unpersist()
         kept.unpersist()
         agg.unpersist()
         open(marker, "w").close()

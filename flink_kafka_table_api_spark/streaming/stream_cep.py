@@ -68,7 +68,10 @@ from flink_kafka_table_api_spark.operators.cep import (
     compile_pattern,
     tail_extensible,
 )
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    stage_chunked_by,
+    ts_shift,
+)
 
 
 def stream_match_recognize(
@@ -319,10 +322,7 @@ def stream_match_recognize(
         max_seen = max(cands) if cands else None
         new_wm = None
         if max_seen is not None:
-            new_wm = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
-                "AS STRING)"
-            ).first()[0]
+            new_wm = ts_shift(max_seen, delay)
         # keys whose frozen prefix grew this batch: stored rows with
         # ts in (W_{k-1}, W_k]
         stored = read_rows()

@@ -53,7 +53,10 @@ from flink_kafka_table_api_spark.streaming.cdc_apply import (
     changelog_winners,
     merge_state_version,
 )
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    stage_chunked_by,
+    ts_shift,
+)
 
 PROBE_COLUMNS = ["probe_id", "probe_ts", "key"]
 
@@ -256,10 +259,7 @@ def stream_temporal_join(
         max_seen = max(candidates) if candidates else None
         new_wm = None
         if max_seen is not None:
-            new_wm = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{max_seen}' - INTERVAL {delay} "
-                "AS STRING)"
-            ).first()[0]
+            new_wm = ts_shift(max_seen, delay)
         json.dump(
             {"watermark": new_wm, "max_seen": max_seen},
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),

@@ -89,7 +89,10 @@ from flink_kafka_table_api_spark.streaming.idle_watermark import (
     merge_pending,
     window_partials,
 )
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    stage_chunked_by,
+    ts_shift,
+)
 
 _ROWS_SCHEMA = "source string, ts timestamp, value double"
 
@@ -162,11 +165,7 @@ def stream_watermark_alignment(
         # final); W_{k-1} = min over seen sources of admitted max - delay
         fresh = batch
         if prev["max_admitted"]:
-            w_prev = spark.sql(
-                f"SELECT CAST(TIMESTAMP "
-                f"'{min(prev['max_admitted'].values())}' "
-                f"- INTERVAL {delay} AS STRING)"
-            ).first()[0]
+            w_prev = ts_shift(min(prev["max_admitted"].values()), delay)
             fresh = batch.filter(
                 F.col("ts") > F.lit(w_prev).cast("timestamp")
             )
@@ -178,10 +177,7 @@ def stream_watermark_alignment(
         # metadata precedent; batch 0 is unthrottled)
         if prev["max_admitted"]:
             floor_iso = min(prev["max_admitted"].values())
-            a_k = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{floor_iso}' + INTERVAL {drift} "
-                "AS STRING)"
-            ).first()[0]
+            a_k = ts_shift(floor_iso, drift, sign=1)
             admitted = avail.filter(
                 F.col("ts") <= F.lit(a_k).cast("timestamp")
             )
@@ -202,10 +198,7 @@ def stream_watermark_alignment(
         # aligned watermark over SEEN sources
         wm = None
         if max_admitted:
-            wm = spark.sql(
-                f"SELECT CAST(TIMESTAMP '{min(max_admitted.values())}' "
-                f"- INTERVAL {delay} AS STRING)"
-            ).first()[0]
+            wm = ts_shift(min(max_admitted.values()), delay)
         # 4. MERGE
         merged = merge_pending(
             _read_store(pend_dir, batch_id - 1, _PENDING_SCHEMA),

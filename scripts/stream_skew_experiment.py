@@ -118,7 +118,9 @@ def cap_evidence(spark, docs, tag: str) -> None:
     two id-range batches the file stream delivers) to read the plan pin
     and the per-batch match volumes."""
     state = tempfile.mkdtemp(prefix="fkta_skewexp_evidence_")
-    inc = IncrementalDedup(state, threshold=0.5, portable=True)
+    inc = IncrementalDedup(
+        state, threshold=0.5, portable=True, capture_plans=True
+    )
     mid = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
     inc.process_batch(docs.filter(F.col("doc_id") <= mid), 0)
     inc.process_batch(docs.filter(F.col("doc_id") > mid), 1)

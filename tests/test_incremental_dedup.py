@@ -182,7 +182,8 @@ def test_streaming_band_bucket_cap_engages_under_skew(spark, tmp_path):
     )
 
     dd = IncrementalDedup(
-        str(tmp_path / "state_skew"), threshold=0.4, max_bucket_size=8
+        str(tmp_path / "state_skew"), threshold=0.4, max_bucket_size=8,
+        capture_plans=True,
     )
     hot = "hot boilerplate template " + DOC
     # batch 0: 6 hot copies — bucket occupancy 6 <= 8, pairs still emitted
