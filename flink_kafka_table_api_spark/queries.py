@@ -8451,24 +8451,25 @@ def stream_window_join_sql(*, delay_seconds: int = 5) -> str:
 def q_stream_window_join(spark: SparkSession, sf: str) -> DataFrame:
     """Flink's WINDOW JOIN TVF (the remaining windowing-TVF member
     after aggregation/cumulate/Top-N/deduplication): errors x clicks
-    joined on (1-day tumbling window, user) as TWO real watermarked
-    stream-stream runs (inner + left_outer) tagged onto one schema —
-    the stream_stream_joins consolidation shape. Unlike the interval
-    join, state is scoped per WINDOW and evicts at window close; the
-    outer row's NULL click emits only once the global watermark passes
-    the window end. BENCH twin; registers as @query in a round-9/10
-    gate slot with the oracle pre-validated in
-    tests/test_window_dedup.py."""
-    parts = []
-    for jt in ("inner", "left_outer"):
-        res = _window_join_run(spark, sf, jt)
-        parts.append(
-            res.select(
-                F.lit(jt).alias("join_type"),
-                "window_start", "error_id", "click_id", "user_id",
-            )
-        )
-    return parts[0].unionAll(parts[1])
+    joined on (1-day tumbling window, user) as ONE real watermarked
+    left_outer stream-stream run; the inner block is its matched subset
+    — exact, because a left outer join's matched rows ARE the inner
+    join (same join condition, same per-window state, same emission),
+    and the NULL-extended rows are precisely the rows the inner join
+    lacks. Running both join types as separate streaming queries paid
+    the full stream machinery twice for one shared join state
+    (round-10 optimization; guide §1.4 — never compute the same join
+    twice). Unlike the interval join, state is scoped per WINDOW and
+    evicts at window close; the outer row's NULL click emits only once
+    the global watermark passes the window end. BENCH twin; registers
+    as @query in a round-9/10 gate slot with the oracle pre-validated
+    in tests/test_window_dedup.py."""
+    lo = _window_join_run(spark, sf, "left_outer")
+    cols = ["window_start", "error_id", "click_id", "user_id"]
+    inner = lo.filter(F.col("click_id").isNotNull())
+    return inner.select(
+        F.lit("inner").alias("join_type"), *cols
+    ).unionAll(lo.select(F.lit("left_outer").alias("join_type"), *cols))
 
 
 def stream_source_quota_sql(*, budget: int = 1500) -> str:
