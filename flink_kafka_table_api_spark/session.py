@@ -14,6 +14,7 @@ the Spark configuration that matters at 100 TB here, so every entry point
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -96,6 +97,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
     )
+    # Env passthrough for scale-dependent tuning experiments (A/B without
+    # code edits): SPARK_GRAFT_EXTRA_CONF='{"spark.conf.key": "value", ...}'.
+    # Applied before extra_conf so explicit callers win.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
