@@ -73,6 +73,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import DEC
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
@@ -129,6 +133,12 @@ def stream_allowed_lateness(
         ),
         os.path.join(state_dir, "src"),
         chunk_col="__chunk", n_chunks=n_chunks, columns=["ts", "value"],
+    )
+    ckpt = os.path.join(state_dir, "ckpt")
+    # watermark-advance maxima ride ONE staging-time job instead of one
+    # agg job per micro-batch (chunk_stats.py; guide §1.2)
+    stats = ChunkStats(
+        spark, src, "ts timestamp, value double", {"mx": F.max("ts")}
     )
     out_dir = os.path.join(state_dir, "out")
     st_dir = os.path.join(state_dir, "state")
@@ -208,7 +218,12 @@ def stream_allowed_lateness(
             )
         ).persist()
         # 3. FIRE — advance W from DELIVERED maxima, monotone
-        mx = batch.agg(F.max("ts")).first()[0]
+        # (sidecar; in-batch aggregate only if the files don't resolve)
+        srows = stats.for_batch(ckpt, batch_id)
+        mx = (
+            batch.agg(F.max("ts")).first()[0] if srows is None
+            else stat_max(srows, "mx")
+        )
         max_seen = prev["max_seen"]
         if mx is not None:
             cand = mx.isoformat()
@@ -282,7 +297,7 @@ def stream_allowed_lateness(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

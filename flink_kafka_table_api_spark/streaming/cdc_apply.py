@@ -58,6 +58,10 @@ from pyspark.sql import functions as F
 from flink_kafka_table_api_spark.streaming.incremental_dedup import (
     IncrementalDedup,
 )
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
@@ -146,6 +150,14 @@ def stream_cdc_apply(
         ops_chunked, os.path.join(state_dir, "src"),
         chunk_col=chunk_col, n_chunks=n_chunks, columns=OPS_COLUMNS,
     )
+    ckpt = os.path.join(state_dir, "ckpt")
+    # watermark-advance maxima ride ONE staging-time job instead of one
+    # agg job per micro-batch (chunk_stats.py; guide §1.2)
+    stats = ChunkStats(
+        spark, src,
+        "op_id long, op_ts timestamp, key long, op string, value double",
+        {"mx": F.max("op_ts")},
+    )
     state = os.path.join(state_dir, "state")
     marker_dir = os.path.join(state_dir, "commits")
     offsets_dir = os.path.join(state_dir, "offsets")
@@ -186,7 +198,6 @@ def stream_cdc_apply(
             os.path.join(state, f"batch-{batch_id}"), ignore_errors=True
         )
         prev = meta_after(batch_id - 1)
-        batch = batch.persist()
         admitted = (
             batch if prev["watermark"] is None
             else batch.filter(F.col("op_ts") > prev["watermark"])
@@ -199,7 +210,12 @@ def stream_cdc_apply(
         merged.write.mode("overwrite").parquet(
             os.path.join(state, f"batch-{batch_id}")
         )
-        batch_max = batch.agg(F.max("op_ts")).first()[0]
+        # sidecar; in-batch aggregate only if the files don't resolve
+        srows = stats.for_batch(ckpt, batch_id)
+        batch_max = (
+            batch.agg(F.max("op_ts")).first()[0] if srows is None
+            else stat_max(srows, "mx")
+        )
         candidates = [
             m for m in (prev["max_seen"], None if batch_max is None
                         else batch_max.isoformat()) if m is not None
@@ -212,7 +228,6 @@ def stream_cdc_apply(
             {"watermark": new_wm, "max_seen": max_seen},
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
         )
-        batch.unpersist()
         open(marker, "w").close()
         # bounded version tail: state does not grow with stream age
         old = batch_id - keep_versions
@@ -234,7 +249,7 @@ def stream_cdc_apply(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

@@ -83,6 +83,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.streaming.cdc_apply import OPS_COLUMNS
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
@@ -161,6 +165,16 @@ def stream_event_temporal_join(
         probes_chunked, os.path.join(state_dir, "probes"),
         chunk_col=chunk_col, n_chunks=n_chunks, columns=PROBE_COLUMNS,
     )
+    ckpt = os.path.join(state_dir, "ckpt")
+    # both sides' watermark-advance maxima ride ONE staging-time job
+    # each instead of a per-batch union-aggregate job (chunk_stats.py)
+    ops_stats = ChunkStats(
+        spark, ops_src, OPS_SCHEMA, {"mx": F.max("op_ts")}
+    )
+    probe_stats = ChunkStats(
+        spark, probe_src, "probe_id long, probe_ts timestamp, key long",
+        {"mx": F.max("probe_ts")},
+    )
     hist = os.path.join(state_dir, "hist")
     pending = os.path.join(state_dir, "pending")
     out = os.path.join(state_dir, "out")
@@ -208,9 +222,10 @@ def stream_event_temporal_join(
             shutil.rmtree(d, ignore_errors=True)
         prev = meta_after(batch_id - 1)
         # 2. dim side: admit + fold into the SCD2 delta store
+        ops_file = f"chunk{batch_id:04d}.parquet"
         ops = spark.read.schema(OPS_SCHEMA).parquet(
-            os.path.join(ops_src, f"chunk{batch_id:04d}.parquet")
-        ).persist()
+            os.path.join(ops_src, ops_file)
+        )
         dim_admitted = (
             ops if prev["dim_watermark"] is None
             else ops.filter(F.col("op_ts") > prev["dim_watermark"])
@@ -222,7 +237,6 @@ def stream_event_temporal_join(
             n_buckets=n_buckets,
         )
         # 3. probe side: admit + union with the carried buffer
-        probe_batch = probe_batch.persist()
         probe_admitted = (
             probe_batch if prev["probe_watermark"] is None
             else probe_batch.filter(
@@ -233,16 +247,23 @@ def stream_event_temporal_join(
             probe_admitted if carried is None
             else carried.unionByName(probe_admitted)
         ).persist()
-        # 4. advance both watermarks from rows SEEN — BOTH sides' maxima
-        # in ONE Spark job (a union of two 1-row aggregates; two
-        # separate .first() calls paid two ~150 ms job launches)
-        mx_rows = (
-            ops.agg(F.max("op_ts").alias("m"))
-            .unionAll(probe_batch.agg(F.max("probe_ts").alias("m")))
-            .collect()
-        )
-        dim_max = advance(prev["dim_max_seen"], mx_rows[0][0])
-        probe_max = advance(prev["probe_max_seen"], mx_rows[1][0])
+        # 4. advance both watermarks from rows SEEN — per-chunk maxima
+        # from the staging-time sidecar (zero per-batch jobs); fused
+        # union-aggregate fallback if either side doesn't resolve
+        orows = ops_stats.for_file(ops_file)
+        prows = probe_stats.for_batch(ckpt, batch_id)
+        if orows is None or prows is None:
+            mx_rows = (
+                ops.agg(F.max("op_ts").alias("m"))
+                .unionAll(probe_batch.agg(F.max("probe_ts").alias("m")))
+                .collect()
+            )
+            ops_mx, probe_mx = mx_rows[0][0], mx_rows[1][0]
+        else:
+            ops_mx = stat_max(orows, "mx")
+            probe_mx = stat_max(prows, "mx")
+        dim_max = advance(prev["dim_max_seen"], ops_mx)
+        probe_max = advance(prev["probe_max_seen"], probe_mx)
         w_dim = wm(dim_max, dim_delay)
         w_probe = wm(probe_max, probe_delay)
         horizon = (
@@ -287,8 +308,6 @@ def stream_event_temporal_join(
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
         )
         buffered.unpersist()
-        probe_batch.unpersist()
-        ops.unpersist()
         open(marker, "w").close()
         # the k-1 pending snapshot is superseded; keep one spare for
         # a crash between this marker and the next batch's publish
@@ -305,7 +324,7 @@ def stream_event_temporal_join(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

@@ -82,6 +82,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import DEC
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_group_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
@@ -156,6 +160,13 @@ def stream_idle_watermark(
         chunk_col="__chunk", n_chunks=n_chunks,
         columns=["source", "ts", "value"],
     )
+    ckpt = os.path.join(state_dir, "ckpt")
+    # per-source watermark maxima ride ONE staging-time job instead of
+    # one grouped-agg job per micro-batch (chunk_stats.py; guide §1.2)
+    stats = ChunkStats(
+        spark, src, "source string, ts timestamp, value double",
+        {"mx": F.max("ts")}, keys=("source",),
+    )
     out_dir = os.path.join(state_dir, "out")
     pend_dir = os.path.join(state_dir, "pending")
     wm_dir = os.path.join(state_dir, "wm")
@@ -184,7 +195,6 @@ def stream_idle_watermark(
                 os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
             )
         prev = _meta_after(batch_id - 1)
-        batch = batch.persist()
         admitted = (
             batch if prev["watermark"] is None
             else batch.filter(F.col("ts") > F.lit(prev["watermark"])
@@ -196,11 +206,18 @@ def stream_idle_watermark(
         # late row still advances its partition's watermark. |sources|
         # rows: a bounded-metadata collect (the quota.py precedent),
         # never data rows.
-        batch_max = {
-            r["source"]: r["mx"].isoformat()
-            for r in batch.groupBy("source")
-            .agg(F.max("ts").alias("mx")).collect()
-        }
+        srows = stats.for_batch(ckpt, batch_id)
+        if srows is None:  # in-batch aggregate fallback
+            batch_max = {
+                r["source"]: r["mx"].isoformat()
+                for r in batch.groupBy("source")
+                .agg(F.max("ts").alias("mx")).collect()
+            }
+        else:
+            batch_max = {
+                k: v.isoformat()
+                for k, v in stat_group_max(srows, "source", "mx").items()
+            }
         max_seen = dict(prev["max_seen"])
         for s, mx in batch_max.items():
             max_seen[s] = max(max_seen.get(s, mx), mx)
@@ -240,7 +257,6 @@ def stream_idle_watermark(
             open(os.path.join(wm_dir, f"batch-{batch_id}.json"), "w"),
         )
         merged.unpersist()
-        batch.unpersist()
         open(marker, "w").close()
         old = batch_id - keep_versions
         if old >= 0:
@@ -255,7 +271,7 @@ def stream_idle_watermark(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame
@@ -91,6 +92,30 @@ def ts_shift(ts: str, delay: str, *, sign: int = -1) -> str:
     if dt.microsecond:
         s += ("." + f"{dt.microsecond:06d}").rstrip("0")
     return s
+
+
+def run_concurrently(*thunks) -> None:
+    """Run independent Spark actions (typically a micro-batch's 2-3
+    batch-scoped state/sink writes to DISTINCT paths) from a small
+    thread pool so their tasks back-fill each other's stragglers
+    (guide §2.6: actions are only sequential because driver code calls
+    them sequentially). Wall cost drops from the sum of the jobs to the
+    slowest one. Raises the first failure AFTER every thunk finished —
+    the caller's marker-after-all-writes crash contract is preserved
+    (no marker is written when any write failed)."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                errs.append(e)
+        if errs:
+            raise errs[0]
 
 
 def stage_chunked_by(

@@ -74,6 +74,10 @@ from flink_kafka_table_api_spark.operators.text import quality_score_col
 from flink_kafka_table_api_spark.streaming.incremental_dedup import (
     IncrementalDedup,
 )
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
 
 
@@ -101,6 +105,12 @@ def stream_curate_pack_ooo(
         chunk_col=chunk_col, n_chunks=n_chunks,
         columns=["doc_id", "text"],
     )
+    ckpt = os.path.join(state_dir, "ckpt")
+    # watermark-advance maxima ride ONE staging-time job instead of one
+    # agg job per micro-batch (chunk_stats.py; guide §1.2)
+    stats = ChunkStats(
+        spark, src, "doc_id long, text string", {"mx": F.max("doc_id")}
+    )
     sink = os.path.join(state_dir, "packed")
     marker_dir = os.path.join(state_dir, "commits")
     offsets_dir = os.path.join(state_dir, "offsets")
@@ -127,7 +137,7 @@ def stream_curate_pack_ooo(
         )
         prev = meta_after(batch_id - 1)
         wm_prev = prev["watermark"]
-        batch = batch.select("doc_id", "text").persist()
+        batch = batch.select("doc_id", "text")
         # 1) admit: too-late rows (id at/below the watermark) drop here,
         #    but still advance max_seen below — the Spark contract
         admitted = (
@@ -136,8 +146,13 @@ def stream_curate_pack_ooo(
         )
         # 2) dedup the admitted rows against the accumulated index
         inc.process_batch(admitted, batch_id)
-        # 3) advance the watermark from everything SEEN
-        batch_max = batch.agg(F.max("doc_id")).first()[0]
+        # 3) advance the watermark from everything SEEN (sidecar;
+        #    in-batch aggregate only if the files don't resolve)
+        srows = stats.for_batch(ckpt, batch_id)
+        batch_max = (
+            batch.agg(F.max("doc_id")).first()[0] if srows is None
+            else stat_max(srows, "mx")
+        )
         seen = [m for m in (prev["max_seen"], batch_max) if m is not None]
         max_seen = max(seen) if seen else None
         new_wm = None if max_seen is None else int(max_seen) - delay
@@ -194,7 +209,6 @@ def stream_curate_pack_ooo(
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
         )
         kept.unpersist()
-        batch.unpersist()
         open(marker, "w").close()
 
     schema = "doc_id long, text string"
@@ -205,7 +219,7 @@ def stream_curate_pack_ooo(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

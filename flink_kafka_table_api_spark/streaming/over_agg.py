@@ -66,6 +66,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.functions.portable import DEC
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
@@ -185,6 +189,10 @@ def stream_over_agg(
         rows_chunked, os.path.join(state_dir, "src"),
         chunk_col=chunk_col, n_chunks=n_chunks, columns=ROW_COLUMNS,
     )
+    ckpt = os.path.join(state_dir, "ckpt")
+    # watermark-advance maxima ride ONE staging-time job instead of one
+    # agg job per micro-batch (chunk_stats.py; guide §1.2)
+    stats = ChunkStats(spark, src, _SCHEMA, {"mx": F.max("ts")})
     emitted_dir = os.path.join(state_dir, "emitted")
     context_dir = os.path.join(state_dir, "context")
     pending_dir = os.path.join(state_dir, "pending")
@@ -214,7 +222,7 @@ def stream_over_agg(
                 os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
             )
         prev = meta_after(batch_id - 1)
-        batch = batch.select(*ROW_COLUMNS).persist()
+        batch = batch.select(*ROW_COLUMNS)
         admitted = (
             batch if prev["watermark"] is None
             else batch.filter(F.col("ts") > prev["watermark"])
@@ -222,8 +230,13 @@ def stream_over_agg(
         live = _read_or_empty(
             os.path.join(pending_dir, f"batch-{batch_id - 1}")
         ).unionByName(admitted)
-        # advance the watermark from everything SEEN
-        batch_max = batch.agg(F.max("ts")).first()[0]
+        # advance the watermark from everything SEEN (sidecar; in-batch
+        # aggregate only if this batch's files don't resolve)
+        srows = stats.for_batch(ckpt, batch_id)
+        batch_max = (
+            batch.agg(F.max("ts")).first()[0] if srows is None
+            else stat_max(srows, "mx")
+        )
         candidates = [
             m for m in (prev["max_seen"], None if batch_max is None
                         else batch_max.isoformat()) if m is not None
@@ -273,7 +286,6 @@ def stream_over_agg(
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
         )
         live.unpersist()
-        batch.unpersist()
         open(marker, "w").close()
         # bounded state tails (emitted batch dirs are the result sink
         # and stay)
@@ -291,7 +303,7 @@ def stream_over_agg(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -355,6 +367,8 @@ def stream_over_rows_agg(
         rows_chunked, os.path.join(state_dir, "src"),
         chunk_col=chunk_col, n_chunks=n_chunks, columns=ROW_COLUMNS,
     )
+    ckpt = os.path.join(state_dir, "ckpt")
+    stats = ChunkStats(spark, src, _SCHEMA, {"mx": F.max("ts")})
     emitted_dir = os.path.join(state_dir, "emitted")
     context_dir = os.path.join(state_dir, "context")
     pending_dir = os.path.join(state_dir, "pending")
@@ -384,7 +398,7 @@ def stream_over_rows_agg(
                 os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
             )
         prev = meta_after(batch_id - 1)
-        batch = batch.select(*ROW_COLUMNS).persist()
+        batch = batch.select(*ROW_COLUMNS)
         admitted = (
             batch if prev["watermark"] is None
             else batch.filter(F.col("ts") > prev["watermark"])
@@ -392,7 +406,11 @@ def stream_over_rows_agg(
         live = _read_or_empty(
             os.path.join(pending_dir, f"batch-{batch_id - 1}")
         ).unionByName(admitted)
-        batch_max = batch.agg(F.max("ts")).first()[0]
+        srows = stats.for_batch(ckpt, batch_id)
+        batch_max = (
+            batch.agg(F.max("ts")).first()[0] if srows is None
+            else stat_max(srows, "mx")
+        )
         candidates = [
             m for m in (prev["max_seen"], None if batch_max is None
                         else batch_max.isoformat()) if m is not None
@@ -459,7 +477,6 @@ def stream_over_rows_agg(
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
         )
         live.unpersist()
-        batch.unpersist()
         open(marker, "w").close()
         old = batch_id - keep_versions
         if old >= 0:
@@ -475,7 +492,7 @@ def stream_over_rows_agg(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

@@ -57,6 +57,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+    stat_min,
+)
 from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
 
 _HIST_SCHEMA = "bin int, n long"
@@ -90,6 +95,18 @@ def stream_quantile_monitor(
         os.path.join(state_dir, "src"),
         chunk_col=chunk_col, n_chunks=n_chunks, columns=["value"],
     )
+    ckpt = os.path.join(state_dir, "ckpt")
+    # calibration min/max per chunk file in ONE staging-time job
+    # (chunk_stats.py; guide §1.2) — batch 0's [lo, hi] comes from its
+    # files' stats instead of a dedicated aggregate job
+    stats = ChunkStats(
+        spark, src, "value double",
+        {"lo": F.min("value"), "hi": F.max("value")},
+    )
+    # per-file bin counts need [lo, w], which exists only after batch 0
+    # calibrates — computed lazily in ONE job for ALL files, after which
+    # every batch's fold is pure driver arithmetic over n_bins longs
+    binned: dict[str, ChunkStats] = {}
     out_dir = os.path.join(state_dir, "out")
     hist_dir = os.path.join(state_dir, "hist")
     meta_dir = os.path.join(state_dir, "offsets")
@@ -107,46 +124,44 @@ def stream_quantile_monitor(
             return spark.createDataFrame([], _HIST_SCHEMA)
         return spark.read.schema(_HIST_SCHEMA).parquet(p)
 
-    def process(batch: DataFrame, batch_id: int) -> None:
-        os.makedirs(marker_dir, exist_ok=True)
-        os.makedirs(meta_dir, exist_ok=True)
-        marker = os.path.join(marker_dir, f"batch-{batch_id}")
-        if os.path.exists(marker):
-            return  # replay of a committed batch: no-op
-        for d in (out_dir, hist_dir):
-            shutil.rmtree(
-                os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
-            )
-        meta = _meta_after(batch_id - 1)
-        if meta is None:
-            mm = batch.agg(
-                F.min("value").alias("lo"), F.max("value").alias("hi")
-            ).first()
-            lo = float(mm["lo"]) if mm["lo"] is not None else 0.0
-            hi = float(mm["hi"]) if mm["hi"] is not None else 1.0
-            w = (hi - lo) / n_bins if hi > lo else 1.0
-            meta = {"lo": lo, "hi": hi, "w": w}
-        lo, w = meta["lo"], meta["w"]
-        bin_col = F.least(
+    def _hist_cells_after(batch_id: int) -> dict[int, int]:
+        """Driver-side histogram state read (n_bins longs — pyarrow,
+        no Spark job); reads Spark-written state from older runs too."""
+        import pyarrow.parquet as pq
+
+        p = os.path.join(hist_dir, f"batch-{batch_id}")
+        cells: dict[int, int] = {}
+        if batch_id < 0 or not os.path.isdir(p):
+            return cells
+        for e in sorted(os.scandir(p), key=lambda e: e.name):
+            if not e.name.endswith(".parquet") or e.name.startswith(
+                ("_", ".")
+            ):
+                continue
+            t = pq.read_table(e.path, columns=["bin", "n"])
+            for b, n in zip(t["bin"].to_pylist(), t["n"].to_pylist()):
+                cells[b] = cells.get(b, 0) + n
+        return cells
+
+    def _bin_col(lo: float, w: float):
+        return F.least(
             F.greatest(
                 F.floor((F.col("value") - F.lit(lo)) / F.lit(w)),
                 F.lit(0),
             ),
             F.lit(n_bins - 1),
         ).cast("int")
-        partial = batch.select(bin_col.alias("bin")).groupBy("bin").agg(
-            F.count("*").cast("long").alias("n")
-        )
-        merged = (
-            _hist_after(batch_id - 1).unionByName(partial)
-            .groupBy("bin").agg(F.sum("n").cast("long").alias("n"))
-        ).persist()
-        # bounded state: n_bins rows — the quantile read is driver-side
-        # integer selection over a 64-cell list (documented bounded
-        # collect, the quota.py precedent)
-        cells = sorted(
-            (r["bin"], r["n"]) for r in merged.collect()
-        )
+
+    def _emit_and_publish(
+        batch_id: int, meta: dict, cells: list, marker: str,
+        write_hist_arrow: bool,
+    ) -> None:
+        """Shared tail of both paths: rank selection, the |quantiles|-row
+        Arrow emission, state + meta + marker publishes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        lo, w = meta["lo"], meta["w"]
         n_seen = sum(n for _, n in cells)
         rows = []
         # empty-input agreement (ADVICE r9): a batch with zero
@@ -166,9 +181,6 @@ def stream_quantile_monitor(
             ))
         # |quantiles| rows: write driver-side via Arrow instead of
         # spinning a Spark job for a 3-row DataFrame each batch
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         tbl = pa.table({
             "batch_id": pa.array([r[0] for r in rows], pa.int64()),
             "q": pa.array([r[1] for r in rows], pa.float64()),
@@ -180,10 +192,18 @@ def stream_quantile_monitor(
         bdir = os.path.join(out_dir, f"batch-{batch_id}")
         os.makedirs(bdir, exist_ok=True)
         pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
-        merged.write.mode("overwrite").parquet(
-            os.path.join(hist_dir, f"batch-{batch_id}")
-        )
-        merged.unpersist()
+        if write_hist_arrow:
+            # histogram state is n_bins longs: publish it driver-side
+            # too (typed exactly as the Spark write: bin int32, n int64)
+            hdir = os.path.join(hist_dir, f"batch-{batch_id}")
+            os.makedirs(hdir, exist_ok=True)
+            pq.write_table(
+                pa.table({
+                    "bin": pa.array([b for b, _ in cells], pa.int32()),
+                    "n": pa.array([n for _, n in cells], pa.int64()),
+                }),
+                os.path.join(hdir, "part-0.parquet"),
+            )
         json.dump(meta, open(
             os.path.join(meta_dir, f"batch-{batch_id}.json"), "w"
         ))
@@ -193,6 +213,74 @@ def stream_quantile_monitor(
             shutil.rmtree(os.path.join(hist_dir, f"batch-{old}"),
                           ignore_errors=True)
 
+    def process(batch: DataFrame, batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        os.makedirs(meta_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replay of a committed batch: no-op
+        for d in (out_dir, hist_dir):
+            shutil.rmtree(
+                os.path.join(d, f"batch-{batch_id}"), ignore_errors=True
+            )
+        meta = _meta_after(batch_id - 1)
+        srows = stats.for_batch(ckpt, batch_id)
+        if srows is not None:
+            # fully driver-side batch: calibrate from the sidecar,
+            # fold precomputed per-file bin counts into the carried
+            # n_bins-long state, publish via Arrow — zero Spark jobs
+            # after the one-time bin-count job
+            if meta is None:
+                lo_v, hi_v = stat_min(srows, "lo"), stat_max(srows, "hi")
+                lo = float(lo_v) if lo_v is not None else 0.0
+                hi = float(hi_v) if hi_v is not None else 1.0
+                w = (hi - lo) / n_bins if hi > lo else 1.0
+                meta = {"lo": lo, "hi": hi, "w": w}
+            if "cs" not in binned:
+                binned["cs"] = ChunkStats(
+                    spark, src, "value double",
+                    {"n": F.count("*").cast("long")},
+                    keys=(_bin_col(meta["lo"], meta["w"]).alias("bin"),),
+                )
+            brows = binned["cs"].for_batch(ckpt, batch_id)
+            if brows is not None:
+                merged_cells = _hist_cells_after(batch_id - 1)
+                for r in brows:
+                    b = r["bin"]
+                    merged_cells[b] = merged_cells.get(b, 0) + r["n"]
+                _emit_and_publish(
+                    batch_id, meta, sorted(merged_cells.items()), marker,
+                    write_hist_arrow=True,
+                )
+                return
+        # fallback: the original in-batch Spark path (unresolvable files)
+        if meta is None:
+            mm = batch.agg(
+                F.min("value").alias("lo"), F.max("value").alias("hi")
+            ).first()
+            lo = float(mm["lo"]) if mm["lo"] is not None else 0.0
+            hi = float(mm["hi"]) if mm["hi"] is not None else 1.0
+            w = (hi - lo) / n_bins if hi > lo else 1.0
+            meta = {"lo": lo, "hi": hi, "w": w}
+        partial = batch.select(
+            _bin_col(meta["lo"], meta["w"]).alias("bin")
+        ).groupBy("bin").agg(F.count("*").cast("long").alias("n"))
+        merged = (
+            _hist_after(batch_id - 1).unionByName(partial)
+            .groupBy("bin").agg(F.sum("n").cast("long").alias("n"))
+        ).persist()
+        # bounded state: n_bins rows — the quantile read is driver-side
+        # integer selection over a 64-cell list (documented bounded
+        # collect, the quota.py precedent)
+        cells = sorted((r["bin"], r["n"]) for r in merged.collect())
+        merged.write.mode("overwrite").parquet(
+            os.path.join(hist_dir, f"batch-{batch_id}")
+        )
+        merged.unpersist()
+        _emit_and_publish(
+            batch_id, meta, cells, marker, write_hist_arrow=False,
+        )
+
     stream = (
         spark.readStream
         .schema("value double")
@@ -201,7 +289,7 @@ def stream_quantile_monitor(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

@@ -74,6 +74,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.streaming.cdc_apply import OPS_COLUMNS
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
@@ -205,6 +209,14 @@ def stream_scd2(
         ops_chunked, os.path.join(state_dir, "src"),
         chunk_col=chunk_col, n_chunks=n_chunks, columns=OPS_COLUMNS,
     )
+    ckpt = os.path.join(state_dir, "ckpt")
+    # watermark-advance maxima ride ONE staging-time job instead of one
+    # agg job per micro-batch (chunk_stats.py; guide §1.2)
+    stats = ChunkStats(
+        spark, src,
+        "op_id long, op_ts timestamp, key long, op string, value double",
+        {"mx": F.max("op_ts")},
+    )
     hist = os.path.join(state_dir, "hist")
     marker_dir = os.path.join(state_dir, "commits")
     offsets_dir = os.path.join(state_dir, "offsets")
@@ -226,7 +238,6 @@ def stream_scd2(
         shutil.rmtree(os.path.join(hist, f"batch_id={batch_id}"),
                       ignore_errors=True)
         prev = meta_after(batch_id - 1)
-        batch = batch.persist()
         admitted = (
             batch if prev["watermark"] is None
             else batch.filter(F.col("op_ts") > prev["watermark"])
@@ -241,7 +252,12 @@ def stream_scd2(
             spark, hist, admitted,
             batch_id=batch_id, n_buckets=n_buckets, compact=compact,
         )
-        batch_max = batch.agg(F.max("op_ts")).first()[0]
+        # sidecar; in-batch aggregate only if the files don't resolve
+        srows = stats.for_batch(ckpt, batch_id)
+        batch_max = (
+            batch.agg(F.max("op_ts")).first()[0] if srows is None
+            else stat_max(srows, "mx")
+        )
         candidates = [
             m for m in (prev["max_seen"], None if batch_max is None
                         else batch_max.isoformat()) if m is not None
@@ -255,7 +271,6 @@ def stream_scd2(
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
         )
         admitted.unpersist()
-        batch.unpersist()
         open(marker, "w").close()
         if compact:
             # b=batch_id is now a full snapshot; older deltas are
@@ -275,7 +290,7 @@ def stream_scd2(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

@@ -86,6 +86,10 @@ from flink_kafka_table_api_spark.streaming.agg_retract import (
     _STATE_SCHEMA,
     _winners,
 )
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import (
     interval_micros,
     stage_chunked_by,
@@ -117,6 +121,15 @@ def stream_agg_state_ttl(
     # ttl in exact microseconds (driver-side day-time interval parse,
     # pinned against the SQL interval parser by tests/test_ts_shift.py)
     ttl_us = interval_micros(ttl)
+    ckpt = os.path.join(state_dir, "ckpt")
+    # per-chunk clock maxima ride ONE staging-time job instead of one
+    # agg job per micro-batch (chunk_stats.py; guide §1.2)
+    stats = ChunkStats(
+        spark, src,
+        "op_id long, op_ts timestamp, key long, grp string, "
+        "op string, value double",
+        {"mx": F.max(F.unix_micros("op_ts"))},
+    )
     out_dir = os.path.join(state_dir, "out")
     state_dir_v = os.path.join(state_dir, "state")
     agg_dir = os.path.join(state_dir, "agg")
@@ -163,9 +176,13 @@ def stream_agg_state_ttl(
         # eviction filter without its own persist pass. The meta file
         # is load-bearing: eviction removes the rows that carried old
         # maxima, so the clock must be carried OUTSIDE the state.
-        mx = batch.agg(
-            F.max(F.unix_micros("op_ts")).alias("m")
-        ).first()["m"]
+        # sidecar; in-batch aggregate only if the files don't resolve
+        srows = stats.for_batch(ckpt, batch_id)
+        mx = (
+            batch.agg(F.max(F.unix_micros("op_ts")).alias("m"))
+            .first()["m"]
+            if srows is None else stat_max(srows, "mx")
+        )
         prev_clock = _clock_after(batch_id - 1)
         clock = max(
             (c for c in (prev_clock, mx) if c is not None), default=None
@@ -214,7 +231,7 @@ def stream_agg_state_ttl(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

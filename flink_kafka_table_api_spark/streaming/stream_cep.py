@@ -68,6 +68,10 @@ from flink_kafka_table_api_spark.operators.cep import (
     compile_pattern,
     tail_extensible,
 )
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
@@ -124,6 +128,10 @@ def stream_match_recognize(
         chunk_col=chunk_col, n_chunks=n_chunks, columns=data_cols,
     )
     rows_schema = classified.drop(chunk_col).schema
+    ckpt = os.path.join(state_dir, "ckpt")
+    # watermark-advance maxima ride ONE staging-time job instead of one
+    # agg job per micro-batch (chunk_stats.py; guide §1.2)
+    stats = ChunkStats(spark, src, rows_schema, {"mx": F.max(ts_col)})
     rows_store = os.path.join(state_dir, "rows")
     consumed = os.path.join(state_dir, "consumed")
     out = os.path.join(state_dir, "out")
@@ -307,7 +315,6 @@ def stream_match_recognize(
         ):
             shutil.rmtree(d, ignore_errors=True)
         prev = meta_after(batch_id - 1)
-        batch = batch.persist()
         admitted = (
             batch if prev["watermark"] is None
             else batch.filter(F.col(ts_col) > prev["watermark"])
@@ -315,7 +322,12 @@ def stream_match_recognize(
         admitted.write.mode("overwrite").parquet(
             os.path.join(rows_store, f"batch_id={batch_id}")
         )
-        mx = batch.agg(F.max(ts_col)).first()[0]
+        # sidecar; in-batch aggregate only if the files don't resolve
+        srows = stats.for_batch(ckpt, batch_id)
+        mx = (
+            batch.agg(F.max(ts_col)).first()[0] if srows is None
+            else stat_max(srows, "mx")
+        )
         cands = [m for m in (prev["max_seen"],
                              None if mx is None else mx.isoformat())
                  if m is not None]
@@ -341,7 +353,6 @@ def stream_match_recognize(
             {"watermark": new_wm, "max_seen": max_seen},
             open(os.path.join(offsets_dir, f"batch-{batch_id}.json"), "w"),
         )
-        batch.unpersist()
         open(marker, "w").close()
         old = batch_id - keep_versions
         if old >= 0:
@@ -356,7 +367,7 @@ def stream_match_recognize(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

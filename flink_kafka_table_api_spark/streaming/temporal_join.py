@@ -53,6 +53,10 @@ from flink_kafka_table_api_spark.streaming.cdc_apply import (
     changelog_winners,
     merge_state_version,
 )
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+)
 from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
@@ -159,6 +163,10 @@ def stream_temporal_join(
     )
     if semantics not in ("processing", "event"):
         raise ValueError(f"unknown temporal-join semantics: {semantics!r}")
+    # watermark-advance maxima ride ONE staging-time job instead of one
+    # agg job per micro-batch (chunk_stats.py; guide §1.2); schema=None
+    # mirrors the per-batch inference read of the same files
+    ops_stats = ChunkStats(spark, ops_src, None, {"mx": F.max("op_ts")})
     state = os.path.join(state_dir, "state")
     hist = os.path.join(state_dir, "hist")
     out = os.path.join(state_dir, "out")
@@ -188,9 +196,8 @@ def stream_temporal_join(
             os.path.join(out, f"batch_id={batch_id}"), ignore_errors=True
         )
         # 1. apply ops drop k BEFORE the probe join
-        ops = spark.read.parquet(
-            os.path.join(ops_src, f"chunk{batch_id:04d}.parquet")
-        )
+        ops_file = f"chunk{batch_id:04d}.parquet"
+        ops = spark.read.parquet(os.path.join(ops_src, ops_file))
         prev = meta_after(batch_id - 1)
         admitted = (
             ops if prev["watermark"] is None
@@ -250,8 +257,13 @@ def stream_temporal_join(
             .partitionBy("batch_id")
             .parquet(out)
         )
-        # 3. advance the watermark from ops SEEN (dropped ops advance it)
-        ops_max = ops.agg(F.max("op_ts")).first()[0]
+        # 3. advance the watermark from ops SEEN (dropped ops advance
+        # it); sidecar — in-batch aggregate only if the file is unknown
+        orows = ops_stats.for_file(ops_file)
+        ops_max = (
+            ops.agg(F.max("op_ts")).first()[0] if orows is None
+            else stat_max(orows, "mx")
+        )
         candidates = [
             m for m in (prev["max_seen"], None if ops_max is None
                         else ops_max.isoformat()) if m is not None
