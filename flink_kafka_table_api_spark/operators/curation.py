@@ -207,6 +207,7 @@ def pack_sequences(
     budget: int = 256,
     num_buckets: int = 32,
     start_offset: int = 0,
+    id_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Deterministic fixed-budget sequence packing for training batches.
 
@@ -232,11 +233,23 @@ def pack_sequences(
     sized = df.select(
         F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
     )
-    lo, hi = sized.agg(F.min(id_col), F.max(id_col)).first()
+    # ``id_bounds``: a caller-known COVER of the id range (e.g. the
+    # watermark interval a streaming batch finalized, or staged-file
+    # min/max statistics), skipping the min/max aggregate job. Any cover
+    # is exact: seq_id is a pure function of the global id-ordered
+    # cumulative sum — bucket boundaries only spread the prefix-sum work,
+    # they never appear in the output (a wider cover just leaves some
+    # buckets empty). An empty frame under provided bounds flows through
+    # the same plan to an empty result.
+    if id_bounds is not None:
+        lo, hi = id_bounds
+    else:
+        lo, hi = sized.agg(F.min(id_col), F.max(id_col)).first()
     if lo is None:  # empty input: empty layout, not a None-span crash
         return sized.select(
             id_col, "n_tokens", F.lit(None).cast("long").alias("seq_id")
         ).limit(0)
+    hi = max(hi, lo)  # degenerate cover (single-id interval) stays valid
     span = max((hi - lo + 1 + num_buckets - 1) // num_buckets, 1)
     # `div`, not `/`: double division loses integer exactness above 2^53
     # (see corpus_shuffle) — bucket and sequence assignment must be exact.

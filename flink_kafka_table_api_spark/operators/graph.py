@@ -847,24 +847,39 @@ def bfs_hops(
     NULL-free edge lists — enforce that here rather than diverge."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    dist = seeds.select(
-        F.col("node").cast("long").alias("node"),
-        F.lit(0).cast("long").alias("hop"),
-    ).distinct().localCheckpoint()
-    frontier = dist.select("node")
+    # settled set = union of per-round frontier frames, each checkpointed
+    # exactly ONCE when its round produced it. The earlier shape also
+    # re-checkpointed the accumulated union every round — an extra job
+    # per round that re-materialized every settled label k times over a
+    # k-round run (O(k^2) rows written to block storage for an O(k)
+    # result). A union of checkpoint leaves is a flat plan, so the
+    # anti-join side needs no further truncation.
+    frames = [
+        seeds.select(
+            F.col("node").cast("long").alias("node"),
+            F.lit(0).cast("long").alias("hop"),
+        ).distinct().localCheckpoint()
+    ]
+    frontier = frames[0].select("node")
     for h in range(1, max_hops + 1):
+        settled = frames[0].select("node")
+        for f in frames[1:]:
+            settled = settled.unionByName(f.select("node"))
         nxt = (
             frontier.join(e, frontier.node == e.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(settled, "node", "left_anti")
             .select("node", F.lit(h).cast("long").alias("hop"))
             .localCheckpoint()
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        frames.append(nxt)
         frontier = nxt.select("node")
+    dist = frames[0]
+    for f in frames[1:]:
+        dist = dist.unionByName(f)
     return dist
 
 

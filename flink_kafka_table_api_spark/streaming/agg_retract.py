@@ -68,7 +68,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
+    stage_chunked_by,
+)
 
 OPS_COLUMNS = ["op_id", "op_ts", "key", "grp", "op", "value"]
 _STATE_SCHEMA = (
@@ -196,14 +199,19 @@ def stream_agg_retract(
         ).persist()
         agg = _group_agg(merged).persist()
         prev_agg = _read(agg_dir, batch_id - 1, _AGG_SCHEMA)
-        _changelog(prev_agg, agg, batch_id).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"batch-{batch_id}"))
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir_v, f"batch-{batch_id}")
-        )
-        agg.write.mode("overwrite").parquet(
-            os.path.join(agg_dir, f"batch-{batch_id}")
+        # three independent DAGs over the two persisted frames to
+        # DISTINCT paths — overlapped so the batch pays the slowest
+        # write, not the sum (guide §2.6; marker still follows all)
+        run_concurrently(
+            lambda: _changelog(prev_agg, agg, batch_id).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"batch-{batch_id}")),
+            lambda: merged.write.mode("overwrite").parquet(
+                os.path.join(state_dir_v, f"batch-{batch_id}")
+            ),
+            lambda: agg.write.mode("overwrite").parquet(
+                os.path.join(agg_dir, f"batch-{batch_id}")
+            ),
         )
         merged.unpersist()
         agg.unpersist()

@@ -78,6 +78,7 @@ from flink_kafka_table_api_spark.streaming.chunk_stats import (
     stat_max,
 )
 from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
     stage_chunked_by,
     ts_shift,
 )
@@ -256,7 +257,7 @@ def stream_allowed_lateness(
         out = late_rows.unionByName(first_fires).unionByName(
             retracts
         ).unionByName(updates)
-        out.write.mode("overwrite").parquet(
+        write_out = lambda: out.write.mode("overwrite").parquet(  # noqa: E731
             os.path.join(out_dir, f"batch-{batch_id}")
         )
         # 4. EVICT — windows past end + allowed can never be corrected
@@ -274,8 +275,14 @@ def stream_allowed_lateness(
                   & (F.col("window_end")
                      <= F.lit(evict_line).cast("timestamp")))
             )
-        new_state.write.mode("overwrite").parquet(
-            os.path.join(st_dir, f"batch-{batch_id}")
+        # emission + state are independent DAGs over the persisted
+        # frames to DISTINCT paths — overlapped (guide §2.6; the marker
+        # still follows both)
+        run_concurrently(
+            write_out,
+            lambda: new_state.write.mode("overwrite").parquet(
+                os.path.join(st_dir, f"batch-{batch_id}")
+            ),
         )
         json.dump({"max_seen": max_seen}, open(
             os.path.join(wm_dir, f"batch-{batch_id}.json"), "w"

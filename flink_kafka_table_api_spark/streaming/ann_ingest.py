@@ -63,7 +63,10 @@ from flink_kafka_table_api_spark.functions.vector import (
     cosine,
 )
 from flink_kafka_table_api_spark.operators import similarity as sim
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
+    stage_chunked_by,
+)
 
 VEC_COLUMNS = ["vec_id", "embedding"]
 
@@ -158,27 +161,28 @@ def stream_ann_ingest(
             ignore_errors=True,
         )
         assign = assign_with_distance(batch, cents).persist()
-        (
-            assign.select("vec_id", "embedding", "cluster")
+        # index + drift-metric publishes are independent DAGs over the
+        # persisted assignment to DISTINCT paths — overlapped (guide
+        # §2.6; the marker still follows both). The drift partial is ONE
+        # tiny row per batch — exact decimal sum of the per-vector
+        # quantization error (order-insensitive, so the oracle replays
+        # it bit-for-bit).
+        run_concurrently(
+            lambda: assign.select("vec_id", "embedding", "cluster")
             .withColumn("qe", sim.int8_quantize("embedding")
                         .cast("array<tinyint>"))
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("batch_id", "cluster")
-            .parquet(index)
-        )
-        # the drift partial: ONE tiny row per batch — exact decimal sum
-        # of the per-vector quantization error (order-insensitive, so
-        # the oracle replays it bit-for-bit)
-        (
-            assign.agg(
+            .parquet(index),
+            lambda: assign.agg(
                 F.count("*").cast("long").alias("n"),
                 dec_sum("dist", "err_sum"),
             )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("batch_id")
-            .parquet(metrics)
+            .parquet(metrics),
         )
         assign.unpersist()
         open(marker, "w").close()

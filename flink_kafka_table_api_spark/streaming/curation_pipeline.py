@@ -46,6 +46,11 @@ from pyspark.sql import Observation
 
 from flink_kafka_table_api_spark.operators.curation import pack_sequences
 from flink_kafka_table_api_spark.operators.text import quality_score_col
+from flink_kafka_table_api_spark.streaming.chunk_stats import (
+    ChunkStats,
+    stat_max,
+    stat_min,
+)
 from flink_kafka_table_api_spark.streaming.incremental_dedup import (
     IncrementalDedup,
 )
@@ -92,6 +97,15 @@ def stream_curate_pack(
     src_dir = stage_ordered_chunks(
         docs.select("doc_id", "text"), os.path.join(state_dir, "src"),
         chunks=chunks,
+    )
+    ckpt = os.path.join(state_dir, "ckpt")
+    # per-chunk id min/max ride ONE staging-time job (chunk_stats.py):
+    # kept ⊆ batch, so each batch's file bounds are a valid COVER for
+    # pack_sequences' bucketing (bounds never reach the output), letting
+    # it skip its per-batch min/max aggregate job
+    stats = ChunkStats(
+        spark, src_dir, "doc_id long, text string",
+        {"mn": F.min("doc_id"), "mx": F.max("doc_id")},
     )
     sink = os.path.join(state_dir, "packed")
     marker_dir = os.path.join(state_dir, "commits")
@@ -155,7 +169,16 @@ def stream_curate_pack(
         # total (pack_sequences handles an all-dropped batch: empty
         # layout, zero new tokens — no extra emptiness probe job needed)
         offset = offset_after(batch_id - 1)
-        packed = pack_sequences(kept, budget=budget, start_offset=offset)
+        srows = stats.for_batch(ckpt, batch_id)
+        mn = stat_min(srows, "mn") if srows is not None else None
+        bounds = (
+            (int(mn), int(stat_max(srows, "mx")))
+            if srows is not None and mn is not None
+            else None
+        )
+        packed = pack_sequences(
+            kept, budget=budget, start_offset=offset, id_bounds=bounds
+        )
         # 4) publish: batch-scoped sink overwrite + this batch's offset
         #    snapshot, marker LAST — the commit point (doc_ids are unique
         #    across batches, so the sink union is an append of new keys;
@@ -184,7 +207,7 @@ def stream_curate_pack(
     )
     q = (
         stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -195,6 +218,7 @@ def stream_curate_pack(
             [], "doc_id long, n_tokens long, seq_id long"
         )
     return (
-        spark.read.option("recursiveFileLookup", "true").parquet(sink)
+        spark.read.schema("doc_id long, n_tokens long, seq_id long")
+        .option("recursiveFileLookup", "true").parquet(sink)
         .select("doc_id", "n_tokens", "seq_id")
     )

@@ -88,6 +88,7 @@ from flink_kafka_table_api_spark.streaming.chunk_stats import (
     stat_max,
 )
 from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
     stage_chunked_by,
     ts_shift,
 )
@@ -166,15 +167,35 @@ def stream_event_temporal_join(
         chunk_col=chunk_col, n_chunks=n_chunks, columns=PROBE_COLUMNS,
     )
     ckpt = os.path.join(state_dir, "ckpt")
-    # both sides' watermark-advance maxima ride ONE staging-time job
-    # each instead of a per-batch union-aggregate job (chunk_stats.py)
+    # both sides' watermark-advance maxima AND per-file key-bucket sets
+    # ride ONE staging-time job each instead of per-batch agg/collect
+    # jobs (chunk_stats.py). Bucket sets are SUPERSETS of what each
+    # batch admits/emits — valid for the history-scan prunes because the
+    # exact-key semi-joins downstream do the real restriction.
+    kb_set = F.collect_set(
+        F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int")
+    )
     ops_stats = ChunkStats(
-        spark, ops_src, OPS_SCHEMA, {"mx": F.max("op_ts")}
+        spark, ops_src, OPS_SCHEMA, {"mx": F.max("op_ts"), "kbs": kb_set}
     )
     probe_stats = ChunkStats(
         spark, probe_src, "probe_id long, probe_ts timestamp, key long",
-        {"mx": F.max("probe_ts")},
+        {"mx": F.max("probe_ts"), "kbs": kb_set},
     )
+
+    def probe_kbs_through(batch_id: int) -> list[int] | None:
+        """Union of probe-file bucket sets over batches 0..batch_id — a
+        superset of the buckets of every probe buffered or emitted at
+        batch_id (carried probes came from earlier batches' files).
+        None when any batch's files don't resolve."""
+        out: set[int] = set()
+        for i in range(batch_id + 1):
+            rows = probe_stats.for_batch(ckpt, i)
+            if rows is None:
+                return None
+            for r in rows:
+                out.update(r["kbs"])
+        return sorted(out)
     hist = os.path.join(state_dir, "hist")
     pending = os.path.join(state_dir, "pending")
     out = os.path.join(state_dir, "out")
@@ -232,9 +253,14 @@ def stream_event_temporal_join(
         ).withColumn(
             "__kb", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int")
         )
+        orows = ops_stats.for_file(ops_file)
         apply_history_delta(
             spark, hist, dim_admitted, batch_id=batch_id,
             n_buckets=n_buckets,
+            kbs=(
+                sorted({b for r in orows for b in r["kbs"]})
+                if orows is not None else None
+            ),
         )
         # 3. probe side: admit + union with the carried buffer
         probe_admitted = (
@@ -279,26 +305,36 @@ def stream_event_temporal_join(
             still = buffered.filter(F.col("probe_ts") > horizon)
         full_hist = read_history(spark, hist)
         if full_hist is not None:
-            # prune the history scan to the emitting probes' buckets
-            # (≤ n_buckets ints — the same bounded collect the SCD2
-            # fold does) and to their keys
-            kbs = [
-                r[0] for r in emit.select(
-                    F.pmod(F.xxhash64("key"), F.lit(n_buckets))
-                    .cast("int").alias("kb")
-                ).distinct().collect()
-            ]
+            # prune the history scan to the emitting probes' buckets and
+            # keys. The bucket list comes from the staging-time sidecar
+            # (union over probe files 0..k — a superset of the buffered
+            # probes' buckets, output-identical because the exact-key
+            # semi-join does the real restriction); the per-batch
+            # distinct-collect runs only if the sidecar doesn't resolve.
+            kbs = probe_kbs_through(batch_id)
+            if kbs is None:
+                kbs = [
+                    r[0] for r in emit.select(
+                        F.pmod(F.xxhash64("key"), F.lit(n_buckets))
+                        .cast("int").alias("kb")
+                    ).distinct().collect()
+                ]
             full_hist = (
                 full_hist.filter(F.col("__kb").isin(kbs))
                 .join(emit.select("key").distinct(), "key", "left_semi")
                 if kbs else None
             )
-        # 6. publish out + pending + offsets, marker LAST
-        _enrich(full_hist, emit, lookup_bin_seconds).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out, f"batch_id={batch_id}"))
-        still.write.mode("overwrite").parquet(
-            os.path.join(pending, f"batch-{batch_id}")
+        # 6. publish out + pending + offsets, marker LAST. The two
+        # writes are independent DAGs over the persisted buffer to
+        # DISTINCT paths — overlapped so the batch pays the slower one,
+        # not the sum (guide §2.6; the marker still follows both).
+        run_concurrently(
+            lambda: _enrich(full_hist, emit, lookup_bin_seconds)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"batch_id={batch_id}")),
+            lambda: still.write.mode("overwrite").parquet(
+                os.path.join(pending, f"batch-{batch_id}")
+            ),
         )
         json.dump(
             {

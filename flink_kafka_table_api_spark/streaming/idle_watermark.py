@@ -87,6 +87,7 @@ from flink_kafka_table_api_spark.streaming.chunk_stats import (
     stat_group_max,
 )
 from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
     stage_chunked_by,
     ts_shift,
 )
@@ -240,16 +241,22 @@ def stream_idle_watermark(
             if wm is not None
             else merged.filter(F.lit(False))
         )
-        ready.withColumn("batch_id", F.lit(batch_id).cast("long")) \
-            .write.mode("overwrite") \
-            .parquet(os.path.join(out_dir, f"batch-{batch_id}"))
         carry = (
             merged.filter(F.col("window_end") > F.lit(wm)
                           .cast("timestamp"))
             if wm is not None else merged
         )
-        carry.write.mode("overwrite").parquet(
-            os.path.join(pend_dir, f"batch-{batch_id}")
+        # both writes are independent splits of the persisted merged
+        # frame to DISTINCT paths — overlapped (guide §2.6; the marker
+        # still follows both)
+        run_concurrently(
+            lambda: ready
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch-{batch_id}")),
+            lambda: carry.write.mode("overwrite").parquet(
+                os.path.join(pend_dir, f"batch-{batch_id}")
+            ),
         )
         # 6. PUBLISH — meta, then the marker as the commit point
         json.dump(

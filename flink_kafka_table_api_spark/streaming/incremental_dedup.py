@@ -120,8 +120,12 @@ class IncrementalDedup:
         partition-column surprises for downstream unions."""
         if not IncrementalDedup._has_parts(table_path):
             return template.limit(0)
+        # explicit schema (the template's own): skips the per-call footer
+        # schema inference — a driver-side file read per micro-batch that
+        # grows with the number of published state files
         return (
-            spark.read.option("recursiveFileLookup", "true")
+            spark.read.schema(template.schema)
+            .option("recursiveFileLookup", "true")
             .parquet(table_path)
             .select(*template.columns)
         )
@@ -178,8 +182,11 @@ class IncrementalDedup:
         self._scrub(batch_id)
         spark = batch.sparkSession
         batch = batch.select("doc_id", "text").persist()
+        # lazy persist: the concurrent publishes below materialize both
+        # caches on first use (per-partition cache locks serialize the
+        # compute) — the old eager count() was one more fixed-cost job
+        # per micro-batch for the same materialization
         new_bands = self._new_bands(batch).persist()
-        new_bands.count()
         index = self._read_parts(spark, self.bands_path, new_bands)
         # Oversized-bucket cap on the ACCUMULATED occupancy (index + this
         # batch) — the operators/dedup.py lsh_candidate_pairs recipe: the
@@ -282,8 +289,13 @@ class IncrementalDedup:
             return spark.createDataFrame(
                 [], "a long, b long, jaccard double, batch_id int"
             )
+        # explicit schema: the published match rows' exact types (pinned
+        # by process_batch's select + lit), skipping per-call footer
+        # schema inference over every published batch file
         return (
-            spark.read.option("recursiveFileLookup", "true")
+            spark.read
+            .schema("a long, b long, jaccard double, batch_id int")
+            .option("recursiveFileLookup", "true")
             .parquet(self.matches_path)
             .select("a", "b", "jaccard", "batch_id")
         )

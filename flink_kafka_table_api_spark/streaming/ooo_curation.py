@@ -77,6 +77,7 @@ from flink_kafka_table_api_spark.streaming.incremental_dedup import (
 from flink_kafka_table_api_spark.streaming.chunk_stats import (
     ChunkStats,
     stat_max,
+    stat_min,
 )
 from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
 
@@ -106,11 +107,17 @@ def stream_curate_pack_ooo(
         columns=["doc_id", "text"],
     )
     ckpt = os.path.join(state_dir, "ckpt")
-    # watermark-advance maxima ride ONE staging-time job instead of one
-    # agg job per micro-batch (chunk_stats.py; guide §1.2)
+    # watermark-advance maxima AND pack-bounds minima ride ONE
+    # staging-time job instead of per-micro-batch agg jobs
+    # (chunk_stats.py; guide §1.2)
     stats = ChunkStats(
-        spark, src, "doc_id long, text string", {"mx": F.max("doc_id")}
+        spark, src, "doc_id long, text string",
+        {"mn": F.min("doc_id"), "mx": F.max("doc_id")},
     )
+    # smallest id across the whole staged drop set: a valid lower COVER
+    # for any finalized interval (used when no previous watermark exists)
+    all_rows = [r for rows in stats.by_file.values() for r in rows]
+    global_min = stat_min(all_rows, "mn")
     sink = os.path.join(state_dir, "packed")
     marker_dir = os.path.join(state_dir, "commits")
     offsets_dir = os.path.join(state_dir, "offsets")
@@ -192,8 +199,22 @@ def stream_curate_pack_ooo(
         #    increasing, so the global layout is id-ordered. The token
         #    total rides the write as an observed metric — same value
         #    the separate agg job computed, one less job per batch.
+        # pack bounds: kept lives in the finalized interval
+        # (wm_prev, new_wm] — a known COVER, so pack_sequences skips its
+        # per-batch min/max aggregate job (bucket bounds never reach the
+        # output; see pack_sequences). With no previous watermark the
+        # interval's floor is the drop set's global minimum id.
+        lo_cover = (
+            int(wm_prev) + 1 if wm_prev is not None else global_min
+        )
+        bounds = (
+            (int(lo_cover), int(new_wm))
+            if new_wm is not None and lo_cover is not None
+            else None
+        )
         packed = pack_sequences(
-            kept, budget=budget, start_offset=prev["token_total"]
+            kept, budget=budget, start_offset=prev["token_total"],
+            id_bounds=bounds,
         )
         obs = Observation()
         packed.observe(obs, F.sum("n_tokens").alias("t")).write.mode(
@@ -229,6 +250,7 @@ def stream_curate_pack_ooo(
             [], "doc_id long, n_tokens long, seq_id long"
         )
     return (
-        spark.read.option("recursiveFileLookup", "true").parquet(sink)
+        spark.read.schema("doc_id long, n_tokens long, seq_id long")
+        .option("recursiveFileLookup", "true").parquet(sink)
         .select("doc_id", "n_tokens", "seq_id")
     )

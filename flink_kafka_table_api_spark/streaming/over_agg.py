@@ -71,6 +71,7 @@ from flink_kafka_table_api_spark.streaming.chunk_stats import (
     stat_max,
 )
 from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
     stage_chunked_by,
     ts_shift,
 )
@@ -208,7 +209,8 @@ def stream_over_agg(
 
     def _read_or_empty(path: str) -> DataFrame:
         if os.path.isdir(path):
-            return spark.read.parquet(path)
+            # explicit schema: no per-batch footer inference job
+            return spark.read.schema(_SCHEMA).parquet(path)
         return spark.createDataFrame([], _SCHEMA)
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -267,19 +269,24 @@ def stream_over_agg(
             .filter(~F.col("__ctx"))
             .drop("__ctx")
         )
-        out.write.mode("overwrite").parquet(
-            os.path.join(emitted_dir, f"batch-{batch_id}")
-        )
         # context tail: emitted rows a future row's range can still reach
         new_context = context.unionByName(emit)
         if new_wm is not None:
             horizon = ts_shift(new_wm, f"{range_seconds} seconds")
             new_context = new_context.filter(F.col("ts") > horizon)
-        new_context.write.mode("overwrite").parquet(
-            os.path.join(context_dir, f"batch-{batch_id}")
-        )
-        pending.write.mode("overwrite").parquet(
-            os.path.join(pending_dir, f"batch-{batch_id}")
+        # three independent DAGs over the persisted live frame to
+        # DISTINCT paths — overlapped so the batch pays the slowest
+        # write, not the sum (guide §2.6; marker still follows all)
+        run_concurrently(
+            lambda: out.write.mode("overwrite").parquet(
+                os.path.join(emitted_dir, f"batch-{batch_id}")
+            ),
+            lambda: new_context.write.mode("overwrite").parquet(
+                os.path.join(context_dir, f"batch-{batch_id}")
+            ),
+            lambda: pending.write.mode("overwrite").parquet(
+                os.path.join(pending_dir, f"batch-{batch_id}")
+            ),
         )
         json.dump(
             {"watermark": new_wm, "max_seen": max_seen},
@@ -384,7 +391,8 @@ def stream_over_rows_agg(
 
     def _read_or_empty(path: str) -> DataFrame:
         if os.path.isdir(path):
-            return spark.read.parquet(path)
+            # explicit schema: no per-batch footer inference job
+            return spark.read.schema(_SCHEMA).parquet(path)
         return spark.createDataFrame([], _SCHEMA)
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -449,9 +457,6 @@ def stream_over_rows_agg(
             .filter(~F.col("__ctx"))
             .drop("__ctx")
         )
-        out.write.mode("overwrite").parquet(
-            os.path.join(emitted_dir, f"batch-{batch_id}")
-        )
         # context tail: the key's LAST n_preceding emitted rows — the
         # only rows a future row's ROWS frame can reach
         rank = (
@@ -466,11 +471,18 @@ def stream_over_rows_agg(
             .filter(F.col("__rn") <= n_preceding)
             .drop("__rn")
         )
-        new_context.write.mode("overwrite").parquet(
-            os.path.join(context_dir, f"batch-{batch_id}")
-        )
-        pending.write.mode("overwrite").parquet(
-            os.path.join(pending_dir, f"batch-{batch_id}")
+        # overlapped batch-scoped publishes (guide §2.6), as in the
+        # RANGE variant
+        run_concurrently(
+            lambda: out.write.mode("overwrite").parquet(
+                os.path.join(emitted_dir, f"batch-{batch_id}")
+            ),
+            lambda: new_context.write.mode("overwrite").parquet(
+                os.path.join(context_dir, f"batch-{batch_id}")
+            ),
+            lambda: pending.write.mode("overwrite").parquet(
+                os.path.join(pending_dir, f"batch-{batch_id}")
+            ),
         )
         json.dump(
             {"watermark": new_wm, "max_seen": max_seen},

@@ -47,7 +47,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.operators.text import token_count
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
+    stage_chunked_by,
+)
 
 _CONSUMED_SCHEMA = "source string, consumed long"
 
@@ -109,9 +112,6 @@ def stream_source_quota(
         kept = prefixed.filter(
             F.col("__carried") + F.col("__before") < budget
         ).select("source", "doc_id", "n_tokens")
-        kept.write.mode("overwrite").parquet(
-            os.path.join(kept_dir, f"batch-{batch_id}")
-        )
         # counter advances by tokens SEEN (the batch twin's prefix
         # semantics), not just kept
         batch_totals = sized.groupBy("source").agg(
@@ -125,8 +125,16 @@ def stream_source_quota(
                  + F.coalesce(F.col("__t"), F.lit(0))).alias("consumed"),
             )
         )
-        new_consumed.write.mode("overwrite").parquet(
-            os.path.join(consumed_dir, f"batch-{batch_id}")
+        # both publishes are independent DAGs over the persisted sized
+        # frame to DISTINCT paths — overlapped (guide §2.6; the marker
+        # still follows both)
+        run_concurrently(
+            lambda: kept.write.mode("overwrite").parquet(
+                os.path.join(kept_dir, f"batch-{batch_id}")
+            ),
+            lambda: new_consumed.write.mode("overwrite").parquet(
+                os.path.join(consumed_dir, f"batch-{batch_id}")
+            ),
         )
         sized.unpersist()
         open(marker, "w").close()

@@ -60,7 +60,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
+    stage_chunked_by,
+)
 
 ROWS_COLUMNS = ["row_id", "key", "value"]
 STATE_SCHEMA = "key long, total decimal(25,6)"
@@ -184,27 +187,36 @@ def stream_topn_retract(
             os.path.join(out, f"batch_id={batch_id}"),
         ):
             shutil.rmtree(d, ignore_errors=True)
+        # the old shape wrote state, read it back, wrote top, read THAT
+        # back, then wrote the diff — three serialized jobs with two
+        # parquet round-trips. The persisted frames carry the identical
+        # rows (a parquet round-trip is value-preserving), so all three
+        # publishes are independent DAGs to DISTINCT paths — overlapped,
+        # the batch pays the slowest write (guide §2.6; marker last).
         merged = _fold(
             spark, os.path.join(state, f"batch-{batch_id - 1}"),
             _batch_sums(batch),
-        )
-        state_path = os.path.join(state, f"batch-{batch_id}")
-        merged.write.mode("overwrite").parquet(state_path)
-        new_top = _topn(
-            spark.read.schema(STATE_SCHEMA).parquet(state_path), n
-        )
-        top_path = os.path.join(top, f"batch-{batch_id}")
-        new_top.write.mode("overwrite").parquet(top_path)
+        ).persist()
+        new_top = _topn(merged, n).persist()
         prev_top_path = os.path.join(top, f"batch-{batch_id - 1}")
         prev_top = (
             spark.read.schema(TOP_SCHEMA).parquet(prev_top_path)
             if os.path.isdir(prev_top_path) else None
         )
-        _diff(
-            prev_top, spark.read.schema(TOP_SCHEMA).parquet(top_path)
-        ).write.mode("overwrite").parquet(
-            os.path.join(out, f"batch_id={batch_id}")
+        run_concurrently(
+            lambda: merged.write.mode("overwrite").parquet(
+                os.path.join(state, f"batch-{batch_id}")
+            ),
+            lambda: new_top.write.mode("overwrite").parquet(
+                os.path.join(top, f"batch-{batch_id}")
+            ),
+            lambda: _diff(prev_top, new_top)
+            .write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            ),
         )
+        merged.unpersist()
+        new_top.unpersist()
         open(marker, "w").close()
         old = batch_id - keep_versions
         if old >= 0:

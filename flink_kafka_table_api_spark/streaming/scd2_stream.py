@@ -143,6 +143,7 @@ def apply_history_delta(
     batch_id: int,
     n_buckets: int,
     compact: bool = False,
+    kbs: list[int] | None = None,
 ) -> None:
     """One SCD2 maintenance step, shared by stream_scd2 and the
     event-time temporal join (streaming/event_temporal_join.py): fold a
@@ -156,9 +157,15 @@ def apply_history_delta(
     if prior is None:
         out = _chain(admitted)
     else:
-        # driver-side list of touched buckets (≤ n_buckets ints):
-        # the ONLY collect, and it exists to prune the hist scan
-        kbs = [r[0] for r in admitted.select("__kb").distinct().collect()]
+        # driver-side list of touched buckets (≤ n_buckets ints), used
+        # ONLY to prune the hist scan — the exact-key semi-join below
+        # does the real restriction, so any SUPERSET of admitted's
+        # buckets is output-identical. Callers with staging-time file
+        # statistics pass that superset and skip this per-batch collect.
+        if kbs is None:
+            kbs = [
+                r[0] for r in admitted.select("__kb").distinct().collect()
+            ]
         latest_aff = (
             _latest_per_key(prior.filter(F.col("__kb").isin(kbs)))
             .join(admitted.select("key").distinct(), "key", "left_semi")
@@ -210,12 +217,21 @@ def stream_scd2(
         chunk_col=chunk_col, n_chunks=n_chunks, columns=OPS_COLUMNS,
     )
     ckpt = os.path.join(state_dir, "ckpt")
-    # watermark-advance maxima ride ONE staging-time job instead of one
-    # agg job per micro-batch (chunk_stats.py; guide §1.2)
+    # watermark-advance maxima AND per-file key-bucket sets ride ONE
+    # staging-time job instead of per-micro-batch agg/collect jobs
+    # (chunk_stats.py; guide §1.2). A file's bucket set is a SUPERSET of
+    # its admitted subset's — valid for the hist-scan prune because the
+    # exact-key semi-join inside apply_history_delta does the real
+    # restriction.
     stats = ChunkStats(
         spark, src,
         "op_id long, op_ts timestamp, key long, op string, value double",
-        {"mx": F.max("op_ts")},
+        {
+            "mx": F.max("op_ts"),
+            "kbs": F.collect_set(
+                F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("int")
+            ),
+        },
     )
     hist = os.path.join(state_dir, "hist")
     marker_dir = os.path.join(state_dir, "commits")
@@ -248,12 +264,17 @@ def stream_scd2(
             compact_every is not None
             and (batch_id + 1) % compact_every == 0
         )
+        # sidecar; in-batch aggregate/collect only if files don't resolve
+        srows = stats.for_batch(ckpt, batch_id)
+        file_kbs = (
+            sorted({b for r in srows for b in r["kbs"]})
+            if srows is not None else None
+        )
         apply_history_delta(
             spark, hist, admitted,
             batch_id=batch_id, n_buckets=n_buckets, compact=compact,
+            kbs=file_kbs,
         )
-        # sidecar; in-batch aggregate only if the files don't resolve
-        srows = stats.for_batch(ckpt, batch_id)
         batch_max = (
             batch.agg(F.max("op_ts")).first()[0] if srows is None
             else stat_max(srows, "mx")

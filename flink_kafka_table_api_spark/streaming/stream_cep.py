@@ -73,6 +73,7 @@ from flink_kafka_table_api_spark.streaming.chunk_stats import (
     stat_max,
 )
 from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
     stage_chunked_by,
     ts_shift,
 )
@@ -290,15 +291,26 @@ def stream_match_recognize(
                     ).cast("int").alias("__off"),
                 )
             )
-        matches_df.write.mode("overwrite").parquet(
-            os.path.join(out, f"batch_id={batch_id}")
-        )
-        if not flush:
-            (
+        if flush:
+            matches_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            )
+        else:
+            # matches + offsets are independent DAGs over the persisted
+            # spans frame to DISTINCT paths — overlapped so the batch
+            # pays the slower write, not the sum (guide §2.6; the
+            # caller's marker still follows both)
+            cons_df = (
                 new_cons if new_cons is not None
                 else spark.createDataFrame([], f"{key_col} long, __off int")
-            ).write.mode("overwrite").parquet(
-                os.path.join(consumed, f"batch-{batch_id}")
+            )
+            run_concurrently(
+                lambda: matches_df.write.mode("overwrite").parquet(
+                    os.path.join(out, f"batch_id={batch_id}")
+                ),
+                lambda: cons_df.write.mode("overwrite").parquet(
+                    os.path.join(consumed, f"batch-{batch_id}")
+                ),
             )
         spans.unpersist()
 

@@ -58,6 +58,7 @@ from flink_kafka_table_api_spark.streaming.chunk_stats import (
     stat_max,
 )
 from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
     stage_chunked_by,
     ts_shift,
 )
@@ -203,6 +204,14 @@ def stream_temporal_join(
             ops if prev["watermark"] is None
             else ops.filter(F.col("op_ts") > prev["watermark"])
         )
+        # Both semantics previously wrote their dimension state, read
+        # the files straight back, and only then built + wrote the
+        # enrichment — two serialized jobs with a parquet round-trip in
+        # the middle. The persisted in-memory frame carries the
+        # identical rows (a parquet round-trip is value-preserving), so
+        # the state publish and the enriched publish are independent
+        # DAGs to DISTINCT paths — overlapped per guide §2.6 (the
+        # marker still follows both).
         if semantics == "processing":
             # the CDC fold: one snapshot version per drop
             merged = merge_state_version(
@@ -211,12 +220,10 @@ def stream_temporal_join(
                 changelog_winners(
                     admitted.withColumn("__n", F.lit(1)), "__n"
                 ),
-            )
-            snap_path = os.path.join(state, f"batch-{batch_id}")
-            merged.write.mode("overwrite").parquet(snap_path)
+            ).persist()
             # 2. probe drop k sees snapshot k
             snapshot = (
-                spark.read.parquet(snap_path)
+                merged
                 .filter(F.col("last_op") != "D")
                 .select(
                     "key",
@@ -227,35 +234,42 @@ def stream_temporal_join(
             enriched = probe_batch.join(snapshot, "key", "left").select(
                 "probe_id", "probe_ts", "key", "dim_value", "dim_op_id",
             )
+            state_write = lambda: merged.write.mode(  # noqa: E731
+                "overwrite"
+            ).parquet(os.path.join(state, f"batch-{batch_id}"))
         else:
             # the versioned-table append: admitted ops accumulate as the
-            # queryable dimension HISTORY (batch-scoped partitions)
-            (
-                admitted.select(*OPS_COLUMNS)
+            # queryable dimension HISTORY (batch-scoped partitions).
+            # Probes see prior history ∪ this batch's admitted ops — the
+            # same rows the append-then-reread produced.
+            admitted = admitted.select(*OPS_COLUMNS).persist()
+            prior_hist = (
+                spark.read.parquet(hist).drop("batch_id")
+                if os.path.isdir(hist) and any(
+                    e.name.startswith("batch_id=")
+                    for e in os.scandir(hist)
+                )
+                else None
+            )
+            full_hist = (
+                admitted if prior_hist is None
+                else prior_hist.unionByName(admitted)
+            )
+            # 2. each probe sees the version AS OF its own probe_ts
+            enriched = asof_enrich(probe_batch, full_hist)
+            state_write = lambda: (  # noqa: E731
+                admitted
                 .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("append")
                 .partitionBy("batch_id")
                 .parquet(hist)
             )
-            # 2. each probe sees the version AS OF its own probe_ts
-            # (an all-empty history so far -> every probe enriches NULL)
-            if os.path.isdir(hist) and any(
-                e.name.startswith("batch_id=") for e in os.scandir(hist)
-            ):
-                enriched = asof_enrich(
-                    probe_batch, spark.read.parquet(hist).drop("batch_id")
-                )
-            else:
-                enriched = probe_batch.select(
-                    "probe_id", "probe_ts", "key",
-                    F.lit(None).cast("double").alias("dim_value"),
-                    F.lit(None).cast("long").alias("dim_op_id"),
-                )
-        (
-            enriched.withColumn("batch_id", F.lit(batch_id))
+        run_concurrently(
+            state_write,
+            lambda: enriched.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("batch_id")
-            .parquet(out)
+            .parquet(out),
         )
         # 3. advance the watermark from ops SEEN (dropped ops advance
         # it); sidecar — in-batch aggregate only if the file is unknown

@@ -81,7 +81,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.streaming.idle_watermark import (
@@ -90,6 +90,7 @@ from flink_kafka_table_api_spark.streaming.idle_watermark import (
     window_partials,
 )
 from flink_kafka_table_api_spark.streaming.late_data import (
+    run_concurrently,
     stage_chunked_by,
     ts_shift,
 )
@@ -222,23 +223,32 @@ def stream_watermark_alignment(
             F.broadcast(defer_windows),
             ["source", "window_start", "window_end"], "left_anti",
         )
-        ready.withColumn("batch_id", F.lit(batch_id).cast("long")) \
-            .write.mode("overwrite") \
-            .parquet(os.path.join(out_dir, f"batch-{batch_id}"))
         carry = merged.join(
             ready.select("source", "window_start", "window_end"),
             ["source", "window_start", "window_end"], "left_anti",
         )
-        carry.write.mode("overwrite").parquet(
-            os.path.join(pend_dir, f"batch-{batch_id}")
+        # three independent DAGs over the persisted frames to DISTINCT
+        # paths — overlapped (guide §2.6; marker still follows all). The
+        # deferred count rides its write as an observed metric instead
+        # of a separate count job.
+        obs = Observation()
+        run_concurrently(
+            lambda: ready
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch-{batch_id}")),
+            lambda: carry.write.mode("overwrite").parquet(
+                os.path.join(pend_dir, f"batch-{batch_id}")
+            ),
+            lambda: deferred.select("source", "ts", "value")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(defer_dir, f"batch-{batch_id}")),
         )
-        deferred.select("source", "ts", "value").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(defer_dir, f"batch-{batch_id}"))
         # 6. PUBLISH — meta, then the marker as the commit point
         json.dump(
             {"max_admitted": max_admitted,
-             "n_deferred": deferred.count()},
+             "n_deferred": int(obs.get["n"])},
             open(os.path.join(wm_dir, f"batch-{batch_id}.json"), "w"),
         )
         merged.unpersist()

@@ -3,6 +3,8 @@ against everything already indexed, without rescanning it."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.sources.files import stream_parquet_dir
@@ -114,10 +116,19 @@ def test_incremental_state_is_o_corpus(spark, tmp_path):
 
     assert len(glob.glob(dd.bands_path + "/batch-*")) == n_batches
 
-    # compaction rewrites the per-batch file litter without changing state
+    # compaction rewrites per-batch file litter without changing state
     # content (or the batch layout): later batches still dedup against
-    # everything
+    # everything. AQE's cached-plan coalescing now publishes each batch
+    # as a single file already, so fragment one batch directory by hand
+    # to give compaction actual litter to rewrite.
+    frag = dd.bands_path + "/batch-0"
+    read_state(frag).repartition(4).write.mode("overwrite").parquet(frag + "__tmp")
+    import shutil
+
+    shutil.rmtree(frag)
+    os.rename(frag + "__tmp", frag)
     files_before = len(glob.glob(dd.bands_path + "/batch-*/*.parquet"))
+    assert len(glob.glob(frag + "/*.parquet")) > 1
     dd.compact_state(spark)
     files_after = len(glob.glob(dd.bands_path + "/batch-*/*.parquet"))
     assert files_after < files_before
