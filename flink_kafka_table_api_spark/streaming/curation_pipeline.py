@@ -152,7 +152,8 @@ def stream_curate_pack(
             inc.matches(spark)
             .filter(F.col("batch_id") == batch_id)
             .select(F.col("a").alias("doc_id"))
-            .distinct()
+            # no .distinct(): only ever the anti-join's build side, whose
+            # hash relation dedups keys — the exchange was a wasted stage
         )
         # 2) quality gate: the score as ONE filter column over the
         #    anti-join output — the earlier feature-frame + self-join

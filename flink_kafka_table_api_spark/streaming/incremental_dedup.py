@@ -167,7 +167,9 @@ class IncrementalDedup:
         cand_ids = (
             cand.select(F.col("a").alias("doc_id"))
             .unionByName(cand.select(F.col("b").alias("doc_id")))
-            .distinct()
+            # no .distinct(): this is only ever the BUILD side of a
+            # left-semi join, whose hash relation dedups keys anyway — the
+            # explicit exchange was one more per-batch stage for nothing
         )
         texts = doc_store.unionByName(batch).join(
             cand_ids, "doc_id", "left_semi"
@@ -188,58 +190,78 @@ class IncrementalDedup:
         # per micro-batch for the same materialization
         new_bands = self._new_bands(batch).persist()
         index = self._read_parts(spark, self.bands_path, new_bands)
+        # One tagged union of (index, this batch) feeds BOTH the cap
+        # aggregate and the candidate join below — the pre-r10 shape ran
+        # two separate probe joins (new-vs-indexed, new-vs-new) plus a
+        # union: one exchange + one broadcast build more per micro-batch
+        # for the identical candidate set (guide §2.4).
+        tagged = (
+            index.select(
+                "doc_id", "band_id", "band_hash",
+                F.lit(False).alias("__new"),
+            ).unionByName(
+                new_bands.select(
+                    "doc_id", "band_id", "band_hash",
+                    F.lit(True).alias("__new"),
+                )
+            )
+        )
         # Oversized-bucket cap on the ACCUMULATED occupancy (index + this
         # batch) — the operators/dedup.py lsh_candidate_pairs recipe: the
         # oversized set is the pathology, therefore tiny, and broadcasts
-        # into anti-joins; the bands tables are never re-shuffled for it.
-        idx_b = index
-        nb = new_bands
+        # into an anti-join; the bands tables are never re-shuffled for it.
+        capped = tagged
         if self.max_bucket_size is not None:
             big = (
-                index.select("band_id", "band_hash")
-                .unionByName(new_bands.select("band_id", "band_hash"))
+                tagged.select("band_id", "band_hash")
                 .groupBy("band_id", "band_hash")
                 .agg(F.count("*").alias("__n"))
                 .filter(F.col("__n") > self.max_bucket_size)
                 .select("band_id", "band_hash")
             )
-            nb = new_bands.join(
+            capped = tagged.join(
                 F.broadcast(big), ["band_id", "band_hash"], "left_anti"
             )
-            idx_b = index.join(
-                F.broadcast(big), ["band_id", "band_hash"], "left_anti"
-            )
-        # candidates, two joins with different pair-uniqueness rules:
-        # - new-vs-INDEXED: the id sets are disjoint (an id is indexed at
-        #   most once), so each cross pair appears in exactly one
-        #   orientation (a=new, b=indexed) and `a != b` keeps it — an
-        #   `a > b` filter here would silently drop every pair whose new
-        #   id sorts below the indexed id (arbitrary-id streams);
-        # - new-vs-NEW (self join): both orientations appear, `a > b`
-        #   dedups them and drops self-pairs.
+        # candidates, ONE bucket join with per-side pair-uniqueness rules
+        # (the left side is always a NEW doc):
+        # - new-vs-INDEXED (right row __new=false): the id sets are
+        #   disjoint (an id is indexed at most once), so each cross pair
+        #   appears in exactly one orientation (a=new, b=indexed) and
+        #   `a != b` keeps it — an `a > b` filter here would silently
+        #   drop every pair whose new id sorts below the indexed id
+        #   (arbitrary-id streams);
+        # - new-vs-NEW (right row __new=true, a self join): both
+        #   orientations appear, `a > b` dedups them and drops self-pairs.
         # Output orientation is therefore (a=new doc, b=indexed doc) for
         # cross pairs and (a=larger id, b=smaller id) within a batch.
-        new_a = nb.select(
+        new_a = capped.filter("__new").select(
             F.col("doc_id").alias("a"), "band_id", "band_hash"
         )
-        cross = new_a.join(
-            idx_b.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
-            ["band_id", "band_hash"],
-        ).filter(F.col("a") != F.col("b"))
-        within = new_a.join(
-            nb.select(F.col("doc_id").alias("b"), "band_id", "band_hash"),
-            ["band_id", "band_hash"],
-        ).filter(F.col("a") > F.col("b"))
         # cand feeds THREE consumers below (the id prune plus both sides of
         # the verify join); persist so the band bucket-join runs once.
         cand = (
-            cross.select("a", "b")
-            .unionByName(within.select("a", "b"))
+            new_a.join(
+                capped.select(
+                    F.col("doc_id").alias("b"), "band_id", "band_hash",
+                    "__new",
+                ),
+                ["band_id", "band_hash"],
+            )
+            .filter(
+                F.when(F.col("__new"), F.col("a") > F.col("b"))
+                .otherwise(F.col("a") != F.col("b"))
+            )
+            .select("a", "b")
             .distinct()
             .persist()
         )
         doc_store = self._read_parts(spark, self.docs_path, batch)
-        sh = self._verify_shingles(doc_store, batch, cand)
+        # persist: BOTH sides of the verify join below read this frame,
+        # and without the cache each side re-evaluates the whole
+        # semi-join + shingle expression DAG (no ReusedExchange fires —
+        # the branches differ by alias); sh is O(candidate docs), so the
+        # cache is bounded by the pair budget, never the corpus
+        sh = self._verify_shingles(doc_store, batch, cand).persist()
         a = sh.select(F.col("doc_id").alias("a"), F.col("__sh").alias("__sa"))
         b = sh.select(F.col("doc_id").alias("b"), F.col("__sh").alias("__sb"))
         matches = (
@@ -276,6 +298,7 @@ class IncrementalDedup:
             ),
         )
         cand.unpersist()
+        sh.unpersist()
         new_bands.unpersist()
         batch.unpersist()
         os.makedirs(self.marker_dir, exist_ok=True)

@@ -190,8 +190,11 @@ def stream_curate_pack_ooo(
         # kept pipeline twice per batch for the same rows (identical
         # score expression, identical rounding); persist: kept feeds
         # pack_sequences' id-bounds aggregate AND the packed layout
+        # no .distinct() on the anti-join's right side: the anti-join's
+        # build relation dedups keys anyway — the explicit exchange was
+        # one more per-batch stage for nothing
         kept = (
-            fin.join(dropped.distinct(), "doc_id", "left_anti")
+            fin.join(dropped, "doc_id", "left_anti")
             .filter(quality_score_col("text") >= quality_threshold)
             .persist()
         )

@@ -218,7 +218,11 @@ def stream_match_recognize(
             F.lit(True) if flush or horizon is None
             else (F.col(ts_col) <= horizon)
         )
-        rows = rows.withColumn("__frozen", frz)
+        # persist: rows feeds BOTH the per-key sequence fold (seqs) and
+        # the measures join (matched); without the cache the window
+        # sort re-runs once per consumer (only the exchange below it is
+        # reusable). Bounded by the affected keys' stored history.
+        rows = rows.withColumn("__frozen", frz).persist()
         seqs = rows.groupBy(key_col).agg(
             F.concat_ws(
                 "",
@@ -295,6 +299,7 @@ def stream_match_recognize(
             matches_df.write.mode("overwrite").parquet(
                 os.path.join(out, f"batch_id={batch_id}")
             )
+            rows.unpersist()
         else:
             # matches + offsets are independent DAGs over the persisted
             # spans frame to DISTINCT paths — overlapped so the batch
@@ -312,6 +317,7 @@ def stream_match_recognize(
                     os.path.join(consumed, f"batch-{batch_id}")
                 ),
             )
+            rows.unpersist()
         spans.unpersist()
 
     def process(batch: DataFrame, batch_id: int) -> None:
