@@ -68,6 +68,49 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _events_min_date(spark: SparkSession, sf_dir: str):
+    """min(to_date(ts)) over events — the day-tercile chunk anchor every
+    watermarked stream_* fixture derives, answered from the parquet
+    FOOTER statistics instead of a full-scan preamble job per bench run
+    (sources/footer_stats.py; guide §1.2). Exact: to_date is monotone in
+    ts and the session timezone is pinned UTC, so the date of min(ts) IS
+    min(to_date(ts)). Falls back to the real Spark aggregate whenever the
+    statistics don't resolve to a datetime-like bound (directory tables
+    without stats, legacy physical types, all-null columns)."""
+    from flink_kafka_table_api_spark.sources.footer_stats import (
+        parquet_column_minmax,
+    )
+
+    mm = parquet_column_minmax(os.path.join(sf_dir, "events.parquet"), "ts")
+    if mm is not None and hasattr(mm[0], "date"):
+        return mm[0].date()
+    return _t(spark, sf_dir, "events").agg(F.min(F.to_date("ts"))).first()[0]
+
+
+def _documents_id_bounds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int]:
+    """(min, max) doc_id over documents from the parquet footer
+    statistics (exact for INT64 by the parquet format rule), with the
+    Spark aggregate as the fallback — same contract as
+    :func:`_events_min_date`."""
+    from flink_kafka_table_api_spark.sources.footer_stats import (
+        parquet_column_minmax,
+    )
+
+    mm = parquet_column_minmax(
+        os.path.join(sf_dir, "documents.parquet"), "doc_id"
+    )
+    if mm is not None:
+        return int(mm[0]), int(mm[1])
+    r = (
+        _t(spark, sf_dir, "documents")
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .first()
+    )
+    return r[0], r[1]
+
+
 def _as_stream_dir(sf_dir: str, name: str) -> str:
     """Spark's file-stream source requires a *directory*; the testdata is one
     parquet file per table (read-only), so stage a symlink dir in /tmp.
@@ -2110,7 +2153,9 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    mid = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+    # max/2 truncated to long, from the footer statistics (doc_id >= 0,
+    # so floor == the cast's truncation); fallback inside the helper
+    mid = _documents_id_bounds(spark, sf)[1] // 2
     state = _scratch_dir("incdedup", sf)
     dd_inc = IncrementalDedup(state, threshold=0.5, portable=True)
     dd_inc.process_batch(docs.filter(F.col("doc_id") <= mid), 0)
@@ -2182,6 +2227,7 @@ def q_stream_curation(spark: SparkSession, sf: str) -> DataFrame:
     return stream_curate_pack(
         spark, docs, state, threshold=0.5, quality_threshold=0.5,
         budget=256, chunks=2, portable=True,
+        id_bounds=_documents_id_bounds(spark, sf),
     ).select("doc_id", "n_tokens", "seq_id")
 
 
@@ -6746,7 +6792,7 @@ def q_stream_late_events(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "event_type", "value",
     )
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -6866,7 +6912,7 @@ def q_stream_curation_ooo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    m0, m1 = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    m0, m1 = _documents_id_bounds(spark, sf)
     w = -((m1 - m0 + 1) // -3)  # ceil
     delay = max(1, w // 4)
     natural = F.least(F.expr(f"div(doc_id - {m0}, {w})"), F.lit(2))
@@ -6942,7 +6988,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -7025,7 +7071,7 @@ def q_stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -7194,7 +7240,7 @@ def q_stream_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -7322,7 +7368,7 @@ def q_stream_event_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     ops = ev.select(
@@ -7440,7 +7486,7 @@ def q_stream_topn_retract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     rows = ev.select(
         F.col("event_id").alias("row_id"),
@@ -7604,7 +7650,7 @@ def q_stream_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     chunked = ev.select(
@@ -7965,7 +8011,7 @@ def q_stream_cumulate(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "event_type", "value",
     )
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -8077,7 +8123,7 @@ def q_stream_over_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -8159,7 +8205,7 @@ def q_stream_over_rows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -8253,7 +8299,7 @@ def q_stream_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "user_id", "event_type", "value",
     )
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -8631,7 +8677,7 @@ def q_stream_idle_watermark(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -8964,7 +9010,7 @@ def q_stream_allowed_lateness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     shift = (
@@ -9065,7 +9111,7 @@ def q_stream_agg_retract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     ops = ev.select(
@@ -9178,7 +9224,7 @@ def q_stream_state_ttl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     ops = ev.select(
@@ -9215,7 +9261,7 @@ def q_stream_watermark_alignment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = _events_min_date(spark, sf)
     d_idx = F.datediff(F.to_date("ts"), F.lit(d0))
     natural = F.least(F.floor(d_idx / F.lit(10)).cast("long"), F.lit(2))
     chunk = F.when(

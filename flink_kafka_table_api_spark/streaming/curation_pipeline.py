@@ -58,13 +58,23 @@ from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
 
 
 def stage_ordered_chunks(
-    docs: DataFrame, out_dir: str, *, id_col: str = "doc_id", chunks: int = 2
+    docs: DataFrame, out_dir: str, *, id_col: str = "doc_id",
+    chunks: int = 2, id_bounds: tuple[int, int] | None = None,
 ) -> str:
     """Stage a bounded corpus as `chunks` parquet files split by id range
     (chunk 0 = lowest ids), with strictly increasing mtimes so Spark's
     file-stream source replays them as deterministic micro-batches in id
-    order — the bounded twin of a dated crawl-drop directory."""
-    lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+    order — the bounded twin of a dated crawl-drop directory.
+
+    `id_bounds` lets a caller that already knows the EXACT (min, max) of
+    `id_col` (e.g. from parquet footer statistics over the raw input —
+    queries._documents_id_bounds) skip this function's min/max scan job;
+    unlike pack_sequences' cover semantics these bounds must be exact,
+    because the chunk-0 floor anchors the id terciles the oracle replays."""
+    lo, hi = (
+        id_bounds if id_bounds is not None
+        else docs.agg(F.min(id_col), F.max(id_col)).first()
+    )
     span = max((hi - lo + 1 + chunks - 1) // chunks, 1)
     # (id - lo) div span reproduces the range filter [lo+i*span,
     # lo+(i+1)*span) exactly; the shared one-pass stager replaces the
@@ -88,6 +98,7 @@ def stream_curate_pack(
     budget: int = 256,
     chunks: int = 2,
     portable: bool = True,
+    id_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Run the incremental curation pipeline over `docs` staged as a
     file stream of `chunks` micro-batches; return the packed sink
@@ -96,7 +107,7 @@ def stream_curate_pack(
     which is exactly what the DuckDB oracle replays."""
     src_dir = stage_ordered_chunks(
         docs.select("doc_id", "text"), os.path.join(state_dir, "src"),
-        chunks=chunks,
+        chunks=chunks, id_bounds=id_bounds,
     )
     ckpt = os.path.join(state_dir, "ckpt")
     # per-chunk id min/max ride ONE staging-time job (chunk_stats.py):
