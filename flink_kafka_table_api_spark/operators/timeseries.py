@@ -518,7 +518,7 @@ def _burst_scored_sql(*, burst_mult: float = 2.0) -> str:
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2
     ),
-    tot AS (SELECT day, SUM(c) AS n FROM daily GROUP BY day),
+    tot AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM daily GROUP BY day),
     span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
     cal AS (
       SELECT g.grp, CAST(u.day AS DATE) AS day
@@ -527,7 +527,9 @@ def _burst_scored_sql(*, burst_mult: float = 2.0) -> str:
             FROM span) u
     ),
     filled AS (
-      SELECT cal.grp, cal.day, COALESCE(d.c, 0) AS c, COALESCE(t.n, 0) AS n
+      SELECT cal.grp, cal.day,
+             CAST(COALESCE(d.c, 0) AS BIGINT) AS c,
+             CAST(COALESCE(t.n, 0) AS BIGINT) AS n
       FROM cal LEFT JOIN daily d ON cal.grp = d.grp AND cal.day = d.day
                LEFT JOIN tot t ON cal.day = t.day
     ),
@@ -833,7 +835,14 @@ def burst_costs_probe(
     isolation: costs green + walk red localizes the r8/r9 divergence to
     recursive-CTE semantics; costs red localizes it to ln/arithmetic
     upstream; both green with burst red localizes it to the backtrack.
-    Retire once burst_detection is green (the probe is subsumed)."""
+
+    The r10 bisection verdict (walk GREEN, costs RED) localized the
+    divergence to the one typed column this probe emits and the walk
+    doesn't: day_total carried DuckDB's un-cast HUGEINT SUM — fixed in
+    _burst_scored_sql (r11). Retirement is deferred: the r11 gate is
+    FROZEN to CORRECTNESS_r10's exact 50 names (VERDICT r10 item 2 —
+    dropping a declared name counts as a regression), so the probes
+    stay registered and green until a future gate rotation."""
     return _burst_scored(
         events, group_col=group_col, ts_col=ts_col, burst_mult=burst_mult
     ).select(
