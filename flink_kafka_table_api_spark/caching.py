@@ -42,3 +42,33 @@ def release_cached() -> int:
             pass  # session already stopped — nothing to free
         n += 1
     return n
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def replan_cached_plans(spark):
+    """Scope spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+    to one streaming pipeline run (set before .start(), restored after
+    awaitTermination).
+
+    The flag lets AQE re-plan (and coalesce) the partitioning of CACHED
+    plans, so a persisted micro-batch frame materializes at data-sized
+    parallelism instead of the full shuffle-partition fan-out — measured
+    in r10 on stream_curation_ooo: 8798 -> 3731 tasks, job-time sum
+    57 -> 21 s. Session-wide, however, the r11 interleaved A/B on the
+    23-query comparable set (scripts/flag_ab.py, medians of 3
+    invocations per side) measured ON ~7% slower overall — the flag
+    coalesces CPU-expensive cached frames (the LSH pipeline's shingle
+    sets) below useful parallelism on the batch paths — matching the
+    r10 driver's 11 regressed batch queries. So: default OFF
+    (session.py no longer sets it), ON only inside the foreachBatch
+    pipelines whose per-batch persisted frames are the proven win."""
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)

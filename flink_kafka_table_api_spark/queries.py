@@ -2148,6 +2148,7 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     the first, without rescanning it. The oracle is the BATCH LSH pipeline
     (orientation-swapped: incremental emits (newer, older)) — proving that
     the incremental index finds exactly the pairs a full-corpus run finds."""
+    from flink_kafka_table_api_spark.caching import replan_cached_plans
     from flink_kafka_table_api_spark.streaming.incremental_dedup import (
         IncrementalDedup,
     )
@@ -2158,8 +2159,11 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     mid = _documents_id_bounds(spark, sf)[1] // 2
     state = _scratch_dir("incdedup", sf)
     dd_inc = IncrementalDedup(state, threshold=0.5, portable=True)
-    dd_inc.process_batch(docs.filter(F.col("doc_id") <= mid), 0)
-    dd_inc.process_batch(docs.filter(F.col("doc_id") > mid), 1)
+    # same scoped cached-plan AQE as the streaming pipelines: the
+    # per-batch persisted frames are the proven win (caching.py)
+    with replan_cached_plans(spark):
+        dd_inc.process_batch(docs.filter(F.col("doc_id") <= mid), 0)
+        dd_inc.process_batch(docs.filter(F.col("doc_id") > mid), 1)
     return dd_inc.matches(spark).select("a", "b", "jaccard")
 
 

@@ -83,19 +83,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE re-plan (and in particular coalesce) the partitioning of
-        # CACHED plans too. Off by default only to keep a cached frame's
-        # output partitioning stable for consumers that rely on it; none of
-        # our persist() sites do (joins/aggs re-shuffle by key regardless,
-        # and explicit repartition(n, col) counts are always honored). The
-        # win is size-adaptive, not core-count-tuned: a persisted micro-batch
-        # frame materializes at data-sized parallelism instead of the full
-        # spark.sql.shuffle.partitions fan-out (measured on
-        # stream_curation_ooo: 8798 -> 3731 tasks, job-time sum 57 -> 21 s).
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        # canChangeCachedPlanOutputPartitioning is NOT set here any more
+        # (r11): session-wide it regressed the batch comparable set ~7%
+        # (interleaved A/B, scripts/flag_ab.py — AQE coalesces
+        # CPU-expensive cached frames below useful parallelism), while its
+        # proven win is the streaming foreachBatch pipelines' per-batch
+        # persisted frames. caching.replan_cached_plans scopes it to
+        # exactly those runs.
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else cpus),

@@ -72,6 +72,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     run_concurrently,
     stage_chunked_by,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 OPS_COLUMNS = ["op_id", "op_ts", "key", "grp", "op", "value"]
 _STATE_SCHEMA = (
@@ -229,13 +230,14 @@ def stream_agg_retract(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], _OUT_SCHEMA)
     return (

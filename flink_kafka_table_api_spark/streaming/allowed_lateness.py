@@ -82,6 +82,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 _STATE_SCHEMA = (
     "window_start timestamp, window_end timestamp, n_events long, "
@@ -302,13 +303,14 @@ def stream_allowed_lateness(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     last = max(
         (int(e.name[len("batch-"):])
          for e in os.scandir(marker_dir)),

@@ -67,6 +67,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     run_concurrently,
     stage_chunked_by,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 VEC_COLUMNS = ["vec_id", "embedding"]
 
@@ -193,13 +194,14 @@ def stream_ann_ingest(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     empty = spark.createDataFrame(
         [], "block string, vec_id long, score double"

@@ -66,6 +66,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 OPS_COLUMNS = ["op_id", "op_ts", "key", "op", "value"]
 
@@ -247,13 +248,14 @@ def stream_cdc_apply(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     last = _last_state_version(state)
     if last is None:
         return spark.createDataFrame(

@@ -55,6 +55,7 @@ from flink_kafka_table_api_spark.streaming.incremental_dedup import (
     IncrementalDedup,
 )
 from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 
 def stage_ordered_chunks(
@@ -217,13 +218,14 @@ def stream_curate_pack(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not IncrementalDedup._has_parts(sink):
         # every batch was filtered to nothing: typed empty sink
         return spark.createDataFrame(

@@ -99,6 +99,7 @@ from flink_kafka_table_api_spark.streaming.scd2_stream import (
     scd2_lookup,
 )
 from flink_kafka_table_api_spark.streaming.temporal_join import PROBE_COLUMNS
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 OUT_SCHEMA = (
     "probe_id long, probe_ts timestamp, key long, "
@@ -358,13 +359,14 @@ def stream_event_temporal_join(
         .option("maxFilesPerTrigger", 1)
         .parquet(probe_src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     # end-of-input flush: watermark -> +inf, every buffered probe emits
     # against the final history (idempotent: recomputed from committed

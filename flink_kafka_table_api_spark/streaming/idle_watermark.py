@@ -91,6 +91,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 _PENDING_SCHEMA = (
     "source string, window_start timestamp, window_end timestamp, "
@@ -276,13 +277,14 @@ def stream_idle_watermark(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # terminal flush: windows the watermark never passed
     last = max(
         (int(e.name[len("batch-"):])

@@ -79,6 +79,7 @@ from flink_kafka_table_api_spark.streaming.chunk_stats import (
     stat_max,
     stat_min,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
 
 
@@ -241,13 +242,14 @@ def stream_curate_pack_ooo(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not IncrementalDedup._has_parts(sink):
         return spark.createDataFrame(
             [], "doc_id long, n_tokens long, seq_id long"

@@ -75,6 +75,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 ROW_COLUMNS = ["row_id", "ts", "key", "value"]
 _SCHEMA = "row_id long, ts timestamp, key long, value double"
@@ -308,13 +309,14 @@ def stream_over_agg(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not os.path.isdir(emitted_dir):
         return spark.createDataFrame(
             [], _SCHEMA + ", n_win long, sum_win double"
@@ -502,13 +504,14 @@ def stream_over_rows_agg(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not os.path.isdir(emitted_dir):
         return spark.createDataFrame(
             [], _SCHEMA + ", n_win long, sum_win double"

@@ -53,6 +53,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 # (column, kind): kind drives the min/max type and the sketch input
 # representation. Kinds: "long" | "double" | "string" | "ts".
@@ -198,13 +199,14 @@ def stream_profile(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     if not os.path.isdir(partials_dir) or not any(
         e.name.startswith("batch_id=") for e in os.scandir(partials_dir)

@@ -63,6 +63,7 @@ from flink_kafka_table_api_spark.streaming.chunk_stats import (
     stat_min,
 )
 from flink_kafka_table_api_spark.streaming.late_data import stage_chunked_by
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 _HIST_SCHEMA = "bin int, n long"
 _OUT_SCHEMA = (
@@ -287,13 +288,14 @@ def stream_quantile_monitor(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], _OUT_SCHEMA)
     return (

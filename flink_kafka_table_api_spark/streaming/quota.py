@@ -51,6 +51,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     run_concurrently,
     stage_chunked_by,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 _CONSUMED_SCHEMA = "source string, consumed long"
 
@@ -151,13 +152,14 @@ def stream_source_quota(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not os.path.isdir(kept_dir):
         return spark.createDataFrame(
             [], "source string, doc_id long, n_tokens long"

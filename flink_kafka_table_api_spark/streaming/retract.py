@@ -64,6 +64,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     run_concurrently,
     stage_chunked_by,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 ROWS_COLUMNS = ["row_id", "key", "value"]
 STATE_SCHEMA = "key long, total decimal(25,6)"
@@ -233,13 +234,14 @@ def stream_topn_retract(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     parts = [
         e.name for e in os.scandir(out)

@@ -82,6 +82,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 HIST_SCHEMA = (
     "key long, op_id long, op_ts timestamp, op string, value double, "
@@ -309,13 +310,14 @@ def stream_scd2(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     full = read_history(spark, hist)
     if full is None:
         return spark.createDataFrame(

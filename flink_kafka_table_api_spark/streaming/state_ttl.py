@@ -95,6 +95,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     run_concurrently,
     stage_chunked_by,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 
 def stream_agg_state_ttl(
@@ -235,13 +236,14 @@ def stream_agg_state_ttl(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], _OUT_SCHEMA)
     return (

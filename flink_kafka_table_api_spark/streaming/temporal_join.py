@@ -62,6 +62,7 @@ from flink_kafka_table_api_spark.streaming.late_data import (
     stage_chunked_by,
     ts_shift,
 )
+from flink_kafka_table_api_spark.caching import replan_cached_plans
 
 PROBE_COLUMNS = ["probe_id", "probe_ts", "key"]
 
@@ -303,13 +304,14 @@ def stream_temporal_join(
         .option("maxFilesPerTrigger", 1)
         .parquet(probe_src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replan_cached_plans(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     if not os.path.isdir(out) or not any(
         e.name.startswith("batch_id=") for e in os.scandir(out)
